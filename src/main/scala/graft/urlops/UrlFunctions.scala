@@ -1,0 +1,80 @@
+package graft.urlops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level URL functions for the frontier engine.
+  *
+  * Where the semantics are expressible with Spark built-ins we use them
+  * directly (codegen'd, pushdown-friendly); the irreducibly imperative
+  * ones (canonicalization, public-suffix extraction) are Scala UDFs over
+  * the pure functions in [[UrlOps]].
+  */
+object UrlFunctions {
+
+  val registeredDomainUdf = udf((u: String) =>
+    if (u == null) null else UrlOps.registeredDomain(u))
+  val canonicalizeUrlUdf = udf((u: String) =>
+    if (u == null) null else UrlOps.canonicalizeUrl(u))
+  val fingerprintUdf = udf((u: String) =>
+    if (u == null) null else UrlOps.requestFingerprint(u))
+  val urlPathUdf = udf((u: String) =>
+    if (u == null) null else UrlOps.urlPath(u))
+  val urlQueryUdf = udf((u: String) =>
+    if (u == null) null else UrlOps.urlQuery(u))
+  val pathQueryFragmentUdf = udf((u: String) =>
+    if (u == null) null else UrlOps.urlPathQueryFragment(u))
+
+  def registered_domain(c: Column): Column = registeredDomainUdf(c)
+  def canon_url(c: Column): Column = canonicalizeUrlUdf(c)
+
+  /** sha1 hex fingerprint of a GET request with no body and no login state
+    * (dd_crawler/dupefilter.py:14-21). Built on the UDF canonicalizer but
+    * hashing with Spark's codegen'd sha1.
+    */
+  def url_fingerprint(c: Column): Column =
+    sha1(concat(lit("GET"), canon_url(c), lit("login=None")))
+
+  /** md5(url) as 16 raw bytes — request `parent` hash
+    * (dd_crawler/spiders.py:117-121). Pure built-ins: unhex(md5(..)). */
+  def url_hash_bytes(c: Column): Column = unhex(md5(c.cast("string")))
+
+  /** base64(md5(url)) — CDR item id (dd_crawler/spiders.py:123-126). */
+  def url_hash_b64(c: Column): Column = base64(unhex(md5(c.cast("string"))))
+
+  /** Count of duplicated non-empty segments when splitting on `sep`
+    * (dd_crawler/middleware/dupesegments.py:53-73). Pure built-ins.
+    * `sep` is a regex-escaped literal for split().
+    */
+  def num_duplicate_segments(c: Column, sep: String): Column = {
+    val segs = filter(split(c, java.util.regex.Pattern.quote(sep)),
+                      s => length(s) > lit(0))
+    size(segs) - size(array_distinct(segs))
+  }
+
+  /** int16 depth clamp (dd_crawler/queue.py:403) via least/greatest. */
+  def clamp_depth(c: Column): Column =
+    greatest(lit(-32768), least(lit(32767), c)).cast("int")
+
+  /** priority = int(score * multiplier) (dd_crawler/spiders.py:165-168). */
+  def link_priority(score: Column, multiplier: Double): Column =
+    (score * lit(multiplier)).cast("long")
+
+  /** Frontier-stored priority clamp (dd_crawler/queue.py:91-92). */
+  def clamp_priority(p: Column, maxScore: Double): Column =
+    if (maxScore.isInfinite) p else least(p, lit(maxScore.toLong))
+
+  /** crc32 of the full queue-key string — the reference's shard hash
+    * (dd_crawler/queue.py:244,320-323). Spark's crc32 == zlib.crc32. */
+  def domain_shard(domain: Column, spiderName: String, nWorkers: Int): Column =
+    crc32(concat(lit(spiderName + ":requests:domain:"), domain)) % nWorkers
+
+  /** Register all as SQL functions on the session. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("registered_domain", registeredDomainUdf)
+    spark.udf.register("canon_url", canonicalizeUrlUdf)
+    spark.udf.register("url_fingerprint", fingerprintUdf)
+    spark.udf.register("url_path", urlPathUdf)
+    spark.udf.register("url_query", urlQueryUdf)
+  }
+}

@@ -1,0 +1,365 @@
+package graft.urlops
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+/** Pure URL operations for the frontier engine.
+  *
+  * Semantics are pinned by the reference crawler
+  * (TeamHG-Memex/domain-discovery-crawler):
+  *  - registered-domain extraction: dd_crawler/utils.py:70-75 (tldextract
+  *    `registered_domain`, with a `domain.suffix` fallback for hosts like
+  *    `localhost`), behavior fixed by tests/test_queue.py:60-67.
+  *  - URL canonicalization: w3lib `canonicalize_url` as used by
+  *    dd_crawler/dupefilter.py:5,17 (sort query pairs, percent-normalize,
+  *    strip fragment, empty path -> "/").
+  *  - request fingerprint: dd_crawler/dupefilter.py:14-21 —
+  *    sha1(method || canonicalize_url(url) || body || "login=<state>").
+  *  - page id / parent hash: dd_crawler/spiders.py:117-126 — md5(url) raw
+  *    16 bytes (parent) or base64 (id).
+  *  - duplicate path/query segment count:
+  *    dd_crawler/middleware/dupesegments.py:53-73.
+  *  - int16 depth clamp: dd_crawler/queue.py:403, pinned by
+  *    tests/test_queue.py:248-254.
+  *
+  * All functions are deterministic and thread-safe (no shared state), so
+  * they are safe inside Spark UDFs / expressions.
+  */
+object UrlOps {
+
+  // --- registered domain ----------------------------------------------
+
+  /** Small embedded public-suffix subset (public data, publicsuffix.org).
+    * Sufficient for synthetic fixtures and the reference's pinned cases
+    * (example.com / example2.com / example.co.uk). Multi-label suffixes
+    * must be checked longest-first.
+    */
+  private val multiPartSuffixes: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk", "plc.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "com.ua", "com.pl", "com.ru",
+    "co.za", "org.za", "co.kr", "co.il", "co.id", "co.th"
+  )
+
+  private val singleSuffixes: Set[String] = Set(
+    "com", "net", "org", "edu", "gov", "mil", "int", "info", "biz", "name",
+    "pro", "aero", "coop", "museum", "dev", "app", "io", "ai", "co", "me",
+    "tv", "cc", "ws", "xyz", "site", "online", "top", "club", "shop",
+    "uk", "ru", "de", "fr", "jp", "cn", "br", "au", "us", "it", "nl", "es",
+    "se", "no", "fi", "dk", "pl", "ca", "ch", "at", "be", "cz", "gr", "hu",
+    "ie", "pt", "ro", "sk", "ua", "in", "kr", "mx", "ar", "tr", "sg", "hk",
+    "tw", "za", "il", "id", "th", "nz", "eu"
+  )
+
+  /** Extract the host (authority minus userinfo/port) from a URL string.
+    * Tolerant of unparseable/relative inputs: returns "" when there is no
+    * authority component.
+    */
+  def host(url: String): String = {
+    val s = url
+    val schemeEnd = s.indexOf("://")
+    val authStart =
+      if (schemeEnd >= 0) schemeEnd + 3
+      else if (s.startsWith("//")) 2
+      else return ""
+    var end = s.length
+    var i = authStart
+    while (i < end) {
+      val c = s.charAt(i)
+      if (c == '/' || c == '?' || c == '#') { end = i }
+      else i += 1
+    }
+    var auth = s.substring(authStart, end)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    // strip port (but not IPv6 brackets content)
+    if (auth.startsWith("[")) {
+      val close = auth.indexOf(']')
+      if (close >= 0) auth = auth.substring(1, close)
+    } else {
+      val colon = auth.indexOf(':')
+      if (colon >= 0) auth = auth.substring(0, colon)
+    }
+    auth.toLowerCase
+  }
+
+  private def isIpv4(h: String): Boolean =
+    h.nonEmpty && h.split('.').forall(p => p.nonEmpty && p.forall(_.isDigit))
+
+  /** tldextract-`registered_domain` equivalent (dd_crawler/utils.py:70-75):
+    * "<one label>.<public suffix>", lowercased; hosts without a known
+    * suffix (localhost, bare names, IPs) fall back to the host itself.
+    */
+  def registeredDomain(url: String): String = {
+    val h = host(url).stripSuffix(".")
+    if (h.isEmpty || isIpv4(h) || h.indexOf('.') < 0) return h
+    val labels = h.split('.')
+    val n = labels.length
+    // longest-match suffix: try two-label, then one-label
+    val two = if (n >= 2) labels(n - 2) + "." + labels(n - 1) else ""
+    if (multiPartSuffixes.contains(two)) {
+      if (n >= 3) labels(n - 3) + "." + two else two
+    } else if (singleSuffixes.contains(labels(n - 1))) {
+      two
+    } else {
+      // unknown TLD: tldextract treats it as domain=<last label>, suffix=""
+      labels(n - 1)
+    }
+  }
+
+  // --- canonicalization (w3lib.url.canonicalize_url port) ---------------
+
+  /** RFC3986 chars never percent-encoded in a path by Python's
+    * quote(path, safe="/;,:@&=+$!*'()~") — matches w3lib safe_url_string's
+    * path-safe set closely enough for fingerprint parity on our data.
+    */
+  private val pathSafe: Set[Char] =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toSet ++
+      "/;,:@&=+$!*'()~-._".toSet
+
+  private val querySafe: Set[Char] =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toSet ++ "-._~*".toSet
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  /** Percent-decode; plusAsSpace for query components (unquote_plus). */
+  private[urlops] def percentDecode(s: String, plusAsSpace: Boolean): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        out.write(hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2)))
+        i += 3
+      } else if (c == '+' && plusAsSpace) {
+        out.write(' '); i += 1
+      } else {
+        val bytes = c.toString.getBytes(UTF_8)
+        out.write(bytes, 0, bytes.length); i += 1
+      }
+    }
+    new String(out.toByteArray, UTF_8)
+  }
+
+  private def percentEncode(s: String, safe: Set[Char],
+                            spaceAsPlus: Boolean): String = {
+    val sb = new StringBuilder(s.length)
+    val bytes = s.getBytes(UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      val c = b.toChar
+      if (b < 128 && safe.contains(c)) sb.append(c)
+      else if (c == ' ' && spaceAsPlus) sb.append('+')
+      else sb.append(f"%%${b}%02X")
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Keep '%' as safe only when it starts a valid escape; else encode it —
+    * mirrors python quote over an already-unquoted string where remaining
+    * '%' are literal. w3lib protects %2F/%3F from being unquoted.
+    */
+  private val NUL: String = 0.toChar.toString
+
+  private def normalizePath(rawPath: String): String = {
+    // w3lib _unquotepath: protect %2f/%2F/%3f/%3F then unquote
+    val prot = rawPath
+      .replace("%2f", NUL + "SLASH" + NUL).replace("%2F", NUL + "SLASH" + NUL)
+      .replace("%3f", NUL + "QM" + NUL).replace("%3F", NUL + "QM" + NUL)
+    val unq = percentDecode(prot, plusAsSpace = false)
+    val enc = percentEncode(unq, pathSafe, spaceAsPlus = false)
+    enc.replace("%00SLASH%00", "%2F").replace("%00QM%00", "%3F")
+  }
+
+  /** Canonicalize the query string: parse_qsl(keep_blank_values=True) on
+    * '&' and ';', unquote_plus key and value, sort pairs, re-encode with
+    * quote_plus, join with '&'.
+    */
+  private def canonicalizeQuery(q: String): String = {
+    if (q.isEmpty) return ""
+    val pairs = q.split("[&;]").toSeq.filter(_.nonEmpty).map { kv =>
+      val eq = kv.indexOf('=')
+      if (eq < 0) (percentDecode(kv, plusAsSpace = true), "")
+      else (percentDecode(kv.substring(0, eq), plusAsSpace = true),
+            percentDecode(kv.substring(eq + 1), plusAsSpace = true))
+    }
+    pairs.sorted
+      .map { case (k, v) =>
+        percentEncode(k, querySafe, spaceAsPlus = true) + "=" +
+          percentEncode(v, querySafe, spaceAsPlus = true)
+      }
+      .mkString("&")
+  }
+
+  /** w3lib-style canonical URL (dd_crawler/dupefilter.py:17):
+    * lowercase scheme+netloc, sorted+renormalized query, normalized path
+    * ('' -> '/'), fragment dropped.
+    */
+  def canonicalizeUrl(url: String): String = {
+    val u = url.trim
+    val hashIdx = u.indexOf('#')
+    val noFrag = if (hashIdx >= 0) u.substring(0, hashIdx) else u
+    val schemeEnd = noFrag.indexOf("://")
+    if (schemeEnd < 0) {
+      // no scheme: normalize path?query only
+      val qIdx = noFrag.indexOf('?')
+      val (p, q) =
+        if (qIdx >= 0) (noFrag.substring(0, qIdx), noFrag.substring(qIdx + 1))
+        else (noFrag, "")
+      val cq = canonicalizeQuery(q)
+      return normalizePath(if (p.isEmpty) "/" else p) +
+        (if (cq.nonEmpty || qIdx >= 0) "?" + cq else "")
+    }
+    val scheme = noFrag.substring(0, schemeEnd).toLowerCase
+    val rest = noFrag.substring(schemeEnd + 3)
+    var pathStart = rest.length
+    var i = 0
+    while (i < rest.length && pathStart == rest.length) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?') pathStart = i
+      i += 1
+    }
+    val netloc = rest.substring(0, pathStart).toLowerCase
+    val pathAndQuery = rest.substring(pathStart)
+    val qIdx = pathAndQuery.indexOf('?')
+    val (rawPath, rawQuery) =
+      if (qIdx >= 0) (pathAndQuery.substring(0, qIdx),
+                      pathAndQuery.substring(qIdx + 1))
+      else (pathAndQuery, "")
+    val path = {
+      val p = normalizePath(rawPath)
+      if (p.isEmpty) "/" else p
+    }
+    val query = canonicalizeQuery(rawQuery)
+    scheme + "://" + netloc + path + (if (query.nonEmpty) "?" + query else "")
+  }
+
+  // --- hashes ------------------------------------------------------------
+
+  private def sha1(parts: Array[Byte]*): Array[Byte] = {
+    val md = MessageDigest.getInstance("SHA-1")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  private def md5bytes(s: String): Array[Byte] =
+    MessageDigest.getInstance("MD5").digest(s.getBytes(UTF_8))
+
+  private val hexChars = "0123456789abcdef".toCharArray
+  def toHex(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length * 2)
+    b.foreach { x =>
+      sb.append(hexChars((x >> 4) & 0xf)).append(hexChars(x & 0xf))
+    }
+    sb.toString
+  }
+
+  /** Request fingerprint, dd_crawler/dupefilter.py:14-21. `loggedIn`
+    * renders as Python `str(None)`/"True"/"False" for byte parity.
+    */
+  def requestFingerprint(url: String, method: String = "GET",
+                         body: Array[Byte] = Array.emptyByteArray,
+                         loggedIn: Option[Boolean] = None): String = {
+    val login = loggedIn match {
+      case None        => "None"
+      case Some(true)  => "True"
+      case Some(false) => "False"
+    }
+    toHex(sha1(method.getBytes(UTF_8),
+               canonicalizeUrl(url).getBytes(UTF_8),
+               body,
+               s"login=$login".getBytes(UTF_8)))
+  }
+
+  /** md5(url) raw 16 bytes — the `parent` lineage hash
+    * (dd_crawler/spiders.py:117-121). */
+  def urlHashBytes(url: String): Array[Byte] = md5bytes(url)
+
+  /** base64(md5(url)) — the CDR item `id` (dd_crawler/spiders.py:123-126). */
+  def urlHashB64(url: String): String =
+    java.util.Base64.getEncoder.encodeToString(md5bytes(url))
+
+  // --- misc ---------------------------------------------------------------
+
+  /** dd_crawler/middleware/dupesegments.py:53-73. */
+  def numDuplicateSegments(text: String, sep: Char = '/'): Int = {
+    val segments = text.split(sep).filter(_.nonEmpty)
+    segments.length - segments.distinct.length
+  }
+
+  /** int16 clamp of request depth (dd_crawler/queue.py:403). */
+  def clampDepth(depth: Int): Int =
+    math.max(-32768, math.min(32767, depth))
+
+  /** priority = int(link_score * multiplier) (dd_crawler/spiders.py:165-168);
+    * stored frontier score clamps at maxScore (dd_crawler/queue.py:91-92).
+    */
+  def linkPriority(score: Double, multiplier: Double = 10000.0): Long =
+    (score * multiplier).toLong
+
+  def clampPriority(priority: Long, maxScore: Double): Long =
+    if (maxScore.isInfinite) priority
+    else math.min(priority, maxScore.toLong)
+
+  /** Path component (incl. leading slash) of a URL; "" if none. */
+  def urlPath(url: String): String = {
+    val schemeEnd = url.indexOf("://")
+    if (schemeEnd < 0) return url.takeWhile(c => c != '?' && c != '#')
+    val rest = url.substring(schemeEnd + 3)
+    val slash = rest.indexOf('/')
+    if (slash < 0) ""
+    else rest.substring(slash).takeWhile(c => c != '?' && c != '#')
+  }
+
+  /** Query component (after '?', before '#') of a URL; "" if none. */
+  def urlQuery(url: String): String = {
+    val q = url.indexOf('?')
+    if (q < 0) ""
+    else url.substring(q + 1).takeWhile(_ != '#')
+  }
+
+  /** path?query&fragment form used by the reference tests
+    * (tests/utils.py:50-52). */
+  def urlPathQueryFragment(url: String): String = {
+    val schemeEnd = url.indexOf("://")
+    val rest = if (schemeEnd < 0) url else {
+      val r = url.substring(schemeEnd + 3)
+      val slash = r.indexWhere(c => c == '/' || c == '?' || c == '#')
+      if (slash < 0) "" else r.substring(slash)
+    }
+    if (rest.isEmpty || rest.startsWith("?") || rest.startsWith("#")) "/" + rest
+    else rest
+  }
+
+  /** CRC32 of a string's UTF-8 bytes as an unsigned long — identical to
+    * Python zlib.crc32 and Spark's crc32() (dd_crawler/queue.py:244). */
+  def crc32(s: String): Long = {
+    val c = new java.util.zip.CRC32()
+    val b = s.getBytes(UTF_8)
+    c.update(b, 0, b.length)
+    c.getValue
+  }
+
+  /** The reference shards domains by crc32 of the full Redis queue-key
+    * string "<spider>:requests:domain:<domain>" (dd_crawler/queue.py:233-247,
+    * 320-323), not the bare domain. Pinned by tests/test_queue.py:148-163.
+    */
+  def queueKey(spiderName: String, domain: String): String =
+    s"$spiderName:requests:domain:$domain"
+
+  def workerShard(spiderName: String, domain: String, nWorkers: Int): Int =
+    (crc32(queueKey(spiderName, domain)) % nWorkers).toInt
+}

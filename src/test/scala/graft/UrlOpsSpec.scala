@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.urlops.UrlOps
+
+/** Ports of the reference's URL-level unit tests:
+  *  - tests/test_queue.py:60-67 (queue key / registered domain)
+  *  - middleware/dupesegments.py:53-67 (doctests)
+  *  - tests/test_queue.py:235-254 (depth clamp)
+  *  - dupefilter.py:14-21 (fingerprint construction)
+  */
+class UrlOpsSpec extends AnyFunSuite {
+
+  test("registered domain — test_queue_key cases (tests/test_queue.py:60-67)") {
+    assert(UrlOps.registeredDomain("http://wwww.example.com/foo") == "example.com")
+    assert(UrlOps.registeredDomain("https://example2.com/foo") == "example2.com")
+    assert(UrlOps.registeredDomain("http://app.example.co.uk") == "example.co.uk")
+  }
+
+  test("registered domain — fallback for hosts without registered domain") {
+    assert(UrlOps.registeredDomain("http://localhost/") == "localhost")
+    assert(UrlOps.registeredDomain("http://not-localhost") == "not-localhost")
+    assert(UrlOps.registeredDomain("http://localhost:8081/page") == "localhost")
+    assert(UrlOps.registeredDomain("http://192.168.0.1/x") == "192.168.0.1")
+    assert(UrlOps.registeredDomain("http://Example.COM/") == "example.com")
+  }
+
+  test("queue key format matches the reference (queue.py:320-323)") {
+    assert(UrlOps.queueKey("test_dd_spider", "example.com") ==
+      "test_dd_spider:requests:domain:example.com")
+  }
+
+  test("crc32 matches zlib.crc32 (queue.py:244)") {
+    // zlib.crc32(b'test_dd_spider:requests:domain:a.com') cross-checked
+    assert(UrlOps.crc32("") == 0L)
+    assert(UrlOps.crc32("hello") == 907060870L)
+  }
+
+  test("worker sharding — F-SHARD split (tests/test_queue.py:148-163)") {
+    // With 2 workers the reference test observes: worker index 0 owns
+    // a.com + b.com, worker index 1 owns tado8.com + tada.com.
+    val byShard = Seq("a.com", "b.com", "tado8.com", "tada.com")
+      .groupBy(d => UrlOps.workerShard("test_dd_spider", d, 2))
+    assert(byShard(0).toSet == Set("a.com", "b.com"))
+    assert(byShard(1).toSet == Set("tado8.com", "tada.com"))
+  }
+
+  test("canonicalize: sorts query, strips fragment, lowercases host") {
+    assert(UrlOps.canonicalizeUrl("http://Example.com/path?b=2&a=1#frag") ==
+      "http://example.com/path?a=1&b=2")
+  }
+
+  test("canonicalize: empty path becomes /") {
+    assert(UrlOps.canonicalizeUrl("http://example.com") == "http://example.com/")
+    assert(UrlOps.canonicalizeUrl("http://example.com?x=1") ==
+      "http://example.com/?x=1")
+  }
+
+  test("canonicalize: keeps blank query values, sorts duplicate keys") {
+    assert(UrlOps.canonicalizeUrl("http://e.com/?b=2&a=1&a=&c") ==
+      "http://e.com/?a=&a=1&b=2&c=")
+  }
+
+  test("canonicalize: percent-normalizes path and unicode") {
+    assert(UrlOps.canonicalizeUrl("http://e.com/a b/%7efoo") ==
+      "http://e.com/a%20b/~foo")
+    // unicode path is utf-8 percent-encoded, uppercase hex
+    assert(UrlOps.canonicalizeUrl("http://e.com/страница") ==
+      "http://e.com/%D1%81%D1%82%D1%80%D0%B0%D0%BD%D0%B8%D1%86%D0%B0")
+    // already-encoded stays stable (idempotence)
+    val once = UrlOps.canonicalizeUrl("http://e.com/страница?q=привет мир")
+    assert(UrlOps.canonicalizeUrl(once) == once)
+  }
+
+  test("canonicalize: protected %2F stays encoded in path") {
+    assert(UrlOps.canonicalizeUrl("http://e.com/a%2Fb") == "http://e.com/a%2Fb")
+  }
+
+  test("fingerprint: sha1(GET || canon || body || login=None) hex") {
+    val fp = UrlOps.requestFingerprint("http://example.com")
+    // sha1 of b"GET" + b"http://example.com/" + b"" + b"login=None"
+    assert(fp.length == 40)
+    assert(fp == sha1Hex("GEThttp://example.com/login=None"))
+    // canonically-equal urls collide; different urls do not
+    assert(UrlOps.requestFingerprint("http://EXAMPLE.com?b=2&a=1") ==
+      UrlOps.requestFingerprint("http://example.com/?a=1&b=2"))
+    assert(UrlOps.requestFingerprint("http://example.com/x") !=
+      UrlOps.requestFingerprint("http://example.com/y"))
+  }
+
+  test("url hash: md5 bytes + base64 id (spiders.py:117-126)") {
+    val b = UrlOps.urlHashBytes("http://example.com")
+    assert(b.length == 16)
+    assert(UrlOps.urlHashB64("http://example.com") ==
+      java.util.Base64.getEncoder.encodeToString(b))
+    // md5('http://example.com') hexdigest cross-checked
+    assert(UrlOps.toHex(b) == "a9b9f04336ce0181a08e774e01113b31")
+  }
+
+  test("num_duplicate_segments doctests (dupesegments.py:53-67)") {
+    assert(UrlOps.numDuplicateSegments("") == 0)
+    assert(UrlOps.numDuplicateSegments("/") == 0)
+    assert(UrlOps.numDuplicateSegments("/foo/") == 0)
+    assert(UrlOps.numDuplicateSegments("/foo/foo") == 1)
+    assert(UrlOps.numDuplicateSegments("/foo/foo/bar/foo") == 2)
+    assert(UrlOps.numDuplicateSegments("a=1&a=2&a=1", '&') == 1)
+  }
+
+  test("depth clamp — F-CLAMP (tests/test_queue.py:248-254)") {
+    assert(UrlOps.clampDepth(123) == 123)
+    assert(UrlOps.clampDepth(1 << 16) >= (1 << 15) - 1)
+    assert(UrlOps.clampDepth(-(1 << 16)) <= -(1 << 15))
+  }
+
+  test("priority from link score + clamp (spiders.py:165-168, queue.py:91-92)") {
+    assert(UrlOps.linkPriority(0.5) == 5000L)
+    assert(UrlOps.linkPriority(1.0) == 10000L)
+    assert(UrlOps.clampPriority(250000L, 100000.0) == 100000L)
+    assert(UrlOps.clampPriority(250000L, Double.PositiveInfinity) == 250000L)
+  }
+
+  test("url path/query helpers (tests/utils.py:50-52)") {
+    assert(UrlOps.urlPath("http://e.com/a/b?x=1") == "/a/b")
+    assert(UrlOps.urlQuery("http://e.com/a/b?x=1") == "x=1")
+    assert(UrlOps.urlPathQueryFragment("http://e.com/a/b?x=1") == "/a/b?x=1")
+    assert(UrlOps.urlPathQueryFragment("http://e.com") == "/")
+  }
+
+  private def sha1Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    UrlOps.toHex(md.digest(s.getBytes("UTF-8")))
+  }
+}
