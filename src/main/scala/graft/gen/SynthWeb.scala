@@ -1,0 +1,274 @@
+package graft.gen
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.tables.Schemas.PageRow
+import graft.text.TextExtract
+import graft.urlops.UrlOps
+
+/** Deterministic synthetic Common-Crawl-style web (FIXTURES.md §1).
+  *
+  * Co-designed with [[graft.text.TextExtract]]: `text` is computed as
+  * `TextExtract.extractText(html)`, which makes the build contract's
+  * byte-identical invariant hold by construction AND verifiable row-wise
+  * (the test re-runs the extractor over the stored html via a Spark UDF).
+  *
+  * Every page is a pure function of (config, domainIdx, pageIdx) — no
+  * cross-row state — so generation distributes perfectly: one Spark task
+  * renders any slice of the global page index.
+  */
+object SynthWeb {
+
+  final case class WebConfig(
+      nDomains: Int,
+      pagesPerDomain: Int,
+      zipf: Double = 0.0,        // >0 = skewed domain sizes (bench fixtures)
+      linksPerPage: Int = 8,
+      crossDomainRatio: Double = 0.15,
+      deadLinkRatio: Double = 0.05,
+      redirectRatio: Double = 0.03,
+      unicodeRatio: Double = 0.05,
+      seed: Long = 42L)
+
+  // --- deterministic hashing (splitmix64) --------------------------------
+
+  def mix(parts: Long*): Long = {
+    var h = 0x9e3779b97f4a7c15L
+    parts.foreach { p =>
+      var z = h ^ (p * 0xbf58476d1ce4e5b9L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      h = z ^ (z >>> 31)
+    }
+    h
+  }
+
+  /** uniform double in [0,1) from a hash */
+  def unit(h: Long): Double = ((h >>> 11).toDouble) / (1L << 53).toDouble
+
+  // --- vocabulary ---------------------------------------------------------
+
+  private val enWords = Vector(
+    "data", "crawl", "frontier", "domain", "page", "link", "score",
+    "search", "index", "engine", "queue", "batch", "deep", "web", "text",
+    "open", "world", "graph", "node", "edge", "river", "stone", "light",
+    "green", "train", "model", "learn", "fast", "scale", "shard", "merge",
+    "filter", "bloom", "hash", "seed", "fetch", "parse", "robot", "polite",
+    "depth", "rank", "topic", "novel", "quick", "brown", "fox", "jumps",
+    "lazy", "dog", "cloud")
+  private val ruWords = Vector(
+    "данные", "страница", "ссылка", "поиск", "индекс", "машина", "очередь",
+    "глубокий", "сеть", "текст", "мир", "граф", "узел", "река", "камень",
+    "свет", "поезд", "модель", "быстро", "медленно")
+  private val deWords = Vector(
+    "daten", "seite", "verknüpfung", "suche", "index", "maschine",
+    "schlange", "tief", "netz", "text", "welt", "graph", "knoten", "fluss",
+    "stein", "licht", "zug", "modell", "schnell", "langsam")
+
+  def langOf(cfg: WebConfig, i: Int): String = {
+    val r = unit(mix(cfg.seed, 0xA11CE, i.toLong))
+    if (r < 0.8) "en" else if (r < 0.9) "ru" else "de"
+  }
+
+  private def wordsOf(lang: String): Vector[String] = lang match {
+    case "ru" => ruWords
+    case "de" => deWords
+    case _    => enWords
+  }
+
+  // --- shape --------------------------------------------------------------
+
+  /** Per-domain page counts; Zipf(zipf) over domain rank when zipf>0. */
+  def domainSizes(cfg: WebConfig): Array[Int] = {
+    if (cfg.zipf <= 0.0) Array.fill(cfg.nDomains)(cfg.pagesPerDomain)
+    else {
+      val w = Array.tabulate(cfg.nDomains)(i => 1.0 / math.pow(i + 1.0, cfg.zipf))
+      val total = cfg.nDomains.toLong * cfg.pagesPerDomain
+      val sumW = w.sum
+      w.map(x => math.max(1, math.round(x / sumW * total).toInt))
+    }
+  }
+
+  def domainName(cfg: WebConfig, i: Int): String = {
+    val h = mix(cfg.seed, 0xD0, i.toLong)
+    val tld = (h & 0x7) match {
+      case 0 => "org"
+      case 1 => "co.uk"
+      case 2 => "net"
+      case _ => "com"
+    }
+    s"site-$i.$tld"
+  }
+
+  /** The URL the crawler requests for page (i, j) — already safe-encoded. */
+  def pageUrl(cfg: WebConfig, i: Int, j: Int): String =
+    UrlOps.safeUrl(rawPageUrl(cfg, i, j))
+
+  /** The href form links carry (may contain raw unicode). */
+  def rawPageUrl(cfg: WebConfig, i: Int, j: Int): String = {
+    val d = domainName(cfg, i)
+    if (j == 0) s"http://$d/"
+    else {
+      val h = mix(cfg.seed, 0x0B, i.toLong, j.toLong)
+      val r = unit(h)
+      if (r < cfg.unicodeRatio) s"http://$d/страница-$j"
+      else if (r < cfg.unicodeRatio + 0.15) s"http://$d/p/$j?ref=${h & 0xff}"
+      else if (r < cfg.unicodeRatio + 0.30) s"http://$d/a/b/$j"
+      else s"http://$d/p/$j"
+    }
+  }
+
+  def isRedirect(cfg: WebConfig, i: Int, j: Int): Boolean =
+    j > 0 && unit(mix(cfg.seed, 0x3E, i.toLong, j.toLong)) < cfg.redirectRatio
+
+  /** Deterministic link-relevance label in [0,1] for link l of page (i,j):
+    * drives priority = score × 10000 (dd_crawler/spiders.py:165-168).
+    * Derived from the TARGET url so any scorer recomputes it from the
+    * candidate row alone.
+    */
+  def linkScore(cfg: WebConfig, targetUrl: String): Double =
+    unit(mix(cfg.seed, 0x5C0, targetUrl.hashCode.toLong))
+
+  // --- rendering ----------------------------------------------------------
+
+  private def pick(words: Vector[String], h: Long, k: Int): String =
+    (0 until k)
+      .map(x => words(((mix(h, x.toLong) >>> 33) % words.size).toInt))
+      .mkString(" ")
+
+  def htmlFor(cfg: WebConfig, i: Int, j: Int, sizes: Array[Int]): String = {
+    val nPages = sizes(i)
+    if (isRedirect(cfg, i, j)) {
+      val target = rawPageUrl(cfg, i, (j + 1) % nPages)
+      return s"""<html><head><meta http-equiv="refresh" content="0;url=$target"></head><body></body></html>"""
+    }
+    val lang = langOf(cfg, i)
+    val words = wordsOf(lang)
+    val h = mix(cfg.seed, 0x90E, i.toLong, j.toLong)
+    val title = pick(words, mix(h, 1), 3)
+    val para1 = pick(words, mix(h, 2), 24)
+    val para2 = pick(words, mix(h, 3), 18)
+    val links = linkTargets(cfg, i, j, sizes).zipWithIndex.map {
+      case ((href, anchor), idx) =>
+        s"""<li><a href="$href">$anchor</a></li>"""
+    }.mkString("\n")
+    // one mailto + one ignored-extension link to exercise the skip rules
+    val noise =
+      s"""<a href="mailto:x@site-$i.com">mail</a> <a href="/files/doc-$j.pdf">pdf</a>"""
+    s"""<html><head><title>$title</title><style>body { margin: 0; }</style></head>
+<body>
+<h1>$title</h1>
+<p>$para1</p>
+<p>$para2 &amp; more</p>
+<ul>
+$links
+</ul>
+$noise
+</body></html>"""
+  }
+
+  /** (href, anchor) pairs page (i,j) links to. Mostly intra-domain,
+    * some cross-domain, some dead (domains outside the table).
+    */
+  def linkTargets(cfg: WebConfig, i: Int, j: Int,
+                  sizes: Array[Int]): Seq[(String, String)] = {
+    val nPages = sizes(i)
+    val lang = langOf(cfg, i)
+    val words = wordsOf(lang)
+    (0 until cfg.linksPerPage).flatMap { l =>
+      val h = mix(cfg.seed, 0x11F, i.toLong, j.toLong, l.toLong)
+      val r = unit(h)
+      val anchor = pick(words, mix(h, 9), 2)
+      if (r < cfg.deadLinkRatio) {
+        Some((s"http://no-such-${(h >>> 40) & 0xffff}.com/x", anchor))
+      } else if (r < cfg.deadLinkRatio + cfg.crossDomainRatio && cfg.nDomains > 1) {
+        val it = (((h >>> 8) % cfg.nDomains).toInt.abs + 1 + i) % cfg.nDomains
+        val jt = ((h >>> 24) % math.min(sizes(it), 4)).toInt.abs
+        Some((rawPageUrl(cfg, it, jt), anchor))
+      } else if (nPages > 1) {
+        var jt = (((h >>> 16) % (nPages - 1)).toInt.abs + j + 1) % nPages
+        // relative href half the time to exercise urljoin
+        val raw = rawPageUrl(cfg, i, jt)
+        val href =
+          if ((h & 1) == 0) raw
+          else "/" + raw.split("/", 4).lift(3).getOrElse("")
+        Some((href, anchor))
+      } else None
+    }
+  }
+
+  def pageAt(cfg: WebConfig, i: Int, j: Int, sizes: Array[Int]): PageRow = {
+    val html = htmlFor(cfg, i, j, sizes)
+    val ts = new Timestamp(1735689600000L + // 2025-01-01T00:00Z
+      (mix(cfg.seed, 0x71, i.toLong, j.toLong) >>> 40) * 1000L)
+    PageRow(
+      url = pageUrl(cfg, i, j),
+      warc_ts = ts,
+      html = html.getBytes(UTF_8),
+      text = TextExtract.extractText(html),
+      lang = langOf(cfg, i))
+  }
+
+  /** Distributed generation: one row per global page index; the
+    * prefix-sum array is broadcast implicitly via closure (ints, small).
+    */
+  def pages(spark: SparkSession, cfg: WebConfig): Dataset[PageRow] = {
+    import spark.implicits._
+    val sizes = domainSizes(cfg)
+    val prefix = sizes.scanLeft(0L)(_ + _) // length nDomains+1
+    val total = prefix.last
+    spark.range(0, total, 1,
+        math.max(spark.sparkContext.defaultParallelism, 1))
+      .mapPartitions { it =>
+        it.map { g =>
+          // binary search the owning domain
+          var lo = 0; var hi = sizes.length - 1
+          while (lo < hi) {
+            val mid = (lo + hi + 1) >>> 1
+            if (prefix(mid) <= g) lo = mid else hi = mid - 1
+          }
+          pageAt(cfg, lo, (g - prefix(lo)).toInt, sizes)
+        }
+      }
+  }
+
+  /** Seed URLs: root page of the first k domains. */
+  def seedUrls(cfg: WebConfig, k: Int): Seq[String] =
+    (0 until math.min(k, cfg.nDomains)).map(i => pageUrl(cfg, i, 0))
+
+  // --- F-SITE fixture (tests/test_spider.py:17-40) ------------------------
+
+  val siteBase = "http://localhost"
+
+  /** The reference spider-test site graph, verbatim link structure.
+    * The mock server returns bare fragments (tests/utils.py:35-42);
+    * we store the same fragments as html.
+    */
+  def sitePages(spark: SparkSession): Dataset[PageRow] = {
+    import spark.implicits._
+    def p(path: String, html: String) = PageRow(
+      url = UrlOps.safeUrl(siteBase + path),
+      warc_ts = new Timestamp(1735689600000L),
+      html = html.getBytes(UTF_8),
+      text = TextExtract.extractText(html),
+      lang = "en")
+    val rows = Seq(
+      p("/",
+        """<a href="/page">page</a> <a href="/another-page">another page</a> """ +
+          """<a href="/страница">страница</a> <a href="http://external">dead</a> """),
+      p("/page", """<a href="/another-page">another page</a>"""),
+      p("/another-page", """<a href="/new-page">new page</a>"""),
+      p("/new-page", """<a href="/page">page</a>"""),
+      p("/страница", """<a href="/redirect">ещё страница</a>"""),
+      p("/redirect",
+        """<html><head><meta http-equiv="refresh" content="0;url=/last"></head><body></body></html>"""),
+      p("/last", "fin"))
+    spark.createDataset(rows)
+  }
+
+  /** F-SITE seeds (tests/test_spider.py:64-66). */
+  val siteSeeds: Seq[String] = Seq(siteBase + "/", "http://not-localhost")
+}

@@ -1,0 +1,154 @@
+package graft.html
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.tables.Schemas.Link
+import graft.text.TextExtract
+import graft.urlops.UrlOps
+
+/** Deterministic `<a href>` link extraction.
+  *
+  * Covers the common subset of the reference's two extractors — Scrapy's
+  * plain LinkExtractor (dd_crawler/spiders.py:28,73-79) and deep-deep's
+  * extract_link_dicts (deepdeep/links.py:47-117) — which coincide on the
+  * synthetic HTML the generator emits:
+  *
+  *  - every <a> with an href attribute;
+  *  - skip hrefs containing "mailto:" or starting with tel:/skype:/fb:/
+  *    javascript: — but unwrap `[javascript:]location.href='…'`
+  *    pseudo-links first (deepdeep/links.py:22-35);
+  *  - absolutize against the page's <base href> if present, else the
+  *    page url (deepdeep/links.py:100);
+  *  - drop URLs whose path extension is in the ignored set
+  *    (deepdeep/links.py:15-17,101-102);
+  *  - anchor = normalized inner text plus any <img alt>
+  *    (deepdeep/links.py:108-111);
+  *  - dedupe by resulting absolute url, first occurrence wins (Scrapy
+  *    LinkExtractor unique=True).
+  *
+  * Also detects the generator's meta-refresh redirect stub, which models
+  * the reference's HTTP 302 handling (ForbidOffsiteRedirectsMiddleware,
+  * dd_crawler/middleware/domains.py:38-42).
+  */
+object LinkExtract {
+
+  private val jsLinkRe =
+    java.util.regex.Pattern.compile("""(?:javascript:)?location\.href=['"](.+?)['"]""")
+
+  private val metaRefreshRe = java.util.regex.Pattern.compile(
+    """(?is)<meta\s+http-equiv=["']?refresh["']?\s+content=["']\s*\d+\s*;\s*url=([^"'>]+)["']?\s*/?>""")
+
+  def extractLinks(html: Array[Byte], pageUrl: String): Seq[Link] =
+    extractLinks(new String(html, UTF_8), pageUrl)
+
+  def extractLinks(html: String, pageUrl: String): Seq[Link] = {
+    val base = findBaseHref(html).map(b => UrlOps.urljoin(pageUrl, b))
+      .getOrElse(pageUrl)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Link]
+    var i = 0
+    val n = html.length
+    val lower = html.toLowerCase
+    while (i < n) {
+      val open = lower.indexOf("<a", i)
+      if (open < 0) { i = n }
+      else if (open + 2 < n && !isTagBoundary(html.charAt(open + 2))) {
+        i = open + 2 // "<abbr" etc.
+      } else {
+        val tagEnd = html.indexOf('>', open)
+        if (tagEnd < 0) { i = n }
+        else {
+          val attrs = html.substring(open + 2, tagEnd)
+          val hrefOpt = attrValue(attrs, "href")
+          val close = lower.indexOf("</a", tagEnd)
+          val innerEnd = if (close < 0) tagEnd + 1 else close
+          val inner = html.substring(tagEnd + 1, innerEnd)
+          hrefOpt.foreach { rawHref =>
+        var href = rawHref
+        var skip = href.contains("mailto:")
+        if (!skip) {
+          val m = jsLinkRe.matcher(href)
+          if (m.find()) href = m.group(1)
+          else if (href.startsWith("tel:") || href.startsWith("skype:") ||
+                   href.startsWith("fb:") || href.startsWith("javascript:"))
+            skip = true
+        }
+        if (!skip) {
+          val abs = UrlOps.urljoin(base, href)
+          if (!UrlOps.hasIgnoredExtension(abs) && !out.contains(abs)) {
+            val text = TextExtract.extractText(inner).replace('\n', ' ')
+            val alt = attrValueInImg(inner)
+            val anchor = (text + (if (alt.nonEmpty) " " + alt else "")).trim
+            out(abs) = Link(abs, anchor)
+          }
+        }
+          }
+          i = tagEnd + 1
+        }
+      }
+    }
+    out.values.toSeq
+  }
+
+  /** Target of a meta-refresh redirect stub, absolutized; None for
+    * ordinary pages. */
+  def redirectTarget(html: String, pageUrl: String): Option[String] = {
+    val m = metaRefreshRe.matcher(html)
+    if (m.find()) Some(UrlOps.urljoin(pageUrl, m.group(1).trim)) else None
+  }
+
+  def redirectTarget(html: Array[Byte], pageUrl: String): Option[String] =
+    redirectTarget(new String(html, UTF_8), pageUrl)
+
+  private def isTagBoundary(c: Char): Boolean =
+    c.isWhitespace || c == '>' || c == '/'
+
+  private def findBaseHref(html: String): Option[String] = {
+    val lower = html.toLowerCase
+    val i = lower.indexOf("<base")
+    if (i < 0) return None
+    val end = html.indexOf('>', i)
+    if (end < 0) return None
+    attrValue(html.substring(i + 5, end), "href")
+  }
+
+  /** Value of attribute `name` inside a tag's attribute string; handles
+    * double/single-quoted and bare values.
+    */
+  private[html] def attrValue(attrs: String, name: String): Option[String] = {
+    val lower = attrs.toLowerCase
+    var from = 0
+    while (true) {
+      val at = lower.indexOf(name, from)
+      if (at < 0) return None
+      val beforeOk = at == 0 || !lower.charAt(at - 1).isLetterOrDigit
+      var i = at + name.length
+      while (i < attrs.length && attrs.charAt(i).isWhitespace) i += 1
+      if (beforeOk && i < attrs.length && attrs.charAt(i) == '=') {
+        i += 1
+        while (i < attrs.length && attrs.charAt(i).isWhitespace) i += 1
+        if (i >= attrs.length) return Some("")
+        val q = attrs.charAt(i)
+        if (q == '"' || q == '\'') {
+          val close = attrs.indexOf(q, i + 1)
+          return Some(if (close < 0) attrs.substring(i + 1)
+                      else attrs.substring(i + 1, close))
+        } else {
+          var e = i
+          while (e < attrs.length && !attrs.charAt(e).isWhitespace) e += 1
+          return Some(attrs.substring(i, e))
+        }
+      }
+      from = at + 1
+    }
+    None
+  }
+
+  private def attrValueInImg(inner: String): String = {
+    val lower = inner.toLowerCase
+    val i = lower.indexOf("<img")
+    if (i < 0) return ""
+    val end = inner.indexOf('>', i)
+    if (end < 0) return ""
+    attrValue(inner.substring(i + 4, end), "alt").getOrElse("")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.tables
+
+import java.sql.Timestamp
+
+/** Typed row models — the single source of truth for all engine tables.
+  *
+  * Table shapes derive from the reference's Redis/JSON structures
+  * (SURVEY.md §1.1); the `pages` input table shape is pinned by the
+  * build contract: (url, warc_ts, html, text, lang).
+  */
+object Schemas {
+
+  /** Common-Crawl-style input page. `text` MUST equal
+    * TextExtract.extractText(html) byte-for-byte (input invariant;
+    * reference: html_text.extract_text, dd_crawler/utils.py:124-131).
+    */
+  final case class PageRow(
+      url: String,
+      warc_ts: Timestamp,
+      html: Array[Byte],
+      text: String,
+      lang: String)
+
+  /** One frontier request — the reference's per-domain Redis zset member
+    * plus its score (dd_crawler/queue.py:90-103,395-414).
+    * `parent` is the 16-byte md5 of the parent page url, null for seeds.
+    */
+  final case class FrontierEntry(
+      domain: String,
+      url: String,
+      priority: Long,
+      depth: Int,
+      parent: Array[Byte],
+      epoch_added: Int)
+
+  /** URL-seen fingerprint (dd_crawler/dupefilter.py:8-21), stored as the
+    * 40-char sha1 hex string (what Redis stores in the reference).
+    */
+  final case class SeenRow(fp: String)
+
+  /** Output CDR-like item (dd_crawler/spiders.py:88-114). */
+  final case class CrawledPage(
+      url: String,
+      warc_ts: Timestamp,
+      text: String,
+      id: String,
+      parent: String,
+      depth: Int,
+      priority: Long,
+      page_score: Double,
+      epoch: Int)
+
+  /** Per-response metrics row (dd_crawler/middleware/log.py:48-65). */
+  final case class MetricsRow(
+      epoch: Int,
+      url: String,
+      id: String,
+      parent: String,
+      depth: Int,
+      priority: Long,
+      score: Double,
+      total_score: Double,
+      n_crawled: Long,
+      n_domains: Long,
+      n_relevant_domains: Long)
+
+  /** Queue-scores decision log (dd_crawler/queue.py:555-566) — the
+    * schedule-lineage artifact for ordering-parity checks.
+    */
+  final case class ScheduleLogRow(
+      epoch: Int,
+      available_domains: Seq[String],
+      scores: Seq[Double],
+      sampled_domains: Seq[String])
+
+  /** Domain-state snapshot (dd_crawler/middleware/domain_status.py:64-75). */
+  final case class DomainStateRow(
+      epoch: Int,
+      global_open_queues: Seq[String],
+      worker_in_flight: Seq[String],
+      worker_failures: Seq[String],
+      worker_successes: Seq[String])
+
+  /** Per-domain accumulated relevance: sum of squared page scores
+    * (dd_crawler/queue.py:174-179).
+    */
+  final case class DomainRelevance(domain: String, rel: Double)
+
+  /** Robots rules: per-host disallowed path prefixes (north-star
+    * capability; the reference never enables ROBOTSTXT_OBEY, so parity
+    * fixtures use allow-all).
+    */
+  final case class RobotsRow(host: String, disallow_prefixes: Seq[String])
+
+  /** Extracted link (deepdeep/links.py:47-117 shape subset). */
+  final case class Link(url: String, anchor: String)
+}

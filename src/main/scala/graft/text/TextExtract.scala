@@ -1,0 +1,174 @@
+package graft.text
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Deterministic HTML → text extraction.
+  *
+  * Plays the role of html_text.extract_text in the reference
+  * (dd_crawler/utils.py:124-131, dd_crawler/spiders.py:108-114): the
+  * extracted text is both the page-classifier input and the text stored
+  * in output items. The build contract requires pages.text ==
+  * extractText(pages.html) BYTE-IDENTICAL per url, so this extractor and
+  * the synthetic-web generator (graft.gen.SynthWeb) share this single
+  * spec:
+  *
+  *  1. <script>, <style> and the whole <head> section contribute nothing.
+  *  2. HTML comments contribute nothing.
+  *  3. Every block-level tag boundary (p, div, h1-h6, br, hr, li, ul, ol,
+  *     table, tr, td, th, blockquote, pre, form, section, article,
+  *     header, footer, nav, body, html, title) emits a line break; every
+  *     other tag emits a space.
+  *  4. Character entities &amp; &lt; &gt; &quot; &#39; &nbsp; and numeric
+  *     (&#NNN; / &#xHH;) are decoded.
+  *  5. Whitespace inside each line collapses to single spaces; blank
+  *     lines are dropped; lines are joined with '\n'; no trailing
+  *     newline.
+  *
+  * Single forward pass, no DOM — O(n) per page, allocation-light, safe
+  * for tight UDF loops.
+  */
+object TextExtract {
+
+  private val blockTags: Set[String] = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "br", "hr", "li",
+    "ul", "ol", "table", "thead", "tbody", "tr", "td", "th", "blockquote",
+    "pre", "form", "section", "article", "header", "footer", "nav",
+    "body", "html", "title", "dl", "dt", "dd", "figure", "figcaption",
+    "main", "aside")
+
+  private val skipContentTags: Set[String] = Set("script", "style", "head")
+
+  def extractText(html: Array[Byte]): String =
+    extractText(new String(html, UTF_8))
+
+  def extractText(html: String): String = {
+    val n = html.length
+    val raw = new StringBuilder(n / 2)
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else {
+          val tagEnd = html.indexOf('>', i)
+          if (tagEnd < 0) { i = n } // malformed trailing '<'
+          else {
+            val inner = html.substring(i + 1, tagEnd)
+            val name = tagName(inner)
+            if (skipContentTags.contains(name) && !inner.startsWith("/") &&
+                !inner.endsWith("/")) {
+              // skip to matching close tag (no nesting of same tag assumed)
+              val close = indexOfCloseTag(html, tagEnd + 1, name)
+              raw.append('\n') // head/script boundary acts as block break
+              i = if (close < 0) n else close
+            } else {
+              raw.append(if (blockTags.contains(name)) '\n' else ' ')
+              i = tagEnd + 1
+            }
+          }
+        }
+      } else if (c == '&') {
+        val (decoded, next) = decodeEntity(html, i)
+        raw.append(decoded)
+        i = next
+      } else {
+        raw.append(c)
+        i += 1
+      }
+    }
+    normalize(raw.toString)
+  }
+
+  /** Tag name of the content between '<' and '>', lowercased; leading '/'
+    * of a closing tag is stripped so open and close both separate.
+    */
+  private def tagName(inner: String): String = {
+    var s = 0
+    if (s < inner.length && inner.charAt(s) == '/') s += 1
+    var e = s
+    while (e < inner.length && isNameChar(inner.charAt(e))) e += 1
+    inner.substring(s, e).toLowerCase
+  }
+
+  private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '!'
+
+  private def indexOfCloseTag(html: String, from: Int, name: String): Int = {
+    val needle = "</" + name
+    val lower = html.toLowerCase
+    var i = from
+    while (true) {
+      val hit = lower.indexOf(needle, i)
+      if (hit < 0) return -1
+      val after = hit + needle.length
+      if (after < html.length &&
+          (html.charAt(after) == '>' || html.charAt(after).isWhitespace)) {
+        val gt = html.indexOf('>', after)
+        return if (gt < 0) -1 else gt + 1
+      }
+      i = hit + 1
+    }
+    -1
+  }
+
+  /** Decode one entity starting at '&'; returns (text, next index). */
+  private def decodeEntity(html: String, i: Int): (String, Int) = {
+    val semi = html.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 10) return ("&", i + 1)
+    val body = html.substring(i + 1, semi)
+    val out = body match {
+      case "amp"  => "&"
+      case "lt"   => "<"
+      case "gt"   => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case "nbsp" => " "
+      case _ if body.startsWith("#x") || body.startsWith("#X") =>
+        try String.valueOf(Character.toChars(Integer.parseInt(body.drop(2), 16)))
+        catch { case _: Exception => null }
+      case _ if body.startsWith("#") =>
+        try String.valueOf(Character.toChars(Integer.parseInt(body.drop(1))))
+        catch { case _: Exception => null }
+      case _ => null
+    }
+    if (out == null) ("&", i + 1) else (out, semi + 1)
+  }
+
+  /** Collapse intra-line whitespace, drop blank lines, join with \n. */
+  private def normalize(raw: String): String = {
+    val lines = raw.split('\n')
+    val sb = new StringBuilder(raw.length)
+    var first = true
+    var li = 0
+    while (li < lines.length) {
+      val line = collapseSpaces(lines(li))
+      if (line.nonEmpty) {
+        if (!first) sb.append('\n')
+        sb.append(line)
+        first = false
+      }
+      li += 1
+    }
+    sb.toString
+  }
+
+  private def collapseSpaces(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace || c == ' ') {
+        if (sb.nonEmpty) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+}

@@ -344,6 +344,124 @@ object UrlOps {
     else rest
   }
 
+  /** Characters w3lib safe_url_string never encodes (RFC3986 reserved +
+    * unreserved + '%'). Everything else (unicode, spaces) is utf-8
+    * percent-encoded, keeping existing escapes intact.
+    */
+  private val safeUrlChars: Set[Char] =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toSet ++
+      "%;/?:@&=+$,-_.!~*'()[]#".toSet
+
+  /** w3lib safe_url_string equivalent: the form Scrapy's Request
+    * constructor stores and requests (so crawl-output urls for unicode
+    * paths are percent-encoded — tests/test_spider.py:71 uses
+    * quote('/страница')). Idempotent.
+    */
+  def safeUrl(url: String): String = {
+    val sb = new StringBuilder(url.length)
+    val bytes = url.getBytes(UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b < 128 && safeUrlChars.contains(b.toChar)) sb.append(b.toChar)
+      else sb.append(f"%%${b}%02X")
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Resolve `ref` against absolute `base` (subset of RFC 3986 §5 merge,
+    * the cases link extraction meets: absolute refs, scheme-relative,
+    * root-relative, relative with ./ and ../, query-only, fragment-only).
+    * Mirrors Python urljoin on these shapes (deepdeep/links.py:100).
+    */
+  def urljoin(base: String, ref: String): String = {
+    if (ref.isEmpty) return base.takeWhile(_ != '#')
+    // absolute: has a scheme
+    val colonIdx = ref.indexOf(':')
+    if (colonIdx > 0 && ref.substring(0, colonIdx).forall(c =>
+          c.isLetterOrDigit || c == '+' || c == '-' || c == '.') &&
+        ref.substring(0, colonIdx).headOption.exists(_.isLetter)) return ref
+    val schemeEnd = base.indexOf("://")
+    if (schemeEnd < 0) return ref // base not absolute: give up gracefully
+    val scheme = base.substring(0, schemeEnd)
+    if (ref.startsWith("//")) return scheme + ":" + ref
+    val rest = base.substring(schemeEnd + 3)
+    val pathIdx = rest.indexWhere(c => c == '/' || c == '?' || c == '#')
+    val authority = if (pathIdx < 0) rest else rest.substring(0, pathIdx)
+    val root = scheme + "://" + authority
+    val basePathQ = if (pathIdx < 0) "" else rest.substring(pathIdx)
+    val basePath = basePathQ.takeWhile(c => c != '?' && c != '#')
+    if (ref.startsWith("/")) return root + removeDotSegments(ref)
+    if (ref.startsWith("?")) return root + (if (basePath.isEmpty) "/" else basePath) + ref
+    if (ref.startsWith("#")) {
+      val noFrag = base.takeWhile(_ != '#')
+      return noFrag + ref
+    }
+    // relative path: merge with base directory
+    val dir = {
+      val slash = basePath.lastIndexOf('/')
+      if (slash < 0) "/" else basePath.substring(0, slash + 1)
+    }
+    root + removeDotSegments(dir + ref)
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment removal on a path(?query) string. */
+  private def removeDotSegments(pathQ: String): String = {
+    val qIdx = pathQ.indexWhere(c => c == '?' || c == '#')
+    val (path, suffix) =
+      if (qIdx < 0) (pathQ, "") else (pathQ.substring(0, qIdx), pathQ.substring(qIdx))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val segs = path.split("/", -1)
+    var i = 0
+    while (i < segs.length) {
+      segs(i) match {
+        case "."  => // skip (but keep trailing slash behavior below)
+        case ".." => if (out.nonEmpty && out.last.nonEmpty) out.remove(out.length - 1)
+        case s    => out += s
+      }
+      i += 1
+    }
+    // preserve trailing slash when the last seg was . or ..
+    val joined = out.mkString("/")
+    val result =
+      if ((path.endsWith("/.") || path.endsWith("/..") ||
+           path.endsWith("/")) && !joined.endsWith("/")) joined + "/"
+      else joined
+    (if (result.startsWith("/")) result else "/" + result) + suffix
+  }
+
+  /** Suffixes the crawler never enqueues: Scrapy IGNORED_EXTENSIONS plus
+    * deep-deep's additions (deepdeep/links.py:15-17). Public lists.
+    */
+  val ignoredExtensions: Set[String] = Set(
+    // archives
+    "7z", "7zip", "bz2", "rar", "tar", "tar.gz", "xz", "zip", "gz",
+    // images
+    "mng", "pct", "bmp", "gif", "jpg", "jpeg", "png", "pst", "psp", "tif",
+    "tiff", "ai", "drw", "dxf", "eps", "ps", "svg", "cdr", "ico",
+    // audio
+    "mp3", "wma", "ogg", "wav", "ra", "aac", "mid", "au", "aiff",
+    // video
+    "3gp", "asf", "asx", "avi", "mov", "mp4", "mpg", "qt", "rm", "swf",
+    "wmv", "m4a", "m4v", "flv", "webm",
+    // office
+    "xls", "xlsx", "ppt", "pptx", "pps", "doc", "docx", "odt", "ods",
+    "odg", "odp",
+    // other
+    "css", "pdf", "exe", "bin", "rss", "dmg", "iso", "apk")
+
+  /** url_has_any_extension: the extension of the URL path's last segment
+    * (deepdeep/links.py:101-102).
+    */
+  def hasIgnoredExtension(url: String): Boolean = {
+    val path = urlPath(url).toLowerCase
+    val lastSeg = path.substring(path.lastIndexOf('/') + 1)
+    val dot = lastSeg.lastIndexOf('.')
+    dot >= 0 && dot < lastSeg.length - 1 &&
+      ignoredExtensions.contains(lastSeg.substring(dot + 1))
+  }
+
   /** CRC32 of a string's UTF-8 bytes as an unsigned long — identical to
     * Python zlib.crc32 and Spark's crc32() (dd_crawler/queue.py:244). */
   def crc32(s: String): Long = {

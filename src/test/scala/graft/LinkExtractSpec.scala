@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.html.LinkExtract
+import graft.tables.Schemas.Link
+import graft.urlops.UrlOps
+
+/** Pins the link-extraction subset shared by Scrapy's LinkExtractor and
+  * deep-deep's extract_link_dicts (deepdeep/links.py:47-117), including
+  * its doctested js-link unwrapping (links.py:24-31).
+  */
+class LinkExtractSpec extends AnyFunSuite {
+  private val base = "http://site.com/dir/page"
+
+  test("absolutizes relative, root-relative and absolute hrefs") {
+    val html =
+      """<a href="/root">r</a><a href="sib">s</a><a href="http://other.com/x">o</a>"""
+    assert(LinkExtract.extractLinks(html, base).map(_.url) == Seq(
+      "http://site.com/root", "http://site.com/dir/sib", "http://other.com/x"))
+  }
+
+  test("<base href> wins over page url") {
+    val html = """<base href="http://b.com/sub/"><a href="x">x</a>"""
+    assert(LinkExtract.extractLinks(html, base).map(_.url) ==
+      Seq("http://b.com/sub/x"))
+  }
+
+  test("skips mailto/tel/skype/fb/javascript, unwraps location.href") {
+    val html =
+      """<a href="mailto:a@b.c">m</a><a href="tel:+123">t</a>
+        |<a href="skype:u">s</a><a href="fb:page">f</a>
+        |<a href="javascript:void(0)">j</a>
+        |<a href="javascript:location.href='http://www.fb.com/river';">js</a>
+        |<a href="location.href='http://go.com/x';">js2</a>""".stripMargin
+    assert(LinkExtract.extractLinks(html, base).map(_.url) ==
+      Seq("http://www.fb.com/river", "http://go.com/x"))
+  }
+
+  test("drops ignored extensions (scrapy + deepdeep lists)") {
+    val html =
+      """<a href="/a.pdf">p</a><a href="/b.jpg">i</a><a href="/c.tar.gz">g</a>
+        |<a href="/d.apk">k</a><a href="/ok.html">ok</a><a href="/pdf-page">ok2</a>""".stripMargin
+    assert(LinkExtract.extractLinks(html, base).map(_.url) == Seq(
+      "http://site.com/ok.html", "http://site.com/pdf-page"))
+  }
+
+  test("anchor text: inner text + img alt, whitespace-normalized") {
+    val html =
+      """<a href="/x"> some   <b>bold</b> text </a><a href="/y"><img src="i.png" alt="Alt Text"></a>"""
+    assert(LinkExtract.extractLinks(html, base) == Seq(
+      Link("http://site.com/x", "some bold text"),
+      Link("http://site.com/y", "Alt Text")))
+  }
+
+  test("dedupes by absolute url, first anchor wins") {
+    val html = """<a href="/x">one</a><a href="/x">two</a>"""
+    assert(LinkExtract.extractLinks(html, base) ==
+      Seq(Link("http://site.com/x", "one")))
+  }
+
+  test("anchors without href are skipped; <abbr> not confused with <a>") {
+    val html = """<a name="top">n</a><abbr title="x">a</abbr><a href="/z">z</a>"""
+    assert(LinkExtract.extractLinks(html, base).map(_.url) ==
+      Seq("http://site.com/z"))
+  }
+
+  test("meta-refresh redirect stub detected and absolutized") {
+    val html = """<html><head><meta http-equiv="refresh" content="0;url=/last"></head><body></body></html>"""
+    assert(LinkExtract.redirectTarget(html, "http://localhost/redirect") ==
+      Some("http://localhost/last"))
+    assert(LinkExtract.redirectTarget("<p>no</p>", base).isEmpty)
+    assert(LinkExtract.extractLinks(html, base).isEmpty)
+  }
+
+  test("urljoin handles dot segments and query/fragment refs") {
+    assert(UrlOps.urljoin("http://a.com/b/c", "../d") == "http://a.com/d")
+    assert(UrlOps.urljoin("http://a.com/b/c", "./d") == "http://a.com/b/d")
+    assert(UrlOps.urljoin("http://a.com/b/c", "?q=1") == "http://a.com/b/c?q=1")
+    assert(UrlOps.urljoin("http://a.com/b/c#f", "") == "http://a.com/b/c")
+    assert(UrlOps.urljoin("http://a.com/b", "//cdn.com/x") == "http://cdn.com/x")
+  }
+
+  test("F-SITE root page extracts the reference's four links") {
+    val html =
+      """<a href="/page">page</a> <a href="/another-page">another page</a> """ +
+        """<a href="/страница">страница</a> <a href="http://external">dead</a> """
+    val links = LinkExtract.extractLinks(html, "http://localhost/")
+    assert(links.map(_.url) == Seq(
+      "http://localhost/page", "http://localhost/another-page",
+      "http://localhost/страница", "http://external"))
+    assert(links.map(_.anchor) == Seq("page", "another page", "страница", "dead"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.SynthWeb
+import graft.gen.SynthWeb.WebConfig
+import graft.html.LinkExtract
+import graft.text.TextExtract
+
+class SynthWebSpec extends AnyFunSuite with SparkSuite {
+
+  private val cfg = WebConfig(nDomains = 20, pagesPerDomain = 15)
+
+  test("generation is deterministic and has the right shape") {
+    import spark.implicits._
+    val a = SynthWeb.pages(spark, cfg).collect()
+    val b = SynthWeb.pages(spark, cfg).collect()
+    assert(a.length == 20 * 15)
+    assert(a.map(_.url).toSeq == b.map(_.url).toSeq)
+    assert(a.map(_.text).toSeq == b.map(_.text).toSeq)
+    assert(a.map(_.url).distinct.length == a.length, "urls must be unique")
+    val langs = a.map(_.lang).toSet
+    assert(langs.subsetOf(Set("en", "ru", "de")) && langs.size >= 2)
+  }
+
+  test("INVARIANT: text == extract_text(html) byte-identical, row-wise, via Spark") {
+    val extractUdf = udf((html: Array[Byte]) => TextExtract.extractText(html))
+    val mismatches = SynthWeb.pages(spark, cfg)
+      .withColumn("re", extractUdf(col("html")))
+      // byte-level comparison: encode both sides to binary
+      .filter(not(encode(col("text"), "UTF-8") === encode(col("re"), "UTF-8")))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("INVARIANT holds for the F-SITE fixture too") {
+    val extractUdf = udf((html: Array[Byte]) => TextExtract.extractText(html))
+    val bad = SynthWeb.sitePages(spark)
+      .withColumn("re", extractUdf(col("html")))
+      .filter(col("text") =!= col("re")).count()
+    assert(bad == 0L)
+  }
+
+  test("most intra-domain links resolve to pages that exist in the table") {
+    val rows = SynthWeb.pages(spark, cfg).collect()
+    val urls = rows.map(_.url).toSet
+    val sizes = SynthWeb.domainSizes(cfg)
+    val resolved = rows.flatMap { p =>
+      LinkExtract.extractLinks(p.html, p.url).map(l => graft.urlops.UrlOps.safeUrl(l.url))
+    }
+    val (hit, miss) = resolved.partition(urls.contains)
+    // dead + cross-domain-to-missing links exist by design, but the bulk
+    // of the graph must be fetchable
+    assert(hit.length.toDouble / resolved.length > 0.7,
+      s"only ${hit.length}/${resolved.length} links resolve")
+    assert(miss.nonEmpty, "some dead links must exist for failure paths")
+  }
+
+  test("redirect stubs point at in-table targets") {
+    val rows = SynthWeb.pages(spark, cfg).collect()
+    val urls = rows.map(_.url).toSet
+    val redirects = rows.flatMap(p =>
+      LinkExtract.redirectTarget(new String(p.html, "UTF-8"), p.url)
+        .map(graft.urlops.UrlOps.safeUrl))
+    assert(redirects.nonEmpty)
+    assert(redirects.forall(urls.contains))
+  }
+
+  test("zipf config skews domain sizes") {
+    val sizes = SynthWeb.domainSizes(WebConfig(nDomains = 100,
+      pagesPerDomain = 10, zipf = 1.2))
+    assert(sizes.head > sizes.last * 10)
+    assert(sizes.forall(_ >= 1))
+  }
+
+  test("F-SITE fixture matches the reference site graph") {
+    val rows = SynthWeb.sitePages(spark).collect()
+    val byPath = rows.map(r => graft.urlops.UrlOps.urlPathQueryFragment(r.url) -> r).toMap
+    assert(byPath.keySet == Set("/", "/page", "/another-page", "/new-page",
+      "/%D1%81%D1%82%D1%80%D0%B0%D0%BD%D0%B8%D1%86%D0%B0", "/redirect", "/last"))
+    assert(byPath("/last").text == "fin")
+    val rootLinks = LinkExtract.extractLinks(byPath("/").html, byPath("/").url)
+    assert(rootLinks.length == 4)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextExtract.{extractText => ext}
+
+class TextExtractSpec extends AnyFunSuite {
+
+  test("plain text passes through") {
+    assert(ext("hello world") == "hello world")
+  }
+
+  test("block tags break lines, inline tags space-separate") {
+    assert(ext("<html><body><h1>Title</h1><p>one two</p><p>three</p></body></html>") ==
+      "Title\none two\nthree")
+    assert(ext("""<a href="/x">first</a> <a href="/y">second</a>""") ==
+      "first second")
+  }
+
+  test("head, script, style and comments contribute nothing") {
+    assert(ext("<html><head><title>T</title><style>b{}</style></head>" +
+      "<body>body text<script>var x=1;</script>end</body></html>") ==
+      "body text\nend")
+    assert(ext("a<!-- hidden -->b") == "ab")
+  }
+
+  test("entities decode") {
+    assert(ext("fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;a&#39; &#x41;") ==
+      "fish & chips <tag> \"q\" 'a' A")
+    assert(ext("bad &entity; stays") == "bad &entity; stays")
+  }
+
+  test("whitespace collapses; blank lines drop; no trailing newline") {
+    assert(ext("<p>  a   b  </p>\n\n<p> </p><p>c</p>") == "a b\nc")
+    assert(!ext("<p>x</p>").endsWith("\n"))
+  }
+
+  test("unicode survives byte round-trip") {
+    val html = "<p>привет мир</p><p>grüße</p>"
+    assert(ext(html.getBytes("UTF-8")) == "привет мир\ngrüße")
+  }
+
+  test("redirect stub extracts to empty text") {
+    assert(ext("""<html><head><meta http-equiv="refresh" content="0;url=/last"></head><body></body></html>""") == "")
+  }
+
+  test("malformed html does not throw") {
+    assert(ext("<p>unclosed") == "unclosed")
+    assert(ext("text < notatag") == "text")
+    assert(ext("<script>never closed") == "")
+  }
+}
