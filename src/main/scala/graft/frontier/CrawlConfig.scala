@@ -1,0 +1,72 @@
+package graft.frontier
+
+/** Engine configuration. Every field traces to a reference setting
+  * (dd_crawler/settings.py unless noted); defaults are the reference's
+  * project defaults. Tests that mirror the reference test-suite pass
+  * Scrapy's library defaults instead (e.g. concurrentPerDomain = 8),
+  * because the reference tests build a bare Crawler without the project
+  * settings module.
+  */
+final case class CrawlConfig(
+    /** Spider name — part of the queue-key string that the crc32 worker
+      * shard hashes (dd_crawler/queue.py:320-323). */
+    spiderName: String = "dd_crawler",
+    /** QUEUE_BATCH_SIZE (settings.py:22). */
+    batchSize: Int = 100,
+    /** CONCURRENT_REQUESTS_PER_DOMAIN (settings.py:91; scrapy default 8). */
+    concurrentPerDomain: Int = 10,
+    /** DD_PRIORITY_MULTIPLIER (settings.py:29). */
+    priorityMultiplier: Double = 10000.0,
+    /** DD_MAX_SCORE (settings.py:31) — stored priority clamp;
+      * +∞ disables (scrapy default). */
+    maxScore: Double = 10 * 10000.0,
+    /** DD_BALANCING_TEMPERATURE (settings.py:30, code default 0.1). */
+    balancingTemperature: Double = 0.1,
+    /** QUEUE_MAX_DOMAINS — 0 = unlimited (queue.py:61-66). */
+    maxDomains: Int = 0,
+    /** QUEUE_MAX_RELEVANT_DOMAINS — 0 = no restriction (queue.py:68-71). */
+    maxRelevantDomains: Int = 0,
+    /** RESTRICT_DELAY, in scheduling epochs here (reference: seconds,
+      * queue.py:71; our loop is epochal — SURVEY.md §2.7). */
+    restrictDelayEpochs: Int = 1,
+    /** PAGE_RELEVANCY_THRESHOLD (spiders.py:160). */
+    relevancyThreshold: Double = 0.5,
+    /** DOMAIN_LIMIT (middleware/domains.py:69-81). */
+    domainLimit: Boolean = false,
+    /** RESET_DEPTH (middleware/domains.py:79-93). */
+    resetDepth: Boolean = false,
+    /** MAX_DUPLICATE_PATH_SEGMENTS (middleware/dupesegments.py:17). */
+    maxDupePathSegments: Int = 5,
+    /** MAX_DUPLICATE_QUERY_SEGMENTS (middleware/dupesegments.py:18). */
+    maxDupeQuerySegments: Int = 3,
+    /** Queue-class emulation knob (SURVEY.md §2.5 Q3-Q6). */
+    selection: Selection = Selection.BatchSoftmax,
+    /** Worker count — the crc32 domain-shard modulus (queue.py:233-247).
+      * On a real cluster this is the executor count; in the epoch model
+      * each worker's selection runs independently per epoch. */
+    nWorkers: Int = 1,
+    /** RNG seed: (seed, call order) fully determines the schedule. */
+    seed: Long = 42L,
+    /** Above this many domains, queue selection switches from exact
+      * driver-side multinomial sampling to the distributed Gumbel-top-k
+      * path (SURVEY.md §7.4.2). */
+    driverSelectLimit: Int = 1 << 20,
+    /** Obey per-host robots.txt disallow rules (north-star capability;
+      * the reference never enables ROBOTSTXT_OBEY — SURVEY.md §7.5). */
+    robotsEnabled: Boolean = false,
+    /** REDIRECT_PRIORITY_ADJUST (settings.py:33-35). */
+    redirectPriorityAdjust: Int = 1) {
+
+  /** max_queue_n = ceil(0.5 × CONCURRENT_REQUESTS_PER_DOMAIN)
+    * (queue.py:513-515): per-batch per-domain politeness budget. */
+  def maxQueueN: Int = math.ceil(concurrentPerDomain * 0.5).toInt
+
+  /** Softmax temperature = DD_BALANCING_TEMPERATURE × DD_PRIORITY_MULTIPLIER
+    * (queue.py:435-438). */
+  def softmaxTemperature: Double = balancingTemperature * priorityMultiplier
+
+  /** Seed priority = 10 × DD_PRIORITY_MULTIPLIER (spiders.py:59-60). */
+  def initialPriority: Long = (10 * priorityMultiplier).toLong
+
+  def restrictEnabled: Boolean = maxRelevantDomains > 0
+}

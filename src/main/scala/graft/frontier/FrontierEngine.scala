@@ -1,0 +1,487 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.urlops.{UrlFunctions => UF, UrlOps}
+
+/** A candidate request entering the frontier (reference: scrapy.Request
+  * with priority + meta{depth, parent} — dd_crawler/queue.py:395-414).
+  */
+final case class Req(
+    url: String,
+    priority: Long = 0L,
+    depth: Int = 0,
+    parent: Array[Byte] = null)
+
+/** A request popped from the frontier. */
+final case class Popped(
+    url: String,
+    domain: String,
+    priority: Long,
+    depth: Int,
+    parent: Array[Byte])
+
+/** The Spark-native frontier: per-domain priority queues + master domain
+  * scores + URL-seen set + relevance accumulators, all as DataFrames.
+  *
+  * Re-expresses the reference's Redis structures (SURVEY.md §1.1):
+  *  - per-domain zset        → `frontier` rows + Window ranking
+  *  - master domain zset     → groupBy(domain).agg(max(priority)), derived
+  *  - URL-seen Redis set     → `seen` fingerprint table, anti-join dedup
+  *  - relevant-domain zset   → `relevance` table (Σ score² per domain)
+  *  - QUEUE_MAX_DOMAINS gate → `domains` first-seen ranking
+  *
+  * Push/pop semantics are pinned by the reference queue tests
+  * (tests/test_queue.py); selection distributions by its statistical
+  * tests. Mutating ops reassign state DataFrames through an eager
+  * localCheckpoint so lineage stays O(1) across epochs; the epoch loop
+  * (graft.epoch) additionally persists state to Parquet for resume.
+  *
+  * Scale notes (the design target is a 10^10-row frontier):
+  *  - every state mutation is a set-operation (union / left_anti) on
+  *    tables hash-partitioned by their join key — no driver-side state;
+  *  - pop is `Window.partitionBy(domain)` over ONLY the sampled domains
+  *    (semi-join first), so the per-epoch ranking work is
+  *    O(batch domains × their queue sizes), not O(frontier);
+  *  - queue selection collects only the per-domain score vector (one row
+  *    per domain, not per URL); above cfg.driverSelectLimit domains it
+  *    switches to a distributed Gumbel-top-k that never collects.
+  */
+final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
+  import spark.implicits._
+
+  val rng = new java.util.Random(cfg.seed)
+
+  // --- state ---------------------------------------------------------------
+
+  private val frontierSchema = StructType(Seq(
+    StructField("domain", StringType), StructField("url", StringType),
+    StructField("priority", LongType), StructField("depth", IntegerType),
+    StructField("parent", BinaryType), StructField("epoch_added", IntegerType)))
+
+  private def emptyDf(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  private[frontier] var frontier: DataFrame = emptyDf(frontierSchema)
+  /** First-accepted order of every domain ever pushed (F6 gate). */
+  private var domainsSeen: DataFrame = emptyDf(StructType(Seq(
+    StructField("domain", StringType), StructField("first_seq", LongType))))
+  /** Σ page_score² per domain (queue.py:174-179). */
+  private var relevance: DataFrame = emptyDf(StructType(Seq(
+    StructField("domain", StringType), StructField("rel", DoubleType))))
+  /** Master-set membership after restriction (queue.py:145-159). */
+  private var allowed: DataFrame = emptyDf(StructType(Seq(
+    StructField("domain", StringType))))
+  /** URL-seen fingerprints (dupefilter.py:8-21). */
+  private var seen: DataFrame = emptyDf(StructType(Seq(
+    StructField("fp", StringType))))
+
+  var didRestrict: Boolean = false
+  /** Scheduling clock in epochs (replaces the reference's wall-clock
+    * RESTRICT_DELAY gate — SURVEY.md §2.7). */
+  var clock: Int = 0
+  private val startEpoch: Int = 0
+  private var seqCounter: Long = 0L
+  private var knownDomainCount: Long = 0L
+
+  /** Politeness slot mock: domain → has free transfer slots. Domains not
+    * present are considered free (queue.py:209-231, slots_mock in tests).
+    */
+  var slotsFree: Map[String, Boolean] = Map.empty
+
+  /** Local batch buffer for BatchQueue-style single pops
+    * (queue.py:446-460). */
+  private val localBuffer = scala.collection.mutable.ArrayBuffer.empty[Popped]
+
+  private def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  // --- introspection -------------------------------------------------------
+
+  def len: Long = frontier.count()
+
+  /** Master zset contents: (queue key, best clamped priority), zset order
+    * (best first, key ascending on ties) — queue.py:141-143.
+    */
+  def getQueues: Seq[(String, Long)] =
+    visibleFrontier.groupBy($"domain")
+      .agg(max($"priority").as("best"))
+      .orderBy($"best".desc, $"domain".asc)
+      .collect()
+      .map(r => (UrlOps.queueKey(cfg.spiderName, r.getString(0)), r.getLong(1)))
+      .toSeq
+
+  /** Queue-stats dump (queue.py:331-340): len, n_domains,
+    * [(key, best, count)]. */
+  def stats: (Long, Long, Seq[(String, Long, Long)]) = {
+    val rows = visibleFrontier.groupBy($"domain")
+      .agg(max($"priority").as("best"), count(lit(1)).as("n"))
+      .orderBy($"best".desc, $"domain".asc).collect()
+    (len, rows.length.toLong,
+      rows.map(r => (UrlOps.queueKey(cfg.spiderName, r.getString(0)),
+        r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  def seenCount: Long = seen.count()
+
+  private def visibleFrontier: DataFrame =
+    if (didRestrict) frontier.join(broadcast(allowed), Seq("domain"), "left_semi")
+    else frontier
+
+  // --- push (queue.py:76-103) ----------------------------------------------
+
+  /** Test-facing sequential push; returns the accepted flag per request
+    * (reference `push` returns bool). Batch-applied with intra-batch
+    * sequential gate semantics, so a Seq behaves as N sequential pushes.
+    */
+  def push(reqs: Seq[Req], epoch: Int = -1): Seq[Boolean] = {
+    if (reqs.isEmpty) return Nil
+    val e = if (epoch >= 0) epoch else clock
+    val base = seqCounter
+    seqCounter += reqs.size
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(reqs.zipWithIndex.map { case (r, i) =>
+      Row(r.url, r.priority, r.depth, r.parent, base + i)
+    }.asJava, StructType(Seq(
+      StructField("url", StringType), StructField("priority", LongType),
+      StructField("depth", IntegerType), StructField("parent", BinaryType),
+      StructField("seq", LongType))))
+    val flags = pushBatch(df, e)
+      .select($"seq", $"accepted").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    reqs.indices.map(i => flags(base + i))
+  }
+
+  /** Distributed push of a candidate batch. Input columns:
+    * url, priority, depth, parent[, seq]. Returns the input with
+    * `domain` and `accepted` columns (gates F6/F7 applied; state updated
+    * from accepted rows). Priorities/depths are clamped on entry
+    * (queue.py:91-92,403).
+    */
+  def pushBatch(reqsIn: DataFrame, epoch: Int): DataFrame = {
+    val withSeq =
+      if (reqsIn.columns.contains("seq")) reqsIn
+      else {
+        // deterministic intra-batch arrival order for the F6 ranking
+        val w = Window.orderBy($"priority".desc, $"url".asc)
+        val base = seqCounter
+        val out = reqsIn.withColumn("seq", row_number().over(w).cast("long") + base)
+        seqCounter += 1000000000L // reserve a range; exact count not needed
+        out
+      }
+    val cand = withSeq
+      .withColumn("domain", UF.registered_domain($"url"))
+      .withColumn("priority", UF.clamp_priority($"priority", cfg.maxScore))
+      .withColumn("depth", UF.clamp_depth($"depth"))
+
+    // F7: after restriction, only domains present in the relevance set
+    // may push (queue.py:85-89)
+    val relGated =
+      if (didRestrict)
+        cand.join(broadcast(relevance.select($"domain", lit(true).as("_rel"))),
+            Seq("domain"), "left")
+          .withColumn("_rel_ok", coalesce($"_rel", lit(false))).drop("_rel")
+      else cand.withColumn("_rel_ok", lit(true))
+
+    // F6: first-N-distinct-domains-ever-pushed win (queue.py:80-84,
+    // documented semantics — SURVEY.md §2.3 F6)
+    val gated =
+      if (cfg.maxDomains > 0) {
+        val slotsLeft = (cfg.maxDomains - knownDomainCount).max(0L).toInt
+        val newDomains = relGated.filter($"_rel_ok")
+          .join(domainsSeen.select($"domain", lit(true).as("_known")),
+            Seq("domain"), "left")
+          .filter($"_known".isNull)
+          .groupBy($"domain").agg(min($"seq").as("first_seq"))
+          .orderBy($"first_seq").limit(slotsLeft)
+        relGated
+          .join(broadcast(domainsSeen.select($"domain", lit(true).as("_k"))),
+            Seq("domain"), "left")
+          .join(broadcast(newDomains.select($"domain", lit(true).as("_adm"))),
+            Seq("domain"), "left")
+          .withColumn("_dom_ok",
+            coalesce($"_k", lit(false)) || coalesce($"_adm", lit(false)))
+          .drop("_k", "_adm")
+      } else relGated.withColumn("_dom_ok", lit(true))
+
+    val flagged = gated
+      .withColumn("accepted", $"_rel_ok" && $"_dom_ok")
+      .drop("_rel_ok", "_dom_ok")
+      .localCheckpoint(true)
+
+    val accepted = flagged.filter($"accepted")
+
+    // zadd member-replace semantics: same (domain,url,depth,parent) keeps
+    // the LAST pushed score (queue.py:90-95)
+    val keyed = accepted.withColumn("pkey",
+      concat_ws("\u0001", $"domain", $"url", $"depth".cast("string"),
+        coalesce(base64($"parent"), lit(""))))
+    val dedupW = Window.partitionBy($"pkey").orderBy($"seq".desc)
+    val newEntries = keyed
+      .withColumn("_rn", row_number().over(dedupW)).filter($"_rn" === 1)
+      .select($"domain", $"url", $"priority", $"depth", $"parent",
+        lit(epoch).as("epoch_added"), $"pkey")
+
+    val oldKeyed = frontier.withColumn("pkey",
+      concat_ws("\u0001", $"domain", $"url", $"depth".cast("string"),
+        coalesce(base64($"parent"), lit(""))))
+    frontier = ckpt(
+      oldKeyed.join(newEntries.select("pkey"), Seq("pkey"), "left_anti")
+        .drop("pkey")
+        .unionByName(newEntries.drop("pkey")))
+
+    // maintain first-seen domain ranking + post-restriction master re-adds
+    val newDomainRows = accepted.groupBy($"domain")
+      .agg(min($"seq").as("first_seq"))
+      .join(domainsSeen.select("domain"), Seq("domain"), "left_anti")
+    domainsSeen = ckpt(domainsSeen.unionByName(newDomainRows))
+    knownDomainCount = domainsSeen.count()
+    if (didRestrict) {
+      allowed = ckpt(allowed.unionByName(
+        accepted.select("domain").distinct()
+          .join(allowed, Seq("domain"), "left_anti")))
+    }
+    flagged
+  }
+
+  // --- relevance + restriction (queue.py:145-179) ----------------------------
+
+  /** zincrby(relevant_queues, −score²) — queue.py:174-179. No-op unless
+    * restriction is configured, like the reference. */
+  def pageIsRelevant(url: String, score: Double): Unit = {
+    if (!cfg.restrictEnabled) return
+    val d = UrlOps.registeredDomain(url)
+    relevanceAdd(Seq(d -> score * score).toDF("domain", "rel"))
+  }
+
+  /** Batch relevance accumulation: df columns (domain, rel=score²). */
+  def relevanceAdd(df: DataFrame): Unit = {
+    if (!cfg.restrictEnabled) return
+    relevance = ckpt(
+      relevance.unionByName(df.select($"domain", $"rel"))
+        .groupBy($"domain").agg(sum($"rel").as("rel")))
+  }
+
+  /** A5: once past the delay and ≥ max relevant domains have relevance,
+    * keep the top-K by Σscore² as the only live master queues
+    * (queue.py:145-159). */
+  def tryToRestrictDomains(now: Int = -1): Unit = {
+    val t = if (now >= 0) now else clock
+    if (cfg.restrictEnabled && !didRestrict &&
+        (t - startEpoch) > cfg.restrictDelayEpochs &&
+        relevance.count() >= cfg.maxRelevantDomains) {
+      allowed = ckpt(relevance
+        .orderBy($"rel".desc, $"domain".asc)
+        .limit(cfg.maxRelevantDomains)
+        .select("domain"))
+      didRestrict = true
+    }
+  }
+
+  /** domain_limit becomes active once restriction happened
+    * (queue.py:163-169 set_spider_domain_limit). */
+  def domainLimitActive: Boolean = cfg.domainLimit || didRestrict
+
+  // --- dedup (dupefilter.py:8-21) --------------------------------------------
+
+  /** F1: drop candidates whose fingerprint is already seen; mark the
+    * survivors as seen (test-and-set batch emulation: intra-batch
+    * duplicates collapse first). Input needs a `url` column; returns the
+    * unseen rows. */
+  def dedupAgainstSeen(cand: DataFrame): DataFrame = {
+    val fped = cand.withColumn("fp", UF.url_fingerprint($"url"))
+    val unseenW = Window.partitionBy($"fp").orderBy($"url")
+    val unseen = fped
+      .withColumn("_rn", row_number().over(unseenW)).filter($"_rn" === 1)
+      .drop("_rn")
+      .join(seen, Seq("fp"), "left_anti")
+      .localCheckpoint(true)
+    seen = ckpt(seen.unionByName(unseen.select("fp")))
+    unseen.drop("fp")
+  }
+
+  // --- pop (queue.py:285-306, 441-553) ----------------------------------------
+
+  /** Per-worker visible domain scores in master-zset order:
+    * (domain, best priority), crc32-sharded (queue.py:233-247). */
+  def myDomainScores(workerIdx: Int): DataFrame = {
+    val base = visibleFrontier
+      .groupBy($"domain").agg(max($"priority").as("best"))
+    val sharded =
+      if (cfg.nWorkers <= 1) base
+      else base.filter(
+        UF.domain_shard($"domain", cfg.spiderName, cfg.nWorkers) === workerIdx)
+    sharded.orderBy($"best".desc, $"domain".asc)
+  }
+
+  /** Politeness filter Q2 (queue.py:209-231): keep domains with free
+    * slots; if none qualify, fall back to all. */
+  private def availableOf(all: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val avail = all.filter { case (d, _) => slotsFree.getOrElse(d, true) }
+    if (avail.nonEmpty) avail else all
+  }
+
+  /** Single pop — the reference's `pop()` for all four queue classes.
+    * Batch classes serve from a local buffer refilled by popMulti
+    * (queue.py:446-460). Collects; test/parity surface. */
+  def pop(workerIdx: Int = 0): Option[Popped] = cfg.selection match {
+    case Selection.BatchUniform | Selection.BatchSoftmax =>
+      if (localBuffer.isEmpty) localBuffer ++= popMulti(workerIdx)
+      if (localBuffer.isEmpty) None
+      else Some(localBuffer.remove(localBuffer.length - 1))
+    case sel =>
+      tryToRestrictDomains()
+      val all = myDomainScores(workerIdx).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val avail = availableOf(all)
+      QueueSelector.selectOne(avail.map(_._1).toIndexedSeq,
+          avail.map(_._2.toDouble).toArray, sel, cfg, rng)
+        .flatMap(d => popFromDomains(Map(d -> 1)).headOption)
+  }
+
+  /** Batch pop — BatchQueue.pop_multi (queue.py:455-475): select
+    * batchSize queues (with repetition), pop the per-queue counts, local
+    * consumption order = reverse Counter order, priority-descending
+    * within a queue. */
+  def popMulti(workerIdx: Int = 0): Seq[Popped] = {
+    tryToRestrictDomains()
+    val all = myDomainScores(workerIdx).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (all.isEmpty) return Nil
+    val queues = all.map(_._1).toIndexedSeq
+    val scores = all.map(_._2.toDouble).toArray
+    val selected: Seq[String] = cfg.selection match {
+      case Selection.BatchSoftmax | Selection.Softmax =>
+        QueueSelector.selectBatchSoftmax(queues, scores, cfg, rng)
+      case Selection.Greedy(eps) =>
+        QueueSelector.selectGreedy(queues, cfg, eps, rng)
+      case _ =>
+        QueueSelector.selectBatchUniform(queues, cfg, rng)
+    }
+    lastScheduleDecision =
+      Some(ScheduleDecision(clock, queues, scores.toSeq, selected))
+    // Counter(queues): counts in first-occurrence order
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    selected.foreach(q => counts(q) = counts.getOrElse(q, 0) + 1)
+    val popped = popFromDomains(counts.toMap)
+    val byDomain = popped.groupBy(_.domain)
+    // local_queue extend order: Counter iteration order, each queue's
+    // requests reversed to ascending priority (queue.py:461-467); the
+    // single-request pop() consumes from the END (highest priority of
+    // the last-extended queue first).
+    counts.keys.toSeq.flatMap(d =>
+      byDomain.getOrElse(d, Nil).sortBy(p => (-p.priority, p.url)).reverse)
+  }
+
+  /** Last queue-selection decision (S7 schedule log, queue.py:555-566). */
+  var lastScheduleDecision: Option[ScheduleDecision] = None
+
+  /** Distributed epoch pop: sample domains + take their top-n_q rows,
+    * delete them from the frontier, all without collecting URL rows.
+    * Returns the popped entries as a DataFrame.
+    */
+  def popEpochDf(workerIdx: Int = 0): DataFrame = {
+    tryToRestrictDomains()
+    val scoresDf = myDomainScores(workerIdx)
+    val nDomains = scoresDf.count()
+    val countsDf: DataFrame =
+      if (nDomains <= cfg.driverSelectLimit) {
+        val all = scoresDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val queues = all.map(_._1).toIndexedSeq
+        val scores = all.map(_._2.toDouble).toArray
+        val selected = cfg.selection match {
+          case Selection.BatchSoftmax | Selection.Softmax =>
+            QueueSelector.selectBatchSoftmax(queues, scores, cfg, rng)
+          case Selection.Greedy(eps) =>
+            QueueSelector.selectGreedy(queues, cfg, eps, rng)
+          case _ => QueueSelector.selectBatchUniform(queues, cfg, rng)
+        }
+        lastScheduleDecision =
+          Some(ScheduleDecision(clock, queues, scores.toSeq, selected))
+        selected.groupBy(identity).view.mapValues(_.size).toSeq
+          .toDF("domain", "n")
+      } else gumbelTopK(scoresDf)
+    popRankedDf(countsDf)
+  }
+
+  /** Distributed Gumbel-top-k selection for very large domain counts:
+    * key = priority/T + Gumbel noise; the top ceil(batch/maxQueueN)
+    * domains each contribute maxQueueN — equivalent in distribution to
+    * softmax sampling without replacement (SURVEY.md §2.5 Q5).
+    */
+  private def gumbelTopK(scoresDf: DataFrame): DataFrame = {
+    val k = math.ceil(cfg.batchSize.toDouble / cfg.maxQueueN).toInt
+    scoresDf
+      .withColumn("_g",
+        $"best".cast("double") / cfg.softmaxTemperature
+          - log(-log(rand(cfg.seed + clock))))
+      .orderBy($"_g".desc)
+      .limit(k)
+      .select($"domain", lit(cfg.maxQueueN).as("n"))
+  }
+
+  /** A7/A8: top-n_q per sampled domain by (priority desc, url asc), then
+    * delete popped rows. The semi-join on sampled domains prunes the
+    * window to the touched partitions only. */
+  private def popRankedDf(countsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"domain")
+      .orderBy($"priority".desc, $"url".asc, $"depth".asc)
+    val popped = visibleFrontier
+      .join(broadcast(countsDf), Seq("domain"))
+      .withColumn("_rank", row_number().over(w))
+      .filter($"_rank" <= $"n")
+      .drop("_rank", "n")
+      .localCheckpoint(true)
+    val poppedKeys = popped.withColumn("pkey",
+      concat_ws("\u0001", $"domain", $"url", $"depth".cast("string"),
+        coalesce(base64($"parent"), lit("")))).select("pkey")
+    val oldKeyed = frontier.withColumn("pkey",
+      concat_ws("\u0001", $"domain", $"url", $"depth".cast("string"),
+        coalesce(base64($"parent"), lit(""))))
+    frontier = ckpt(
+      oldKeyed.join(poppedKeys, Seq("pkey"), "left_anti").drop("pkey"))
+    popped
+  }
+
+  private def popFromDomains(counts: Map[String, Int]): Seq[Popped] = {
+    if (counts.isEmpty) return Nil
+    val countsDf = counts.toSeq.toDF("domain", "n")
+    popRankedDf(countsDf)
+      .select($"url", $"domain", $"priority", $"depth", $"parent")
+      .collect()
+      .map(r => Popped(r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getAs[Array[Byte]](4)))
+      .toSeq
+  }
+
+  // --- checkpoint surface ----------------------------------------------------
+
+  def stateTables: Map[String, DataFrame] = Map(
+    "frontier" -> frontier, "domains" -> domainsSeen,
+    "relevance" -> relevance, "allowed" -> allowed, "seen" -> seen)
+
+  def restoreState(tables: Map[String, DataFrame], didRestrictFlag: Boolean,
+                   epoch: Int, seq: Long): Unit = {
+    frontier = ckpt(tables("frontier"))
+    domainsSeen = ckpt(tables("domains"))
+    relevance = ckpt(tables("relevance"))
+    allowed = ckpt(tables("allowed"))
+    seen = ckpt(tables("seen"))
+    didRestrict = didRestrictFlag
+    clock = epoch
+    seqCounter = seq
+    knownDomainCount = domainsSeen.count()
+  }
+
+  def currentSeq: Long = seqCounter
+}
+
+/** One queue-selection decision — the reference's queue-scores log row
+  * (dd_crawler/queue.py:555-566). */
+final case class ScheduleDecision(
+    epoch: Int,
+    availableDomains: Seq[String],
+    scores: Seq[Double],
+    sampledDomains: Seq[String])

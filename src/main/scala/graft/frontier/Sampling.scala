@@ -1,0 +1,219 @@
+package graft.frontier
+
+import scala.collection.mutable
+
+/** Seeded weighted-sampling primitives for queue selection.
+  *
+  * Mirrors the distribution semantics of the reference scheduler
+  * (dd_crawler/queue.py:417-438, 493-553 + deepdeep/utils.py:67-85):
+  * softmax with temperature, numpy-style `choice` with and without
+  * replacement, and the batch-softmax queue selection with its
+  * low-unique-count resampling fallbacks. All draws come from one
+  * caller-owned java.util.Random so a (seed, call-order) pair fully
+  * determines the schedule — the determinism contract for
+  * "same seed list ⇒ same crawl ordering".
+  */
+object Sampling {
+
+  /** softmax(z/t) with max-subtraction, deepdeep/utils.py:67-85. */
+  def softmax(z: Array[Double], t: Double): Array[Double] = {
+    if (z.isEmpty) return Array.empty
+    val zt = z.map(_ / t)
+    val m = zt.max
+    val e = zt.map(x => math.exp(x - m))
+    val s = e.sum
+    e.map(_ / s)
+  }
+
+  /** One index drawn ∝ p (np.random.choice, size=None). */
+  def choiceIndex(p: Array[Double], rng: java.util.Random): Int = {
+    val r = rng.nextDouble()
+    var acc = 0.0
+    var i = 0
+    while (i < p.length - 1) {
+      acc += p(i)
+      if (r < acc) return i
+      i += 1
+    }
+    p.length - 1
+  }
+
+  /** n independent draws ∝ p (with replacement). */
+  def choiceWithReplacement(p: Array[Double], n: Int,
+                            rng: java.util.Random): Array[Int] =
+    Array.fill(n)(choiceIndex(p, rng))
+
+  /** n draws without replacement ∝ p, sequential renormalization —
+    * numpy semantics incl. the ValueError when p has fewer non-zero
+    * entries than n (dd_crawler/queue.py:531-535 catches it).
+    */
+  def choiceWithoutReplacement(p: Array[Double], n: Int,
+                               rng: java.util.Random): Array[Int] = {
+    val nonZero = p.count(_ > 0.0)
+    require(nonZero >= n, s"Fewer non-zero entries in p ($nonZero) than size ($n)")
+    val live = p.clone()
+    val out = new Array[Int](n)
+    var k = 0
+    var total = live.sum
+    while (k < n) {
+      val r = rng.nextDouble() * total
+      var acc = 0.0
+      var i = 0
+      var hit = -1
+      while (i < live.length && hit < 0) {
+        if (live(i) > 0.0) {
+          acc += live(i)
+          if (r < acc) hit = i
+        }
+        i += 1
+      }
+      if (hit < 0) hit = live.lastIndexWhere(_ > 0.0)
+      out(k) = hit
+      total -= live(hit)
+      live(hit) = 0.0
+      k += 1
+    }
+    out
+  }
+
+  /** Fisher-Yates shuffle in place (random.shuffle parity-in-kind). */
+  def shuffle[T](xs: mutable.ArrayBuffer[T], rng: java.util.Random): Unit = {
+    var i = xs.length - 1
+    while (i > 0) {
+      val j = rng.nextInt(i + 1)
+      val t = xs(i); xs(i) = xs(j); xs(j) = t
+      i -= 1
+    }
+  }
+}
+
+/** Strategy knob: which of the reference's four queue classes the engine
+  * emulates (dd_crawler/queue.py BaseRequestQueue / SoftmaxQueue /
+  * BatchQueue / BatchSoftmaxQueue), plus the epsilon-greedy variant the
+  * north star names (deep-deep has it upstream in its own scheduler).
+  */
+sealed trait Selection
+object Selection {
+  /** random.choice over available queues (queue.py:202-207). */
+  case object Uniform extends Selection
+  /** softmax single choice (queue.py:417-438). */
+  case object Softmax extends Selection
+  /** uniform batch with replacement (queue.py:468-475). */
+  case object BatchUniform extends Selection
+  /** softmax batch + max_queue_n resampling (queue.py:501-553). */
+  case object BatchSoftmax extends Selection
+  /** greedy top-k with ε·batch random picks (north-star knob). */
+  final case class Greedy(epsilon: Double) extends Selection
+}
+
+/** Queue-selection over the per-domain best scores, driver side.
+  *
+  * Input `queues`/`priorities` must be in master-zset order (best
+  * priority first, domain ascending on ties) — the reference iterates
+  * zrange order (queue.py:141-143), which makes draws reproducible.
+  */
+object QueueSelector {
+
+  /** softmax p over clamped best-priorities: get_softmax_p
+    * (queue.py:435-438) computes softmax(-scores, t) where the zset
+    * score is -priority, i.e. softmax(priority / t).
+    */
+  def softmaxP(priorities: Array[Double], cfg: CrawlConfig): Array[Double] =
+    Sampling.softmax(priorities, cfg.softmaxTemperature)
+
+  /** Batch selection with repetition — BatchSoftmaxQueue
+    * .select_queues_softmax (queue.py:501-553) verbatim semantics:
+    * sample batchSize with replacement ∝ softmax; if unique count <
+    * ceil(batch/maxQueueN), resample without replacement (with the
+    * degenerate-p fallback), then round-robin fill maxQueueN per queue
+    * and shuffle.
+    */
+  def selectBatchSoftmax(queues: IndexedSeq[String], priorities: Array[Double],
+                         cfg: CrawlConfig, rng: java.util.Random): Seq[String] = {
+    if (queues.isEmpty) return Nil
+    val p = softmaxP(priorities, cfg)
+    val batch = cfg.batchSize
+    val maxQueueN = cfg.maxQueueN
+    val minNQueues = math.ceil(batch.toDouble / maxQueueN).toInt
+    var selected: mutable.ArrayBuffer[String] =
+      mutable.ArrayBuffer.from(
+        Sampling.choiceWithReplacement(p, batch, rng).map(queues))
+    val nUnique = selected.distinct.size
+    if (nUnique < minNQueues) {
+      val uniqueQueues: Seq[String] =
+        try {
+          Sampling.choiceWithoutReplacement(
+            p, math.min(queues.size, minNQueues), rng).map(queues).toSeq
+        } catch {
+          case _: IllegalArgumentException =>
+            // fewer non-zero p entries than requested: take all non-zero,
+            // then top up uniformly at random (queue.py:531-547)
+            val nonZero = queues.indices.filter(p(_) > 0.0).map(queues)
+              .take(batch).toBuffer
+            val set = mutable.LinkedHashSet.from(nonZero)
+            if (set.size < minNQueues) {
+              val uniform = Array.fill(queues.size)(1.0 / queues.size)
+              val extra = Sampling.choiceWithReplacement(
+                uniform,
+                math.min(queues.size, minNQueues - nonZero.size), rng)
+              extra.foreach(i => set += queues(i))
+            }
+            set.toSeq
+        }
+      selected = mutable.ArrayBuffer.empty[String]
+      while (selected.size < batch) {
+        uniqueQueues.foreach { q =>
+          val take = math.max(0, math.min(maxQueueN, batch - selected.size))
+          var i = 0
+          while (i < take) { selected += q; i += 1 }
+        }
+      }
+      Sampling.shuffle(selected, rng)
+    }
+    selected.toSeq
+  }
+
+  /** Uniform batch with replacement — BatchQueue.select_best_queues
+    * (queue.py:468-475). */
+  def selectBatchUniform(queues: IndexedSeq[String], cfg: CrawlConfig,
+                         rng: java.util.Random): Seq[String] = {
+    if (queues.isEmpty) return Nil
+    val p = Array.fill(queues.size)(1.0 / queues.size)
+    Sampling.choiceWithReplacement(p, cfg.batchSize, rng).map(queues).toSeq
+  }
+
+  /** Greedy(ε): top-k by priority with ε·batch uniform-random picks. */
+  def selectGreedy(queues: IndexedSeq[String], cfg: CrawlConfig,
+                   epsilon: Double, rng: java.util.Random): Seq[String] = {
+    if (queues.isEmpty) return Nil
+    val batch = cfg.batchSize
+    val nRandom = (batch * epsilon).toInt
+    val nTop = batch - nRandom
+    // queues arrive best-first; round-robin the head like the resample path
+    val top = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (top.size < nTop) {
+      top += queues(i % math.max(1, math.min(queues.size,
+        math.ceil(nTop.toDouble / cfg.maxQueueN).toInt)))
+      i += 1
+    }
+    val rnd = Seq.fill(nRandom)(queues(rng.nextInt(queues.size)))
+    top.toSeq ++ rnd
+  }
+
+  /** Single-queue selection (non-batch classes). */
+  def selectOne(queues: IndexedSeq[String], priorities: Array[Double],
+                sel: Selection, cfg: CrawlConfig,
+                rng: java.util.Random): Option[String] = {
+    if (queues.isEmpty) return None
+    sel match {
+      case Selection.Softmax =>
+        Some(queues(Sampling.choiceIndex(softmaxP(priorities, cfg), rng)))
+      case Selection.Greedy(eps) =>
+        if (rng.nextDouble() < eps) Some(queues(rng.nextInt(queues.size)))
+        else Some(queues.head) // best-first order
+      case _ =>
+        Some(queues(rng.nextInt(queues.size)))
+    }
+  }
+}

@@ -1,0 +1,255 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.frontier._
+import graft.urlops.UrlOps
+
+/** Port of the reference queue test-suite (tests/test_queue.py),
+  * parametrized over the four queue-class emulations exactly like the
+  * reference's queue_cls fixture (tests/test_queue.py:35-38).
+  *
+  * Reference tests build a bare Crawler without the project settings
+  * module, so Scrapy library defaults apply: CONCURRENT_REQUESTS_PER_DOMAIN
+  * = 8 (→ max_queue_n = 4), DD_MAX_SCORE unset (→ no priority clamp),
+  * QUEUE_BATCH_SIZE = 100 unless a test overrides it.
+  */
+class FrontierQueueSpec extends AnyFunSuite with SparkSuite {
+
+  private val spiderName = "test_dd_spider"
+
+  private def testCfg(sel: Selection) = CrawlConfig(
+    spiderName = spiderName,
+    selection = sel,
+    concurrentPerDomain = 8,          // scrapy default, not settings.py's 10
+    maxScore = Double.PositiveInfinity, // DD_MAX_SCORE unset in bare crawler
+    seed = 17L)
+
+  private val allSelections: Seq[(String, Selection)] = Seq(
+    "BaseRequestQueue" -> Selection.Uniform,
+    "SoftmaxQueue" -> Selection.Softmax,
+    "BatchQueue" -> Selection.BatchUniform,
+    "BatchSoftmaxQueue" -> Selection.BatchSoftmax)
+
+  private def makeQueue(sel: Selection,
+                        tweak: CrawlConfig => CrawlConfig = identity) =
+    new FrontierEngine(spark, tweak(testCfg(sel)))
+
+  private def popAll(q: FrontierEngine, idx: Int = 0): Seq[Popped] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Popped]
+    var r = q.pop(idx)
+    while (r.isDefined) { out += r.get; r = q.pop(idx) }
+    out.toSeq
+  }
+
+  // --- test_queue_key (tests/test_queue.py:60-67) --------------------------
+
+  test("queue key derivation incl. co.uk suffix") {
+    def key(url: String) =
+      UrlOps.queueKey(spiderName, UrlOps.registeredDomain(url))
+    assert(key("http://wwww.example.com/foo") ==
+      "test_dd_spider:requests:domain:example.com")
+    assert(key("https://example2.com/foo") ==
+      "test_dd_spider:requests:domain:example2.com")
+    assert(key("http://app.example.co.uk") ==
+      "test_dd_spider:requests:domain:example.co.uk")
+  }
+
+  // --- test_push_pop (tests/test_queue.py:70-86) ----------------------------
+
+  for ((name, sel) <- allSelections)
+    test(s"push/pop roundtrip [$name]") {
+      val q = makeQueue(sel)
+      assert(q.pop().isEmpty)
+      assert(q.len == 0)
+      assert(q.getQueues.isEmpty)
+      val parent = UrlOps.urlHashBytes("http://parent.example.com")
+      assert(q.push(Seq(Req("http://example.com", priority = 100,
+        depth = 10, parent = parent))) == Seq(true))
+      assert(q.len == 1)
+      assert(q.getQueues.map(_._1) ==
+        Seq("test_dd_spider:requests:domain:example.com"))
+      val r1 = q.pop().get
+      assert(r1.url == "http://example.com")
+      assert(r1.priority == 100)
+      assert(r1.depth == 10)
+      assert(r1.parent.toSeq == parent.toSeq)
+      assert(q.len == 0)
+      assert(q.pop().isEmpty)
+    }
+
+  // --- test_max_domains (tests/test_queue.py:88-102) -------------------------
+
+  for ((name, sel) <- allSelections)
+    test(s"max-domains gate [$name]") {
+      val q = makeQueue(sel, _.copy(maxDomains = 2))
+      val flags = q.push(Seq(
+        Req("http://domain-1.com"),
+        Req("http://domain-2.com"),
+        Req("http://domain-2.com/foo"),
+        Req("http://domain-3.com/foo"),
+        Req("http://domain-1.com/foo")))
+      assert(flags == Seq(true, true, true, false, true))
+      val urls = popAll(q).map(_.url).toSet
+      assert(urls == Set("http://domain-1.com", "http://domain-2.com",
+        "http://domain-2.com/foo", "http://domain-1.com/foo"))
+    }
+
+  // --- test_max_relevant_domains (tests/test_queue.py:105-133) ---------------
+
+  for ((name, sel) <- allSelections)
+    test(s"relevant-domain restriction [$name]") {
+      val q = makeQueue(sel,
+        _.copy(maxRelevantDomains = 2, restrictDelayEpochs = 1))
+      assert(q.push(Seq(Req("http://domain-1.com"))) == Seq(true))
+      q.pageIsRelevant("http://domain-1.com", 1.1)
+      assert(q.push(Seq(Req("http://domain-2.com"))) == Seq(true))
+      q.pageIsRelevant("http://domain-2.com", 0.8)
+      assert(q.push(Seq(Req("http://domain-3.com/foo"))) == Seq(true))
+      q.pageIsRelevant("http://domain-3.com/foo", 1.0)
+      assert(q.push(Seq(Req("http://domain-2.com/foo"))) == Seq(true))
+      q.pageIsRelevant("http://domain-2.com/foo", 0.8)
+      assert(q.push(Seq(Req("http://domain-1.com/foo"))) == Seq(true))
+      q.tryToRestrictDomains() // too early (clock 0, delay 1)
+      assert(!q.didRestrict)
+      // did not restrict yet, so can push a new domain
+      assert(q.push(Seq(Req("http://domain-4.com/foo"))) == Seq(true))
+      q.clock = 2 // the reference sleeps past RESTRICT_DELAY
+      val urls = scala.collection.mutable.Set.empty[String]
+      var r = q.pop()
+      assert(q.didRestrict)
+      while (r.isDefined) { urls += r.get.url; r = q.pop(); assert(q.didRestrict) }
+      // top-2 by Σscore²: domain-2 (1.28) and domain-1 (1.21)
+      assert(urls.toSet == Set("http://domain-1.com", "http://domain-2.com",
+        "http://domain-2.com/foo", "http://domain-1.com/foo"))
+      // relevant domains selected → pushes to others rejected
+      assert(q.push(Seq(Req("http://domain-5.com/foo"))) == Seq(false))
+      assert(q.pop().isEmpty)
+    }
+
+  // --- test_priority (tests/test_queue.py:136-145) ---------------------------
+
+  for ((name, sel) <- allSelections)
+    test(s"strict priority ordering [$name]") {
+      val q = makeQueue(sel)
+      q.push(Seq(
+        Req("http://example.com/1", priority = 10),
+        Req("http://example.com/2", priority = 100),
+        Req("http://example.com/3", priority = 1)))
+      assert((1 to 3).map(_ => q.pop().get.url) == Seq(
+        "http://example.com/2", "http://example.com/1", "http://example.com/3"))
+      assert(q.pop().isEmpty)
+    }
+
+  // --- test_domain_distribution (tests/test_queue.py:148-163) ----------------
+
+  for ((name, sel) <- allSelections)
+    test(s"cross-worker domain sharding [$name]") {
+      val q = makeQueue(sel, _.copy(nWorkers = 2))
+      val urls = Seq("http://a.com", "http://a.com/foo", "http://b.com",
+        "http://b.com/foo", "http://tado8.com", "http://tada.com",
+        "http://tada.com/asdfsd")
+      q.push(urls.map(Req(_)))
+      val urls1 = Set("http://a.com", "http://a.com/foo", "http://b.com",
+        "http://b.com/foo")
+      val urls2 = Set("http://tado8.com", "http://tada.com",
+        "http://tada.com/asdfsd")
+      // sanity: pin the crc32 shard split the reference observes
+      assert(UrlOps.workerShard(spiderName, "a.com", 2) ==
+        UrlOps.workerShard(spiderName, "b.com", 2))
+      val shard1 = UrlOps.workerShard(spiderName, "a.com", 2)
+      val reqs1 = popAll(q, shard1)
+      assert(reqs1.map(_.url).toSet == urls1)
+      assert(q.len == urls2.size)
+      val reqs2 = popAll(q, 1 - shard1)
+      assert(reqs2.map(_.url).toSet == urls2)
+    }
+
+  // --- batch-softmax statistical tests (tests/test_queue.py:166-219) ---------
+
+  private def batchSoftmax50 =
+    makeQueue(Selection.BatchSoftmax, _.copy(batchSize = 50))
+
+  test("batch softmax: 10 domains × 10 urls → full batch, all domains") {
+    val q = batchSoftmax50
+    q.push(for (d <- 0 until 10; u <- 0 until 10)
+      yield Req(s"http://domain-$d.com/$u", priority = d.toLong * u))
+    val res = q.popMulti()
+    assert(res.size == 50)
+    assert(res.map(_.domain).distinct.size == 10)
+  }
+
+  test("batch softmax: one domain → 50 unique urls") {
+    val q = batchSoftmax50
+    q.push((0 until 100).map(u =>
+      Req(s"http://domain.com/$u", priority = u.toLong)))
+    val res = q.popMulti()
+    assert(res.size == 50)
+    assert(res.map(_.url).distinct.size == 50)
+  }
+
+  test("batch softmax: 100 domains → 50 unique urls, >30 domains") {
+    val q = batchSoftmax50
+    q.push(for (d <- 0 until 100; u <- 0 until 10)
+      yield Req(s"http://domain-$d.com/$u", priority = d.toLong * u))
+    val res = q.popMulti()
+    assert(res.size == 50)
+    assert(res.map(_.url).distinct.size == 50)
+    assert(res.map(_.domain).distinct.size > 30)
+  }
+
+  test("batch softmax: high-priority queues always selected, >10 domains") {
+    val q = batchSoftmax50
+    q.push(for (d <- 0 until 100; u <- 0 until 5) yield Req(
+      s"http://domain-$d.com/$u",
+      priority = if ((d == 42 || d == 43) && u == 1) 10000L else 0L))
+    val res = q.popMulti()
+    val urls = res.map(_.url).toSet
+    assert(urls.contains("http://domain-42.com/1"))
+    assert(urls.contains("http://domain-43.com/1"))
+    assert(res.map(_.domain).distinct.size > 10)
+    assert(res.size == 50)
+  }
+
+  // --- test_encode_request depth clamp (tests/test_queue.py:235-254) ---------
+
+  for ((name, sel) <- Seq(allSelections.head, allSelections.last))
+    test(s"push clamps depth to int16 [$name]") {
+      val q = makeQueue(sel)
+      q.push(Seq(Req("http://example.com/foo", depth = 1 << 16)))
+      assert(q.pop().get.depth == (1 << 15) - 1)
+      q.push(Seq(Req("http://example.com/bar", depth = -(1 << 16))))
+      assert(q.pop().get.depth == -(1 << 15))
+    }
+
+  // --- fingerprint dedup F1 (dupefilter.py:8-21) ------------------------------
+
+  test("dedup: fingerprint anti-join drops seen and intra-batch duplicates") {
+    import spark.implicits._
+    val q = makeQueue(Selection.BatchSoftmax)
+    val b1 = Seq("http://example.com/a", "http://example.com/b",
+      "http://example.com/a?").toDF("url") // ?-only == same canonical fp? no: keeps '?'
+    val first = q.dedupAgainstSeen(b1).select("url").as[String].collect().toSet
+    assert(first.contains("http://example.com/a"))
+    assert(first.contains("http://example.com/b"))
+    // second batch: all already seen + one new
+    val b2 = Seq("http://example.com/a", "http://EXAMPLE.com/b#frag",
+      "http://example.com/c").toDF("url")
+    val second = q.dedupAgainstSeen(b2).select("url").as[String].collect().toSet
+    // b is seen via canonicalization (case-insensitive host, fragment strip)
+    assert(second == Set("http://example.com/c"))
+  }
+
+  // --- politeness availability Q2 (queue.py:209-231) --------------------------
+
+  test("single-pop selection skips domains without free slots") {
+    val q = makeQueue(Selection.Uniform)
+    q.push(Seq(Req("http://busy.com/1", priority = 100),
+      Req("http://free.com/1", priority = 1)))
+    q.slotsFree = Map("busy.com" -> false)
+    assert(q.pop().get.domain == "free.com")
+    // when nothing has free slots, fall back to all
+    q.slotsFree = Map("busy.com" -> false, "free.com" -> false)
+    assert(q.pop().get.domain == "busy.com")
+  }
+}
