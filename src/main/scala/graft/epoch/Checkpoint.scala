@@ -1,0 +1,99 @@
+package graft.epoch
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.frontier.FrontierEngine
+import graft.tables.TableIO
+
+/** Per-epoch counters — the reference's per-response running totals and
+  * scrapy stats counters (dd_crawler/middleware/log.py:38-60,
+  * queue.py:113-130), plus the north-star's required lineage counters
+  * (fetched / deduped / deferred-by-politeness).
+  */
+final case class EpochCounters(
+    epoch: Int,
+    popped: Long,
+    fetched: Long,
+    failures: Long,
+    items: Long,
+    candidates: Long,
+    droppedDomainLimit: Long,
+    droppedDupeSegments: Long,
+    droppedRobots: Long,
+    dedupedSeen: Long,
+    pushedAccepted: Long,
+    deferredByPoliteness: Long,
+    frontierLen: Long,
+    seenCount: Long)
+
+/** Pause/resume — the Spark form of SCHEDULER_PERSIST=True
+  * (dd_crawler/settings.py:18-19): every state table is snapshotted per
+  * epoch under `epoch=K`, and a `_manifest.json` names the last complete
+  * epoch plus the scalar state (did-restrict flag, push sequence,
+  * cumulative counters). Resume = read manifest, load epoch K's
+  * snapshots, continue at K+1. The manifest write is atomic
+  * (tmp + move) so a crash mid-checkpoint resumes from K-1.
+  */
+object Checkpoint {
+
+  private val stateTables =
+    Seq("frontier", "domains", "relevance", "allowed", "seen")
+
+  def save(engine: FrontierEngine, root: String, epoch: Int,
+           totals: Map[String, Long]): Unit = {
+    val tables = engine.stateTables
+    stateTables.foreach(t => TableIO.writeSnapshot(tables(t), root, t, epoch))
+    val json = new StringBuilder()
+      .append("{\"epoch\":").append(epoch)
+      .append(",\"did_restrict\":").append(engine.didRestrict)
+      .append(",\"seq\":").append(engine.currentSeq)
+      .append(",\"totals\":{")
+      .append(totals.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"""\"$k\":$v""" }.mkString(","))
+      .append("}}")
+      .toString
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, "_manifest.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(root, "_manifest.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  final case class Manifest(epoch: Int, didRestrict: Boolean, seq: Long,
+                            totals: Map[String, Long])
+
+  def loadManifest(root: String): Option[Manifest] = {
+    val p = Paths.get(root, "_manifest.json")
+    if (!Files.exists(p)) return None
+    val s = Files.readString(p)
+    def longOf(key: String): Option[Long] =
+      s"""\"$key\":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    def boolOf(key: String): Option[Boolean] =
+      s"""\"$key\":(true|false)""".r.findFirstMatchIn(s).map(_.group(1).toBoolean)
+    val totals = s"""\"totals\":\\{([^}]*)\\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+      .split(",").filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        k.replace("\"", "") -> v.toLong
+      }.toMap
+    for {
+      epoch <- longOf("epoch")
+      dr <- boolOf("did_restrict")
+      seq <- longOf("seq")
+    } yield Manifest(epoch.toInt, dr, seq, totals)
+  }
+
+  /** Restore engine state from the last complete epoch. Returns the
+    * manifest if a checkpoint existed. */
+  def resume(spark: SparkSession, engine: FrontierEngine,
+             root: String): Option[Manifest] =
+    loadManifest(root).map { m =>
+      val tables = stateTables
+        .map(t => t -> TableIO.readSnapshot(spark, root, t, m.epoch)).toMap
+      engine.restoreState(tables, m.didRestrict, m.epoch, m.seq)
+      m
+    }
+}

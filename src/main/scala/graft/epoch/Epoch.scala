@@ -1,0 +1,354 @@
+package graft.epoch
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.frontier.{CrawlConfig, FrontierEngine, ScheduleDecision}
+import graft.html.{LinkFunctions => LF}
+import graft.score.{LinkScorer, PageScorer}
+import graft.tables.TableIO
+import graft.urlops.{UrlFunctions => UF}
+
+/** One deterministic scheduling epoch — the Spark translation of the
+  * reference's event loop (SURVEY.md §3.1):
+  *
+  *   pop-batch → fetch (join against the pages table) → parse
+  *   (links + text + scores) → gates (domain-limit, depth-reset,
+  *   dupe-segments, robots) → fingerprint dedup → push → outputs
+  *   (crawled_pages, metrics, schedule_log, domain_state) → checkpoint.
+  *
+  * "Fetch" is an equi-join of popped URLs against the Common-Crawl-style
+  * `pages` input table (url, warc_ts, html, text, lang); a URL with no
+  * row is a fetch failure (dd_crawler/middleware/domain_status.py:41-58).
+  *
+  * Scale shape per epoch: the only frontier-wide operations are one
+  * groupBy(domain) for master scores and one anti-join for the popped
+  * delete; everything else is proportional to the popped batch. The
+  * fetch join broadcasts the popped side (≤ batch × workers rows)
+  * against the large pages table, so the 100 TB side never shuffles.
+  */
+final class CrawlJob(
+    val spark: SparkSession,
+    val cfg: CrawlConfig,
+    pages: DataFrame,
+    pageScorer: Option[PageScorer] = None,
+    linkScorer: Option[LinkScorer] = None,
+    robots: Option[DataFrame] = None,
+    outDir: Option[String] = None) {
+  import spark.implicits._
+
+  val engine = new FrontierEngine(spark, cfg)
+
+  private def emptyDf(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  private def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** CDR-like output items (dd_crawler/spiders.py:88-114). */
+  var crawledPages: DataFrame = emptyDf(StructType(Seq(
+    StructField("url", StringType), StructField("warc_ts", TimestampType),
+    StructField("text", StringType), StructField("id", StringType),
+    StructField("parent", StringType), StructField("depth", IntegerType),
+    StructField("priority", LongType), StructField("page_score", DoubleType),
+    StructField("epoch", IntegerType))))
+
+  /** Response-log rows (dd_crawler/middleware/log.py:48-65). */
+  var metrics: DataFrame = emptyDf(StructType(Seq(
+    StructField("epoch", IntegerType), StructField("url", StringType),
+    StructField("id", StringType), StructField("parent", StringType),
+    StructField("depth", IntegerType), StructField("priority", LongType),
+    StructField("score", DoubleType), StructField("total_score", DoubleType),
+    StructField("n_crawled", LongType), StructField("n_domains", LongType),
+    StructField("n_relevant_domains", LongType))))
+
+  /** Queue-selection decisions (dd_crawler/queue.py:555-566). */
+  var scheduleLog: DataFrame = emptyDf(StructType(Seq(
+    StructField("epoch", IntegerType), StructField("worker", IntegerType),
+    StructField("available_domains", ArrayType(StringType)),
+    StructField("scores", ArrayType(DoubleType)),
+    StructField("sampled_domains", ArrayType(StringType)))))
+
+  /** Domain-state snapshots (dd_crawler/middleware/domain_status.py:64-75). */
+  var domainState: DataFrame = emptyDf(StructType(Seq(
+    StructField("epoch", IntegerType),
+    StructField("global_open_queues", ArrayType(StringType)),
+    StructField("worker_in_flight", ArrayType(StringType)),
+    StructField("worker_failures", ArrayType(StringType)),
+    StructField("worker_successes", ArrayType(StringType)))))
+
+  private val domainSchema =
+    StructType(Seq(StructField("domain", StringType)))
+  private var successDomains: DataFrame = emptyDf(domainSchema)
+  private var failureDomains: DataFrame = emptyDf(domainSchema)
+
+  private var nCrawledTotal: Long = 0L
+  private var totalScore: Double = 0.0
+
+  val epochCounters = scala.collection.mutable.ArrayBuffer.empty[EpochCounters]
+
+  // --- seeding (dd_crawler/spiders.py:32-35,140-149) -------------------------
+
+  /** Push seed URLs at the given priority (deepdeep: 10 × multiplier;
+    * plain dd_crawler: 0), through the dupefilter like any scheduled
+    * request. `#`-comment and blank lines are the caller's concern
+    * (use seedsFromText for file parity). */
+  def seed(urls: Seq[String], priority: Long = 0L): Unit = {
+    if (urls.isEmpty) return
+    val df = urls.toDF("url")
+      .withColumn("url", UF.safe_url($"url"))
+      .withColumn("priority", lit(priority))
+      .withColumn("depth", lit(0))
+      .withColumn("parent", lit(null).cast(BinaryType))
+    val unseen = engine.dedupAgainstSeen(df)
+    engine.pushBatch(unseen, 0)
+  }
+
+  /** S1: seed-file loader — strip, drop blank and `#` lines. */
+  def seedsFromText(path: String): Seq[String] =
+    spark.read.textFile(path).collect().toSeq
+      .map(_.trim).filter(u => u.nonEmpty && !u.startsWith("#"))
+
+  // --- one epoch -------------------------------------------------------------
+
+  def runEpoch(): EpochCounters = {
+    engine.clock += 1
+    val epoch = engine.clock
+    // per-epoch deterministic reseed → resume-safe scheduling
+    engine.rng.setSeed(graft.gen.SynthWeb.mix(cfg.seed, epoch.toLong))
+
+    // 1. pop batch per worker (Q1-Q5)
+    val decisions = scala.collection.mutable.ArrayBuffer.empty[(Int, ScheduleDecision)]
+    var popped = emptyDf(StructType(Seq(
+      StructField("domain", StringType), StructField("url", StringType),
+      StructField("priority", LongType), StructField("depth", IntegerType),
+      StructField("parent", BinaryType), StructField("epoch_added", IntegerType))))
+    for (w <- 0 until cfg.nWorkers) {
+      popped = popped.unionByName(engine.popEpochDf(w))
+      engine.lastScheduleDecision.foreach(d => decisions += (w -> d))
+    }
+    popped = ckpt(popped)
+    val nPopped = popped.count()
+
+    // 2. fetch = left join against the pages table (S10); the popped side
+    // is small → broadcast it so the 100 TB pages scan never shuffles
+    val fetched = pages
+      .join(broadcast(popped), Seq("url"), "right")
+      .localCheckpoint(true)
+    val failures = fetched.filter($"html".isNull)
+    val ok = fetched.filter($"html".isNotNull)
+      .withColumn("redirect_to", LF.redirect_target($"html", $"url"))
+    val parsed = ok.filter($"redirect_to".isNull)
+    val redirects = ok.filter($"redirect_to".isNotNull)
+    val nFailures = failures.count()
+
+    // 3. items (CDR, spiders.py:88-114) + page scores
+    val scoreCol = pageScorer.map(_.score($"text", $"url")).getOrElse(lit(0.0))
+    val items = ckpt(parsed
+      .withColumn("page_score", scoreCol)
+      .withColumn("id", UF.url_hash_b64($"url"))
+      .withColumn("parent_str", base64($"parent"))
+      .select($"url", $"warc_ts", $"text", $"id",
+        $"parent_str".as("parent"), $"depth", $"priority", $"page_score",
+        lit(epoch).as("epoch")))
+    val nItems = items.count()
+
+    // 4. relevance accumulation (A4, queue.py:174-179) — only when a page
+    // classifier is configured and score > threshold (spiders.py:158-163)
+    if (pageScorer.nonEmpty && cfg.restrictEnabled) {
+      engine.relevanceAdd(items
+        .filter($"page_score" > cfg.relevancyThreshold)
+        .withColumn("domain", UF.registered_domain($"url"))
+        .groupBy($"domain")
+        .agg(sum($"page_score" * $"page_score").as("rel")))
+    }
+
+    // 5. link candidates (P10-P12, F2/F4/F5)
+    val linkScoreCol = linkScorer
+      .map(s => s.score($"link.url", $"link.anchor")).getOrElse(lit(0.0))
+    val rawLinks = parsed
+      .select($"url".as("page_url"), $"depth".as("page_depth"),
+        explode(LF.extract_links($"html", $"url")).as("link"))
+      .withColumn("url", UF.safe_url($"link.url"))
+      .withColumn("link_domain", UF.registered_domain($"url"))
+      .withColumn("page_domain", UF.registered_domain($"page_url"))
+      .withColumn("cross_domain", $"link_domain" =!= $"page_domain")
+      .withColumn("link_score", linkScoreCol)
+      .localCheckpoint(true)
+    val nRawLinks = rawLinks.count()
+
+    // F2: domain limit (middleware/domains.py:69-81; active when
+    // configured OR after restriction, queue.py:163-169)
+    val afterDomainLimit =
+      if (engine.domainLimitActive) rawLinks.filter(!$"cross_domain")
+      else rawLinks
+    // F4: depth reset on cross-domain (middleware/domains.py:79-93);
+    // DEPTH_PRIORITY adjust is 0 here as in the reference tests — the
+    // priority column already carries the link score
+    val linkCands = afterDomainLimit
+      .withColumn("depth",
+        when(lit(cfg.resetDepth) && $"cross_domain", lit(0))
+          .otherwise($"page_depth" + 1))
+      .withColumn("priority",
+        UF.link_priority($"link_score", cfg.priorityMultiplier))
+      .withColumn("parent", UF.url_hash_bytes($"page_url"))
+      .select($"url", $"priority", $"depth", $"parent")
+    // F5: dupe-segment drop (middleware/dupesegments.py:40-73)
+    val afterDupeSeg = linkCands.filter(
+      UF.num_duplicate_segments(UF.urlPathUdf($"url"), "/")
+        <= cfg.maxDupePathSegments &&
+      UF.num_duplicate_segments(UF.urlQueryUdf($"url"), "&")
+        <= cfg.maxDupeQuerySegments)
+
+    // redirect candidates (F3 + Q9: middleware/domains.py:38-42,
+    // settings.py:33-35) — keep request lineage (parent/depth unchanged)
+    val redirCandsAll = redirects
+      .withColumn("target", UF.safe_url($"redirect_to"))
+      .withColumn("target_domain", UF.registered_domain($"target"))
+      .withColumn("req_domain", UF.registered_domain($"url"))
+    val redirCands =
+      (if (engine.domainLimitActive)
+        redirCandsAll.filter($"target_domain" === $"req_domain")
+      else redirCandsAll)
+        .select($"target".as("url"),
+          ($"priority" + cfg.redirectPriorityAdjust).as("priority"),
+          $"depth", $"parent")
+
+    var candidates = ckpt(afterDupeSeg.unionByName(redirCands))
+    val nAfterGates = candidates.count()
+    val nDroppedDomainLimit = nRawLinks - {
+      if (engine.domainLimitActive) rawLinks.filter(!$"cross_domain").count()
+      else nRawLinks
+    }
+    val nDroppedDupeSeg =
+      (if (engine.domainLimitActive) rawLinks.filter(!$"cross_domain").count()
+       else nRawLinks) - afterDupeSeg.count()
+
+    // robots gate (north-star capability; prefix-disallow matcher)
+    var nDroppedRobots = 0L
+    if (cfg.robotsEnabled && robots.nonEmpty) {
+      val withHost = candidates.withColumn("host", UF.url_host($"url"))
+      val gated = withHost
+        .join(broadcast(robots.get), Seq("host"), "left")
+        .withColumn("path", UF.urlPathUdf($"url"))
+        .filter($"disallow_prefixes".isNull ||
+          !exists($"disallow_prefixes",
+            p => startswith(coalesce($"path", lit("/")), p)))
+        .drop("host", "path", "disallow_prefixes")
+      val before = nAfterGates
+      candidates = ckpt(gated)
+      nDroppedRobots = before - candidates.count()
+    }
+
+    // 6. F1 dedup + push (dupefilter.py:8-21; queue.py:76-103)
+    val unseen = engine.dedupAgainstSeen(candidates)
+    val nUnseen = unseen.count()
+    val pushed = engine.pushBatch(unseen, epoch)
+    val nAccepted = pushed.filter($"accepted").count()
+
+    // 7. outputs
+    successDomains = ckpt(successDomains.unionByName(
+      parsed.select(UF.registered_domain($"url").as("domain"))
+        .unionByName(redirects.select(UF.registered_domain($"url").as("domain")))
+        .distinct()).distinct())
+    failureDomains = ckpt(failureDomains.unionByName(
+      failures.select(UF.registered_domain($"url").as("domain")).distinct())
+      .distinct())
+
+    // metrics rows: one per item, running totals carried across epochs
+    // (n_domains/n_relevant at end-of-epoch granularity — SURVEY.md A10)
+    val nDomainsNow = successDomains.count()
+    val nRelevantNow =
+      if (pageScorer.nonEmpty)
+        metricsRelevantCount(items)
+      else 0L
+    val w = Window.orderBy($"url")
+    val epochMetrics = items
+      .withColumn("n_crawled", row_number().over(w).cast("long") + nCrawledTotal)
+      .withColumn("total_score",
+        sum($"page_score").over(w) + totalScore)
+      .select(lit(epoch).as("epoch"), $"url", $"id", $"parent", $"depth",
+        $"priority", $"page_score".as("score"), $"total_score",
+        $"n_crawled", lit(nDomainsNow).as("n_domains"),
+        lit(nRelevantNow).as("n_relevant_domains"))
+    metrics = ckpt(metrics.unionByName(epochMetrics))
+    nCrawledTotal += nItems
+    totalScore += items.agg(coalesce(sum($"page_score"), lit(0.0)))
+      .head.getDouble(0)
+
+    crawledPages = ckpt(crawledPages.unionByName(items))
+
+    import scala.jdk.CollectionConverters._
+    val schedRows = decisions.map { case (wk, d) =>
+      Row(epoch, wk, d.availableDomains, d.scores, d.sampledDomains)
+    }.toSeq
+    scheduleLog = ckpt(scheduleLog.unionByName(
+      spark.createDataFrame(schedRows.asJava, scheduleLog.schema)))
+
+    val openQueues = engine.stateTables("frontier")
+      .select("domain").distinct().as[String].collect().sorted.toSeq
+    val failSeq = failureDomains.as[String].collect().sorted.toSeq
+    val succSeq = successDomains.as[String].collect().sorted.toSeq
+    domainState = ckpt(domainState.unionByName(spark.createDataFrame(
+      Seq(Row(epoch, openQueues, Seq.empty[String], failSeq, succSeq)).asJava,
+      domainState.schema)))
+
+    val counters = EpochCounters(
+      epoch = epoch, popped = nPopped,
+      fetched = nPopped - nFailures, failures = nFailures,
+      items = nItems, candidates = nRawLinks,
+      droppedDomainLimit = nDroppedDomainLimit,
+      droppedDupeSegments = nDroppedDupeSeg,
+      droppedRobots = nDroppedRobots,
+      dedupedSeen = nAfterGates - nDroppedRobots - nUnseen,
+      pushedAccepted = nAccepted,
+      deferredByPoliteness = engine.len,
+      frontierLen = engine.len,
+      seenCount = engine.seenCount)
+    epochCounters += counters
+
+    outDir.foreach { root =>
+      TableIO.appendEpoch(items, root, "crawled_pages", epoch)
+      TableIO.appendEpoch(epochMetrics, root, "metrics", epoch)
+      TableIO.writeSnapshot(successDomains, root, "success_domains", epoch)
+      TableIO.writeSnapshot(failureDomains, root, "failure_domains", epoch)
+      Checkpoint.save(engine, root, epoch, countersToTotals(counters))
+    }
+    counters
+  }
+
+  private def metricsRelevantCount(items: DataFrame): Long =
+    items.filter($"page_score" > cfg.relevancyThreshold)
+      .select(UF.registered_domain($"url")).distinct().count()
+
+  private def countersToTotals(c: EpochCounters): Map[String, Long] = Map(
+    "n_crawled" -> nCrawledTotal,
+    "total_score_micros" -> math.round(totalScore * 1e6),
+    "frontier_len" -> c.frontierLen,
+    "seen" -> c.seenCount)
+
+  /** Run epochs until the frontier drains or maxEpochs is hit. */
+  def run(maxEpochs: Int = 100): Seq[EpochCounters] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[EpochCounters]
+    var continue = engine.len > 0
+    while (continue && engine.clock < maxEpochs) {
+      val c = runEpoch()
+      out += c
+      continue = c.frontierLen > 0
+    }
+    out.toSeq
+  }
+
+  /** Resume from an on-disk checkpoint (SCHEDULER_PERSIST analogue). */
+  def resume(): Option[Checkpoint.Manifest] = outDir.flatMap { root =>
+    Checkpoint.resume(spark, engine, root).map { m =>
+      nCrawledTotal = m.totals.getOrElse("n_crawled", 0L)
+      totalScore = m.totals.getOrElse("total_score_micros", 0L) / 1e6
+      successDomains = ckpt(
+        TableIO.readSnapshot(spark, root, "success_domains", m.epoch))
+      failureDomains = ckpt(
+        TableIO.readSnapshot(spark, root, "failure_domains", m.epoch))
+      m
+    }
+  }
+}

@@ -1,0 +1,39 @@
+package graft.html
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+import graft.tables.Schemas.Link
+import graft.text.TextExtract
+
+/** Column-level wrappers for the HTML operators (P9-P11).
+  * These are the only heavy scalar UDFs in the fetch-parse hot path;
+  * each is a single forward pass over the html bytes.
+  */
+object LinkFunctions {
+
+  private val extractLinksUdf = udf((html: Array[Byte], pageUrl: String) =>
+    if (html == null || pageUrl == null) Seq.empty[Link]
+    else LinkExtract.extractLinks(html, pageUrl))
+
+  private val redirectTargetUdf = udf((html: Array[Byte], pageUrl: String) =>
+    if (html == null || pageUrl == null) null
+    else LinkExtract.redirectTarget(html, pageUrl).orNull)
+
+  private val extractTextUdf = udf((html: Array[Byte]) =>
+    if (html == null) null else TextExtract.extractText(html))
+
+  /** array<struct<url,anchor>> of `<a href>` links, absolutized + filtered
+    * (dd_crawler/spiders.py:73-79; deepdeep/links.py:47-117). */
+  def extract_links(html: Column, pageUrl: Column): Column =
+    extractLinksUdf(html, pageUrl)
+
+  /** Redirect target url or null (ForbidOffsiteRedirectsMiddleware input,
+    * dd_crawler/middleware/domains.py:38-42). */
+  def redirect_target(html: Column, pageUrl: Column): Column =
+    redirectTargetUdf(html, pageUrl)
+
+  /** html_text.extract_text equivalent (dd_crawler/utils.py:124-131) —
+    * byte-identical to the generator's stored text (input invariant). */
+  def extract_text(html: Column): Column = extractTextUdf(html)
+}

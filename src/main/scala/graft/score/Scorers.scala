@@ -1,0 +1,74 @@
+package graft.score
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pluggable relevance scorers — the Spark form of the reference's two
+  * model hooks:
+  *
+  *  - page classifier: `clf.predict_proba([text or {text,url}])[0][1]`
+  *    (dd_crawler/utils.py:116-131), consumed at
+  *    dd_crawler/spiders.py:151-163;
+  *  - link Q-model: per-link score in [0,1] → priority = score ×
+  *    DD_PRIORITY_MULTIPLIER (dd_crawler/spiders.py:155-168,
+  *    deepdeep/predictor.py:51-74).
+  *
+  * The reference e2e tests stub both models at a constant 0.5
+  * (tests/test_spider.py:98-113), so the parity surface is the
+  * interface, not any particular model. `LinearScorer` is the real
+  * path: a broadcastable bag-of-words linear model evaluated inside a
+  * scalar UDF (weights live in the closure → shipped once per
+  * executor, not per row).
+  */
+trait PageScorer extends Serializable {
+  /** Column in [0,1] given (text, url) columns. */
+  def score(text: Column, url: Column): Column
+}
+
+trait LinkScorer extends Serializable {
+  /** Column in [0,1] given (url, anchor) columns of a candidate link. */
+  def score(url: Column, anchor: Column): Column
+}
+
+/** The reference tests' stub models (tests/test_spider.py:98-113). */
+final case class ConstantScorer(value: Double)
+    extends PageScorer with LinkScorer {
+  def score(text: Column, url: Column): Column = lit(value)
+}
+
+/** Bag-of-words logistic scorer: sigmoid(bias + Σ w(token)).
+  * Tokens = lowercased \\w+ runs, the classic sklearn CountVectorizer
+  * default the reference's joblib models would wrap.
+  */
+final case class LinearScorer(weights: Map[String, Double], bias: Double)
+    extends PageScorer with LinkScorer {
+  private val tokenRe = "[\\p{L}\\p{N}_]+".r
+
+  def scoreText(s: String): Double = {
+    if (s == null) return 0.0
+    var z = bias
+    tokenRe.findAllIn(s.toLowerCase).foreach { t =>
+      z += weights.getOrElse(t, 0.0)
+    }
+    1.0 / (1.0 + math.exp(-z))
+  }
+
+  def score(text: Column, url: Column): Column = {
+    val f = udf((t: String, u: String) =>
+      scoreText(Seq(Option(t), Option(u)).flatten.mkString(" ")))
+    f(text, url)
+  }
+}
+
+/** Deterministic pseudo-random link scorer keyed on the target URL —
+  * matches graft.gen.SynthWeb.linkScore so crawl fixtures have a
+  * meaningful, recomputable priority signal without a trained model.
+  */
+object SynthLinkScorer extends LinkScorer {
+  def score(url: Column, anchor: Column): Column = {
+    val f = udf((u: String) =>
+      graft.gen.SynthWeb.unit(
+        graft.gen.SynthWeb.mix(42L, 0x5C0L, u.hashCode.toLong)))
+    f(url)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Thin table seam: Parquet directories with Iceberg-compatible layouts
+  * (epoch-partition directories as snapshot analogues). The sandbox has
+  * no iceberg-spark-runtime jar (SURVEY.md §1.4), so tables are plain
+  * Parquet; swapping in an Iceberg catalog changes this object only.
+  *
+  * Layout: `<root>/<table>/epoch=<k>/...parquet`
+  *  - state tables (frontier, seen, …): one snapshot per epoch; readers
+  *    load exactly one epoch directory (the manifest names it);
+  *  - log tables (crawled_pages, metrics, …): append-only, readers scan
+  *    all epochs (partition column `epoch` is recovered from the path).
+  */
+object TableIO {
+
+  def epochDir(root: String, table: String, epoch: Int): String =
+    s"$root/$table/epoch=$epoch"
+
+  /** Snapshot write: this epoch's full state of `table`. */
+  def writeSnapshot(df: DataFrame, root: String, table: String,
+                    epoch: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(epochDir(root, table, epoch))
+
+  /** Append write: this epoch's new rows of a log table. */
+  def appendEpoch(df: DataFrame, root: String, table: String,
+                  epoch: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(epochDir(root, table, epoch))
+
+  def readSnapshot(spark: SparkSession, root: String, table: String,
+                   epoch: Int): DataFrame =
+    spark.read.parquet(epochDir(root, table, epoch))
+
+  /** Read the whole log table across epochs (epoch recovered from the
+    * hive-style path as a partition column). */
+  def readLog(spark: SparkSession, root: String, table: String): DataFrame =
+    spark.read.option("basePath", s"$root/$table")
+      .parquet(s"$root/$table")
+
+  def exists(root: String, table: String, epoch: Int): Boolean =
+    Files.exists(Paths.get(epochDir(root, table, epoch), "_SUCCESS"))
+}

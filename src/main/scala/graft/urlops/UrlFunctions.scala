@@ -24,9 +24,18 @@ object UrlFunctions {
     if (u == null) null else UrlOps.urlQuery(u))
   val pathQueryFragmentUdf = udf((u: String) =>
     if (u == null) null else UrlOps.urlPathQueryFragment(u))
+  val safeUrlUdf = udf((u: String) =>
+    if (u == null) null else UrlOps.safeUrl(u))
+  val hostUdf = udf((u: String) =>
+    if (u == null) null else UrlOps.host(u))
 
   def registered_domain(c: Column): Column = registeredDomainUdf(c)
   def canon_url(c: Column): Column = canonicalizeUrlUdf(c)
+
+  /** w3lib safe_url_string form — what Scrapy's Request stores
+    * (graft.urlops.UrlOps.safeUrl). */
+  def safe_url(c: Column): Column = safeUrlUdf(c)
+  def url_host(c: Column): Column = hostUdf(c)
 
   /** sha1 hex fingerprint of a GET request with no body and no login state
     * (dd_crawler/dupefilter.py:14-21). Built on the UDF canonicalizer but

@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.epoch.CrawlJob
+import graft.frontier.{CrawlConfig, Selection}
+import graft.gen.SynthWeb
+import graft.score.ConstantScorer
+import graft.urlops.UrlOps
+
+/** Port of the reference end-to-end spider tests
+  * (tests/test_spider.py:17-130): crawl the fixed Site graph, assert the
+  * crawled path set, response-log row count, md5 parent/child lineage
+  * and the final domain-state shape — for the plain spider with and
+  * without domain limit, and the relevancy (deepdeep) spider with
+  * constant-0.5 stub models.
+  */
+class CrawlE2ESpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def getPath(url: String): String = UrlOps.urlPathQueryFragment(url)
+
+  private def baseCfg = CrawlConfig(
+    spiderName = "test_base_spider",
+    selection = Selection.BatchSoftmax,
+    concurrentPerDomain = 8,
+    maxScore = Double.PositiveInfinity,
+    seed = 23L)
+
+  private def runSite(domainLimit: Boolean, relevancy: Boolean,
+                      outDir: Option[String] = None): CrawlJob = {
+    val pages = SynthWeb.sitePages(spark).toDF()
+    val job = new CrawlJob(spark, baseCfg.copy(domainLimit = domainLimit),
+      pages,
+      pageScorer = if (relevancy) Some(ConstantScorer(0.5)) else None,
+      linkScorer = if (relevancy) Some(ConstantScorer(0.5)) else None,
+      outDir = outDir)
+    val seedPriority =
+      if (relevancy) job.engine.cfg.initialPriority else 0L
+    job.seed(SynthWeb.siteSeeds, seedPriority)
+    job.run(maxEpochs = 20)
+    job
+  }
+
+  private def checkSiteCrawl(job: CrawlJob, domainLimit: Boolean,
+                             relevancy: Boolean): Unit = {
+    val items = job.crawledPages.collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[String]("id"),
+        r.getAs[String]("parent"), r.getAs[Double]("page_score")))
+
+    // 6 collected items with the exact path set (test_spider.py:69-72)
+    assert(items.length == 6)
+    assert(items.map(i => getPath(i._1)).toSet == Set(
+      "/", "/page", "/another-page", "/new-page",
+      "/%D1%81%D1%82%D1%80%D0%B0%D0%BD%D0%B8%D1%86%D0%B0", "/last"))
+
+    // response-log row count == items (test_spider.py:75-79)
+    assert(job.metrics.count() == 6)
+
+    // parent/child lineage (test_spider.py:81-85)
+    def meta(path: String): (String, String) = {
+      val Array(hit) = items.filter(i => getPath(i._1) == path).map(i => (i._2, i._3))
+      hit
+    }
+    val rootId = meta("/")._1
+    assert(meta("/page")._2 == rootId)
+    assert(meta("/new-page")._2 != rootId)
+    val pagePath = "/%D1%81%D1%82%D1%80%D0%B0%D0%BD%D0%B8%D1%86%D0%B0"
+    assert(meta(pagePath)._2 == rootId)
+    assert(meta("/last")._2 == meta(pagePath)._1)
+
+    if (relevancy) assert(items.forall(_._4 == 0.5))
+
+    // final domain-state shape (test_spider.py:87-95)
+    if (domainLimit) {
+      val last = job.domainState.orderBy($"epoch".desc).head()
+      def arr(col: String): Seq[String] =
+        last.getAs[scala.collection.Seq[String]](col).toSeq
+      assert(arr("global_open_queues") == Seq.empty)
+      assert(arr("worker_failures") == Seq("not-localhost"))
+      assert(arr("worker_in_flight") == Seq.empty)
+      assert(arr("worker_successes") == Seq("localhost"))
+    }
+  }
+
+  test("site crawl: plain spider, domain limit on") {
+    checkSiteCrawl(runSite(domainLimit = true, relevancy = false),
+      domainLimit = true, relevancy = false)
+  }
+
+  test("site crawl: plain spider, domain limit off") {
+    checkSiteCrawl(runSite(domainLimit = false, relevancy = false),
+      domainLimit = false, relevancy = false)
+  }
+
+  test("site crawl: relevancy spider with constant stub models") {
+    checkSiteCrawl(runSite(domainLimit = false, relevancy = true),
+      domainLimit = false, relevancy = true)
+  }
+
+  test("checkpoint/resume reproduces the interrupted crawl exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+    // full reference run
+    val full = runSite(domainLimit = true, relevancy = false)
+    val fullUrls = full.crawledPages.select("url").as[String]
+      .collect().sorted.toSeq
+
+    // interrupted run: 2 epochs, then a fresh job resumes from disk
+    val pages = SynthWeb.sitePages(spark).toDF()
+    val job1 = new CrawlJob(spark, baseCfg.copy(domainLimit = true), pages,
+      outDir = Some(dir))
+    job1.seed(SynthWeb.siteSeeds, 0L)
+    job1.runEpoch(); job1.runEpoch()
+    val crawledFirst = job1.crawledPages.select("url").as[String].collect().toSet
+
+    val job2 = new CrawlJob(spark, baseCfg.copy(domainLimit = true), pages,
+      outDir = Some(dir))
+    val m = job2.resume()
+    assert(m.exists(_.epoch == 2))
+    job2.run(maxEpochs = 20)
+    val crawledRest = job2.crawledPages.select("url").as[String].collect().toSet
+
+    assert((crawledFirst ++ crawledRest).toSeq.sorted == fullUrls)
+    // no page crawled twice across the interruption
+    assert(crawledFirst.intersect(crawledRest).isEmpty)
+  }
+
+  test("synthetic web crawl: larger graph, dedup sanity, robots gate") {
+    val cfg = SynthWeb.WebConfig(nDomains = 8, pagesPerDomain = 12)
+    val pages = SynthWeb.pages(spark, cfg).toDF().localCheckpoint(true)
+    val blockedHost = SynthWeb.domainName(cfg, 0)
+    val robots = Seq((blockedHost, Seq("/p/"))).toDF("host", "disallow_prefixes")
+    val job = new CrawlJob(spark,
+      baseCfg.copy(batchSize = 40, robotsEnabled = true, seed = 5L),
+      pages, robots = Some(robots))
+    job.seed(SynthWeb.seedUrls(cfg, 4))
+    job.run(maxEpochs = 40)
+    val urls = job.crawledPages.select("url").as[String].collect().toSeq
+    // each url crawled at most once (URL-seen dedup)
+    assert(urls.distinct.size == urls.size)
+    assert(urls.nonEmpty)
+    // robots: no /p/ page of the blocked host was ever crawled via a link
+    // (the seed root itself is allowed)
+    assert(!urls.exists(u => u.startsWith(s"http://$blockedHost/p/")))
+    // metrics monotone counters
+    val ns = job.metrics.orderBy($"n_crawled").select("n_crawled")
+      .as[Long].collect()
+    assert(ns.toSeq == (1L to ns.length).toSeq)
+  }
+}
