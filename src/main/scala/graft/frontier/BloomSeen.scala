@@ -1,0 +1,107 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Partitioned Bloom pre-filter over the URL-seen fingerprint set
+  * (north-star A1; reference: Redis SADD membership,
+  * dd_crawler/dupefilter.py:8-21).
+  *
+  * At 10^10 URLs the exact `seen` table is ~200 GB of sha1 hex; an
+  * anti-join of every candidate batch against it works but pays a
+  * full shuffle of the candidate side plus a bucketed scan of `seen`.
+  * The Bloom array is the cheap pre-filter:
+  *
+  *  - `k` filters indexed by a stable hash of the fingerprint, each
+  *    sized for |seen|/k elements, built with ONE treeAggregate pass
+  *    (no shuffle; partial aggregates merge log-tree-wise);
+  *  - candidates split into `definitelyNew` (no bloom hit — skipped
+  *    straight through, the overwhelming majority in a crawl) and
+  *    `maybeSeen` (bloom hit — exact anti-join on this small slice);
+  *  - URL-seen DECISIONS therefore stay exact (false positives only
+  *    route rows to the exact join; false negatives cannot happen).
+  *
+  * Filters serialize to a `(partition_id, bits)` table via
+  * save/load — the checkpointable form the north star names.
+  */
+object BloomSeen {
+
+  /** Stable bucket of a fingerprint (first 4 hex chars). */
+  def bucketOf(fp: String, k: Int): Int =
+    math.floorMod(fp.hashCode, k)
+
+  final class PartitionedBloom(val filters: Array[BloomFilter])
+      extends Serializable {
+    def mightContain(fp: String): Boolean =
+      filters(bucketOf(fp, filters.length)).mightContainString(fp)
+    def put(fp: String): Unit =
+      filters(bucketOf(fp, filters.length)).putString(fp)
+    def merge(other: PartitionedBloom): PartitionedBloom = {
+      filters.zip(other.filters).foreach { case (a, b) => a.mergeInPlace(b) }
+      this
+    }
+  }
+
+  def empty(k: Int, expectedPerPartition: Long, fpp: Double): PartitionedBloom =
+    new PartitionedBloom(Array.fill(k)(
+      BloomFilter.create(math.max(expectedPerPartition, 64L), fpp)))
+
+  /** Build from a fingerprint column with one treeAggregate pass. */
+  def build(seen: DataFrame, fpCol: String, k: Int = 16,
+            expectedPerPartition: Long = 1 << 20,
+            fpp: Double = 0.01): PartitionedBloom = {
+    import seen.sparkSession.implicits._
+    seen.select(col(fpCol)).as[String].rdd.treeAggregate(
+      empty(k, expectedPerPartition, fpp))(
+      seqOp = (b, fp) => { b.put(fp); b },
+      combOp = (a, b) => a.merge(b))
+  }
+
+  /** Split candidates (must carry `fp`) into (maybeSeen, definitelyNew).
+    * Exact usage: `maybeSeen.join(seen, "fp", "left_anti") ∪ definitelyNew`.
+    */
+  def prefilter(cand: DataFrame, bloom: PartitionedBloom)
+      : (DataFrame, DataFrame) = {
+    val spark = cand.sparkSession
+    val bc = spark.sparkContext.broadcast(bloom)
+    val hit = udf((fp: String) => bc.value.mightContain(fp))
+    (cand.filter(hit(col("fp"))), cand.filter(!hit(col("fp"))))
+  }
+
+  /** Exact dedup with the Bloom fast path: returns candidates whose fp
+    * is certainly not in `seen`. */
+  def dedupExact(cand: DataFrame, seen: DataFrame,
+                 bloom: PartitionedBloom): DataFrame = {
+    val (maybe, fresh) = prefilter(cand, bloom)
+    maybe.join(seen, Seq("fp"), "left_anti").unionByName(fresh)
+  }
+
+  // --- checkpoint form (table of partition bitsets) --------------------------
+
+  def toBytes(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  def fromBytes(b: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+
+  def save(spark: SparkSession, bloom: PartitionedBloom, path: String): Unit = {
+    import spark.implicits._
+    bloom.filters.zipWithIndex
+      .map { case (f, i) => (i, toBytes(f)) }.toSeq
+      .toDF("partition_id", "bits")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String): PartitionedBloom = {
+    val rows = spark.read.parquet(path)
+      .collect()
+      .map(r => (r.getAs[Int]("partition_id"), r.getAs[Array[Byte]]("bits")))
+      .sortBy(_._1)
+    new PartitionedBloom(rows.map(r => fromBytes(r._2)))
+  }
+}

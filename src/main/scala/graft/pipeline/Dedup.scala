@@ -1,0 +1,255 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale shapes (the design target is ~10^9 documents):
+  *  - exact: one hash-groupBy shuffle on md5(text);
+  *  - MinHash-LSH: signatures are one scan (no shuffle), candidate
+  *    generation shuffles only (band_id, band_hash, doc_id) tuples —
+  *    b×|docs| rows, NOT |docs|² — then the verify join touches only
+  *    bucket-colliding pairs;
+  *  - SimHash: 64-bit fingerprints, banded into 4×16-bit chunks so any
+  *    pair within Hamming ≤ 3 collides in ≥1 chunk (pigeonhole);
+  *  - n-gram Jaccard: inverted-index join on shingle hash with a
+  *    df-style hot-shingle cap to bound skew;
+  *  - embedding cosine: random-hyperplane LSH buckets, exact cosine
+  *    verify inside buckets.
+  */
+object Dedup {
+
+  import graft.gen.SynthWeb.mix
+
+  // --- exact (hash groupBy) ----------------------------------------------------
+
+  /** Exact text dedup: one row per distinct md5(text), keeping the
+    * smallest id (deterministic winner). */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), md5(text).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup keeping full rows (first by id within each hash). */
+  def exactRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // --- shingling + MinHash -------------------------------------------------------
+
+  /** Word k-gram shingle hashes (distinct) of a text. */
+  def shingles(text: String, k: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (toks.length < k) {
+      if (toks.isEmpty) Array.empty
+      else Array(mix(0x5519L, toks.mkString(" ").hashCode.toLong))
+    } else {
+      (0 to toks.length - k).map { i =>
+        mix(0x5519L, toks.slice(i, i + k).mkString(" ").hashCode.toLong)
+      }.distinct.toArray
+    }
+  }
+
+  /** MinHash signature: n permutations h_i(s) = mix(i, s), min per i. */
+  def minhashSignature(sh: Array[Long], n: Int): Array[Long] = {
+    if (sh.isEmpty) return Array.fill(n)(Long.MaxValue)
+    Array.tabulate(n) { i =>
+      var m = Long.MaxValue
+      var j = 0
+      while (j < sh.length) {
+        val h = mix(0xA11CE + i.toLong, sh(j))
+        if (h < m) m = h
+        j += 1
+      }
+      m
+    }
+  }
+
+  def exactJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val sa = a.toSet; val sb = b.toSet
+    val inter = sa.intersect(sb).size
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
+  private def shinglesUdf(k: Int) =
+    udf((t: String) => shingles(t, k))
+  private def minhashUdf(n: Int) =
+    udf((sh: Seq[Long]) => minhashSignature(sh.toArray, n))
+
+  /** MinHash+LSH near-duplicate pairs: shingle → minhash(b×r) → band
+    * buckets → bucket join → exact-Jaccard verify ≥ threshold.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
+                      shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                      threshold: Double = 0.7): DataFrame = {
+    val n = bands * rowsPerBand
+    val base = df.select(id.as("doc_id"), text.as("_text"))
+      .withColumn("sh", shinglesUdf(shingleK)(col("_text")))
+      .withColumn("sig", minhashUdf(n)(col("sh")))
+      .drop("_text")
+    val banded = base.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        hash(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b)))
+        .as(Seq("band", "band_hash")))
+    val l = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val candPairs = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    val jac = udf((a: Seq[Long], b: Seq[Long]) =>
+      exactJaccard(a.toArray, b.toArray))
+    candPairs
+      .withColumn("jaccard", jac(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --- SimHash ----------------------------------------------------------------
+
+  /** 64-bit SimHash over word-unigram hashes. */
+  def simhash(text: String): Long = {
+    if (text == null) return 0L
+    val acc = new Array[Int](64)
+    text.toLowerCase.split("\\W+").filter(_.nonEmpty).foreach { t =>
+      val h = mix(0x51AA, t.hashCode.toLong)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  val simhashUdf = udf((t: String) => simhash(t))
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+  private val hammingUdf = udf((a: Long, b: Long) => hamming(a, b))
+
+  /** SimHash near-dup pairs within Hamming distance ≤ maxDist, using
+    * 4×16-bit chunk banding (any pair with ≤3 differing bits shares at
+    * least one exact chunk). */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+                   maxDist: Int = 3): DataFrame = {
+    val base = df.select(id.as("doc_id"), simhashUdf(text).as("sim"))
+    val chunked = base.select(col("doc_id"), col("sim"),
+      posexplode(array(
+        col("sim").bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("sim"), 16).bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("sim"), 32).bitwiseAND(lit(0xFFFFL)),
+        shiftrightunsigned(col("sim"), 48).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("chunk", "chunk_val")))
+    val l = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val r = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", hammingUdf(col("sim_a"), col("sim_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  // --- n-gram Jaccard (inverted index) -------------------------------------------
+
+  /** All-pairs n-gram Jaccard ≥ threshold via an inverted shingle index:
+    * explode shingles → self-join on shingle → common counts → jaccard.
+    * `maxShingleDf` drops shingles appearing in more than that many docs
+    * (stopword-shingle skew cap — they cannot create high-jaccard pairs
+    * alone but quadratically inflate the join).
+    */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+                        shingleK: Int = 3, threshold: Double = 0.5,
+                        maxShingleDf: Int = 1000): DataFrame = {
+    val base = df.select(id.as("doc_id"),
+      shinglesUdf(shingleK)(text).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = base.select(col("doc_id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val capped = inv.withColumn("_df",
+      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("_df") <= maxShingleDf).drop("_df")
+    val l = capped.select(col("shingle"), col("doc_id").as("id_a"),
+      col("n_sh").as("n_a"))
+    val r = capped.select(col("shingle"), col("doc_id").as("id_b"),
+      col("n_sh").as("n_b"))
+    l.join(r, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --- embedding cosine near-dup ---------------------------------------------------
+
+  /** Exact cosine similarity of two float-array columns (built-ins only —
+    * codegen'd zip_with/aggregate, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Random-hyperplane sign-bit sketch for cosine LSH. */
+  def hyperplaneBits(vec: Seq[Float], nBits: Int, seed: Long): Long = {
+    var out = 0L
+    var b = 0
+    while (b < nBits) {
+      var s = 0.0
+      var i = 0
+      while (i < vec.length) {
+        // deterministic pseudo-gaussian-ish weight in [-1,1)
+        val w = (mix(seed + b, i.toLong).toDouble / Long.MaxValue)
+        s += vec(i) * w
+        i += 1
+      }
+      if (s >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Embedding near-duplicate pairs: hyperplane-LSH buckets (plus one
+    * rotated band for recall), exact cosine verify ≥ threshold.
+    */
+  def embeddingCosinePairs(df: DataFrame, id: Column, vec: Column,
+                           threshold: Double = 0.95, nBits: Int = 12,
+                           nBands: Int = 4, seed: Long = 42L): DataFrame = {
+    val bitsUdf = udf((v: Seq[Float], band: Int) =>
+      hyperplaneBits(v, nBits, seed + band * 1000L))
+    val base = df.select(id.as("doc_id"), vec.as("v"))
+    val banded = base.select(col("doc_id"), col("v"),
+      explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bucket", bitsUdf(col("v"), col("band")))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("v").as("v_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

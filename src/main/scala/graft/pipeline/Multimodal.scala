@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed batch-wise per partition.
+  *
+  * The Spark-side contract (schema, partitioning, batch shape) is real
+  * and tested; the codec itself is a clearly-marked STUB (no image/audio
+  * libraries in this environment): media blobs carry a deterministic
+  * 16-byte fake header `GRFT | kind | width | height | n_frames` that
+  * the "decoder" parses, standing in for a JPEG/WAV/MP4 header parse.
+  * Swapping in a real codec changes only [[decodeHeader]] /
+  * [[sampleFrames]].
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, media: Array[Byte])
+  final case class MediaMeta(media_id: Long, kind: String, width: Int,
+                             height: Int, n_frames: Int, n_bytes: Long)
+  final case class FrameRow(media_id: Long, frame_idx: Int,
+                            frame: Array[Byte])
+
+  private val MAGIC: Array[Byte] = "GRFT".getBytes("ASCII")
+  private val kinds = Vector("image", "audio", "video")
+
+  private def putInt(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+  private def getInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Deterministic fake media blob for id: header + payload bytes. */
+  def fakeMedia(id: Long, payload: Array[Byte]): (String, Array[Byte]) = {
+    val h = graft.gen.SynthWeb.mix(0x3D1A, id)
+    val kind = kinds((math.floorMod(h, 3L)).toInt)
+    val width = 64 + (math.floorMod(h >>> 8, 64L)).toInt * 8
+    val height = 64 + (math.floorMod(h >>> 16, 64L)).toInt * 8
+    val frames = if (kind == "video") 8 + (math.floorMod(h >>> 24, 24L)).toInt
+    else 1
+    val out = new Array[Byte](16 + payload.length)
+    System.arraycopy(MAGIC, 0, out, 0, 4)
+    putInt(out, 4, width); putInt(out, 8, height); putInt(out, 12, frames)
+    System.arraycopy(payload, 0, out, 16, payload.length)
+    (kind, out)
+  }
+
+  /** Build a media table from the documents table (text bytes stand in
+    * for media payloads). */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (kind, bytes) = fakeMedia(id, text.getBytes("UTF-8"))
+        MediaRow(id, kind, bytes)
+      }
+  }
+
+  /** STUB decode (??? in a real deployment this calls the image/audio
+    * codec): parse the 16-byte fake header into typed metadata. The
+    * mapPartitions shape — iterate a batch, decode each blob, emit typed
+    * rows — is exactly what a Pandas-UDF/mapInPandas port would keep. */
+  def decodeHeader(media: Array[Byte]): (Int, Int, Int) = {
+    require(media.length >= 16 && media.take(4).sameElements(MAGIC),
+      "not a GRFT media blob")
+    (getInt(media, 4), getInt(media, 8), getInt(media, 12))
+  }
+
+  /** Batch metadata extraction over partitions (the decode hot path —
+    * one task per partition, no per-row JVM↔serialization boundary). */
+  def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, f) = decodeHeader(m.media)
+        MediaMeta(m.media_id, m.kind, w, h, f, m.media.length.toLong)
+      }
+    }
+  }
+
+  /** STUB frame sampling for video blobs: every `stride`-th fixed-size
+    * byte slice of the payload stands in for a decoded frame. Emits
+    * (media_id, frame_idx, frame) — the training-data exploded shape. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { m =>
+        val (_, _, nFrames) = decodeHeader(m.media)
+        val payload = m.media.drop(16)
+        val frameSize = math.max(1, payload.length / math.max(nFrames, 1))
+        (0 until nFrames by stride).iterator.map { f =>
+          val start = f * frameSize
+          FrameRow(m.media_id, f,
+            payload.slice(start, math.min(start + frameSize, payload.length)))
+        }
+      }
+    }
+  }
+
+  /** "Resize" stub: truncate/pad payload to the byte budget of the
+    * target dimensions, rewriting the header — stands in for an image
+    * resize while keeping the schema/partitioning contract. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val payload = m.media.drop(16)
+        val budget = math.max(16, (w * h) / 64)
+        val resized = java.util.Arrays.copyOf(payload, budget)
+        val out = new Array[Byte](16 + budget)
+        System.arraycopy(m.media, 0, out, 0, 16)
+        putInt(out, 4, w); putInt(out, 8, h)
+        System.arraycopy(resized, 0, out, 16, budget)
+        m.copy(media = out)
+      }
+    }
+  }
+}

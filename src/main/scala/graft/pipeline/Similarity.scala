@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  *  - `bruteForceTopK`: the exact baseline — one scan, cosine via
+  *    codegen'd zip_with/aggregate built-ins (no UDF), top-k by
+  *    (similarity desc, id asc). At 10^9 vectors this is a full scan
+  *    per query — correct, embarrassingly parallel, bandwidth-bound.
+  *  - `ivfIndex`/`ivfTopK`: the scale path — IVF with deterministic
+  *    centroid seeds: vectors partition by nearest centroid (one
+  *    shuffle, done once); a query probes only the nProbe nearest
+  *    cells, so the per-query scan shrinks by ~nCells/nProbe.
+  */
+object Similarity {
+
+  import Dedup.cosine
+
+  /** Exact top-k neighbours of one query vector. */
+  def bruteForceTopK(df: DataFrame, id: Column, vec: Column,
+                     query: Seq[Float], k: Int): DataFrame = {
+    val q = typedLit(query)
+    df.select(id.as("vec_id"),
+        round(cosine(vec, q), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Exact top-k per query row against a (small, broadcast) query set. */
+  def bruteForceTopKBatch(df: DataFrame, id: Column, vec: Column,
+                          queries: DataFrame, qid: Column, qvec: Column,
+                          k: Int): DataFrame = {
+    val base = df.select(id.as("vec_id"), vec.as("v"))
+    val qs = queries.select(qid.as("query_id"), qvec.as("qv"))
+    val scored = base.crossJoin(broadcast(qs))
+      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("_rk").as("rank"))
+  }
+
+  /** IVF index: assign every vector to its nearest of nCells centroids.
+    * Centroids are the vectors of the lexicographically-first nCells ids
+    * (deterministic; real deployments would k-means, the partitioning
+    * contract is identical). Returns df + `cell` column.
+    */
+  def ivfIndex(df: DataFrame, id: Column, vec: Column,
+               nCells: Int): (DataFrame, Array[(Int, Seq[Float])]) = {
+    import df.sparkSession.implicits._
+    val centroids = df.select(id.as("cid"), vec.as("cv"))
+      .orderBy(col("cid")).limit(nCells)
+      .as[(Long, Seq[Float])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => {
+      var best = 0; var bestSim = Double.MinValue
+      bc.value.foreach { case (i, c) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < v.length) {
+          dot += v(j).toDouble * c(j); na += v(j).toDouble * v(j)
+          nb += c(j).toDouble * c(j); j += 1
+        }
+        val s = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (s > bestSim) { bestSim = s; best = i }
+      }
+      best
+    })
+    val indexed = df.select(id.as("vec_id"), vec.as("v"))
+      .withColumn("cell", assignUdf(col("v")))
+    (indexed, centroids)
+  }
+
+  /** IVF query: probe the nProbe cells nearest to the query, exact
+    * cosine inside them. */
+  def ivfTopK(indexed: DataFrame, centroids: Array[(Int, Seq[Float])],
+              query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < a.length) {
+        dot += a(j).toDouble * b(j); na += a(j).toDouble * a(j)
+        nb += b(j).toDouble * b(j); j += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = centroids.map { case (i, c) => (i, cos(query, c)) }
+      .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1).toSeq
+    val q = typedLit(query)
+    indexed.filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), round(cosine(col("v"), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines over
+  * the `documents` table shape (doc_id, text, lang, source, n_chars).
+  *
+  * Everything that a built-in expression can compute stays a built-in
+  * (whole-stage-codegen'd, no UDF boundary); only language-ID and the
+  * rolling fingerprint are scalar UDFs.
+  */
+object TextAnalysis {
+
+  // --- token counting ---------------------------------------------------------
+
+  /** Whitespace token count. */
+  def token_count_ws(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > lit(0)))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (a cheap proxy for
+    * subword tokenizers' pre-tokenization split). */
+  def token_count_bpe(text: Column): Column =
+    regexp_count(text, lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"))
+
+  // --- quality scoring ----------------------------------------------------------
+
+  val stopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "from", "this", "be")
+
+  /** Stopword ratio over whitespace tokens (fixed English list —
+    * quality heuristics, not linguistics). */
+  def stopword_ratio(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > lit(0))
+    val stops = filter(toks, t => t.isin(stopwordsEn: _*))
+    when(size(toks) > 0, size(stops).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Punctuation-character ratio. */
+  def punct_ratio(text: Column): Column =
+    when(length(text) > 0,
+      regexp_count(text, lit("[^\\p{L}\\p{N}\\s]")).cast("double") /
+        length(text))
+      .otherwise(lit(0.0))
+
+  /** Mean whitespace-token length. */
+  def mean_token_len(text: Column): Column = {
+    val toks = filter(split(text, "\\s+"), t => length(t) > lit(0))
+    when(size(toks) > 0,
+      aggregate(transform(toks, t => length(t).cast("double")),
+        lit(0.0), (acc, x) => acc + x) / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite document-quality score in [0,1]: long enough, not
+    * punctuation-noise, some stopword mass, sane token lengths — the
+    * classic web-text quality gates (C4/Gopher-style heuristics from the
+    * public literature), deterministic arithmetic only. */
+  def quality_score(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punct = punct_ratio(text)
+    val punctScore = when(punct < 0.2, lit(1.0) - punct * 2.5)
+      .otherwise(lit(0.5))
+    val stopScore = least(stopword_ratio(text) * lit(5.0), lit(1.0))
+    val mtl = mean_token_len(text)
+    val tokenScore = when(mtl.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    round((lenScore * 0.4 + punctScore * 0.2 + stopScore * 0.2 +
+      tokenScore * 0.2), 6)
+  }
+
+  // --- language identification -----------------------------------------------
+
+  private val langMarkers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "is", "that", "it", "with", "for",
+      "was", "this"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "mit", "für", "von", "zu"),
+    "fr" -> Set("le", "la", "les", "et", "est", "une", "un", "des", "dans",
+      "pour", "que", "qui"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "una", "un", "en",
+      "por", "para", "con", "del", "que"),
+    "ru" -> Set("и", "в", "не", "на", "что", "это", "из", "по"))
+
+  /** Heuristic language ID: CJK-codepoint check first, then argmax of
+    * marker-stopword hits per language, alphabetical tiebreak, default
+    * "en". Deterministic; a UDF (data-dependent dictionary lookups).
+    */
+  def detectLang(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0
+    var cyr = 0
+    var i = 0
+    val n = math.min(text.length, 4000)
+    while (i < n) {
+      val c = text.charAt(i)
+      if ((c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3040 && c <= 0x30FF)) cjk += 1
+      else if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+      i += 1
+    }
+    if (cjk * 20 > n) return "zh"
+    if (cyr * 5 > n) return "ru"
+    val tokens = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> tokens.count(markers.contains)
+    }
+    val best = scores.toSeq.sortBy { case (l, s) => (-s, l) }.head
+    if (best._2 == 0) "en" else best._1
+  }
+
+  val langIdUdf = udf((t: String) => detectLang(t))
+  def lang_id(text: Column): Column = langIdUdf(text)
+
+  // --- document fingerprinting --------------------------------------------------
+
+  /** Rolling polynomial hash over whitespace tokens (Rabin-Karp form):
+    * h = Σ token_hash × 31^i mod 2^64 — stable under no edit, cheap to
+    * maintain incrementally. */
+  def fingerprint(text: String): Long = {
+    if (text == null) return 0L
+    var h = 1125899906842597L
+    text.split("\\s+").foreach { t =>
+      if (t.nonEmpty) h = h * 31 + t.hashCode.toLong
+    }
+    h
+  }
+
+  val fingerprintUdf = udf((t: String) => fingerprint(t))
+  def doc_fingerprint(text: Column): Column = fingerprintUdf(text)
+}

@@ -1,0 +1,74 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline analytics jobs — the Spark form of the reference's two CLI
+  * commands (SURVEY.md §3.2/§3.3).
+  */
+object StatsJobs {
+
+  /** `scrapy queue_stats` (dd_crawler/commands/queue_stats.py:23-53 +
+    * queue.py:331-340): per-domain (count, best priority) + totals, in
+    * master-zset order. */
+  def queueStats(frontier: DataFrame): DataFrame =
+    frontier.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_requests"),
+        max(col("priority")).as("best_priority"))
+      .orderBy(col("best_priority").desc, col("domain").asc)
+
+  /** A11: RPM time-bucketing (commands/response_stats.py:67-109) —
+    * bucket response timestamps into `stepSec` windows, rate =
+    * count / step × 60. `ts` is a timestamp column.
+    */
+  def rpmBuckets(metrics: DataFrame, ts: Column, stepSec: Int): DataFrame =
+    metrics
+      .withColumn("bucket", (floor(unix_timestamp(ts) / stepSec) * stepSec)
+        .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) * 60.0 / stepSec).as("rpm"))
+      .orderBy(col("bucket"))
+
+  /** Exponentially-weighted smoothing of an ordered series — pandas
+    * `ewm(span=…).mean()` parity (response_stats.py:84), α = 2/(span+1):
+    *   y_t = (x_t + Σ_{i<t} (1-α)^{t-i} x_i) / Σ (1-α)^k  (adjust=true)
+    * Window-based: exact for moderate series lengths (offline chart
+    * data, not a hot path).
+    */
+  def ewm(df: DataFrame, orderCol: Column, valueCol: Column,
+          span: Double): DataFrame = {
+    val alpha = 2.0 / (span + 1.0)
+    val w = Window.orderBy(orderCol)
+    val t = row_number().over(w).cast("double")
+    // weighted sums via two cumulative sums of x_i/(1-α)^i scaled back
+    val decay = math.log(1.0 - alpha)
+    val scaled = valueCol * exp(lit(-decay) * t)
+    val num = sum(scaled).over(w) * exp(lit(decay) * t)
+    val den = sum(exp(lit(-decay) * t)).over(w) * exp(lit(decay) * t)
+    df.withColumn("ewm", num / den)
+  }
+
+  /** A12: per-domain stats (response_stats.py:163-184): pages, total
+    * score (int), mean score, max depth, median depth. Median uses the
+    * exact interpolating percentile to stay oracle-comparable. */
+  def domainStats(metrics: DataFrame, domain: Column): DataFrame =
+    metrics.groupBy(domain.as("domain"))
+      .agg(count(lit(1)).as("pages"),
+        sum(col("score")).cast("long").as("total_score"),
+        avg(col("score")).as("mean_score"),
+        max(col("depth")).as("max_depth"),
+        percentile(col("depth"), lit(0.5)).as("median_depth"))
+      .orderBy(col("pages").desc, col("domain").asc)
+
+  /** A13: crawl score summary (response_stats.py:137-160): totals plus
+    * binary score>threshold counts/means. */
+  def scoreSummary(metrics: DataFrame, threshold: Double = 0.5): DataFrame =
+    metrics.agg(
+      count(lit(1)).as("n_responses"),
+      sum(col("score")).as("total_score"),
+      avg(col("score")).as("mean_score"),
+      sum((col("score") > threshold).cast("long")).as("n_relevant"),
+      avg((col("score") > threshold).cast("double")).as("relevant_ratio"))
+}

@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.frontier.BloomSeen
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.stats.StatsJobs
+
+class PipelineSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+  private lazy val embeddings =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint(true)
+
+  // --- Bloom pre-filter (A1) --------------------------------------------------
+
+  test("bloom: no false negatives; exact dedup equals plain anti-join") {
+    val seen = (0 until 5000).map(i => s"fp-$i").toDF("fp")
+      .localCheckpoint(true)
+    val bloom = BloomSeen.build(seen, "fp", k = 8,
+      expectedPerPartition = 1024)
+    // every seen fp must hit
+    assert((0 until 5000).forall(i => bloom.mightContain(s"fp-$i")))
+    val cand = ((2500 until 7500).map(i => s"fp-$i")).toDF("fp")
+    val viaBloom = BloomSeen.dedupExact(cand, seen, bloom)
+      .as[String].collect().toSet
+    val exact = cand.join(seen, Seq("fp"), "left_anti")
+      .as[String].collect().toSet
+    assert(viaBloom == exact)
+    assert(exact == (5000 until 7500).map(i => s"fp-$i").toSet)
+  }
+
+  test("bloom: save/load roundtrip preserves membership") {
+    val seen = (0 until 1000).map(i => s"u-$i").toDF("fp")
+    val bloom = BloomSeen.build(seen, "fp", k = 4,
+      expectedPerPartition = 512)
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    BloomSeen.save(spark, bloom, dir)
+    val loaded = BloomSeen.load(spark, dir)
+    assert((0 until 1000).forall(i => loaded.mightContain(s"u-$i")))
+  }
+
+  // --- dedup suite ---------------------------------------------------------------
+
+  private def nearDupDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3L, "a completely different document about spark shuffle partitions and joins"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (5L, "unrelated text mentioning neither animals nor rivers just tables")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup collapses identical texts to the min id") {
+    val out = Dedup.exact(nearDupDocs, $"doc_id", $"text")
+      .orderBy($"keeper_id").collect()
+    assert(out.length == 4) // 1&4 identical
+    val dupRow = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupRow.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("minhash-LSH finds near-dup pairs and skips unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(nearDupDocs, $"doc_id", $"text",
+        shingleK = 3, bands = 8, rowsPerBand = 2, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // one-word edit
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash near-dup pairs within hamming distance") {
+    val pairs = Dedup.simhashPairs(nearDupDocs, $"doc_id", $"text",
+        maxDist = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(Dedup.hamming(Dedup.simhash("same text"), Dedup.simhash("same text")) == 0)
+    assert(!pairs.contains((3L, 5L)))
+  }
+
+  test("ngram jaccard inverted-index pairs") {
+    val pairs = Dedup.ngramJaccardPairs(nearDupDocs, $"doc_id", $"text",
+        shingleK = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embedding cosine near-dup pairs via hyperplane LSH") {
+    val base = embeddings.limit(20)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    // inject a near-duplicate of vec 0 (tiny perturbation) and an exact copy
+    val v0 = base.head._2.toArray
+    val near = v0.clone(); near(0) = near(0) + 0.001f
+    val rows = base.toSeq ++ Seq((1000L, v0.toSeq), (1001L, near.toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(df, $"vec_id", $"embedding",
+        threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1000L)))
+    assert(pairs.contains((0L, 1001L)) || pairs.contains((1000L, 1001L)))
+  }
+
+  // --- similarity search -----------------------------------------------------------
+
+  test("brute-force cosine top-k matches a local computation") {
+    val all = embeddings.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val query = all.find(_._1 == 0L).get._2
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = all.map { case (id, v) =>
+      (id, BigDecimal(cos(query, v)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+    val got = Similarity.bruteForceTopK(embeddings, $"vec_id", $"embedding",
+      query, 10).select("vec_id").as[Long].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("IVF top-k finds the exact top-1 with modest probes") {
+    val all = embeddings.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val query = all.find(_._1 == 7L).get._2
+    val brute = Similarity.bruteForceTopK(embeddings, $"vec_id",
+      $"embedding", query, 1).select("vec_id").as[Long].head()
+    val (indexed, centroids) = Similarity.ivfIndex(embeddings, $"vec_id",
+      $"embedding", nCells = 8)
+    val cached = indexed.localCheckpoint(true)
+    val ivf = Similarity.ivfTopK(cached, centroids, query, 1, nProbe = 4)
+      .select("vec_id").as[Long].head()
+    assert(ivf == brute) // query == vec 7 itself → cos 1.0, must be found
+  }
+
+  // --- text analysis ------------------------------------------------------------
+
+  test("language id: marker heuristics on known texts") {
+    assert(TA.detectLang("the cat sat on the mat and it was happy") == "en")
+    assert(TA.detectLang("der hund ist nicht mit der katze für immer") == "de")
+    assert(TA.detectLang("le chat est dans la maison pour la nuit") == "fr")
+    assert(TA.detectLang("el perro es una mascota en la casa del pueblo") == "es")
+    assert(TA.detectLang("数据在网络中流动" * 10) == "zh")
+    assert(TA.detectLang("данные и страница в сети это поиск") == "ru")
+  }
+
+  test("token counts and quality over the documents table") {
+    val out = docs.select($"doc_id",
+        TA.token_count_ws($"text").as("ws"),
+        TA.token_count_bpe($"text").as("bpe"),
+        TA.quality_score($"text").as("q"),
+        TA.doc_fingerprint($"text").as("fpr"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("ws") > 0)
+      assert(r.getAs[Int]("bpe") >= r.getAs[Int]("ws"))
+      val q = r.getAs[Double]("q")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+    // fingerprint: identical text → identical, edit → different
+    assert(TA.fingerprint("a b c") == TA.fingerprint("a b c"))
+    assert(TA.fingerprint("a b c") != TA.fingerprint("a b d"))
+  }
+
+  // --- multimodal plumbing -----------------------------------------------------------
+
+  test("multimodal: decode stub, frame sampling, resize keep the contract") {
+    val media = Multimodal.mediaFromDocuments(spark, docs.limit(50))
+      .cache()
+    val meta = Multimodal.extractMeta(media).collect()
+    assert(meta.length == 50)
+    meta.foreach { m =>
+      assert(m.width >= 64 && m.height >= 64)
+      assert(m.n_bytes > 16)
+      assert(if (m.kind == "video") m.n_frames >= 8 else m.n_frames == 1)
+    }
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    val videoIds = meta.filter(_.kind == "video").map(_.media_id).toSet
+    assert(frames.map(_.media_id).toSet == videoIds)
+    frames.groupBy(_.media_id).foreach { case (id, fs) =>
+      val expected = meta.find(_.media_id == id).get.n_frames
+      assert(fs.length == (expected + 1) / 2)
+    }
+    val resized = Multimodal.resize(media, 128, 128)
+    val meta2 = Multimodal.extractMeta(resized).collect()
+    assert(meta2.forall(m => m.width == 128 && m.height == 128))
+  }
+
+  // --- stats jobs -------------------------------------------------------------------
+
+  test("rpm buckets + ewm + score summary shapes") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val rpm = StatsJobs.rpmBuckets(events, $"ts", 3600)
+    val rows = rpm.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n")).sum == events.count())
+    val sm = StatsJobs.ewm(rpm, $"bucket", $"n", span = 5.0)
+      .select("ewm").as[Double].collect()
+    assert(sm.forall(v => !v.isNaN && v > 0))
+    // pandas parity on a tiny series: ewm(span=3).mean of [1,2,3]
+    val tiny = Seq((1, 1.0), (2, 2.0), (3, 3.0)).toDF("t", "x")
+    val got = StatsJobs.ewm(tiny, $"t", $"x", span = 3.0)
+      .orderBy($"t").select("ewm").as[Double].collect()
+    val expected = Seq(1.0, 1.6666666666666667, 2.4285714285714284)
+    got.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+  }
+}
