@@ -1,13 +1,446 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.frontier.{BloomSeen, CrawlConfig, FrontierEngine, QueueSelector, Selection}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.urlops.{UrlFunctions => UF}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 inventory + the training-pipeline operators), each
+  * SQL-expressible one paired with a DuckDB oracle in [[oracleSql]].
+  *
+  * Conventions shared by every oracle pair (column names AND row order
+  * must match the DuckDB result exactly):
+  *  - every aggregate/computed column is aliased identically on both
+  *    sides;
+  *  - every query ends in a total-order ORDER BY;
+  *  - double sums go through DECIMAL(18,6) so both engines produce
+  *    bit-identical values regardless of partial-aggregation order;
+  *  - count-like columns are cast to BIGINT on the DuckDB side (DuckDB
+  *    widens integer sums to HUGEINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Flagship: a two-epoch focused-crawl over the reference e2e site
+    * graph — frontier scheduling, fetch join, parse, dedup, push.
+    * Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val job = new graft.epoch.CrawlJob(
+      spark,
+      CrawlConfig(selection = Selection.BatchSoftmax, seed = 23L),
+      graft.gen.SynthWeb.sitePages(spark).toDF())
+    job.seed(graft.gen.SynthWeb.siteSeeds)
+    job.runEpoch(); job.runEpoch()
+    job.crawledPages
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- A12/A13-shaped pricing aggregate (partial-agg + groupBy) ---------
+    "q01_agg_pricing" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // --- A7/A8: pop = top-k per queue by priority --------------------------
+    "q02_topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_extendedprice".desc, $"l_linenumber".asc)
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"rn")
+        .orderBy($"l_orderkey", $"rn")
+    }),
+
+    // --- F1: URL-seen dedup = left-anti join -------------------------------
+    "q03_seen_antijoin" -> ((s, dir) => {
+      import s.implicits._
+      val events = t(s, dir, "events")
+      val seenUsers = events.filter($"event_type" === "purchase")
+        .select($"user_id").distinct()
+      events.join(seenUsers, Seq("user_id"), "left_anti")
+        .select($"event_id").orderBy($"event_id")
+    }),
+
+    // --- F7: allowed-domain gate = left-semi join ---------------------------
+    "q04_semi_gate" -> ((s, dir) => {
+      import s.implicits._
+      val top = t(s, dir, "customer")
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc).limit(10)
+        .select($"c_custkey".as("o_custkey"))
+      t(s, dir, "orders").join(top, Seq("o_custkey"), "left_semi")
+        .select($"o_orderkey", $"o_custkey").orderBy($"o_orderkey")
+    }),
+
+    // --- F6: first-N-domains-ever gate --------------------------------------
+    "q05_first_n_gate" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").groupBy($"user_id")
+        .agg(unix_micros(min($"ts").cast("timestamp")).as("first_us"))
+        .orderBy($"first_us", $"user_id").limit(20)
+    }),
+
+    // --- A4/A5: relevance accumulation + top-K restriction ------------------
+    "q06_relevance_topk" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").groupBy($"user_id")
+        .agg(round(sum(dec($"value") * dec($"value")).cast("double"), 6)
+          .as("rel"))
+        .orderBy($"rel".desc, $"user_id").limit(15)
+    }),
+
+    // --- A6: queue stats (count + best score per domain) ---------------------
+    "q07_queue_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").groupBy($"user_id")
+        .agg(count(lit(1)).as("n_requests"), max($"value").as("best"))
+        .orderBy($"user_id")
+    }),
+
+    // --- A11: RPM time-bucketing --------------------------------------------
+    "q08_rpm_buckets" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy((floor(unix_timestamp($"ts") / 3600) * 3600)
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    }),
+
+    // --- A13: score summary ---------------------------------------------------
+    "q09_score_summary" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").agg(
+        count(lit(1)).as("n_responses"),
+        count(when($"value" > 50, 1)).as("n_high"),
+        round(sum(dec($"value")).cast("double"), 6).as("total_value"))
+    }),
+
+    // --- P4: md5 page id (hex + b64, spiders.py:117-126) ----------------------
+    "q10_md5_id" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", md5($"text").as("id_hex"),
+          base64(unhex(md5($"text"))).as("id_b64"))
+        .orderBy($"doc_id")
+    }),
+
+    // --- exact dedup (hash-groupBy) --------------------------------------------
+    "q11_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.exact(t(s, dir, "documents"), $"doc_id", $"text")
+        .select($"text_hash", $"keeper_id", $"n_copies")
+        .orderBy($"text_hash")
+    }),
+
+    // --- P8: duplicate-segment count -------------------------------------------
+    "q12_dupe_segments" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          UF.num_duplicate_segments($"text", " ").cast("long").as("n_dupes"))
+        .orderBy($"doc_id")
+    }),
+
+    // --- token counting ----------------------------------------------------------
+    "q13_token_counts" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          TA.token_count_ws($"text").cast("long").as("n_tokens"),
+          octet_length($"text").cast("long").as("n_bytes"))
+        .orderBy($"doc_id")
+    }),
+
+    // --- quality-score components --------------------------------------------------
+    "q14_quality_stats" -> ((s, dir) => {
+      import s.implicits._
+      val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+        "is", "it")
+      val toks = filter(split(lower($"text"), " "), x => length(x) > lit(0))
+      t(s, dir, "documents")
+        .select($"doc_id",
+          regexp_count($"text", lit("[^\\p{L}\\p{N}\\s]")).cast("long")
+            .as("n_punct"),
+          size(filter(toks, x => x.isin(stops: _*))).cast("long").as("n_stop"))
+        .orderBy($"doc_id")
+    }),
+
+    // --- multi-key aggregation over documents ----------------------------------------
+    "q15_lang_dist" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"lang", $"source")
+    }),
+
+    // --- n-gram (word) Jaccard near-dup pairs via inverted index ----------------------
+    "q16_unigram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val words = t(s, dir, "documents")
+        .select($"doc_id", explode(array_distinct(
+          filter(split($"text", " "), x => length(x) > lit(0)))).as("word"))
+      val n = words.groupBy($"doc_id").agg(count(lit(1)).as("nw"))
+      val l = words.select($"word", $"doc_id".as("id_a"))
+      val r = words.select($"word", $"doc_id".as("id_b"))
+      val common = l.join(r, Seq("word")).filter($"id_a" < $"id_b")
+        .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("common"))
+      common
+        .join(n.select($"doc_id".as("id_a"), $"nw".as("na")), Seq("id_a"))
+        .join(n.select($"doc_id".as("id_b"), $"nw".as("nb")), Seq("id_b"))
+        .withColumn("jaccard", round($"common".cast("double") /
+          ($"na" + $"nb" - $"common"), 6))
+        .filter($"common".cast("double") / ($"na" + $"nb" - $"common") >= 0.5)
+        .select($"id_a", $"id_b", $"jaccard")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // --- ANN: brute-force cosine top-k vs a fixed query vector -------------------------
+    "q17_embedding_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).select($"embedding")
+        .head().getAs[scala.collection.Seq[Float]](0).toSeq
+      val scored = emb.select($"vec_id",
+        Dedup.cosine($"embedding", typedLit(qv)).as("cos"))
+      val w = Window.orderBy($"cos".desc, $"vec_id".asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 10)
+        .select($"rank", $"vec_id")
+        .orderBy($"rank")
+    }),
+
+    // --- A1: Bloom-prefiltered exact dedup == plain anti-join --------------------------
+    "q18_bloom_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val fps = t(s, dir, "documents")
+        .select(md5($"text").as("fp"), $"doc_id")
+      val seen = fps.filter($"doc_id" % 2 === 0).select($"fp").distinct()
+      val bloom = BloomSeen.build(seen, "fp", k = 8,
+        expectedPerPartition = 4096)
+      BloomSeen.dedupExact(fps.select($"fp"), seen, bloom)
+        .orderBy($"fp")
+    }),
+
+    // ====== rows-only entries (not ANSI-SQL-expressible) ======================
+
+    // Q1: crc32 worker sharding of the full queue-key string
+    "q20_shard_distribution" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy(UF.domain_shard($"source", "dd_crawler", 8).as("shard"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"shard")
+    }),
+
+    // Q4/Q5: seeded batch-softmax selection distribution
+    "q21_softmax_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val cfg = CrawlConfig(batchSize = 100, seed = 42L)
+      val domains = (0 until 20).map(i => f"domain-$i%02d.com")
+      val scores = (0 until 20).map(i => (i * 1000).toDouble).toArray
+      val rng = new java.util.Random(cfg.seed)
+      val sel = QueueSelector.selectBatchSoftmax(
+        domains.toIndexedSeq, scores, cfg, rng)
+      sel.groupBy(identity).view.mapValues(_.size).toSeq
+        .map { case (d, n) => (d, n.toLong) }
+        .toDF("domain", "n_selected")
+        .orderBy($"domain")
+    }),
+
+    // full frontier scheduling epochs over the synthetic web
+    "q22_crawl_epochs" -> ((s, dir) => {
+      import s.implicits._
+      val web = graft.gen.SynthWeb.WebConfig(nDomains = 4, pagesPerDomain = 5)
+      val job = new graft.epoch.CrawlJob(s,
+        CrawlConfig(batchSize = 50, seed = 11L),
+        graft.gen.SynthWeb.pages(s, web).toDF().localCheckpoint(true))
+      job.seed(graft.gen.SynthWeb.seedUrls(web, 2))
+      val cs = job.run(maxEpochs = 6)
+      cs.map(c => (c.epoch, c.popped, c.items, c.pushedAccepted,
+        c.frontierLen, c.seenCount))
+        .toDF("epoch", "popped", "items", "pushed", "frontier_len", "seen")
+        .orderBy($"epoch")
+    }),
+
+    // MinHash-LSH near-dup pairs (seeded hash family)
+    "q23_minhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minhashLshPairs(t(s, dir, "documents"), $"doc_id", $"text",
+          shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.7)
+        .withColumn("jaccard", round($"jaccard", 6))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // SimHash near-dup pairs
+    "q24_simhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.simhashPairs(t(s, dir, "documents"), $"doc_id", $"text",
+          maxDist = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // multimodal: binary media columns + stub decode metadata
+    "q25_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.extractMeta(
+          Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
+        .toDF().orderBy($"media_id")
+    }),
+
+    // language-ID heuristic + rolling fingerprint
+    "q26_text_analysis" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TA.lang_id($"text").as("pred_lang"),
+          TA.doc_fingerprint($"text").as("fingerprint"),
+          TA.quality_score($"text").as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // IVF approximate top-k (scale ANN path)
+    "q27_ivf_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).select($"embedding")
+        .head().getAs[scala.collection.Seq[Float]](0).toSeq
+      val (indexed, centroids) = Similarity.ivfIndex(emb, $"vec_id",
+        $"embedding", nCells = 16)
+      Similarity.ivfTopK(indexed.localCheckpoint(true), centroids, qv,
+        k = 10, nProbe = 8)
+    }),
+
+    // embedding-cosine near-dup pairs via hyperplane LSH
+    "q28_embedding_neardup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), $"vec_id",
+          $"embedding", threshold = 0.9, nBits = 8, nBands = 4)
+        .withColumn("cos", round($"cos", 6))
+        .orderBy($"id_a", $"id_b")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base,
+         CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_topk_per_group" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+           SELECT l_orderkey, l_linenumber, l_extendedprice,
+             CAST(row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber) AS BIGINT) AS rn
+           FROM lineitem) t
+         WHERE rn <= 3 ORDER BY l_orderkey, rn""",
+    "q03_seen_antijoin" ->
+      """SELECT event_id FROM events
+         WHERE user_id NOT IN
+           (SELECT user_id FROM events WHERE event_type = 'purchase')
+         ORDER BY event_id""",
+    "q04_semi_gate" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+           ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+         ORDER BY o_orderkey""",
+    "q05_first_n_gate" ->
+      """SELECT user_id, epoch_us(min(ts)) AS first_us FROM events
+         GROUP BY user_id ORDER BY first_us, user_id LIMIT 20""",
+    "q06_relevance_topk" ->
+      """SELECT user_id, round(CAST(sum(CAST(value AS DECIMAL(18,6)) *
+           CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS rel
+         FROM events GROUP BY user_id ORDER BY rel DESC, user_id LIMIT 15""",
+    "q07_queue_stats" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_requests,
+         max(value) AS best FROM events GROUP BY user_id ORDER BY user_id""",
+    "q08_rpm_buckets" ->
+      """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY bucket ORDER BY bucket""",
+    "q09_score_summary" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_responses,
+         CAST(count(CASE WHEN value > 50 THEN 1 END) AS BIGINT) AS n_high,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS total_value
+         FROM events""",
+    "q10_md5_id" ->
+      """SELECT doc_id, md5(text) AS id_hex,
+         to_base64(unhex(md5(text))) AS id_b64
+         FROM documents ORDER BY doc_id""",
+    "q11_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY text_hash ORDER BY text_hash""",
+    "q12_dupe_segments" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) -
+           len(list_distinct(list_filter(string_split(text, ' '),
+             x -> x <> ''))) AS BIGINT) AS n_dupes
+         FROM documents ORDER BY doc_id""",
+    "q13_token_counts" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+           x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY doc_id""",
+    "q14_quality_stats" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS BIGINT)
+           AS n_punct,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+           x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))
+           AS BIGINT) AS n_stop
+         FROM documents ORDER BY doc_id""",
+    "q15_lang_dist" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q16_unigram_jaccard" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(list_filter(
+             string_split(text, ' '), x -> x <> ''))) AS word
+           FROM documents),
+         n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM w
+           GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS common
+           FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(common * 1.0 / (na.nw + nb.nw - common), 6) AS jaccard
+         FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+         WHERE common * 1.0 / (na.nw + nb.nw - common) >= 0.5
+         ORDER BY id_a, id_b""",
+    "q17_embedding_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0)
+         SELECT rank, vec_id FROM (
+           SELECT CAST(row_number() OVER (ORDER BY
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+               DESC, e.vec_id) AS BIGINT) AS rank,
+             e.vec_id
+           FROM embeddings e, q) t
+         WHERE rank <= 10 ORDER BY rank""",
+    "q18_bloom_dedup" ->
+      """SELECT md5(text) AS fp FROM documents
+         WHERE md5(text) NOT IN
+           (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+         ORDER BY fp"""
+  )
 }

@@ -161,15 +161,20 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * (queue.py:91-92,403).
     */
   def pushBatch(reqsIn: DataFrame, epoch: Int): DataFrame = {
+    // Two intra-batch ordering modes:
+    //  - `seq` column present (test path): exact sequential-push
+    //    semantics — gates and zadd-replace resolve by arrival order;
+    //  - no `seq` (distributed epoch path): a global arrival order would
+    //    force a single-partition sort of the whole batch, so ordering
+    //    is defined as (priority desc, url asc) and resolved with
+    //    partitioned windows / TakeOrdered instead (deterministic, no
+    //    serial stage).
+    val hasSeq = reqsIn.columns.contains("seq")
     val withSeq =
-      if (reqsIn.columns.contains("seq")) reqsIn
+      if (hasSeq) reqsIn
       else {
-        // deterministic intra-batch arrival order for the F6 ranking
-        val w = Window.orderBy($"priority".desc, $"url".asc)
-        val base = seqCounter
-        val out = reqsIn.withColumn("seq", row_number().over(w).cast("long") + base)
-        seqCounter += 1000000000L // reserve a range; exact count not needed
-        out
+        seqCounter += 1000000000L // reserve a range for later test pushes
+        reqsIn.withColumn("seq", lit(seqCounter))
       }
     val cand = withSeq
       .withColumn("domain", UF.registered_domain($"url"))
@@ -190,12 +195,18 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     val gated =
       if (cfg.maxDomains > 0) {
         val slotsLeft = (cfg.maxDomains - knownDomainCount).max(0L).toInt
-        val newDomains = relGated.filter($"_rel_ok")
+        val newDomainsAgg = relGated.filter($"_rel_ok")
           .join(domainsSeen.select($"domain", lit(true).as("_known")),
             Seq("domain"), "left")
           .filter($"_known".isNull)
-          .groupBy($"domain").agg(min($"seq").as("first_seq"))
-          .orderBy($"first_seq").limit(slotsLeft)
+          .groupBy($"domain").agg(min($"seq").as("first_seq"),
+            max($"priority").as("_bp"), min($"url").as("_bu"))
+        // arrival ranking: by seq in test mode; by (priority desc, url)
+        // in batch mode (TakeOrdered — no single-partition sort)
+        val newDomains =
+          (if (hasSeq) newDomainsAgg.orderBy($"first_seq", $"domain")
+           else newDomainsAgg.orderBy($"_bp".desc, $"_bu".asc, $"domain"))
+            .limit(slotsLeft).drop("_bp", "_bu")
         relGated
           .join(broadcast(domainsSeen.select($"domain", lit(true).as("_k"))),
             Seq("domain"), "left")
@@ -218,7 +229,8 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     val keyed = accepted.withColumn("pkey",
       concat_ws("\u0001", $"domain", $"url", $"depth".cast("string"),
         coalesce(base64($"parent"), lit(""))))
-    val dedupW = Window.partitionBy($"pkey").orderBy($"seq".desc)
+    val dedupW = Window.partitionBy($"pkey")
+      .orderBy($"seq".desc, $"priority".desc)
     val newEntries = keyed
       .withColumn("_rn", row_number().over(dedupW)).filter($"_rn" === 1)
       .select($"domain", $"url", $"priority", $"depth", $"parent",
@@ -232,12 +244,15 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         .drop("pkey")
         .unionByName(newEntries.drop("pkey")))
 
-    // maintain first-seen domain ranking + post-restriction master re-adds
-    val newDomainRows = accepted.groupBy($"domain")
-      .agg(min($"seq").as("first_seq"))
-      .join(domainsSeen.select("domain"), Seq("domain"), "left_anti")
-    domainsSeen = ckpt(domainsSeen.unionByName(newDomainRows))
-    knownDomainCount = domainsSeen.count()
+    // maintain first-seen domain ranking (only needed by the F6 gate) +
+    // post-restriction master re-adds
+    if (cfg.maxDomains > 0) {
+      val newDomainRows = accepted.groupBy($"domain")
+        .agg(min($"seq").as("first_seq"))
+        .join(domainsSeen.select("domain"), Seq("domain"), "left_anti")
+      domainsSeen = ckpt(domainsSeen.unionByName(newDomainRows))
+      knownDomainCount = domainsSeen.count()
+    }
     if (didRestrict) {
       allowed = ckpt(allowed.unionByName(
         accepted.select("domain").distinct()

@@ -119,12 +119,17 @@ object UrlOps {
     * quote(path, safe="/;,:@&=+$!*'()~") — matches w3lib safe_url_string's
     * path-safe set closely enough for fingerprint parity on our data.
     */
-  private val pathSafe: Set[Char] =
-    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toSet ++
-      "/;,:@&=+$!*'()~-._".toSet
+  private def toLookup(chars: Iterable[Char]): Array[Boolean] = {
+    val a = new Array[Boolean](128)
+    chars.foreach(c => if (c < 128) a(c) = true)
+    a
+  }
 
-  private val querySafe: Set[Char] =
-    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toSet ++ "-._~*".toSet
+  private val pathSafe: Array[Boolean] = toLookup(
+    ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ "/;,:@&=+$!*'()~-._")
+
+  private val querySafe: Array[Boolean] = toLookup(
+    ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ "-._~*")
 
   private def hexVal(c: Char): Int =
     if (c >= '0' && c <= '9') c - '0'
@@ -132,37 +137,61 @@ object UrlOps {
     else if (c >= 'A' && c <= 'F') c - 'A' + 10
     else -1
 
-  /** Percent-decode; plusAsSpace for query components (unquote_plus). */
+  /** Percent-decode; plusAsSpace for query components (unquote_plus).
+    * Byte-level single pass (no per-char allocations — this sits in the
+    * fingerprint hot path at 10^10-URL scale); returns the input
+    * unchanged when nothing needs decoding.
+    */
   private[urlops] def percentDecode(s: String, plusAsSpace: Boolean): String = {
-    val out = new java.io.ByteArrayOutputStream(s.length)
+    var needs = false
+    var j = 0
+    while (j < s.length && !needs) {
+      val c = s.charAt(j)
+      if (c == '%' || (c == '+' && plusAsSpace)) needs = true
+      j += 1
+    }
+    if (!needs) return s
+    val in = s.getBytes(UTF_8)
+    val out = new Array[Byte](in.length)
     var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
-        out.write(hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2)))
-        i += 3
-      } else if (c == '+' && plusAsSpace) {
-        out.write(' '); i += 1
+    var o = 0
+    while (i < in.length) {
+      val b = in(i)
+      if (b == '%' && i + 2 < in.length &&
+          hexVal(in(i + 1).toChar) >= 0 && hexVal(in(i + 2).toChar) >= 0) {
+        out(o) = (hexVal(in(i + 1).toChar) * 16 + hexVal(in(i + 2).toChar)).toByte
+        o += 1; i += 3
+      } else if (b == '+' && plusAsSpace) {
+        out(o) = ' '; o += 1; i += 1
       } else {
-        val bytes = c.toString.getBytes(UTF_8)
-        out.write(bytes, 0, bytes.length); i += 1
+        out(o) = b; o += 1; i += 1
       }
     }
-    new String(out.toByteArray, UTF_8)
+    new String(out, 0, o, UTF_8)
   }
 
-  private def percentEncode(s: String, safe: Set[Char],
+  private val hexUpper = "0123456789ABCDEF".toCharArray
+
+  private def percentEncode(s: String, safe: Array[Boolean],
                             spaceAsPlus: Boolean): String = {
-    val sb = new StringBuilder(s.length)
+    // fast path: ASCII input that is already entirely safe
+    var clean = true
+    var j = 0
+    while (j < s.length && clean) {
+      val c = s.charAt(j)
+      if (c >= 128 || !safe(c)) clean = false
+      j += 1
+    }
+    if (clean) return s
+    val sb = new StringBuilder(s.length + 8)
     val bytes = s.getBytes(UTF_8)
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i) & 0xff
       val c = b.toChar
-      if (b < 128 && safe.contains(c)) sb.append(c)
+      if (b < 128 && safe(c)) sb.append(c)
       else if (c == ' ' && spaceAsPlus) sb.append('+')
-      else sb.append(f"%%${b}%02X")
+      else sb.append('%').append(hexUpper(b >> 4)).append(hexUpper(b & 0xf))
       i += 1
     }
     sb.toString
@@ -175,6 +204,15 @@ object UrlOps {
   private val NUL: String = 0.toChar.toString
 
   private def normalizePath(rawPath: String): String = {
+    // fast path: nothing to unquote and every char already path-safe
+    var clean = true
+    var j = 0
+    while (j < rawPath.length && clean) {
+      val c = rawPath.charAt(j)
+      if (c == '%' || c >= 128 || !pathSafe(c)) clean = false
+      j += 1
+    }
+    if (clean) return rawPath
     // w3lib _unquotepath: protect %2f/%2F/%3f/%3F then unquote
     val prot = rawPath
       .replace("%2f", NUL + "SLASH" + NUL).replace("%2F", NUL + "SLASH" + NUL)
