@@ -51,7 +51,8 @@ final class CrawlJob(
     StructField("text", StringType), StructField("id", StringType),
     StructField("parent", StringType), StructField("depth", IntegerType),
     StructField("priority", LongType), StructField("page_score", DoubleType),
-    StructField("epoch", IntegerType))))
+    StructField("epoch", IntegerType),
+    StructField("media_urls", ArrayType(StringType)))))
 
   /** Response-log rows (dd_crawler/middleware/log.py:48-65). */
   var metrics: DataFrame = emptyDf(StructType(Seq(
@@ -144,13 +145,39 @@ final class CrawlJob(
 
     // 3. items (CDR, spiders.py:88-114) + page scores
     val scoreCol = pageScorer.map(_.score($"text", $"url")).getOrElse(lit(0.0))
-    val items = ckpt(parsed
+    // S11: media urls = <img src> ∪ (file links ∖ page links), the
+    // reference's only set-difference (spiders.py:89-94) — expressed as
+    // a per-page anti-join at DataFrame level
+    val mediaCol =
+      if (!cfg.collectMediaUrls) lit(null).cast(ArrayType(StringType))
+      else null
+    val withMedia =
+      if (cfg.collectMediaUrls) {
+        val pageLinks = parsed.select($"url".as("page_url"),
+          explode(LF.extract_links($"html", $"url")).as("l"))
+          .select($"page_url", UF.safe_url($"l.url").as("murl"))
+        val fileLinks = parsed.select($"url".as("page_url"),
+          explode(LF.extract_file_links($"html", $"url")).as("raw"))
+          .select($"page_url", UF.safe_url($"raw").as("murl"))
+        val imgs = parsed.select($"url".as("page_url"),
+          explode(LF.extract_img_srcs($"html", $"url")).as("raw"))
+          .select($"page_url", UF.safe_url($"raw").as("murl"))
+        val media = imgs.unionByName(
+            fileLinks.join(pageLinks, Seq("page_url", "murl"), "left_anti"))
+          .groupBy($"page_url")
+          .agg(sort_array(collect_set($"murl")).as("media_urls"))
+        parsed.join(media, parsed("url") === media("page_url"), "left")
+          .drop("page_url")
+          .withColumn("media_urls",
+            coalesce($"media_urls", array().cast(ArrayType(StringType))))
+      } else parsed.withColumn("media_urls", mediaCol)
+    val items = ckpt(withMedia
       .withColumn("page_score", scoreCol)
       .withColumn("id", UF.url_hash_b64($"url"))
       .withColumn("parent_str", base64($"parent"))
       .select($"url", $"warc_ts", $"text", $"id",
         $"parent_str".as("parent"), $"depth", $"priority", $"page_score",
-        lit(epoch).as("epoch")))
+        lit(epoch).as("epoch"), $"media_urls"))
     val nItems = items.count()
 
     // 4. relevance accumulation (A4, queue.py:174-179) — only when a page
@@ -183,11 +210,14 @@ final class CrawlJob(
       if (engine.domainLimitActive) rawLinks.filter(!$"cross_domain")
       else rawLinks
     // F4: depth reset on cross-domain (middleware/domains.py:79-93);
-    // DEPTH_PRIORITY adjust is 0 here as in the reference tests — the
-    // priority column already carries the link score
+    // P15: autopager pagination links keep their page's depth
+    // (utils.py:78-85). DEPTH_PRIORITY adjust is 0 here as in the
+    // reference tests — the priority column already carries the score
     val linkCands = afterDomainLimit
       .withColumn("depth",
         when(lit(cfg.resetDepth) && $"cross_domain", lit(0))
+          .when(lit(cfg.autopager) &&
+            LF.is_pagination($"url", $"page_url"), $"page_depth")
           .otherwise($"page_depth" + 1))
       .withColumn("priority",
         UF.link_priority($"link_score", cfg.priorityMultiplier))

@@ -55,7 +55,13 @@ final case class CrawlConfig(
       * the reference never enables ROBOTSTXT_OBEY — SURVEY.md §7.5). */
     robotsEnabled: Boolean = false,
     /** REDIRECT_PRIORITY_ADJUST (settings.py:33-35). */
-    redirectPriorityAdjust: Int = 1) {
+    redirectPriorityAdjust: Int = 1,
+    /** AUTOPAGER (spiders.py:74-77): pagination links keep their page's
+      * depth. Off by default like the reference (README.rst:56). */
+    autopager: Boolean = false,
+    /** FILES_STORE set (spiders.py:89-94): collect media URLs
+      * (img srcs + extension-filtered hrefs) into the output items. */
+    collectMediaUrls: Boolean = false) {
 
   /** max_queue_n = ceil(0.5 × CONCURRENT_REQUESTS_PER_DOMAIN)
     * (queue.py:513-515): per-batch per-domain politeness budget. */

@@ -41,7 +41,44 @@ object LinkExtract {
   def extractLinks(html: Array[Byte], pageUrl: String): Seq[Link] =
     extractLinks(new String(html, UTF_8), pageUrl)
 
-  def extractLinks(html: String, pageUrl: String): Seq[Link] = {
+  def extractLinks(html: String, pageUrl: String): Seq[Link] =
+    extractLinks(html, pageUrl, extFilter = true)
+
+  /** files_le variant: every <a href>, extension filter off
+    * (dd_crawler/spiders.py:29-31, LinkExtractor(deny_extensions=[])). */
+  def extractFileLinks(html: Array[Byte], pageUrl: String): Seq[Link] =
+    extractLinks(new String(html, UTF_8), pageUrl, extFilter = false)
+
+  /** images_le: <img src> URLs, absolutized, no extension filter
+    * (dd_crawler/spiders.py:29-31). */
+  def extractImgSrcs(html: Array[Byte], pageUrl: String): Seq[String] =
+    extractImgSrcs(new String(html, UTF_8), pageUrl)
+
+  def extractImgSrcs(html: String, pageUrl: String): Seq[String] = {
+    val base = findBaseHref(html).map(b => UrlOps.urljoin(pageUrl, b))
+      .getOrElse(pageUrl)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    val lower = html.toLowerCase
+    var i = 0
+    while (i < html.length) {
+      val open = lower.indexOf("<img", i)
+      if (open < 0) { i = html.length }
+      else {
+        val tagEnd = html.indexOf('>', open)
+        if (tagEnd < 0) { i = html.length }
+        else {
+          attrValue(html.substring(open + 4, tagEnd), "src")
+            .filter(_.nonEmpty)
+            .foreach(src => out += UrlOps.urljoin(base, src))
+          i = tagEnd + 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  def extractLinks(html: String, pageUrl: String,
+                   extFilter: Boolean): Seq[Link] = {
     val base = findBaseHref(html).map(b => UrlOps.urljoin(pageUrl, b))
       .getOrElse(pageUrl)
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Link]
@@ -74,7 +111,8 @@ object LinkExtract {
         }
         if (!skip) {
           val abs = UrlOps.urljoin(base, href)
-          if (!UrlOps.hasIgnoredExtension(abs) && !out.contains(abs)) {
+          if ((!extFilter || !UrlOps.hasIgnoredExtension(abs)) &&
+              !out.contains(abs)) {
             val text = TextExtract.extractText(inner).replace('\n', ' ')
             val alt = attrValueInImg(inner)
             val anchor = (text + (if (alt.nonEmpty) " " + alt else "")).trim

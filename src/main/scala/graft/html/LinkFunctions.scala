@@ -36,4 +36,36 @@ object LinkFunctions {
   /** html_text.extract_text equivalent (dd_crawler/utils.py:124-131) —
     * byte-identical to the generator's stored text (input invariant). */
   def extract_text(html: Column): Column = extractTextUdf(html)
+
+  private val imgSrcsUdf = udf((html: Array[Byte], pageUrl: String) =>
+    if (html == null || pageUrl == null) Seq.empty[String]
+    else LinkExtract.extractImgSrcs(html, pageUrl))
+
+  private val fileLinksUdf = udf((html: Array[Byte], pageUrl: String) =>
+    if (html == null || pageUrl == null) Seq.empty[String]
+    else LinkExtract.extractFileLinks(html, pageUrl).map(_.url))
+
+  /** images_le <img src> urls (S11, dd_crawler/spiders.py:29-31,89-94). */
+  def extract_img_srcs(html: Column, pageUrl: Column): Column =
+    imgSrcsUdf(html, pageUrl)
+
+  /** files_le <a href> urls without the extension filter (S11). */
+  def extract_file_links(html: Column, pageUrl: Column): Column =
+    fileLinksUdf(html, pageUrl)
+
+  /** P15 autopager heuristic: a link is a pagination variant of its page
+    * when the two URLs are identical after digit-run removal but differ
+    * as strings (…/page/2 vs …/page/3, ?p=4 …). Stands in for the
+    * `autopager` library's structural heuristics (dd_crawler/
+    * spiders.py:74-77, utils.py:78-85 dont_increase_depth). */
+  private val isPaginationUdf = udf((link: String, page: String) =>
+    if (link == null || page == null) false
+    else {
+      val a = link.replaceAll("[0-9]+", "#")
+      val b = page.replaceAll("[0-9]+", "#")
+      a == b && link != page
+    })
+
+  def is_pagination(link: Column, page: Column): Column =
+    isPaginationUdf(link, page)
 }

@@ -38,7 +38,9 @@ object Schemas {
     */
   final case class SeenRow(fp: String)
 
-  /** Output CDR-like item (dd_crawler/spiders.py:88-114). */
+  /** Output CDR-like item (dd_crawler/spiders.py:88-114). `media_urls`
+    * carries the reference's objects list (img srcs + non-page file
+    * links) when media collection is on; null otherwise. */
   final case class CrawledPage(
       url: String,
       warc_ts: Timestamp,
@@ -48,7 +50,8 @@ object Schemas {
       depth: Int,
       priority: Long,
       page_score: Double,
-      epoch: Int)
+      epoch: Int,
+      media_urls: Seq[String])
 
   /** Per-response metrics row (dd_crawler/middleware/log.py:48-65). */
   final case class MetricsRow(

@@ -1,0 +1,40 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Remaining source/sink surfaces from the reference inventory
+  * (SURVEY.md §2.1).
+  */
+object Sinks {
+
+  /** S2: login-credentials loader — JSON file of
+    * [{"url":…,"login":…,"password":…}] (dd_crawler/spiders.py:36-40,
+    * README.rst:48-49) into a domain-keyed dimension table. */
+  def loadCredentials(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("multiLine", "true").json(path)
+      .withColumn("domain",
+        graft.urlops.UrlFunctions.registered_domain(col("url")))
+      .select("domain", "url", "login", "password")
+  }
+
+  /** S5 format parity: CDR items as gzipped JSON-lines, the reference's
+    * feed format (deepdeep/exports.py:11-46 GzipFileFeedStorage). The
+    * engine's primary sink is Parquet; this export is for consumers of
+    * the reference's .jl.gz files. */
+  def exportCrawledJsonGz(crawled: DataFrame, dir: String): Unit =
+    crawled.write.mode("overwrite")
+      .option("compression", "gzip")
+      .json(dir)
+
+  /** S9: queue-stats dump — {len, n_domains, queues:[(key,score,count)]}
+    * (dd_crawler/commands/queue_stats.py:49-53, queue.py:331-340) as a
+    * single JSON file next to the per-domain table. */
+  def dumpQueueStats(frontier: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.stats.StatsJobs.queueStats(frontier)
+      .withColumn("queue_key",
+        concat(lit("dd_crawler:requests:domain:"), col("domain")))
+      .write.mode("overwrite").json(dir)
+  }
+}

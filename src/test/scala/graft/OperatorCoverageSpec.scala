@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.epoch.CrawlJob
+import graft.frontier.{CrawlConfig, Selection}
+import graft.html.LinkExtract
+import graft.stats.StatsJobs
+import graft.tables.Schemas.PageRow
+import graft.tables.Sinks
+import graft.text.TextExtract
+
+/** Coverage for the remaining SURVEY.md §2 inventory items: media URLs
+  * (S11), autopager depth hook (P15), credential loading (S2), queue
+  * stats dump (S9), and the offline stats aggregations (A12/A13).
+  */
+class OperatorCoverageSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def page(url: String, html: String) = PageRow(
+    url = url, warc_ts = new java.sql.Timestamp(0L),
+    html = html.getBytes("UTF-8"),
+    text = TextExtract.extractText(html), lang = "en")
+
+  test("S11: media urls = img srcs + (file links minus page links)") {
+    val html =
+      """<a href="/doc.pdf">pdf</a> <a href="/page2">two</a>
+        |<img src="/logo.png"> <img src="http://cdn.example.com/b.jpg">""".stripMargin
+    // extractor level
+    assert(LinkExtract.extractImgSrcs(html, "http://a.com/") ==
+      Seq("http://a.com/logo.png", "http://cdn.example.com/b.jpg"))
+    assert(LinkExtract.extractFileLinks(html.getBytes("UTF-8"), "http://a.com/")
+      .map(_.url) == Seq("http://a.com/doc.pdf", "http://a.com/page2"))
+
+    // item level through the crawl
+    val pages = Seq(page("http://a.com/", html)).toDF()
+    val job = new CrawlJob(spark,
+      CrawlConfig(collectMediaUrls = true, seed = 3L), pages)
+    job.seed(Seq("http://a.com/"))
+    job.runEpoch()
+    val media = job.crawledPages
+      .select($"media_urls").head().getAs[scala.collection.Seq[String]](0)
+    // pdf link is NOT a page link (extension-filtered) -> media; page2 is
+    assert(media.toSet == Set("http://a.com/logo.png",
+      "http://cdn.example.com/b.jpg", "http://a.com/doc.pdf"))
+  }
+
+  test("P15: autopager keeps depth for pagination links") {
+    val html1 = """<a href="/list/2">next page</a> <a href="/article">art</a>"""
+    val pages = Seq(
+      page("http://a.com/list/1", html1),
+      page("http://a.com/list/2", "<a href=\"/list/1\">prev</a>"),
+      page("http://a.com/article", "fin")).toDF()
+    val job = new CrawlJob(spark,
+      CrawlConfig(autopager = true, seed = 3L), pages)
+    job.seed(Seq("http://a.com/list/1"))
+    job.run(maxEpochs = 5)
+    val depths = job.crawledPages.select($"url", $"depth").as[(String, Int)]
+      .collect().toMap
+    assert(depths("http://a.com/list/1") == 0)
+    assert(depths("http://a.com/list/2") == 0) // pagination: depth kept
+    assert(depths("http://a.com/article") == 1) // ordinary link: +1
+  }
+
+  test("S2: credentials loader keyed by registered domain") {
+    val dir = java.nio.file.Files.createTempDirectory("creds")
+    val f = dir.resolve("creds.json")
+    java.nio.file.Files.writeString(f,
+      """[{"url": "http://app.example.com/login", "login": "u", "password": "p"}]""")
+    val creds = Sinks.loadCredentials(spark, f.toString)
+    val row = creds.head()
+    assert(row.getAs[String]("domain") == "example.com")
+    assert(row.getAs[String]("login") == "u")
+  }
+
+  test("S9 + A6: queue stats dump shape") {
+    import graft.frontier.{FrontierEngine, Req}
+    val eng = new FrontierEngine(spark, CrawlConfig(seed = 5L))
+    eng.push(Seq(Req("http://a.com/1", 5), Req("http://a.com/2", 9),
+      Req("http://b.com/1", 2)))
+    val (len, nDomains, rows) = eng.stats
+    assert(len == 3 && nDomains == 2)
+    assert(rows.head == ("dd_crawler:requests:domain:a.com", 9L, 2L))
+    val dir = java.nio.file.Files.createTempDirectory("qstats").toString
+    Sinks.dumpQueueStats(eng.stateTables("frontier"), dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSet ==
+      Set("domain", "n_requests", "best_priority", "queue_key"))
+  }
+
+  test("A12/A13: domain stats and score summary") {
+    val metrics = Seq(
+      ("a.com", 0.9, 1), ("a.com", 0.2, 2), ("a.com", 0.8, 3),
+      ("b.com", 0.1, 1)).toDF("domain", "score", "depth")
+    val ds = StatsJobs.domainStats(metrics, $"domain").collect()
+    val a = ds.find(_.getAs[String]("domain") == "a.com").get
+    assert(a.getAs[Long]("pages") == 3)
+    assert(a.getAs[Int]("max_depth") == 3)
+    assert(a.getAs[Double]("median_depth") == 2.0)
+    val sum = StatsJobs.scoreSummary(metrics, 0.5).head()
+    assert(sum.getAs[Long]("n_responses") == 4)
+    assert(sum.getAs[Long]("n_relevant") == 2)
+  }
+
+  test("S5: gzip JSON-lines CDR export round-trips") {
+    val pages = graft.gen.SynthWeb.sitePages(spark).toDF()
+    val job = new CrawlJob(spark, CrawlConfig(seed = 23L), pages)
+    job.seed(graft.gen.SynthWeb.siteSeeds)
+    job.runEpoch()
+    val dir = java.nio.file.Files.createTempDirectory("cdr").toString
+    Sinks.exportCrawledJsonGz(job.crawledPages, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == job.crawledPages.count())
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".gz")))
+  }
+}
