@@ -1,0 +1,114 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.urlops.UrlOps
+
+/** Property tests for the URL operators (cheap wins the reference's
+  * test-suite lacks — SURVEY.md §5). Raw ScalaCheck (no scalatestplus
+  * bridge in the offline cache).
+  */
+class UrlPropsSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val hostGen: Gen[String] = for {
+    sub <- Gen.oneOf("", "www.", "app.", "a.b.")
+    name <- Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(10))
+    tld <- Gen.oneOf("com", "org", "co.uk", "net")
+  } yield s"$sub$name.$tld"
+
+  private val pathGen: Gen[String] = for {
+    segs <- Gen.listOfN(3, Gen.oneOf("a", "b1", "x-y", "страница", "p%20q", ""))
+  } yield "/" + segs.mkString("/")
+
+  private val queryGen: Gen[String] = Gen.oneOf(
+    "", "?a=1", "?b=2&a=1", "?a=1&a=0", "?k=%D1%81", "?x=a+b", "?flag")
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTP")
+    h <- hostGen
+    p <- pathGen
+    q <- queryGen
+    f <- Gen.oneOf("", "#frag")
+  } yield s"$scheme://$h$p$q$f"
+
+  test("canonicalize is idempotent") {
+    check(Prop.forAll(urlGen) { u =>
+      val once = UrlOps.canonicalizeUrl(u)
+      UrlOps.canonicalizeUrl(once) == once
+    })
+  }
+
+  test("canonicalize drops fragments and lowercases scheme+host") {
+    check(Prop.forAll(urlGen) { u =>
+      val c = UrlOps.canonicalizeUrl(u)
+      !c.contains("#") && {
+        val schemeEnd = c.indexOf("://")
+        schemeEnd < 0 || c.substring(0, schemeEnd).forall(!_.isUpper)
+      }
+    })
+  }
+
+  test("fingerprint is fragment- and query-order-invariant") {
+    check(Prop.forAll(hostGen, Gen.alphaLowerStr.map(_.take(5))) { (h, p) =>
+      val base = s"http://$h/$p"
+      UrlOps.requestFingerprint(s"$base?b=2&a=1") ==
+        UrlOps.requestFingerprint(s"$base?a=1&b=2#x") &&
+      UrlOps.requestFingerprint(base) ==
+        UrlOps.requestFingerprint(s"$base#frag")
+    })
+  }
+
+  test("safeUrl is idempotent and ASCII-only") {
+    check(Prop.forAll(urlGen) { u =>
+      val s = UrlOps.safeUrl(u)
+      UrlOps.safeUrl(s) == s && s.forall(_ < 128)
+    })
+  }
+
+  test("urljoin with an absolute ref returns the ref") {
+    check(Prop.forAll(urlGen, urlGen) { (base, ref) =>
+      UrlOps.urljoin(base, ref) == ref
+    })
+  }
+
+  test("urljoin resolves root-relative against the authority") {
+    // a leading "//" is a network-path (scheme-relative) reference, not
+    // a root-relative path — exclude it like urljoin does
+    check(Prop.forAll(hostGen, pathGen.suchThat(!_.startsWith("//"))) {
+      (h, p) => UrlOps.urljoin(s"http://$h/x/y?q=1", p) == s"http://$h$p"
+    })
+  }
+
+  test("registeredDomain is invariant under subdomains") {
+    check(Prop.forAll(hostGen) { h =>
+      val d = UrlOps.registeredDomain(s"http://$h/")
+      UrlOps.registeredDomain(s"http://extra.$h/") == d
+    })
+  }
+
+  test("numDuplicateSegments bounds") {
+    check(Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "c"))) { segs =>
+      val path = "/" + segs.mkString("/")
+      val n = UrlOps.numDuplicateSegments(path)
+      n >= 0 && n <= math.max(0, segs.size - 1) &&
+        (segs.distinct == segs) == (n == 0)
+    })
+  }
+
+  test("depth clamp is the identity inside int16") {
+    check(Prop.forAll(Gen.chooseNum(-32768, 32767)) { d =>
+      UrlOps.clampDepth(d) == d
+    })
+    check(Prop.forAll(Gen.chooseNum(Int.MinValue, Int.MaxValue)) { d =>
+      val c = UrlOps.clampDepth(d)
+      c >= -32768 && c <= 32767
+    })
+  }
+}
