@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.BinaryType
+
+import graft.frontier.FrontierEngine
+
+/** Structured-Streaming surfaces for the frontier engine.
+  *
+  * The reference's loop is event-driven but epochal in effect
+  * (SURVEY.md §2.7), so batch epochs are the primary mode; these
+  * wrappers cover the genuinely streaming shapes:
+  *
+  *  - [[ingest]]: a continuous stream of candidate URLs (e.g. a seed
+  *    topic, or another crawler's discoveries) drains into the frontier
+  *    through exactly the same fingerprint-dedup + push gates as an
+  *    epoch push — one foreachBatch = one push batch, so the engine's
+  *    URL-seen state makes re-delivered URLs idempotent;
+  *  - [[rpmStream]]: the A11 RPM metric as a watermarked windowed
+  *    aggregation over a stream of response events.
+  */
+object StreamingIngest {
+
+  /** Drain a streaming Dataset of URLs into the frontier. Each
+    * micro-batch passes through F1 dedup and the push gates; batchId is
+    * recorded as the pushing epoch. */
+  def ingest(engine: FrontierEngine, urls: Dataset[String],
+             checkpointDir: String,
+             priority: Long = 0L): StreamingQuery =
+    urls.toDF("url")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cand = batch
+          .withColumn("url", graft.urlops.UrlFunctions.safe_url(col("url")))
+          .withColumn("priority", lit(priority))
+          .withColumn("depth", lit(0))
+          .withColumn("parent", lit(null).cast(BinaryType))
+        val unseen = engine.dedupAgainstSeen(cand)
+        engine.pushBatch(unseen, batchId.toInt)
+        ()
+      }
+      .start()
+
+  /** A11 as a stream: requests-per-window over event time with a
+    * watermark for late data (commands/response_stats.py:67-109 shape).
+    * Input needs (ts: timestamp) — emits (window, n, rpm). */
+  def rpmStream(events: DataFrame, stepSec: Int,
+                lateness: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), s"$stepSec seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("n"),
+        (col("n") * 60.0 / stepSec).as("rpm"))
+}

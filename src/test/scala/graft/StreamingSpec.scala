@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.frontier.{CrawlConfig, FrontierEngine}
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("streaming ingest dedups across micro-batches into the frontier") {
+    implicit val sqlCtx = spark.sqlContext
+    val engine = new FrontierEngine(spark, CrawlConfig(seed = 9L))
+    val stream = MemoryStream[String]
+    val dir = java.nio.file.Files.createTempDirectory("stream-ckpt").toString
+    val q = StreamingIngest.ingest(engine, stream.toDS(), dir)
+    try {
+      stream.addData("http://a.com/1", "http://a.com/2", "http://a.com/1")
+      q.processAllAvailable()
+      assert(engine.len == 2)
+      // second batch: one repeat (dropped by F1), one new
+      stream.addData("http://a.com/2", "http://b.com/1")
+      q.processAllAvailable()
+      assert(engine.len == 3)
+      assert(engine.seenCount == 3)
+    } finally q.stop()
+  }
+
+  test("watermarked RPM windowed aggregation over an event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val rpm = StreamingIngest.rpmStream(
+      stream.toDF().toDF("ts", "url"), stepSec = 30)
+    val q = rpm.writeStream.format("memory").queryName("rpm_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      stream.addData(
+        (new Timestamp(t0), "a"), (new Timestamp(t0 + 1000), "b"),
+        (new Timestamp(t0 + 31000), "c"))
+      q.processAllAvailable()
+      // push watermark far enough to close the early windows
+      stream.addData((new Timestamp(t0 + 600000), "late-driver"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM rpm_out ORDER BY bucket_start")
+        .collect()
+      assert(rows.length >= 2)
+      assert(rows(0).getAs[Long]("n") == 2) // first 30s window
+      assert(rows(0).getAs[Double]("rpm") == 4.0)
+      assert(rows(1).getAs[Long]("n") == 1)
+    } finally q.stop()
+  }
+}
