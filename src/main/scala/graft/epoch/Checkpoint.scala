@@ -45,6 +45,8 @@ object Checkpoint {
            totals: Map[String, Long]): Unit = {
     val tables = engine.stateTables
     stateTables.foreach(t => TableIO.writeSnapshot(tables(t), root, t, epoch))
+    engine.bloom.foreach(b => graft.frontier.BloomSeen.save(
+      engine.spark, b, TableIO.epochDir(root, "bloom", epoch)))
     val json = new StringBuilder()
       .append("{\"epoch\":").append(epoch)
       .append(",\"did_restrict\":").append(engine.didRestrict)
@@ -94,6 +96,9 @@ object Checkpoint {
       val tables = stateTables
         .map(t => t -> TableIO.readSnapshot(spark, root, t, m.epoch)).toMap
       engine.restoreState(tables, m.didRestrict, m.epoch, m.seq)
+      if (engine.cfg.bloomPrefilter)
+        engine.bloom = Some(graft.frontier.BloomSeen.load(
+          spark, TableIO.epochDir(root, "bloom", m.epoch)))
       m
     }
 }

@@ -54,6 +54,14 @@ final case class CrawlConfig(
     /** Obey per-host robots.txt disallow rules (north-star capability;
       * the reference never enables ROBOTSTXT_OBEY — SURVEY.md §7.5). */
     robotsEnabled: Boolean = false,
+    /** Maintain a partitioned Bloom filter over seen fingerprints and
+      * use it as an exactness-preserving pre-filter in dedup (A1 scale
+      * path; SURVEY.md §7.4.3). */
+    bloomPrefilter: Boolean = false,
+    /** Bloom partition count and per-partition capacity (sized so one
+      * partition's bitset stays comfortably broadcastable). */
+    bloomPartitions: Int = 16,
+    bloomExpectedPerPartition: Long = 1L << 22,
     /** REDIRECT_PRIORITY_ADJUST (settings.py:33-35). */
     redirectPriorityAdjust: Int = 1,
     /** AUTOPAGER (spiders.py:74-77): pagination links keep their page's

@@ -301,19 +301,39 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
   // --- dedup (dupefilter.py:8-21) --------------------------------------------
 
+  /** Partitioned Bloom over seen fingerprints (A1 scale path); None
+    * unless cfg.bloomPrefilter. */
+  var bloom: Option[BloomSeen.PartitionedBloom] =
+    if (cfg.bloomPrefilter)
+      Some(BloomSeen.empty(cfg.bloomPartitions,
+        cfg.bloomExpectedPerPartition, 0.01))
+    else None
+
   /** F1: drop candidates whose fingerprint is already seen; mark the
     * survivors as seen (test-and-set batch emulation: intra-batch
     * duplicates collapse first). Input needs a `url` column; returns the
-    * unseen rows. */
+    * unseen rows. With the Bloom pre-filter on, only bloom hits reach
+    * the exact anti-join — decisions stay exact either way. */
   def dedupAgainstSeen(cand: DataFrame): DataFrame = {
     val fped = cand.withColumn("fp", UF.url_fingerprint($"url"))
     val unseenW = Window.partitionBy($"fp").orderBy($"url")
-    val unseen = fped
+    val batchUnique = fped
       .withColumn("_rn", row_number().over(unseenW)).filter($"_rn" === 1)
       .drop("_rn")
-      .join(seen, Seq("fp"), "left_anti")
-      .localCheckpoint(true)
+    val unseen = (bloom match {
+      case Some(b) =>
+        val (maybeSeen, fresh) = BloomSeen.prefilter(batchUnique, b)
+        maybeSeen.join(seen, Seq("fp"), "left_anti").unionByName(fresh)
+      case None =>
+        batchUnique.join(seen, Seq("fp"), "left_anti")
+    }).localCheckpoint(true)
     seen = ckpt(seen.unionByName(unseen.select("fp")))
+    bloom = bloom.map { b =>
+      // fold the batch's new fps in with one treeAggregate (sizes match
+      // the engine's filters, so mergeInPlace is compatible)
+      b.merge(BloomSeen.build(unseen.select("fp"), "fp",
+        cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01))
+    }
     unseen.drop("fp")
   }
 

@@ -240,6 +240,29 @@ class FrontierQueueSpec extends AnyFunSuite with SparkSuite {
     assert(second == Set("http://example.com/c"))
   }
 
+  // --- A1: bloom-prefiltered dedup == exact dedup -----------------------------
+
+  test("engine dedup with bloom prefilter matches exact anti-join dedup") {
+    import spark.implicits._
+    val mk = (bloomOn: Boolean) => makeQueue(Selection.BatchSoftmax,
+      _.copy(bloomPrefilter = bloomOn, bloomPartitions = 4,
+        bloomExpectedPerPartition = 4096))
+    val qExact = mk(false)
+    val qBloom = mk(true)
+    val b1 = (0 until 500).map(i => s"http://d${i % 7}.com/p/${i % 300}")
+      .toDF("url")
+    val b2 = (150 until 650).map(i => s"http://d${i % 7}.com/p/${i % 300}")
+      .toDF("url")
+    for (b <- Seq(b1, b2)) {
+      val e = qExact.dedupAgainstSeen(b).select("url").as[String]
+        .collect().toSet
+      val f = qBloom.dedupAgainstSeen(b).select("url").as[String]
+        .collect().toSet
+      assert(e == f)
+    }
+    assert(qExact.seenCount == qBloom.seenCount)
+  }
+
   // --- politeness availability Q2 (queue.py:209-231) --------------------------
 
   test("single-pop selection skips domains without free slots") {
