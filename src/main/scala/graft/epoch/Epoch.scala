@@ -110,6 +110,32 @@ final class CrawlJob(
     spark.read.textFile(path).collect().toSeq
       .map(_.trim).filter(u => u.nonEmpty && !u.startsWith("#"))
 
+  /** Login-credentials dimension table, keyed by registered domain
+    * (Redis hash analogue, dd_crawler/queue.py:350-363). */
+  var credentials: DataFrame = emptyDf(StructType(Seq(
+    StructField("domain", StringType), StructField("url", StringType),
+    StructField("login", StringType), StructField("password", StringType))))
+
+  /** `scrapy login` port (dd_crawler/commands/login.py:7-36): upsert the
+    * domain's credentials and re-push the login URL at seed priority,
+    * bypassing the dupefilter (it is a deliberate re-crawl). */
+  def addLoginCredentials(url: String, login: String,
+                          password: String): Unit = {
+    import spark.implicits._
+    val safe = graft.urlops.UrlOps.safeUrl(url)
+    val row = Seq((graft.urlops.UrlOps.registeredDomain(safe), safe,
+      login, password)).toDF("domain", "url", "login", "password")
+    credentials = ckpt(credentials
+      .join(row.select("domain"), Seq("domain"), "left_anti")
+      .unionByName(row))
+    engine.pushBatch(
+      Seq(safe).toDF("url")
+        .withColumn("priority", lit(cfg.initialPriority))
+        .withColumn("depth", lit(0))
+        .withColumn("parent", lit(null).cast(BinaryType)),
+      engine.clock)
+  }
+
   // --- one epoch -------------------------------------------------------------
 
   def runEpoch(): EpochCounters = {
@@ -202,7 +228,13 @@ final class CrawlJob(
       .withColumn("cross_domain", $"link_domain" =!= $"page_domain")
       .withColumn("link_score", linkScoreCol)
       .localCheckpoint(true)
-    val nRawLinks = rawLinks.count()
+    // one pass for the raw-link counters (each .count() is a job; the
+    // epoch loop's latency is bounded by job count, not data size)
+    val linkCounts = rawLinks.agg(
+      count(lit(1)).as("n"),
+      count(when($"cross_domain", 1)).as("n_cross")).head()
+    val nRawLinks = linkCounts.getLong(0)
+    val nCross = linkCounts.getLong(1)
 
     // F2: domain limit (middleware/domains.py:69-81; active when
     // configured OR after restriction, queue.py:163-169)
@@ -246,13 +278,11 @@ final class CrawlJob(
 
     var candidates = ckpt(afterDupeSeg.unionByName(redirCands))
     val nAfterGates = candidates.count()
-    val nDroppedDomainLimit = nRawLinks - {
-      if (engine.domainLimitActive) rawLinks.filter(!$"cross_domain").count()
-      else nRawLinks
-    }
-    val nDroppedDupeSeg =
-      (if (engine.domainLimitActive) rawLinks.filter(!$"cross_domain").count()
-       else nRawLinks) - afterDupeSeg.count()
+    val nDroppedDomainLimit = if (engine.domainLimitActive) nCross else 0L
+    val nAfterLimit = nRawLinks - nDroppedDomainLimit
+    // candidates = dupe-seg survivors + redirect candidates
+    val nRedirCands = redirCands.count()
+    val nDroppedDupeSeg = nAfterLimit - (nAfterGates - nRedirCands)
 
     // robots gate (north-star capability; prefix-disallow matcher)
     var nDroppedRobots = 0L
