@@ -1,0 +1,108 @@
+package graft.urlops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static, codegen-callable forms of the hot URL functions. A Scala UDF
+  * breaks whole-stage codegen with a ScalaUDF boundary (encoder
+  * round-trip + try/catch per row); these native expressions keep the
+  * projection inside one generated function — the fingerprint/dedup map
+  * stage is the per-candidate hot path at 10^10-URL scale (SURVEY.md
+  * §2.8: "candidate custom Expression for codegen").
+  */
+object UrlStatics {
+  def registeredDomain(u: UTF8String): UTF8String =
+    UTF8String.fromString(UrlOps.registeredDomain(u.toString))
+  def canonicalizeUrl(u: UTF8String): UTF8String =
+    UTF8String.fromString(UrlOps.canonicalizeUrl(u.toString))
+  def requestFingerprint(u: UTF8String): UTF8String =
+    UTF8String.fromString(UrlOps.requestFingerprint(u.toString))
+  def safeUrl(u: UTF8String): UTF8String =
+    UTF8String.fromString(UrlOps.safeUrl(u.toString))
+}
+
+abstract class UrlStringExpression extends UnaryExpression
+    with Serializable {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  /** Name of the UrlStatics method this expression calls. */
+  def staticMethod: String
+  override protected def nullSafeEval(input: Any): Any
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.urlops.UrlStatics.$staticMethod($c)")
+}
+
+/** registered_domain as a native expression (P1). */
+case class RegisteredDomain(child: Expression) extends UrlStringExpression {
+  override def staticMethod: String = "registeredDomain"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlStatics.registeredDomain(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression)
+      : RegisteredDomain = copy(child = newChild)
+}
+
+/** canonicalize_url as a native expression (P2). */
+case class CanonicalizeUrl(child: Expression) extends UrlStringExpression {
+  override def staticMethod: String = "canonicalizeUrl"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlStatics.canonicalizeUrl(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression)
+      : CanonicalizeUrl = copy(child = newChild)
+}
+
+/** sha1 request fingerprint as a native expression (P3). */
+case class UrlFingerprint(child: Expression) extends UrlStringExpression {
+  override def staticMethod: String = "requestFingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlStatics.requestFingerprint(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression)
+      : UrlFingerprint = copy(child = newChild)
+}
+
+/** Registration: either per-session (registerNative) or globally via
+  * `spark.sql.extensions=graft.urlops.GraftExtensions`.
+  */
+object NativeExpressions {
+
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] =
+    Seq(
+      ("registered_domain_native", "tldextract registered domain of a url",
+        es => RegisteredDomain(es.head)),
+      ("canon_url_native", "w3lib-canonical form of a url",
+        es => CanonicalizeUrl(es.head)),
+      ("url_fingerprint_native", "sha1 request fingerprint of a url",
+        es => UrlFingerprint(es.head)))
+
+  def registerNative(spark: SparkSession): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.urlops.NativeExpressions", null, name,
+          usage, ""),
+        builder)
+    }
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.urlops.NativeExpressions", null, name,
+          usage, ""),
+        builder))
+    }
+}
+
+/** `--conf spark.sql.extensions=graft.urlops.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    NativeExpressions.inject(ext)
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.urlops.{NativeExpressions, UrlFunctions => UF, UrlOps}
+
+/** Native Catalyst expressions must agree with the UDF path and with the
+  * pure functions, across interpreted and codegen evaluation.
+  */
+class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  NativeExpressions.registerNative(spark)
+
+  private val urls = Seq(
+    "http://wwww.Example.com/foo?b=2&a=1#frag",
+    "https://app.example.co.uk/страница",
+    "http://localhost/a/../b/%7Euser",
+    "HTTP://A.com/x+y?k=%D1%81&k=a+b",
+    null).toDF("url").localCheckpoint(true)
+
+  test("native expressions match the UDF implementations incl. nulls") {
+    val out = urls.selectExpr("url",
+        "registered_domain_native(url) AS nd",
+        "canon_url_native(url) AS nc",
+        "url_fingerprint_native(url) AS nf")
+      .withColumn("ud", UF.registered_domain($"url"))
+      .withColumn("uc", UF.canon_url($"url"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("nd") == r.getAs[String]("ud"))
+      assert(r.getAs[String]("nc") == r.getAs[String]("uc"))
+      val u = r.getAs[String]("url")
+      if (u == null) assert(r.getAs[String]("nf") == null)
+      else assert(r.getAs[String]("nf") == UrlOps.requestFingerprint(u))
+    }
+  }
+
+  test("native fingerprint survives a groupBy (codegen path)") {
+    val n = spark.range(0, 10000, 1, 4)
+      .selectExpr("concat('http://d', id % 7, '.com/p/', id % 500) AS url")
+      .selectExpr("url_fingerprint_native(url) AS fp")
+      .distinct().count()
+    assert(n == 7L * 500)
+  }
+}
