@@ -155,7 +155,6 @@ final class CrawlJob(
       engine.lastScheduleDecision.foreach(d => decisions += (w -> d))
     }
     popped = ckpt(popped)
-    val nPopped = popped.count()
 
     // 2. fetch = left join against the pages table (S10); the popped side
     // is small → broadcast it so the 100 TB pages scan never shuffles
@@ -167,7 +166,11 @@ final class CrawlJob(
       .withColumn("redirect_to", LF.redirect_target($"html", $"url"))
     val parsed = ok.filter($"redirect_to".isNull)
     val redirects = ok.filter($"redirect_to".isNotNull)
-    val nFailures = failures.count()
+    val fetchCounts = fetched.agg(
+      count(lit(1)).as("n"),
+      count(when($"html".isNull, 1)).as("nf")).head()
+    val nPopped = fetchCounts.getLong(0) // right join preserves popped rows
+    val nFailures = fetchCounts.getLong(1)
 
     // 3. items (CDR, spiders.py:88-114) + page scores
     val scoreCol = pageScorer.map(_.score($"text", $"url")).getOrElse(lit(0.0))
@@ -204,7 +207,10 @@ final class CrawlJob(
       .select($"url", $"warc_ts", $"text", $"id",
         $"parent_str".as("parent"), $"depth", $"priority", $"page_score",
         lit(epoch).as("epoch"), $"media_urls"))
-    val nItems = items.count()
+    val itemCounts = items.agg(count(lit(1)),
+      coalesce(sum($"page_score"), lit(0.0))).head()
+    val nItems = itemCounts.getLong(0)
+    val epochScore = itemCounts.getDouble(1)
 
     // 4. relevance accumulation (A4, queue.py:174-179) — only when a page
     // classifier is configured and score > threshold (spiders.py:158-163)
@@ -333,8 +339,7 @@ final class CrawlJob(
         lit(nRelevantNow).as("n_relevant_domains"))
     metrics = ckpt(metrics.unionByName(epochMetrics))
     nCrawledTotal += nItems
-    totalScore += items.agg(coalesce(sum($"page_score"), lit(0.0)))
-      .head.getDouble(0)
+    totalScore += epochScore
 
     crawledPages = ckpt(crawledPages.unionByName(items))
 

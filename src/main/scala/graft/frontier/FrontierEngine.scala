@@ -420,10 +420,12 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   def popEpochDf(workerIdx: Int = 0): DataFrame = {
     tryToRestrictDomains()
     val scoresDf = myDomainScores(workerIdx)
-    val nDomains = scoresDf.count()
+    // one job decides the path AND fetches the vector: overflow past the
+    // driver limit means "too many domains, go distributed"
+    val taken = scoresDf.take(cfg.driverSelectLimit + 1)
     val countsDf: DataFrame =
-      if (nDomains <= cfg.driverSelectLimit) {
-        val all = scoresDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      if (taken.length <= cfg.driverSelectLimit) {
+        val all = taken.map(r => (r.getString(0), r.getLong(1))).toSeq
         val queues = all.map(_._1).toIndexedSeq
         val scores = all.map(_._2.toDouble).toArray
         val selected = cfg.selection match {
