@@ -62,6 +62,9 @@ final case class CrawlConfig(
       * partition's bitset stays comfortably broadcastable). */
     bloomPartitions: Int = 16,
     bloomExpectedPerPartition: Long = 1L << 22,
+    /** Salt count for the two-phase pop ranking — bounds the per-domain
+      * window sort on hot domains (north-rule skew handling). */
+    popSalts: Int = 8,
     /** REDIRECT_PRIORITY_ADJUST (settings.py:33-35). */
     redirectPriorityAdjust: Int = 1,
     /** AUTOPAGER (spiders.py:74-77): pagination links keep their page's

@@ -461,12 +461,25 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
   /** A7/A8: top-n_q per sampled domain by (priority desc, url asc), then
     * delete popped rows. The semi-join on sampled domains prunes the
-    * window to the touched partitions only. */
+    * window to the touched partitions only.
+    *
+    * Hot-domain skew (north rule): a single domain with 10^8 queued URLs
+    * would force one partition to sort them all, so ranking is two-phase
+    * — a salted partial top-k bounds every sort to its salt slice, then
+    * the exact top-k runs over ≤ popSalts × n survivors per domain.
+    * Correct because the global top-n is contained in the union of
+    * per-salt top-n. */
   private def popRankedDf(countsDf: DataFrame): DataFrame = {
-    val w = Window.partitionBy($"domain")
-      .orderBy($"priority".desc, $"url".asc, $"depth".asc)
-    val popped = visibleFrontier
-      .join(broadcast(countsDf), Seq("domain"))
+    val order = Seq($"priority".desc, $"url".asc, $"depth".asc)
+    val selected = visibleFrontier.join(broadcast(countsDf), Seq("domain"))
+    val w1 = Window.partitionBy($"domain", $"_salt").orderBy(order: _*)
+    val partial = selected
+      .withColumn("_salt", pmod(xxhash64($"url"), lit(cfg.popSalts)))
+      .withColumn("_r1", row_number().over(w1))
+      .filter($"_r1" <= $"n")
+      .drop("_r1", "_salt")
+    val w = Window.partitionBy($"domain").orderBy(order: _*)
+    val popped = partial
       .withColumn("_rank", row_number().over(w))
       .filter($"_rank" <= $"n")
       .drop("_rank", "n")

