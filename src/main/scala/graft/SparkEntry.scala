@@ -237,6 +237,32 @@ object SparkEntry {
         .orderBy($"fp")
     }),
 
+    // --- A12 coverage: top-N cumulative share window ----------------------------
+    "q19_domain_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "events").groupBy($"user_id")
+        .agg(count(lit(1)).as("pages"))
+      val w = Window.orderBy($"pages".desc, $"user_id")
+      val cum = Window.orderBy($"pages".desc, $"user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = Window.partitionBy()
+      d.withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("coverage", round(
+          sum($"pages").over(cum).cast("double") /
+            sum($"pages").over(total), 6))
+        .select($"user_id", $"pages", $"rank", $"coverage")
+        .orderBy($"rank")
+    }),
+
+    // --- A12 median: exact interpolating percentile ------------------------------
+    "q30_median_value" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").groupBy($"event_type")
+        .agg(round(percentile($"value", lit(0.5)), 6).as("median_value"),
+          round(percentile($"value", lit(0.9)), 6).as("p90_value"))
+        .orderBy($"event_type")
+    }),
+
     // ====== rows-only entries (not ANSI-SQL-expressible) ======================
 
     // Q1: crc32 worker sharding of the full queue-key string
@@ -441,6 +467,21 @@ object SparkEntry {
       """SELECT md5(text) AS fp FROM documents
          WHERE md5(text) NOT IN
            (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
-         ORDER BY fp"""
+         ORDER BY fp""",
+    "q19_domain_coverage" ->
+      """WITH d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS pages
+           FROM events GROUP BY user_id)
+         SELECT user_id, pages,
+           CAST(row_number() OVER (ORDER BY pages DESC, user_id) AS BIGINT)
+             AS rank,
+           round(CAST(sum(pages) OVER (ORDER BY pages DESC, user_id
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+             (SELECT sum(pages) FROM d), 6) AS coverage
+         FROM d ORDER BY rank""",
+    "q30_median_value" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS median_value,
+         round(quantile_cont(value, 0.9), 6) AS p90_value
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }
