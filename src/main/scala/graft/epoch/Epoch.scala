@@ -102,7 +102,7 @@ final class CrawlJob(
       .withColumn("depth", lit(0))
       .withColumn("parent", lit(null).cast(BinaryType))
     val unseen = engine.dedupAgainstSeen(df)
-    engine.pushBatch(unseen, 0)
+    engine.pushBatch(unseen, 0, assumeFresh = true)
   }
 
   /** S1: seed-file loader — strip, drop blank and `#` lines. */
@@ -309,7 +309,7 @@ final class CrawlJob(
     // 6. F1 dedup + push (dupefilter.py:8-21; queue.py:76-103)
     val unseen = engine.dedupAgainstSeen(candidates)
     val nUnseen = unseen.count()
-    val pushed = engine.pushBatch(unseen, epoch)
+    val pushed = engine.pushBatch(unseen, epoch, assumeFresh = true)
     val nAccepted = pushed.filter($"accepted").count()
 
     // 7. outputs

@@ -63,8 +63,10 @@ final case class CrawlConfig(
     bloomPartitions: Int = 16,
     bloomExpectedPerPartition: Long = 1L << 22,
     /** Salt count for the two-phase pop ranking — bounds the per-domain
-      * window sort on hot domains (north-rule skew handling). */
-    popSalts: Int = 8,
+      * window sort on hot domains (north-rule skew handling). 1 = single
+      * phase; raise it (e.g. 8-32) when individual domain queues grow to
+      * millions of rows — the extra shuffle only pays off then. */
+    popSalts: Int = 1,
     /** REDIRECT_PRIORITY_ADJUST (settings.py:33-35). */
     redirectPriorityAdjust: Int = 1,
     /** AUTOPAGER (spiders.py:74-77): pagination links keep their page's

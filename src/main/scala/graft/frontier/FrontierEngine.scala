@@ -65,7 +65,40 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-  private[frontier] var frontier: DataFrame = emptyDf(frontierSchema)
+  /** Frontier storage: append-only parts + pop tombstones (the in-memory
+    * analogue of Iceberg data files + positional-delete files). Reads are
+    * union(parts) minus union(tombstones); a full rewrite happens only
+    * on compaction or on the rare replace-semantics push path. Under the
+    * dedup-before-push flow a pkey enters the frontier at most once ever
+    * (its fingerprint lands in `seen`), so tombstones can never shadow a
+    * future row. */
+  private var frontierParts: Vector[DataFrame] = Vector.empty
+  private var popTombstones: Vector[DataFrame] = Vector.empty // pkey
+  private val frontierCompactThreshold = 48
+
+  private def pkeyCol: org.apache.spark.sql.Column =
+    concat_ws("\u0001", $"domain", $"url", $"depth".cast("string"),
+      coalesce(base64($"parent"), lit("")))
+
+  private[frontier] def frontier: DataFrame = {
+    val base = frontierParts.reduceOption(_ unionByName _)
+      .getOrElse(emptyDf(frontierSchema))
+    popTombstones.reduceOption(_ unionByName _) match {
+      case Some(tombs) =>
+        base.withColumn("pkey", pkeyCol)
+          .join(tombs, Seq("pkey"), "left_anti").drop("pkey")
+      case None => base
+    }
+  }
+
+  private def compactFrontier(): Unit = {
+    frontierParts = Vector(ckpt(frontier))
+    popTombstones = Vector.empty
+  }
+
+  private def maybeCompactFrontier(): Unit =
+    if (frontierParts.size + popTombstones.size > frontierCompactThreshold)
+      compactFrontier()
   /** First-accepted order of every domain ever pushed (F6 gate). */
   private var domainsSeen: DataFrame = emptyDf(StructType(Seq(
     StructField("domain", StringType), StructField("first_seq", LongType))))
@@ -75,9 +108,17 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   /** Master-set membership after restriction (queue.py:145-159). */
   private var allowed: DataFrame = emptyDf(StructType(Seq(
     StructField("domain", StringType))))
-  /** URL-seen fingerprints (dupefilter.py:8-21). */
-  private var seen: DataFrame = emptyDf(StructType(Seq(
-    StructField("fp", StringType))))
+  private val seenSchema = StructType(Seq(StructField("fp", StringType)))
+  /** URL-seen fingerprints (dupefilter.py:8-21), APPEND-ONLY: one
+    * checkpointed increment per dedup batch, read as their union.
+    * Rewriting one growing seen snapshot per epoch would cost
+    * O(|seen|) writes every epoch — at 10^10 fingerprints that IS the
+    * job. Increments compact once their count passes a threshold
+    * (Iceberg appends + periodic compaction in production). */
+  private var seenParts: Vector[DataFrame] = Vector.empty
+  private val seenCompactThreshold = 64
+  private def seen: DataFrame =
+    seenParts.reduceOption(_ unionByName _).getOrElse(emptyDf(seenSchema))
 
   var didRestrict: Boolean = false
   /** Scheduling clock in epochs (replaces the reference's wall-clock
@@ -160,7 +201,23 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * from accepted rows). Priorities/depths are clamped on entry
     * (queue.py:91-92,403).
     */
-  def pushBatch(reqsIn: DataFrame, epoch: Int): DataFrame = {
+  def pushBatch(reqsIn: DataFrame, epoch: Int,
+                assumeFresh: Boolean = false): DataFrame = {
+    // Fast path: dedup-guaranteed-fresh batch with no active gates —
+    // pkeys are unique (one fp per canonical url) and every row is
+    // accepted, so push is a single checkpointed append: one write of
+    // the batch instead of two plus a pkey shuffle.
+    if (assumeFresh && cfg.maxDomains == 0 && !didRestrict) {
+      val entries = reqsIn
+        .withColumn("domain", UF.registered_domain($"url"))
+        .withColumn("priority", UF.clamp_priority($"priority", cfg.maxScore))
+        .withColumn("depth", UF.clamp_depth($"depth"))
+        .select($"domain", $"url", $"priority", $"depth", $"parent",
+          lit(epoch).as("epoch_added"))
+      frontierParts = frontierParts :+ ckpt(entries)
+      maybeCompactFrontier()
+      return entries.withColumn("accepted", lit(true))
+    }
     // Two intra-batch ordering modes:
     //  - `seq` column present (test path): exact sequential-push
     //    semantics — gates and zadd-replace resolve by arrival order;
@@ -226,9 +283,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
     // zadd member-replace semantics: same (domain,url,depth,parent) keeps
     // the LAST pushed score (queue.py:90-95)
-    val keyed = accepted.withColumn("pkey",
-      concat_ws("\u0001", $"domain", $"url", $"depth".cast("string"),
-        coalesce(base64($"parent"), lit(""))))
+    val keyed = accepted.withColumn("pkey", pkeyCol)
     val dedupW = Window.partitionBy($"pkey")
       .orderBy($"seq".desc, $"priority".desc)
     val newEntries = keyed
@@ -236,13 +291,21 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       .select($"domain", $"url", $"priority", $"depth", $"parent",
         lit(epoch).as("epoch_added"), $"pkey")
 
-    val oldKeyed = frontier.withColumn("pkey",
-      concat_ws("\u0001", $"domain", $"url", $"depth".cast("string"),
-        coalesce(base64($"parent"), lit(""))))
-    frontier = ckpt(
-      oldKeyed.join(newEntries.select("pkey"), Seq("pkey"), "left_anti")
-        .drop("pkey")
-        .unionByName(newEntries.drop("pkey")))
+    if (assumeFresh) {
+      // dedup-before-push flow: pkeys are globally fresh - pure append
+      frontierParts = frontierParts :+ ckpt(newEntries.drop("pkey"))
+      maybeCompactFrontier()
+    } else {
+      // zadd replace semantics (test/login path): compact, then rewrite
+      compactFrontier()
+      val oldKeyed = frontierParts.headOption
+        .getOrElse(emptyDf(frontierSchema)).withColumn("pkey", pkeyCol)
+      frontierParts = Vector(ckpt(
+        oldKeyed.join(newEntries.select("pkey"), Seq("pkey"), "left_anti")
+          .drop("pkey")
+          .unionByName(newEntries.drop("pkey"))))
+      popTombstones = Vector.empty
+    }
 
     // maintain first-seen domain ranking (only needed by the F6 gate) +
     // post-restriction master re-adds
@@ -316,10 +379,15 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * the exact anti-join — decisions stay exact either way. */
   def dedupAgainstSeen(cand: DataFrame): DataFrame = {
     val fped = cand.withColumn("fp", UF.url_fingerprint($"url"))
-    val unseenW = Window.partitionBy($"fp").orderBy($"url")
+    // intra-batch test-and-set: one row per fp, deterministic winner by
+    // url — hash aggregate with map-side partial combine (no sort
+    // window; min over a struct ordered by url first)
+    val payload = fped.columns.filter(_ != "fp")
+    val ordered = Seq("url") ++ payload.filterNot(_ == "url")
     val batchUnique = fped
-      .withColumn("_rn", row_number().over(unseenW)).filter($"_rn" === 1)
-      .drop("_rn")
+      .groupBy($"fp")
+      .agg(min(struct(ordered.map(col): _*)).as("_s"))
+      .select(col("fp") +: payload.map(c => col(s"_s.$c").as(c)): _*)
     val unseen = (bloom match {
       case Some(b) =>
         val (maybeSeen, fresh) = BloomSeen.prefilter(batchUnique, b)
@@ -327,7 +395,10 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       case None =>
         batchUnique.join(seen, Seq("fp"), "left_anti")
     }).localCheckpoint(true)
-    seen = ckpt(seen.unionByName(unseen.select("fp")))
+    // append-only: checkpoint just the increment, never rewrite history
+    seenParts = seenParts :+ unseen.select("fp")
+    if (seenParts.size > seenCompactThreshold)
+      seenParts = Vector(ckpt(seen))
     bloom = bloom.map { b =>
       // fold the batch's new fps in with one treeAggregate (sizes match
       // the engine's filters, so mergeInPlace is compatible)
@@ -472,26 +543,27 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   private def popRankedDf(countsDf: DataFrame): DataFrame = {
     val order = Seq($"priority".desc, $"url".asc, $"depth".asc)
     val selected = visibleFrontier.join(broadcast(countsDf), Seq("domain"))
-    val w1 = Window.partitionBy($"domain", $"_salt").orderBy(order: _*)
-    val partial = selected
-      .withColumn("_salt", pmod(xxhash64($"url"), lit(cfg.popSalts)))
-      .withColumn("_r1", row_number().over(w1))
-      .filter($"_r1" <= $"n")
-      .drop("_r1", "_salt")
+    val partial =
+      if (cfg.popSalts <= 1) selected
+      else {
+        val w1 = Window.partitionBy($"domain", $"_salt").orderBy(order: _*)
+        selected
+          .withColumn("_salt", pmod(xxhash64($"url"), lit(cfg.popSalts)))
+          .withColumn("_r1", row_number().over(w1))
+          .filter($"_r1" <= $"n")
+          .drop("_r1", "_salt")
+      }
     val w = Window.partitionBy($"domain").orderBy(order: _*)
     val popped = partial
       .withColumn("_rank", row_number().over(w))
       .filter($"_rank" <= $"n")
       .drop("_rank", "n")
       .localCheckpoint(true)
-    val poppedKeys = popped.withColumn("pkey",
-      concat_ws("\u0001", $"domain", $"url", $"depth".cast("string"),
-        coalesce(base64($"parent"), lit("")))).select("pkey")
-    val oldKeyed = frontier.withColumn("pkey",
-      concat_ws("\u0001", $"domain", $"url", $"depth".cast("string"),
-        coalesce(base64($"parent"), lit(""))))
-    frontier = ckpt(
-      oldKeyed.join(poppedKeys, Seq("pkey"), "left_anti").drop("pkey"))
+    // pop delete = tombstone append (no frontier rewrite); popped is
+    // already checkpointed, so the tombstone is a cheap view on it
+    popTombstones = popTombstones :+
+      popped.withColumn("pkey", pkeyCol).select("pkey")
+    maybeCompactFrontier()
     popped
   }
 
@@ -514,11 +586,12 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
   def restoreState(tables: Map[String, DataFrame], didRestrictFlag: Boolean,
                    epoch: Int, seq: Long): Unit = {
-    frontier = ckpt(tables("frontier"))
+    frontierParts = Vector(ckpt(tables("frontier")))
+    popTombstones = Vector.empty
     domainsSeen = ckpt(tables("domains"))
     relevance = ckpt(tables("relevance"))
     allowed = ckpt(tables("allowed"))
-    seen = ckpt(tables("seen"))
+    seenParts = Vector(ckpt(tables("seen")))
     didRestrict = didRestrictFlag
     clock = epoch
     seqCounter = seq

@@ -39,7 +39,7 @@ object StreamingIngest {
           .withColumn("depth", lit(0))
           .withColumn("parent", lit(null).cast(BinaryType))
         val unseen = engine.dedupAgainstSeen(cand)
-        engine.pushBatch(unseen, batchId.toInt)
+        engine.pushBatch(unseen, batchId.toInt, assumeFresh = true)
         ()
       }
       .start()
