@@ -189,24 +189,15 @@ object SparkEntry {
         .orderBy($"lang", $"source")
     }),
 
-    // --- n-gram (word) Jaccard near-dup pairs via inverted index ----------------------
+    // --- n-gram (word) Jaccard near-dup pairs via inverted index with a
+    // document-frequency cap on hot shingles (a stopword present in N
+    // docs would otherwise create N² join rows — the cap bounds the
+    // self-join fanout at scale; denominators stay full set sizes) ------
     "q16_unigram_jaccard" -> ((s, dir) => {
       import s.implicits._
-      val words = t(s, dir, "documents")
-        .select($"doc_id", explode(array_distinct(
-          filter(split($"text", " "), x => length(x) > lit(0)))).as("word"))
-      val n = words.groupBy($"doc_id").agg(count(lit(1)).as("nw"))
-      val l = words.select($"word", $"doc_id".as("id_a"))
-      val r = words.select($"word", $"doc_id".as("id_b"))
-      val common = l.join(r, Seq("word")).filter($"id_a" < $"id_b")
-        .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("common"))
-      common
-        .join(n.select($"doc_id".as("id_a"), $"nw".as("na")), Seq("id_a"))
-        .join(n.select($"doc_id".as("id_b"), $"nw".as("nb")), Seq("id_b"))
-        .withColumn("jaccard", round($"common".cast("double") /
-          ($"na" + $"nb" - $"common"), 6))
-        .filter($"common".cast("double") / ($"na" + $"nb" - $"common") >= 0.5)
-        .select($"id_a", $"id_b", $"jaccard")
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), $"doc_id", $"text",
+          shingleK = 1, threshold = 0.5, maxShingleDf = 400)
+        .withColumn("jaccard", round($"jaccard", 6))
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -237,21 +228,31 @@ object SparkEntry {
         .orderBy($"fp")
     }),
 
-    // --- A12 coverage: top-N cumulative share window ----------------------------
+    // --- A12 coverage: top-N cumulative share — distributed prefix scan
+    // (no single-partition global window; Cumulative range-partitions on
+    // the order key and offsets each partition) -----------------------------
     "q19_domain_coverage" -> ((s, dir) => {
       import s.implicits._
       val d = t(s, dir, "events").groupBy($"user_id")
         .agg(count(lit(1)).as("pages"))
-      val w = Window.orderBy($"pages".desc, $"user_id")
-      val cum = Window.orderBy($"pages".desc, $"user_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val total = Window.partitionBy()
-      d.withColumn("rank", row_number().over(w).cast("long"))
-        .withColumn("coverage", round(
-          sum($"pages").over(cum).cast("double") /
-            sum($"pages").over(total), 6))
+      val (run, _, total) = graft.stats.Cumulative.runningTotals(
+        d, Seq($"pages".desc, $"user_id".asc), $"pages", "rank", "_cum")
+      run.withColumn("coverage", round($"_cum" / lit(total), 6))
         .select($"user_id", $"pages", $"rank", $"coverage")
         .orderBy($"rank")
+    }),
+
+    // --- response_stats worker alignment: per-worker RPM series outer-
+    // joined on the shared time index, fillna 0, plus the <all> sum
+    // (commands/response_stats.py:93-109) --------------------------------------
+    "q29_worker_rpms" -> ((s, dir) => {
+      import s.implicits._
+      val events = t(s, dir, "events")
+        .withColumn("worker", pmod($"user_id", lit(4)))
+      graft.stats.StatsJobs.workerRpms(events, $"worker", $"ts", 900)
+        .withColumn("rpm", round($"rpm", 6))
+        .select($"worker", $"bucket", $"n", $"rpm")
+        .orderBy($"worker", $"bucket")
     }),
 
     // --- A12 median: exact interpolating percentile ------------------------------
@@ -440,13 +441,16 @@ object SparkEntry {
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "q16_unigram_jaccard" ->
       """WITH w AS (SELECT doc_id, unnest(list_distinct(list_filter(
-             string_split(text, ' '), x -> x <> ''))) AS word
+             string_split_regex(lower(text), '\W+'), x -> x <> ''))) AS word
            FROM documents),
          n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM w
            GROUP BY doc_id),
+         c AS (SELECT doc_id, word FROM (
+             SELECT doc_id, word, count(*) OVER (PARTITION BY word) AS wdf
+             FROM w) t WHERE wdf <= 400),
          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(count(*) AS BIGINT) AS common
-           FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+           FROM c a JOIN c b ON a.word = b.word AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT id_a, id_b,
            round(common * 1.0 / (na.nw + nb.nw - common), 6) AS jaccard
@@ -478,6 +482,22 @@ object SparkEntry {
              ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
              (SELECT sum(pages) FROM d), 6) AS coverage
          FROM d ORDER BY rank""",
+    "q29_worker_rpms" ->
+      """WITH base AS (SELECT CAST(user_id % 4 AS VARCHAR) AS worker,
+             CAST(floor(epoch(ts)/900) AS BIGINT)*900 AS bucket FROM events),
+         counts AS (SELECT worker, bucket, CAST(count(*) AS BIGINT) AS n
+           FROM base GROUP BY 1, 2),
+         grid AS (SELECT w.worker, b.bucket
+           FROM (SELECT DISTINCT bucket FROM counts) b
+           CROSS JOIN (SELECT DISTINCT worker FROM counts) w),
+         filled AS (SELECT g.worker, g.bucket, COALESCE(c.n, 0) AS n
+           FROM grid g LEFT JOIN counts c
+             ON g.worker = c.worker AND g.bucket = c.bucket),
+         allrows AS (SELECT '<all>' AS worker, bucket,
+             CAST(sum(n) AS BIGINT) AS n FROM filled GROUP BY bucket)
+         SELECT worker, bucket, n, round(n * 60.0 / 900, 6) AS rpm
+         FROM (SELECT * FROM filled UNION ALL SELECT * FROM allrows)
+         ORDER BY worker, bucket""",
     "q30_median_value" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 6) AS median_value,

@@ -1,0 +1,61 @@
+package graft.epoch
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Append-only distinct-domain set with an O(1) size counter — the
+  * Spark form of the reference's per-worker `self.domains` /
+  * `self.relevant_domains` sets (dd_crawler/middleware/log.py:16-17) and
+  * the domain-status success/failure sets (middleware/domain_status.py).
+  *
+  * The epoch loop only ever asks two things of these sets: "how many are
+  * there" (the n_domains metrics column) and "which of THIS epoch's ≤
+  * batch-sized domain list are new". Answering the second with a set-wide
+  * anti-join would shuffle O(|domains|) rows per epoch; instead the
+  * accumulated parts are scanned with an IN(batch-domains) predicate —
+  * pushdown-prunable at scale — and only the (small) matching rows come
+  * back. The full set is never materialized on the driver.
+  */
+final class DomainSet(spark: SparkSession, colName: String = "domain") {
+
+  private val schema = StructType(Seq(StructField(colName, StringType)))
+  private var parts: Vector[DataFrame] = Vector.empty
+  private var n: Long = 0L
+  private val compactThreshold = 64
+
+  def count: Long = n
+
+  def df: DataFrame = parts.reduceOption(_ unionByName _)
+    .getOrElse(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema))
+
+  /** Add a small (batch-bounded) list of domains; returns the ones that
+    * were actually new. One IN-pruned scan job when the set is non-empty.
+    */
+  def addAll(domains: Seq[String]): Seq[String] = {
+    val distinct = domains.filter(_ != null).distinct
+    if (distinct.isEmpty) return Nil
+    val known: Set[String] =
+      if (parts.isEmpty) Set.empty
+      else df.filter(col(colName).isin(distinct: _*))
+        .collect().map(_.getString(0)).toSet
+    val fresh = distinct.filterNot(known)
+    if (fresh.nonEmpty) {
+      parts = parts :+
+        spark.createDataFrame(fresh.map(Row(_)).asJava, schema)
+      n += fresh.size
+      if (parts.size > compactThreshold)
+        parts = Vector(df.localCheckpoint(true))
+    }
+    fresh
+  }
+
+  def restore(snapshot: DataFrame): Unit = {
+    val ck = snapshot.select(col(colName)).localCheckpoint(true)
+    parts = Vector(ck)
+    n = ck.count()
+  }
+}

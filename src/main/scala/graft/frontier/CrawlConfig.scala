@@ -74,7 +74,28 @@ final case class CrawlConfig(
     autopager: Boolean = false,
     /** FILES_STORE set (spiders.py:89-94): collect media URLs
       * (img srcs + extension-filtered hrefs) into the output items. */
-    collectMediaUrls: Boolean = false) {
+    collectMediaUrls: Boolean = false,
+    /** DEPTH_PRIORITY (settings.py:37, project default 1): Scrapy's
+      * DepthMiddleware lowers a child request's priority by
+      * depth × DEPTH_PRIORITY. The reference unit tests build a bare
+      * crawler (library default 0) — parity tests pass 0 explicitly. */
+    depthPriority: Int = 1,
+    /** AUTOLOGIN_ENABLED (settings.py:41): request fingerprints carry
+      * the login state (dupefilter.py:20), login forms are detected and
+      * flagged per domain (spiders.py:100-106), credentialed domains
+      * fetch with a logged-in session, and the response log gains the
+      * has_login_form / login_success fields (middleware/log.py:61-64). */
+    autologinEnabled: Boolean = false,
+    /** Emit the per-epoch domain-state snapshot table (sorted arrays of
+      * ALL open/success/failure domains — middleware/domain_status.py:
+      * 64-75). Inherently O(|domains|) per epoch, so it is a debugging
+      * surface, off by default on the scale path. */
+    domainStateLog: Boolean = false,
+    /** When >0, the `pages` input table carries a `bucket` partition
+      * column = pmod(xxhash64(url), pagesBuckets) (TableIO.writeBucketed)
+      * and the per-epoch fetch join prunes the scan to the buckets of the
+      * popped batch — without it every epoch scans the full 100 TB table. */
+    pagesBuckets: Int = 0) {
 
   /** max_queue_n = ceil(0.5 × CONCURRENT_REQUESTS_PER_DOMAIN)
     * (queue.py:513-515): per-batch per-domain politeness budget. */

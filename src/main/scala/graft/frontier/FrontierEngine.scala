@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.urlops.{UrlFunctions => UF, UrlOps}
+import graft.util.Eager
 
 /** A candidate request entering the frontier (reference: scrapy.Request
   * with priority + meta{depth, parent} — dd_crawler/queue.py:395-414).
@@ -128,6 +129,23 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   private var seqCounter: Long = 0L
   private var knownDomainCount: Long = 0L
 
+  /** Incremental size counters — `len`/`seenCount` must NOT rescan the
+    * frontier or the seen-fingerprint history per epoch (at 10^10 seen
+    * fps that is a ~200 GB scan each time — VERDICT r1 #1). Seen grows by
+    * exactly the dedup batch's unseen count; the frontier by accepted
+    * pushes minus popped rows. Counts are taken from `observe` aggregates
+    * piggybacked on the checkpoint jobs, so they cost zero extra scans. */
+  private var frontierLenCount: Long = 0L
+  private var seenCounter: Long = 0L
+
+  /** Per-call result surfaces for the epoch loop (saves re-count jobs). */
+  var lastPushAccepted: Long = 0L
+  var lastDedupUnseen: Long = 0L
+  var lastPopCount: Long = 0L
+  /** URLs left queued in the sampled domains beyond their per-domain
+    * politeness budget this pop (the north-star deferred counter). */
+  var lastPopDeferred: Long = 0L
+
   /** Politeness slot mock: domain → has free transfer slots. Domains not
     * present are considered free (queue.py:209-231, slots_mock in tests).
     */
@@ -141,7 +159,11 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
   // --- introspection -------------------------------------------------------
 
-  def len: Long = frontier.count()
+  /** Frontier length, maintained incrementally (O(1), no scan). */
+  def len: Long = frontierLenCount
+
+  /** Full recount — restore paths and tests only (O(|frontier|)). */
+  def lenExact: Long = frontier.count()
 
   /** Master zset contents: (queue key, best clamped priority), zset order
     * (best first, key ascending on ties) — queue.py:141-143.
@@ -165,7 +187,12 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         r.getLong(1), r.getLong(2))).toSeq)
   }
 
-  def seenCount: Long = seen.count()
+  /** Seen-set size, maintained incrementally (O(1), no scan of the
+    * append-only fingerprint history). */
+  def seenCount: Long = seenCounter
+
+  /** Full recount — restore paths and tests only (O(|seen|)). */
+  def seenCountExact: Long = seen.count()
 
   private def visibleFrontier: DataFrame =
     if (didRestrict) frontier.join(broadcast(allowed), Seq("domain"), "left_semi")
@@ -214,9 +241,12 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         .withColumn("depth", UF.clamp_depth($"depth"))
         .select($"domain", $"url", $"priority", $"depth", $"parent",
           lit(epoch).as("epoch_added"))
-      frontierParts = frontierParts :+ ckpt(entries)
+      val (part, n) = Eager.ckptCount(entries)
+      frontierParts = frontierParts :+ part
+      frontierLenCount += n
+      lastPushAccepted = n
       maybeCompactFrontier()
-      return entries.withColumn("accepted", lit(true))
+      return part.withColumn("accepted", lit(true))
     }
     // Two intra-batch ordering modes:
     //  - `seq` column present (test path): exact sequential-push
@@ -274,10 +304,12 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
           .drop("_k", "_adm")
       } else relGated.withColumn("_dom_ok", lit(true))
 
-    val flagged = gated
-      .withColumn("accepted", $"_rel_ok" && $"_dom_ok")
-      .drop("_rel_ok", "_dom_ok")
-      .localCheckpoint(true)
+    val (flagged, gateStats) = Eager.ckptObserve(
+      gated
+        .withColumn("accepted", $"_rel_ok" && $"_dom_ok")
+        .drop("_rel_ok", "_dom_ok"),
+      "n_acc" -> count(when($"accepted", 1)))
+    lastPushAccepted = Eager.long(gateStats, "n_acc")
 
     val accepted = flagged.filter($"accepted")
 
@@ -293,17 +325,23 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
     if (assumeFresh) {
       // dedup-before-push flow: pkeys are globally fresh - pure append
-      frontierParts = frontierParts :+ ckpt(newEntries.drop("pkey"))
+      val (part, n) = Eager.ckptCount(newEntries.drop("pkey"))
+      frontierParts = frontierParts :+ part
+      frontierLenCount += n
       maybeCompactFrontier()
     } else {
-      // zadd replace semantics (test/login path): compact, then rewrite
+      // zadd replace semantics (test/login path): compact, then rewrite.
+      // The rewrite is O(|frontier|) anyway, so resync the incremental
+      // counter from the same job rather than tracking replace overlaps.
       compactFrontier()
       val oldKeyed = frontierParts.headOption
         .getOrElse(emptyDf(frontierSchema)).withColumn("pkey", pkeyCol)
-      frontierParts = Vector(ckpt(
+      val (part, n) = Eager.ckptCount(
         oldKeyed.join(newEntries.select("pkey"), Seq("pkey"), "left_anti")
           .drop("pkey")
-          .unionByName(newEntries.drop("pkey"))))
+          .unionByName(newEntries.drop("pkey")))
+      frontierParts = Vector(part)
+      frontierLenCount = n
       popTombstones = Vector.empty
     }
 
@@ -374,11 +412,16 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
   /** F1: drop candidates whose fingerprint is already seen; mark the
     * survivors as seen (test-and-set batch emulation: intra-batch
-    * duplicates collapse first). Input needs a `url` column; returns the
-    * unseen rows. With the Bloom pre-filter on, only bloom hits reach
-    * the exact anti-join — decisions stay exact either way. */
+    * duplicates collapse first). Input needs a `url` column; an optional
+    * `login` column ("None"/"True"/"False") is the dupefilter's login
+    * dimension (dupefilter.py:20). Returns the unseen rows. With the
+    * Bloom pre-filter on, only bloom hits reach the exact anti-join —
+    * decisions stay exact either way. */
   def dedupAgainstSeen(cand: DataFrame): DataFrame = {
-    val fped = cand.withColumn("fp", UF.url_fingerprint($"url"))
+    val loginCol =
+      if (cand.columns.contains("login")) coalesce($"login", lit("None"))
+      else lit("None")
+    val fped = cand.withColumn("fp", UF.url_fingerprint($"url", loginCol))
     // intra-batch test-and-set: one row per fp, deterministic winner by
     // url — hash aggregate with map-side partial combine (no sort
     // window; min over a struct ordered by url first)
@@ -388,13 +431,26 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       .groupBy($"fp")
       .agg(min(struct(ordered.map(col): _*)).as("_s"))
       .select(col("fp") +: payload.map(c => col(s"_s.$c").as(c)): _*)
-    val unseen = (bloom match {
+    val (unseen, nUnseen) = Eager.ckptCount(bloom match {
       case Some(b) =>
-        val (maybeSeen, fresh) = BloomSeen.prefilter(batchUnique, b)
-        maybeSeen.join(seen, Seq("fp"), "left_anti").unionByName(fresh)
+        val (maybeSeen0, fresh) = BloomSeen.prefilter(batchUnique, b)
+        val maybeSeen = maybeSeen0.localCheckpoint(true)
+        // Slim the anti-join's RIGHT side too: a Bloom of the batch's
+        // maybe-seen fps filters the seen history before the join, so the
+        // shuffle carries O(|batch|) seen rows instead of O(|seen|)
+        // (~200 GB at 10^10 fps). Exact: a Bloom has no false negatives,
+        // so every seen fp that matches a batch fp survives the filter.
+        val batchBloom = BloomSeen.build(maybeSeen.select("fp"), "fp",
+          cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01)
+        val bc = spark.sparkContext.broadcast(batchBloom)
+        val hit = udf((fp: String) => bc.value.mightContain(fp))
+        val seenSlice = seen.filter(hit($"fp"))
+        maybeSeen.join(seenSlice, Seq("fp"), "left_anti").unionByName(fresh)
       case None =>
         batchUnique.join(seen, Seq("fp"), "left_anti")
-    }).localCheckpoint(true)
+    })
+    seenCounter += nUnseen
+    lastDedupUnseen = nUnseen
     // append-only: checkpoint just the increment, never rewrite history
     seenParts = seenParts :+ unseen.select("fp")
     if (seenParts.size > seenCompactThreshold)
@@ -411,10 +467,14 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   // --- pop (queue.py:285-306, 441-553) ----------------------------------------
 
   /** Per-worker visible domain scores in master-zset order:
-    * (domain, best priority), crc32-sharded (queue.py:233-247). */
+    * (domain, best priority, queue length), crc32-sharded
+    * (queue.py:233-247). `qlen` rides along in the same aggregate — it
+    * is what makes the deferred-by-politeness counter free (deferred =
+    * Σ qlen over sampled domains − popped, no extra frontier scan). */
   def myDomainScores(workerIdx: Int): DataFrame = {
     val base = visibleFrontier
-      .groupBy($"domain").agg(max($"priority").as("best"))
+      .groupBy($"domain").agg(max($"priority").as("best"),
+        count(lit(1)).as("qlen"))
     val sharded =
       if (cfg.nWorkers <= 1) base
       else base.filter(
@@ -494,24 +554,35 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     // one job decides the path AND fetches the vector: overflow past the
     // driver limit means "too many domains, go distributed"
     val taken = scoresDf.take(cfg.driverSelectLimit + 1)
-    val countsDf: DataFrame =
-      if (taken.length <= cfg.driverSelectLimit) {
-        val all = taken.map(r => (r.getString(0), r.getLong(1))).toSeq
-        val queues = all.map(_._1).toIndexedSeq
-        val scores = all.map(_._2.toDouble).toArray
-        val selected = cfg.selection match {
-          case Selection.BatchSoftmax | Selection.Softmax =>
-            QueueSelector.selectBatchSoftmax(queues, scores, cfg, rng)
-          case Selection.Greedy(eps) =>
-            QueueSelector.selectGreedy(queues, cfg, eps, rng)
-          case _ => QueueSelector.selectBatchUniform(queues, cfg, rng)
-        }
-        lastScheduleDecision =
-          Some(ScheduleDecision(clock, queues, scores.toSeq, selected))
-        selected.groupBy(identity).view.mapValues(_.size).toSeq
-          .toDF("domain", "n")
-      } else gumbelTopK(scoresDf)
-    popRankedDf(countsDf)
+    if (taken.length <= cfg.driverSelectLimit) {
+      val all = taken.map(r => (r.getString(0), r.getLong(1))).toSeq
+      val qlens = taken.map(r => r.getString(0) -> r.getLong(2)).toMap
+      val queues = all.map(_._1).toIndexedSeq
+      val scores = all.map(_._2.toDouble).toArray
+      val selected = cfg.selection match {
+        case Selection.BatchSoftmax | Selection.Softmax =>
+          QueueSelector.selectBatchSoftmax(queues, scores, cfg, rng)
+        case Selection.Greedy(eps) =>
+          QueueSelector.selectGreedy(queues, cfg, eps, rng)
+        case _ => QueueSelector.selectBatchUniform(queues, cfg, rng)
+      }
+      lastScheduleDecision =
+        Some(ScheduleDecision(clock, queues, scores.toSeq, selected))
+      val counts = selected.groupBy(identity).view.mapValues(_.size).toSeq
+      val popped = popRankedDf(counts.toDF("domain", "n"))
+      // deferred-by-politeness = rows left in the sampled domains beyond
+      // their per-domain budget — driver arithmetic over the score vector
+      // already in hand, no extra job
+      lastPopDeferred =
+        counts.map { case (d, _) => qlens.getOrElse(d, 0L) }.sum - lastPopCount
+      popped
+    } else {
+      val countsDf = gumbelTopK(scoresDf).localCheckpoint(true)
+      val popped = popRankedDf(countsDf.select("domain", "n"))
+      lastPopDeferred = countsDf.agg(sum($"qlen")).head().getLong(0) -
+        lastPopCount
+      popped
+    }
   }
 
   /** Distributed Gumbel-top-k selection for very large domain counts:
@@ -527,7 +598,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
           - log(-log(rand(cfg.seed + clock))))
       .orderBy($"_g".desc)
       .limit(k)
-      .select($"domain", lit(cfg.maxQueueN).as("n"))
+      .select($"domain", lit(cfg.maxQueueN).as("n"), $"qlen")
   }
 
   /** A7/A8: top-n_q per sampled domain by (priority desc, url asc), then
@@ -554,11 +625,12 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
           .drop("_r1", "_salt")
       }
     val w = Window.partitionBy($"domain").orderBy(order: _*)
-    val popped = partial
+    val (popped, nPopped) = Eager.ckptCount(partial
       .withColumn("_rank", row_number().over(w))
       .filter($"_rank" <= $"n")
-      .drop("_rank", "n")
-      .localCheckpoint(true)
+      .drop("_rank", "n"))
+    frontierLenCount -= nPopped
+    lastPopCount = nPopped
     // pop delete = tombstone append (no frontier rewrite); popped is
     // already checkpointed, so the tombstone is a cheap view on it
     popTombstones = popTombstones :+
@@ -586,16 +658,28 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
   def restoreState(tables: Map[String, DataFrame], didRestrictFlag: Boolean,
                    epoch: Int, seq: Long): Unit = {
-    frontierParts = Vector(ckpt(tables("frontier")))
+    val (fPart, fLen) = Eager.ckptCount(tables("frontier"))
+    frontierParts = Vector(fPart)
+    frontierLenCount = fLen
     popTombstones = Vector.empty
     domainsSeen = ckpt(tables("domains"))
     relevance = ckpt(tables("relevance"))
     allowed = ckpt(tables("allowed"))
-    seenParts = Vector(ckpt(tables("seen")))
+    val (sPart, sLen) = Eager.ckptCount(tables("seen"))
+    seenParts = Vector(sPart)
+    seenCounter = sLen
     didRestrict = didRestrictFlag
     clock = epoch
     seqCounter = seq
     knownDomainCount = domainsSeen.count()
+    // an empty Bloom would classify every candidate as definitely-new and
+    // skip the exact anti-join — rebuild it from the restored seen set so
+    // dedup exactness cannot be violated by a bare restoreState. Callers
+    // holding a checkpointed Bloom (Checkpoint.resume) overwrite this
+    // with the loaded one afterwards; the invariant holds either way.
+    if (cfg.bloomPrefilter)
+      bloom = Some(BloomSeen.build(sPart.select("fp"), "fp",
+        cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01))
   }
 
   def currentSeq: Long = seqCounter

@@ -271,4 +271,42 @@ $noise
 
   /** F-SITE seeds (tests/test_spider.py:64-66). */
   val siteSeeds: Seq[String] = Seq(siteBase + "/", "http://not-localhost")
+
+  // --- LOGIN-SITE fixture (tests/test_login.py:83-96) ----------------------
+
+  private def sitePage(path: String, html: String): PageRow = PageRow(
+    url = UrlOps.safeUrl(siteBase + path),
+    warc_ts = new Timestamp(1735689600000L),
+    html = html.getBytes(UTF_8),
+    text = TextExtract.extractText(html),
+    lang = "en")
+
+  /** The reference login-test site's PUBLIC pages: index → /open, /login;
+    * /open → /more. The login page carries a login form (password input)
+    * and — once authenticated — leads to the hidden pages. */
+  def loginSitePages(spark: SparkSession): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.createDataset(Seq(
+      sitePage("/",
+        """<a href="/open">open</a> <a href="/login">login</a>"""),
+      sitePage("/open", """<a href="/more">more</a>"""),
+      sitePage("/more", "no more"),
+      sitePage("/login",
+        """<form action="/login" method="post">""" +
+          """<input type="text" name="login">""" +
+          """<input type="password" name="password"></form> """ +
+          """<a href="/hidden">hidden</a> <a href="/hidden-2">hidden 2</a>""")))
+  }
+
+  /** The authenticated-only pages (test_login.py:94-95
+    * `authenticated_text`): without a logged-in session their fetch
+    * fails; with credentials for the domain they resolve. */
+  def loginSiteAuthPages(spark: SparkSession): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.createDataset(Seq(
+      sitePage("/hidden", "hidden resource"),
+      sitePage("/hidden-2", "hidden resource 2")))
+  }
+
+  val loginSiteSeeds: Seq[String] = Seq(siteBase + "/")
 }

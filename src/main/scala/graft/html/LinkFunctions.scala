@@ -68,4 +68,28 @@ object LinkFunctions {
 
   def is_pagination(link: Column, page: Column): Column =
     isPaginationUdf(link, page)
+
+  /** Login-form detector: a `<form>` block containing an
+    * `<input type=password>` (deterministic stand-in for the reference's
+    * formasaurus ML classifier — dd_crawler/spiders.py:100-106; the
+    * model itself is out of scope, the flow around it is what's ported).
+    */
+  private val loginFormRe = java.util.regex.Pattern.compile(
+    "(?is)<form\\b.*?(</form>|$)")
+  private val passwordInputRe = java.util.regex.Pattern.compile(
+    "(?is)<input\\b[^>]*type\\s*=\\s*[\"']?password")
+
+  def hasLoginForm(html: Array[Byte]): Boolean = {
+    if (html == null) return false
+    val s = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    val m = loginFormRe.matcher(s)
+    while (m.find()) {
+      if (passwordInputRe.matcher(m.group()).find()) return true
+    }
+    false
+  }
+
+  private val hasLoginFormUdf = udf((html: Array[Byte]) => hasLoginForm(html))
+
+  def has_login_form(html: Column): Column = hasLoginFormUdf(html)
 }

@@ -84,8 +84,16 @@ object Dedup {
     udf((sh: Seq[Long]) => minhashSignature(sh.toArray, n))
 
   /** MinHash+LSH near-duplicate pairs: shingle → minhash(b×r) → band
-    * buckets → bucket join → exact-Jaccard verify ≥ threshold.
+    * buckets → bucket join ON IDS ONLY → re-attach shingles once per
+    * surviving candidate pair → exact-Jaccard verify ≥ threshold.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * The band join deliberately carries only (band, band_hash, doc_id)
+    * tuples — b×N rows of three scalars. Shipping the full shingle
+    * arrays through that shuffle (the r1 shape) amplified the payload by
+    * ×bands on BOTH sides; re-attaching them costs one extra shingle
+    * scan per side over only the candidate pairs, which is the cheaper
+    * trade at corpus scale (CPU rescan ≪ b× array shuffle).
     */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
                       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
@@ -93,23 +101,28 @@ object Dedup {
     val n = bands * rowsPerBand
     val base = df.select(id.as("doc_id"), text.as("_text"))
       .withColumn("sh", shinglesUdf(shingleK)(col("_text")))
+    val banded = base
       .withColumn("sig", minhashUdf(n)(col("sh")))
-      .drop("_text")
-    val banded = base.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        hash(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b)))
-        .as(Seq("band", "band_hash")))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          hash(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b)))
+          .as(Seq("band", "band_hash")))
     val l = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      col("doc_id").as("id_a"))
     val r = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      col("doc_id").as("id_b"))
     val candPairs = l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val shingleSets = base.select(col("doc_id"), col("sh"))
     val jac = udf((a: Seq[Long], b: Seq[Long]) =>
       exactJaccard(a.toArray, b.toArray))
     candPairs
+      .join(shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(shingleSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
       .withColumn("jaccard", jac(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

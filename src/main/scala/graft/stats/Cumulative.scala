@@ -1,0 +1,69 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Distributed running totals — cumulative count and sum in a global
+  * total order WITHOUT a single-partition `Window.orderBy` sort (the r1
+  * epoch loop's per-epoch serial stage, VERDICT "What's wrong" #5).
+  *
+  * Shape: range-repartition on the order key so every partition holds a
+  * contiguous key range, collect the per-partition (count, sum) pairs to
+  * the driver (P scalars, not rows), then prefix-scan each partition
+  * independently with its exclusive offset. The per-partition scan is
+  * the one genuinely sequential step and runs as a mapPartitions over
+  * the already-checkpointed rows — no shuffle beyond the range exchange,
+  * no partition ever holds more than its range slice.
+  *
+  * `order` must be a TOTAL order (unique keys): equal keys may straddle
+  * range-partition boundaries, and their relative running values would
+  * then depend on the partitioner's sampling.
+  */
+object Cumulative {
+
+  /** Returns (df + `countName` (long) + `sumName` (double) columns,
+    * total row count, total sum) — totals come from the same pass that
+    * computes the offsets, so callers get them for free. */
+  def runningTotals(df: DataFrame, order: Seq[Column], sumCol: Column,
+                    countName: String, sumName: String,
+                    countOffset: Long = 0L, sumOffset: Double = 0.0,
+                    numPartitions: Int = 0): (DataFrame, Long, Double) = {
+    val spark = df.sparkSession
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.withColumn("_cum_v", sumCol.cast("double"))
+      .repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint(true)
+    val sIdx = sorted.schema.fieldIndex("_cum_v")
+    val partAgg = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var c = 0L; var s = 0.0
+      it.foreach { r =>
+        c += 1
+        if (!r.isNullAt(sIdx)) s += r.getDouble(sIdx)
+      }
+      Iterator((i, c, s))
+    }.collect().sortBy(_._1)
+    val nTotal = partAgg.map(_._2).sum
+    val sTotal = partAgg.map(_._3).sum
+    val nParts = partAgg.map(_._1).foldLeft(0)((m, i) => math.max(m, i + 1))
+    val cOff = new Array[Long](math.max(nParts, 1))
+    val sOff = new Array[Double](math.max(nParts, 1))
+    var cAcc = countOffset; var sAcc = sumOffset
+    partAgg.foreach { case (i, c, s) =>
+      cOff(i) = cAcc; sOff(i) = sAcc; cAcc += c; sAcc += s
+    }
+    val outSchema = sorted.schema.add(countName, LongType)
+      .add(sumName, DoubleType)
+    val outRdd = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var c = cOff(i); var s = sOff(i)
+      it.map { r =>
+        c += 1
+        if (!r.isNullAt(sIdx)) s += r.getDouble(sIdx)
+        Row.fromSeq(r.toSeq :+ c :+ s)
+      }
+    }
+    (spark.createDataFrame(outRdd, outSchema).drop("_cum_v"), nTotal, sTotal)
+  }
+}

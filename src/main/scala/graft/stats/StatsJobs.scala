@@ -1,7 +1,6 @@
 package graft.stats
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Offline analytics jobs — the Spark form of the reference's two CLI
@@ -32,22 +31,75 @@ object StatsJobs {
       .orderBy(col("bucket"))
 
   /** Exponentially-weighted smoothing of an ordered series — pandas
-    * `ewm(span=…).mean()` parity (response_stats.py:84), α = 2/(span+1):
-    *   y_t = (x_t + Σ_{i<t} (1-α)^{t-i} x_i) / Σ (1-α)^k  (adjust=true)
-    * Window-based: exact for moderate series lengths (offline chart
-    * data, not a hot path).
+    * `ewm(span=…).mean()` parity (response_stats.py:84), α = 2/(span+1),
+    * adjust=true. Computed with the direct per-series recurrence
+    *   N_t = x_t + (1-α)·N_{t-1};  D_t = 1 + (1-α)·D_{t-1};  y_t = N/D
+    * (exactly what pandas runs in C) — numerically stable for ANY series
+    * length, unlike the cumulative exp(decay·t) reformulation, which
+    * overflows double around t ≈ 700/decay rows and emits NaN.
+    * A series is inherently a sequential state recurrence, so it runs as
+    * one task per series — chart-bucket-sized by construction; use
+    * [[ewmBy]] to smooth many series in parallel (one task each).
+    * `orderCol` must be unique within a series (it is the join-back key).
     */
   def ewm(df: DataFrame, orderCol: Column, valueCol: Column,
-          span: Double): DataFrame = {
+          span: Double): DataFrame =
+    ewmBy(df, lit(0), orderCol, valueCol, span)
+
+  /** Per-series ewm: series run in parallel (one task per series key). */
+  def ewmBy(df: DataFrame, seriesCol: Column, orderCol: Column,
+            valueCol: Column, span: Double): DataFrame = {
     val alpha = 2.0 / (span + 1.0)
-    val w = Window.orderBy(orderCol)
-    val t = row_number().over(w).cast("double")
-    // weighted sums via two cumulative sums of x_i/(1-α)^i scaled back
-    val decay = math.log(1.0 - alpha)
-    val scaled = valueCol * exp(lit(-decay) * t)
-    val num = sum(scaled).over(w) * exp(lit(decay) * t)
-    val den = sum(exp(lit(-decay) * t)).over(w) * exp(lit(decay) * t)
-    df.withColumn("ewm", num / den)
+    val ewmUdf = udf((xs: Seq[Double]) => {
+      val out = new Array[Double](xs.length)
+      var num = 0.0
+      var den = 0.0
+      var i = 0
+      while (i < xs.length) {
+        num = xs(i) + (1.0 - alpha) * num
+        den = 1.0 + (1.0 - alpha) * den
+        out(i) = num / den
+        i += 1
+      }
+      out.toSeq
+    })
+    val series = df
+      .select(seriesCol.as("_sk"), orderCol.as("_o"),
+        valueCol.cast("double").as("_x"))
+      .groupBy(col("_sk"))
+      .agg(sort_array(collect_list(struct(col("_o"), col("_x")))).as("s"))
+      .select(col("_sk"), transform(col("s"), e => e("_o")).as("os"),
+        ewmUdf(transform(col("s"), e => e("_x"))).as("es"))
+      .select(col("_sk"), explode(arrays_zip(col("os"), col("es"))).as("z"))
+      .select(col("_sk"), col("z.os").as("_o"), col("z.es").as("ewm"))
+    df.join(series,
+      seriesCol === col("_sk") && orderCol === col("_o"))
+      .drop("_sk", "_o")
+  }
+
+  /** Multi-worker RPM alignment (commands/response_stats.py:93-109
+    * print_rpms): per-worker request-per-minute series outer-joined on
+    * the shared time index, missing buckets filled with 0, plus the
+    * `<all>` series (row-wise sum across workers). Long format:
+    * (worker, bucket, n, rpm) — the Spark-native form of the reference's
+    * wide pandas frame. */
+  def workerRpms(events: DataFrame, worker: Column, ts: Column,
+                 stepSec: Int): DataFrame = {
+    val base = events.select(worker.cast("string").as("worker"),
+      (floor(unix_timestamp(ts) / stepSec) * stepSec).cast("long")
+        .as("bucket"))
+    val counts = base.groupBy(col("worker"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    // outer alignment: the full bucket × worker grid (both sides are
+    // aggregate-sized — time buckets × worker count, not events)
+    val grid = counts.select("bucket").distinct()
+      .crossJoin(counts.select("worker").distinct())
+    val filled = grid.join(counts, Seq("worker", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val all = filled.groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+      .withColumn("worker", lit("<all>"))
+    filled.unionByName(all.select("worker", "bucket", "n"))
+      .withColumn("rpm", col("n") * 60.0 / stepSec)
   }
 
   /** A12: per-domain stats (response_stats.py:163-184): pages, total
@@ -64,18 +116,17 @@ object StatsJobs {
 
   /** A12 extension: per-domain stats plus the cumulative coverage share
     * of the top-N domains by page count (response_stats.py:165-171
-    * "share of N top domains"). */
+    * "share of N top domains"). Distributed prefix scan — no
+    * single-partition global window (at 10^8 domains that sort would
+    * serialize on one task). */
   def domainStatsWithCoverage(metrics: DataFrame, domain: Column): DataFrame = {
     val base = domainStats(metrics, domain)
-    val w = Window.orderBy(col("pages").desc, col("domain").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = Window.partitionBy()
-    base
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("pages").desc, col("domain").asc)))
-      .withColumn("coverage",
-        sum(col("pages")).over(w).cast("double") /
-          sum(col("pages")).over(total))
+    val (run, _, total) = Cumulative.runningTotals(base,
+      Seq(col("pages").desc, col("domain").asc), col("pages"),
+      "rank", "_cum_pages")
+    run.withColumn("rank", col("rank").cast("int"))
+      .withColumn("coverage", col("_cum_pages") / lit(total))
+      .drop("_cum_pages")
   }
 
   /** A13: crawl score summary (response_stats.py:137-160): totals plus

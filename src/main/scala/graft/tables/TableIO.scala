@@ -2,7 +2,8 @@ package graft.tables
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 /** Thin table seam: Parquet directories with Iceberg-compatible layouts
   * (epoch-partition directories as snapshot analogues). The sandbox has
@@ -42,4 +43,29 @@ object TableIO {
 
   def exists(root: String, table: String, epoch: Int): Boolean =
     Files.exists(Paths.get(epochDir(root, table, epoch), "_SUCCESS"))
+
+  // --- url-bucketed pages layout (fetch-scan pruning) -----------------------
+
+  /** The shared bucketing function: writer and fetch-side pruner MUST
+    * agree on it, so it lives here. */
+  def bucketCol(url: Column, nBuckets: Int): Column =
+    pmod(xxhash64(url), lit(nBuckets.toLong))
+
+  /** Write the pages table hash-bucketed by url into `bucket=` partition
+    * directories. The per-epoch fetch join then prunes its scan to the
+    * buckets of the popped batch (PartitionFilters at the source) instead
+    * of reading the full 100 TB table every epoch — the Iceberg analogue
+    * is a bucket(url) partition spec. */
+  def writeBucketed(df: DataFrame, root: String, table: String,
+                    nBuckets: Int): Unit =
+    df.withColumn("bucket", bucketCol(col("url"), nBuckets))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$root/$table")
+
+  /** Read a bucketed table; `bucket` comes back as a partition column
+    * usable in pruning predicates. */
+  def readBucketed(spark: SparkSession, root: String,
+                   table: String): DataFrame =
+    spark.read.option("basePath", s"$root/$table").parquet(s"$root/$table")
 }

@@ -41,8 +41,14 @@ object UrlFunctions {
     * (dd_crawler/dupefilter.py:14-21). Built on the UDF canonicalizer but
     * hashing with Spark's codegen'd sha1.
     */
-  def url_fingerprint(c: Column): Column =
-    sha1(concat(lit("GET"), canon_url(c), lit("login=None")))
+  def url_fingerprint(c: Column): Column = url_fingerprint(c, lit("None"))
+
+  /** Login-aware fingerprint (dd_crawler/dupefilter.py:20): the login
+    * state ("None" | "True" | "False" — Python's str(meta['logged-in']))
+    * is a hash dimension, so the same URL requested after login is NOT a
+    * duplicate of its pre-login request. */
+  def url_fingerprint(c: Column, login: Column): Column =
+    sha1(concat(lit("GET"), canon_url(c), lit("login="), login))
 
   /** md5(url) as 16 raw bytes — request `parent` hash
     * (dd_crawler/spiders.py:117-121). Pure built-ins: unhex(md5(..)). */

@@ -25,6 +25,8 @@ class CrawlE2ESpec extends AnyFunSuite with SparkSuite {
     selection = Selection.BatchSoftmax,
     concurrentPerDomain = 8,
     maxScore = Double.PositiveInfinity,
+    depthPriority = 0, // reference tests run a bare crawler (library default)
+    domainStateLog = true, // the domain-state shape is asserted below
     seed = 23L)
 
   private def runSite(domainLimit: Boolean, relevancy: Boolean,

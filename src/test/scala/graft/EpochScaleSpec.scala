@@ -1,0 +1,174 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.epoch.CrawlJob
+import graft.frontier.{CrawlConfig, FrontierEngine, Req, Selection}
+import graft.gen.SynthWeb
+import graft.stats.{Cumulative, StatsJobs}
+import graft.tables.Schemas.PageRow
+import graft.tables.TableIO
+
+/** Scale-mechanics invariants introduced in round 2:
+  * DEPTH_PRIORITY, the exact deferred-by-politeness counter, incremental
+  * frontier/seen counters, bucket-pruned fetch, the distributed prefix
+  * scan, overflow-free ewm, and worker-aligned RPM series.
+  */
+class EpochScaleSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def chainPages() = {
+    def p(path: String, html: String) = PageRow(
+      url = "http://chain.com" + path,
+      warc_ts = new Timestamp(1735689600000L),
+      html = html.getBytes("UTF-8"),
+      text = graft.text.TextExtract.extractText(html),
+      lang = "en")
+    spark.createDataset(Seq(
+      p("/", """<a href="/a">a</a>"""),
+      p("/a", """<a href="/b">b</a>"""),
+      p("/b", "end"))).toDF()
+  }
+
+  test("DEPTH_PRIORITY lowers child priority by depth (settings.py:37)") {
+    def priorities(dp: Int): Map[String, Long] = {
+      val job = new CrawlJob(spark,
+        CrawlConfig(depthPriority = dp, seed = 3L), chainPages())
+      job.seed(Seq("http://chain.com/"))
+      job.run(maxEpochs = 6)
+      job.crawledPages.select($"url", $"priority").as[(String, Long)]
+        .collect().toMap
+    }
+    val withDp = priorities(1)
+    assert(withDp("http://chain.com/a") == -1L) // depth 1 → 0 - 1×1
+    assert(withDp("http://chain.com/b") == -2L) // depth 2 → 0 - 2×1
+    val without = priorities(0)
+    assert(without("http://chain.com/a") == 0L)
+    assert(without("http://chain.com/b") == 0L)
+  }
+
+  test("deferred-by-politeness = sampled queue depth − popped, exactly") {
+    val cfg = CrawlConfig(batchSize = 4, concurrentPerDomain = 4, // maxQueueN=2
+      selection = Selection.BatchSoftmax, seed = 9L)
+    val engine = new FrontierEngine(spark, cfg)
+    val reqs = for {
+      (d, n) <- Seq(("alpha.com", 5), ("beta.com", 3), ("gamma.com", 2))
+      i <- 0 until n
+    } yield Req(s"http://$d/p/$i", priority = 100L * i)
+    engine.push(reqs)
+    val qlen = Map("alpha.com" -> 5L, "beta.com" -> 3L, "gamma.com" -> 2L)
+    val popped = engine.popEpochDf(0)
+    val nPopped = popped.count()
+    assert(nPopped == engine.lastPopCount)
+    val sampled = engine.lastScheduleDecision.get.sampledDomains.distinct
+    val expectedDepth = sampled.map(qlen).sum
+    assert(engine.lastPopCount + engine.lastPopDeferred == expectedDepth,
+      s"popped=${engine.lastPopCount} deferred=${engine.lastPopDeferred} " +
+        s"sampled=$sampled")
+    // and the frontier counter tracked the pop incrementally
+    assert(engine.len == 10 - nPopped)
+    assert(engine.len == engine.lenExact)
+  }
+
+  test("incremental len/seenCount match exact recounts across a crawl") {
+    val web = SynthWeb.WebConfig(nDomains = 5, pagesPerDomain = 8)
+    val job = new CrawlJob(spark, CrawlConfig(batchSize = 30, seed = 12L),
+      SynthWeb.pages(spark, web).toDF().localCheckpoint(true))
+    job.seed(SynthWeb.seedUrls(web, 3))
+    job.run(maxEpochs = 8)
+    assert(job.engine.len == job.engine.lenExact)
+    assert(job.engine.seenCount == job.engine.seenCountExact)
+    assert(job.engine.seenCount > 0)
+  }
+
+  test("bucketed pages: fetch results identical, scan bucket-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val web = SynthWeb.WebConfig(nDomains = 6, pagesPerDomain = 6)
+    val pages = SynthWeb.pages(spark, web).toDF().localCheckpoint(true)
+    val nBuckets = 16
+    TableIO.writeBucketed(pages, dir, "pages", nBuckets)
+    val bucketed = TableIO.readBucketed(spark, dir, "pages")
+
+    def crawl(p: org.apache.spark.sql.DataFrame, buckets: Int) = {
+      val job = new CrawlJob(spark,
+        CrawlConfig(batchSize = 25, seed = 4L, pagesBuckets = buckets), p)
+      job.seed(SynthWeb.seedUrls(web, 3))
+      job.run(maxEpochs = 6)
+      job.crawledPages.select("url").as[String].collect().sorted.toSeq
+    }
+    val plain = crawl(pages, 0)
+    val pruned = crawl(bucketed, nBuckets)
+    assert(plain == pruned)
+    assert(plain.nonEmpty)
+
+    // physical evidence: a bucket predicate reaches the scan as a
+    // partition filter (the fetch join's scan prunes to the popped
+    // batch's buckets)
+    val plan = bucketed.filter($"bucket".isin(0L, 1L, 2L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      plan.take(2000))
+  }
+
+  test("Cumulative.runningTotals == single-partition window reference") {
+    val df = spark.range(0, 1000)
+      .select(concat(lit("k"), format_string("%04d", pmod($"id" * 37, lit(1000))))
+        .as("k"), ($"id" % 13).cast("double").as("v"))
+    val (run, n, total) = Cumulative.runningTotals(
+      df, Seq($"k".asc), $"v", "rn", "cum", countOffset = 5L,
+      sumOffset = 2.5)
+    assert(n == 1000)
+    assert(math.abs(total - df.agg(sum($"v")).head().getDouble(0)) < 1e-9)
+    val w = Window.orderBy($"k")
+    val ref = df
+      .withColumn("rn", row_number().over(w).cast("long") + 5L)
+      .withColumn("cum", sum($"v").over(w) + 2.5)
+      .select($"k", $"rn", $"cum").as[(String, Long, Double)]
+      .collect().sortBy(_._1)
+    val got = run.select($"k", $"rn", $"cum").as[(String, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(got.length == ref.length)
+    got.zip(ref).foreach { case ((k1, r1, c1), (k2, r2, c2)) =>
+      assert(k1 == k2 && r1 == r2 && math.abs(c1 - c2) < 1e-9, s"$k1")
+    }
+  }
+
+  test("ewm is overflow-free on long series and matches the recurrence") {
+    val n = 5000
+    val span = 5.0
+    val alpha = 2.0 / (span + 1.0)
+    val xs = (0 until n).map(i => ((i * 7919) % 101).toDouble)
+    val df = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("t", "x")
+    val got = StatsJobs.ewm(df, $"t", $"x", span)
+      .orderBy($"t").select($"ewm").as[Double].collect()
+    assert(got.length == n)
+    assert(!got.exists(_.isNaN), "NaN leaked from ewm")
+    var num = 0.0; var den = 0.0
+    xs.zipWithIndex.foreach { case (x, i) =>
+      num = x + (1 - alpha) * num
+      den = 1 + (1 - alpha) * den
+      assert(math.abs(got(i) - num / den) < 1e-9, s"row $i")
+    }
+  }
+
+  test("workerRpms: outer-aligned, zero-filled, with the <all> sum") {
+    val rows = Seq(
+      ("w0", 0L), ("w0", 10L), ("w0", 70L), // buckets 0 and 60
+      ("w1", 65L)) // bucket 60 only
+      .map { case (w, s) => (w, new Timestamp(s * 1000L)) }
+    val df = rows.toDF("worker", "ts")
+    val out = StatsJobs.workerRpms(df, $"worker", $"ts", 60)
+      .orderBy($"worker", $"bucket")
+      .select($"worker", $"bucket", $"n").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("<all>", 0L, 2L), ("<all>", 60L, 2L),
+      ("w0", 0L, 2L), ("w0", 60L, 1L),
+      ("w1", 0L, 0L), // zero-filled missing bucket
+      ("w1", 60L, 1L)))
+  }
+}

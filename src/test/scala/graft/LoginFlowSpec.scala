@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.epoch.CrawlJob
+import graft.frontier.{CrawlConfig, Selection}
+import graft.gen.SynthWeb
+import graft.urlops.{UrlOps, UrlFunctions => UF}
+
+/** Port of the reference login e2e suite (tests/test_login.py:98-143)
+  * plus the dupefilter's login dimension (dd_crawler/dupefilter.py:14-21):
+  *
+  *  - without credentials the crawl collects exactly the public pages;
+  *  - `add_login_credentials` mid-crawl (commands/login.py) re-pushes the
+  *    login URL past the dupefilter, unlocks the authenticated pages, and
+  *    the response log carries has_login_form / login_success;
+  *  - the same URL is NOT a duplicate of itself across login states.
+  */
+class LoginFlowSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def getPath(url: String): String = UrlOps.urlPathQueryFragment(url)
+
+  private def cfg = CrawlConfig(
+    spiderName = "test_login_spider",
+    selection = Selection.BatchSoftmax,
+    concurrentPerDomain = 8,
+    maxScore = Double.PositiveInfinity,
+    depthPriority = 0,
+    autologinEnabled = true,
+    seed = 31L)
+
+  test("fingerprint carries the login state as a hash dimension") {
+    val df = Seq("http://example.com/a").toDF("url")
+    val fps = df.select(
+      UF.url_fingerprint($"url").as("none"),
+      UF.url_fingerprint($"url", org.apache.spark.sql.functions.lit("True"))
+        .as("t"),
+      UF.url_fingerprint($"url", org.apache.spark.sql.functions.lit("False"))
+        .as("f")).head()
+    assert(fps.getString(0) != fps.getString(1))
+    assert(fps.getString(0) != fps.getString(2))
+    assert(fps.getString(1) != fps.getString(2))
+  }
+
+  test("dupefilter passes a seen URL again under a new login state") {
+    val job = new CrawlJob(spark, cfg, SynthWeb.loginSitePages(spark).toDF())
+    val engine = job.engine
+    import org.apache.spark.sql.functions._
+    val candNone = Seq("http://localhost/hidden").toDF("url")
+      .withColumn("login", lit("None"))
+    assert(engine.dedupAgainstSeen(candNone).count() == 1)
+    // same url, still login=None → duplicate
+    assert(engine.dedupAgainstSeen(candNone).count() == 0)
+    // same url, now logged in → fingerprints differ, passes again
+    val candTrue = candNone.withColumn("login", lit("True"))
+    assert(engine.dedupAgainstSeen(candTrue).count() == 1)
+  }
+
+  test("no login: only the public pages are collected (test_no_login)") {
+    val job = new CrawlJob(spark,
+      cfg.copy(autologinEnabled = false),
+      SynthWeb.loginSitePages(spark).toDF(),
+      authPages = Some(SynthWeb.loginSiteAuthPages(spark).toDF()))
+    job.seed(SynthWeb.loginSiteSeeds)
+    job.run(maxEpochs = 10)
+    val paths = job.crawledPages.select("url").as[String].collect()
+      .map(getPath).toSet
+    assert(paths == Set("/", "/login", "/open", "/more"))
+  }
+
+  test("login mid-crawl unlocks hidden pages; log has login fields " +
+       "(test_login)") {
+    val job = new CrawlJob(spark, cfg,
+      SynthWeb.loginSitePages(spark).toDF(),
+      authPages = Some(SynthWeb.loginSiteAuthPages(spark).toDF()))
+    job.seed(SynthWeb.loginSiteSeeds)
+    // ATestLoginSpider.parse: add credentials the first time /login is
+    // parsed (test_login.py:110-122)
+    var added = false
+    var steps = 0
+    while (job.engine.len > 0 && steps < 12) {
+      job.runEpoch()
+      steps += 1
+      if (!added && job.crawledPages.filter($"url".endsWith("/login"))
+            .count() > 0) {
+        job.addLoginCredentials("http://localhost/login", "admin", "secret")
+        added = true
+      }
+    }
+    assert(added, "login page was never crawled")
+    val paths = job.crawledPages.select("url").as[String].collect()
+      .map(getPath).toSet
+    assert(Set("/more", "/hidden-2", "/open", "/hidden").subsetOf(paths))
+    // json-lines log fields (test_login.py:138-143)
+    assert(job.metrics.filter($"has_login_form" === true).count() > 0)
+    assert(job.metrics.filter($"login_success" === true).count() > 0)
+    // queue surface: the login-form domain set (queue.py:342-348)
+    assert(job.hasLoginForm("http://localhost/anything"))
+  }
+}

@@ -108,6 +108,90 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(pairs.contains((0L, 1001L)) || pairs.contains((1000L, 1001L)))
   }
 
+  test("simhash banding is EXACT for hamming ≤ 3: equals brute force") {
+    // pigeonhole: 4×16-bit chunks, ≤3 differing bits ⇒ ≥1 identical chunk,
+    // so the banded pair set must EQUAL the all-pairs computation
+    val fixture = docs.limit(120).select($"doc_id", $"text")
+    val local = fixture.as[(Long, String)].collect()
+      .map { case (id, t) => (id, Dedup.simhash(t)) }
+    val brute = (for {
+      (ia, sa) <- local; (ib, sb) <- local
+      if ia < ib && Dedup.hamming(sa, sb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashPairs(fixture, $"doc_id", $"text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"banded ${banded.size} vs brute ${brute.size}")
+  }
+
+  test("IVF with nProbe = nCells degenerates to exact brute force") {
+    val all = embeddings.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val query = all.find(_._1 == 3L).get._2
+    val brute = Similarity.bruteForceTopK(embeddings, $"vec_id",
+      $"embedding", query, 10).select("vec_id").as[Long].collect().toSeq
+    val (indexed, centroids) = Similarity.ivfIndex(embeddings, $"vec_id",
+      $"embedding", nCells = 8)
+    val ivf = Similarity.ivfTopK(indexed.localCheckpoint(true), centroids,
+      query, 10, nProbe = 8).select("vec_id").as[Long].collect().toSeq
+    assert(ivf == brute)
+  }
+
+  test("embedding near-dup: precision 1 vs brute force, recall bounded") {
+    val base = embeddings.limit(60)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    // seed several near-duplicate clusters
+    val extra = base.take(6).zipWithIndex.map { case ((_, v), i) =>
+      val p = v.toArray.clone(); p(i) = p(i) + 0.002f
+      (2000L + i, p.toSeq)
+    }
+    val rows = base.toSeq ++ extra
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val thr = 0.999
+    val brute = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && cos(va, vb) >= thr
+    } yield (ia, ib)).toSet
+    val got = Dedup.embeddingCosinePairs(rows.toDF("vec_id", "embedding"),
+        $"vec_id", $"embedding", threshold = thr, nBits = 8, nBands = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact verify inside buckets ⇒ no false positives
+    assert(got.subsetOf(brute))
+    // banded LSH recall on the seeded near-identical pairs
+    assert(brute.nonEmpty)
+    assert(got.size.toDouble / brute.size >= 0.8,
+      s"recall ${got.size}/${brute.size}")
+  }
+
+  test("minhash pairs are a subset of exact-jaccard pairs at threshold") {
+    val fixture = docs.limit(150).select($"doc_id", $"text")
+    val exactPairs = {
+      val local = fixture.as[(Long, String)].collect()
+        .map { case (id, t) => (id, Dedup.shingles(t, 3)) }
+      (for {
+        (ia, sa) <- local; (ib, sb) <- local
+        if ia < ib && Dedup.exactJaccard(sa, sb) >= 0.7
+      } yield (ia, ib)).toSet
+    }
+    val got = Dedup.minhashLshPairs(fixture, $"doc_id", $"text",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the verify step IS exact jaccard ⇒ subset must hold exactly
+    assert(got.subsetOf(exactPairs))
+    // banding recall at j ≥ 0.7 with b=8, r=4: P(collide) = 1-(1-j^r)^b
+    // ≥ 0.93 — on the synthetic corpus demand no worse than 70%
+    if (exactPairs.nonEmpty)
+      assert(got.size.toDouble / exactPairs.size >= 0.7,
+        s"recall ${got.size}/${exactPairs.size}")
+  }
+
   // --- similarity search -----------------------------------------------------------
 
   test("brute-force cosine top-k matches a local computation") {

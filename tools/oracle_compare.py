@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/oracle_compare.py <verify_out_dir> <sf_dir> [query...]
+
+Runs each oracle SQL from <verify_out_dir>/oracle_sql.json in DuckDB over
+the parquet tables in <sf_dir>, reads the Spark result parquet, and
+compares row count, schema (column names sorted) and a value hash
+(columns sorted by name, rows in result order).
+"""
+import hashlib
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    h = hashlib.sha1()
+    for row in df.itertuples(index=False):
+        for v in row:
+            if isinstance(v, float):
+                h.update(f"{v:.9g}".encode())
+            else:
+                h.update(str(v).encode())
+            h.update(b"\x01")
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        spark_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_dir):
+            print(f"{name}: MISSING spark output")
+            failures += 1
+            continue
+        sdf = pd.read_parquet(spark_dir)
+        try:
+            odf = con.execute(sql).df()
+        except Exception as e:
+            print(f"{name}: ORACLE ERROR {e}")
+            failures += 1
+            continue
+        rows = len(sdf) == len(odf)
+        schema = sorted(sdf.columns) == sorted(odf.columns)
+        hmatch = schema and rows and value_hash(sdf) == value_hash(odf)
+        status = "OK" if (rows and schema and hmatch) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{name}: {status} rows={len(sdf)}/{len(odf)} "
+              f"schema={schema} hash={hmatch}")
+        if status == "FAIL" and schema and rows:
+            merged_cols = sorted(sdf.columns)
+            for i in range(min(len(sdf), len(odf))):
+                a = [sdf[c].iloc[i] for c in merged_cols]
+                b = [odf[c].iloc[i] for c in merged_cols]
+                fa = ["%.9g" % v if isinstance(v, float) else str(v) for v in a]
+                fb = ["%.9g" % v if isinstance(v, float) else str(v) for v in b]
+                if fa != fb:
+                    print(f"  first diff row {i}: spark={fa} oracle={fb}")
+                    break
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
