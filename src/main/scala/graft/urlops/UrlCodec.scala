@@ -1,0 +1,124 @@
+package graft.urlops
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** P5: smaz-style URL compression for compact frontier payloads — the
+  * reference's CompactQueue codec (dd_crawler/queue.py:379-392). The
+  * reference replaces the stock smaz dictionary with a custom URL-first
+  * table ("A custom table with symbols commonly occurring in URLs",
+  * queue.py:379-381) and pins ONLY the roundtrip property
+  * (tests/test_queue.py `test_url_compress`), so this is the same
+  * algorithm family — greedy longest-match against a ≤253-entry
+  * codebook, with verbatim-byte escapes — over a URL-oriented codebook.
+  *
+  * Wire format (classic smaz): output bytes 0..252 are codebook indices;
+  * 254 escapes one verbatim byte; 255 n escapes a run of n+1 verbatim
+  * bytes (n ≤ 254). Verbatim bytes are UTF-8, so roundtrip holds for any
+  * string, not just latin-1.
+  */
+object UrlCodec {
+
+  /** URL-first entries (queue.py:382-383), then common URL/host/path
+    * fragments and english n-grams (space-free, mirroring the
+    * reference's filter of space-bearing smaz entries). Order matters
+    * only for ties; matching is longest-first. */
+  private val codebook: Array[String] = {
+    val urlFirst = Seq(
+      "http://", "https://", "http://www.", "https://www.",
+      ".com/", ".com", "?", "%",
+      ".org/", ".org", ".net/", ".net", ".co.uk/", ".co.uk", ".ru/",
+      ".de/", ".io/", "www.", "/index", ".html", ".php", ".jpg", ".png",
+      ".pdf", "&amp;", "id=", "page=", "ref=", "utm_", "&", "=", "/", ".",
+      "-", "_", ":", "~", "#")
+    val fragments = Seq(
+      "the", "and", "ing", "ion", "tio", "ent", "ati", "for", "her",
+      "ter", "hat", "tha", "ere", "ate", "his", "con", "res", "ver",
+      "all", "ons", "nce", "men", "ith", "ted", "ers", "pro", "thi",
+      "wit", "are", "ess", "not", "ive", "was", "ect", "rea", "com",
+      "eve", "per", "int", "est", "sta", "cti", "ica", "ist", "ear",
+      "ain", "one", "our", "iti", "rat", "ell", "ant", "age", "ous",
+      "ine", "ide", "ity", "ome", "ble", "der", "tur", "ore", "ely",
+      "out", "ure", "str", "ort", "art", "ack", "ile", "able", "ment",
+      "tion", "news", "blog", "post", "user", "item", "view", "shop",
+      "cart", "site", "page", "link", "data", "info", "about", "search",
+      "category", "product", "article")
+    val chars = (('a' to 'z') ++ ('0' to '9') ++ Seq('e', 't')).map(_.toString)
+    (urlFirst ++ fragments ++ chars).distinct.take(253).toArray
+  }
+
+  private val codeOf: Map[String, Int] =
+    codebook.zipWithIndex.toMap
+  /** entries grouped by first byte, longest first — greedy matcher. */
+  private val byFirst: Map[Char, Array[String]] = codebook
+    .groupBy(_.head)
+    .view.mapValues(_.sortBy(-_.length)).toMap
+
+  def compress(s: String): Array[Byte] = {
+    if (s == null) return null
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    val verbatim = new java.io.ByteArrayOutputStream(16)
+    def flushVerbatim(): Unit = {
+      val bs = verbatim.toByteArray
+      var off = 0
+      while (off < bs.length) {
+        val n = math.min(255, bs.length - off)
+        if (n == 1) {
+          out.write(254); out.write(bs(off))
+        } else {
+          out.write(255); out.write(n - 1); out.write(bs, off, n)
+        }
+        off += n
+      }
+      verbatim.reset()
+    }
+    var i = 0
+    while (i < s.length) {
+      val cands = byFirst.getOrElse(s.charAt(i), Array.empty[String])
+      var matched: String = null
+      var c = 0
+      while (matched == null && c < cands.length) {
+        val e = cands(c)
+        if (s.regionMatches(i, e, 0, e.length)) matched = e
+        c += 1
+      }
+      if (matched != null) {
+        flushVerbatim()
+        out.write(codeOf(matched))
+        i += matched.length
+      } else {
+        verbatim.write(s.substring(i, i + 1).getBytes(UTF_8))
+        i += 1
+      }
+    }
+    flushVerbatim()
+    out.toByteArray
+  }
+
+  def decompress(bs: Array[Byte]): String = {
+    if (bs == null) return null
+    val out = new java.io.ByteArrayOutputStream(bs.length * 2)
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i) & 0xff
+      if (b == 254) {
+        out.write(bs(i + 1)); i += 2
+      } else if (b == 255) {
+        val n = (bs(i + 1) & 0xff) + 1
+        out.write(bs, i + 2, n); i += 2 + n
+      } else {
+        out.write(codebook(b).getBytes(UTF_8)); i += 1
+      }
+    }
+    new String(out.toByteArray, UTF_8)
+  }
+
+  val compressUdf = udf((s: String) => compress(s))
+  val decompressUdf = udf((b: Array[Byte]) => decompress(b))
+
+  /** Column forms for a CompactQueue-style frontier layout. */
+  def url_compress(c: Column): Column = compressUdf(c)
+  def url_decompress(c: Column): Column = decompressUdf(c)
+}
