@@ -27,6 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // the sandbox VM has 125 GiB; benchmark state (localCheckpoint blocks
-  // for a 10M-row frontier batch) needs headroom beyond Spark's default
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // for a 10-20M-row frontier batch + seen parts) needs headroom beyond
+  // Spark's default — GC churn at the margin shows up as superlinear
+  // batch cost
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -75,7 +75,8 @@ object Bench {
   }
 
   /** One full scheduling batch over a fresh engine: seen-table warmup,
-    * then timed fingerprint-dedup + gated push + batch pop. Returns
+    * then timed fused fingerprint-dedup+push (the product hot path,
+    * FrontierEngine.ingestBatch) + batch pop. Returns
     * (urlsProcessed, seconds). */
   def frontierBatch(spark: SparkSession, nUrls: Long,
                     nDomains: Int): (Long, Double) = {
@@ -87,8 +88,7 @@ object Bench {
     engine.dedupAgainstSeen(warm).count()
     val batch = candidates(spark, nUrls, nDomains).localCheckpoint(true)
     val t0 = System.nanoTime()
-    val unseen = engine.dedupAgainstSeen(batch)
-    engine.pushBatch(unseen, 1, assumeFresh = true) // ckpt materializes
+    engine.ingestBatch(batch, 1)
     engine.popEpochDf(0).count()
     val secs = (System.nanoTime() - t0) / 1e9
     (nUrls, secs)
@@ -115,7 +115,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchUrls = sys.env.getOrElse("SPARK_GRAFT_BENCH_URLS", "10000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val nDomains = 20000
 
     val spark = session(cpus, fixedPartitions = false)

@@ -154,8 +154,7 @@ final class CrawlJob(
       .withColumn("priority", lit(priority))
       .withColumn("depth", lit(0))
       .withColumn("parent", lit(null).cast(BinaryType))
-    val unseen = engine.dedupAgainstSeen(withLoginState(df))
-    engine.pushBatch(unseen.drop("login"), 0, assumeFresh = true)
+    engine.ingestBatch(withLoginState(df), 0)
   }
 
   /** S1: seed-file loader — strip, drop blank and `#` lines. */
@@ -441,11 +440,13 @@ final class CrawlJob(
       nDroppedRobots = nAfterGates - nGated
     }
 
-    // 6. F1 dedup + push (dupefilter.py:8-21; queue.py:76-103) — counts
-    // observed on the checkpoints inside the engine, no re-count jobs
-    val unseen = engine.dedupAgainstSeen(candidates)
+    // 6. F1 dedup + push (dupefilter.py:8-21; queue.py:76-103), fused:
+    // one materialization feeds both the seen increment and the frontier
+    // part; counts observed on that checkpoint, no re-count jobs
+    engine.ingestBatch(
+      candidates.select("url", "priority", "depth", "parent", "login"),
+      epoch)
     val nUnseen = engine.lastDedupUnseen
-    engine.pushBatch(unseen.drop("login"), epoch, assumeFresh = true)
     val nAccepted = engine.lastPushAccepted
 
     // 7. outputs + cumulative domain sets (batch-bounded collects only)

@@ -56,6 +56,14 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
   val rng = new java.util.Random(cfg.seed)
 
+  // One-shot CollectLimit: popEpochDf's domain-scores take() would
+  // otherwise probe reduce partitions in 1/5/21/... rounds — up to 4
+  // driver round-trips per pop on a result that is one row per domain.
+  // Scanning all reduce partitions in the first round costs nothing
+  // extra (the map stage ran anyway) and removes the serial rounds.
+  spark.conf.set("spark.sql.limit.initialNumPartitions",
+    math.max(spark.sessionState.conf.numShufflePartitions, 1).toString)
+
   // --- state ---------------------------------------------------------------
 
   private val frontierSchema = StructType(Seq(
@@ -462,6 +470,64 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01))
     }
     unseen.drop("fp")
+  }
+
+  /** Fused dedup + push — the epoch hot path. `dedupAgainstSeen`
+    * followed by `pushBatch` materializes the surviving batch twice
+    * (once for the seen increment, once for the frontier part);
+    * at scale that second full write+read pass is pure overhead. Here
+    * ONE checkpointed dataframe carries both: its `fp` projection is the
+    * seen increment, the rest is the frontier part. Falls back to the
+    * two-step path when push gates are active (F6/F7), whose replace
+    * semantics need the general machinery.
+    *
+    * Input: url[, priority, depth, parent, login]. Returns the ingested
+    * rows; updates lastDedupUnseen / lastPushAccepted / counters.
+    */
+  def ingestBatch(cand: DataFrame, epoch: Int): DataFrame = {
+    if (cfg.maxDomains > 0 || didRestrict) {
+      val unseen = dedupAgainstSeen(cand)
+      return pushBatch(unseen.drop("login"), epoch, assumeFresh = true)
+    }
+    val loginCol =
+      if (cand.columns.contains("login")) coalesce($"login", lit("None"))
+      else lit("None")
+    val fped = cand.withColumn("fp", UF.url_fingerprint($"url", loginCol))
+    val payload = Seq("url", "priority", "depth", "parent")
+    val batchUnique = fped
+      .groupBy($"fp")
+      .agg(min(struct(payload.map(col): _*)).as("_s"))
+      .select(col("fp") +: payload.map(c => col(s"_s.$c").as(c)): _*)
+    val unseenPlan = bloom match {
+      case Some(b) =>
+        val (maybeSeen0, fresh) = BloomSeen.prefilter(batchUnique, b)
+        val maybeSeen = maybeSeen0.localCheckpoint(true)
+        val batchBloom = BloomSeen.build(maybeSeen.select("fp"), "fp",
+          cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01)
+        val bc = spark.sparkContext.broadcast(batchBloom)
+        val hit = udf((fp: String) => bc.value.mightContain(fp))
+        maybeSeen.join(seen.filter(hit($"fp")), Seq("fp"), "left_anti")
+          .unionByName(fresh)
+      case None => batchUnique.join(seen, Seq("fp"), "left_anti")
+    }
+    val (part, n) = Eager.ckptCount(unseenPlan
+      .withColumn("domain", UF.registered_domain($"url"))
+      .withColumn("priority", UF.clamp_priority($"priority", cfg.maxScore))
+      .withColumn("depth", UF.clamp_depth($"depth"))
+      .select($"fp", $"domain", $"url", $"priority", $"depth", $"parent",
+        lit(epoch).as("epoch_added")))
+    lastDedupUnseen = n
+    lastPushAccepted = n
+    seenCounter += n
+    frontierLenCount += n
+    seenParts = seenParts :+ part.select("fp")
+    if (seenParts.size > seenCompactThreshold)
+      seenParts = Vector(ckpt(seen))
+    frontierParts = frontierParts :+ part.drop("fp")
+    maybeCompactFrontier()
+    bloom = bloom.map(_.merge(BloomSeen.build(part.select("fp"), "fp",
+      cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01)))
+    part.drop("fp")
   }
 
   // --- pop (queue.py:285-306, 441-553) ----------------------------------------
