@@ -340,14 +340,15 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // IVF approximate top-k (scale ANN path)
+    // IVF approximate top-k (scale ANN path; centroids from 3 rounds of
+    // deterministic distributed Lloyd's k-means)
     "q27_ivf_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter($"vec_id" === 0).select($"embedding")
         .head().getAs[scala.collection.Seq[Float]](0).toSeq
       val (indexed, centroids) = Similarity.ivfIndex(emb, $"vec_id",
-        $"embedding", nCells = 16)
+        $"embedding", nCells = 16, kmeansIters = 3)
       Similarity.ivfTopK(indexed.localCheckpoint(true), centroids, qv,
         k = 10, nProbe = 8)
     }),

@@ -95,7 +95,8 @@ object Checkpoint {
     loadManifest(root).map { m =>
       val tables = stateTables
         .map(t => t -> TableIO.readSnapshot(spark, root, t, m.epoch)).toMap
-      engine.restoreState(tables, m.didRestrict, m.epoch, m.seq)
+      engine.restoreState(tables, m.didRestrict, m.epoch, m.seq,
+        rebuildBloom = false)
       if (engine.cfg.bloomPrefilter)
         engine.bloom = Some(graft.frontier.BloomSeen.load(
           spark, TableIO.epochDir(root, "bloom", m.epoch)))

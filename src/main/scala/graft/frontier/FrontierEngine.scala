@@ -94,8 +94,16 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       .getOrElse(emptyDf(frontierSchema))
     popTombstones.reduceOption(_ unionByName _) match {
       case Some(tombs) =>
+        // tombstones are batch-bounded by construction (popped rows
+        // since the last compaction), so BROADCAST them explicitly.
+        // Without the hint the optimizer pushes the anti-join through
+        // the parts union and plans K sort-merge joins that each
+        // re-shuffle the full tombstone union (K = part count — job
+        // count and shuffle volume grew with epochs; caught by the
+        // EpochScaleSpec job-budget guard). With it, the pushed-down
+        // per-part joins share ONE reused broadcast and no shuffle.
         base.withColumn("pkey", pkeyCol)
-          .join(tombs, Seq("pkey"), "left_anti").drop("pkey")
+          .join(broadcast(tombs), Seq("pkey"), "left_anti").drop("pkey")
       case None => base
     }
   }
@@ -723,7 +731,8 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     "relevance" -> relevance, "allowed" -> allowed, "seen" -> seen)
 
   def restoreState(tables: Map[String, DataFrame], didRestrictFlag: Boolean,
-                   epoch: Int, seq: Long): Unit = {
+                   epoch: Int, seq: Long,
+                   rebuildBloom: Boolean = true): Unit = {
     val (fPart, fLen) = Eager.ckptCount(tables("frontier"))
     frontierParts = Vector(fPart)
     frontierLenCount = fLen
@@ -741,9 +750,9 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     // an empty Bloom would classify every candidate as definitely-new and
     // skip the exact anti-join — rebuild it from the restored seen set so
     // dedup exactness cannot be violated by a bare restoreState. Callers
-    // holding a checkpointed Bloom (Checkpoint.resume) overwrite this
-    // with the loaded one afterwards; the invariant holds either way.
-    if (cfg.bloomPrefilter)
+    // holding a checkpointed Bloom (Checkpoint.resume) pass
+    // rebuildBloom=false and load theirs instead of paying the rebuild.
+    if (cfg.bloomPrefilter && rebuildBloom)
       bloom = Some(BloomSeen.build(sPart.select("fp"), "fp",
         cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01))
   }

@@ -1,0 +1,77 @@
+package graft.html
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.urlops.{UrlFunctions => UF}
+
+/** robots.txt support (north-star capability: "robots.txt compliance";
+  * the reference itself never enables Scrapy's ROBOTSTXT_OBEY, so the
+  * semantics follow the robots exclusion standard, not a reference
+  * implementation).
+  *
+  * Two pieces:
+  *  - a line-based parser extracting the Disallow prefixes that apply to
+  *    a given user-agent (group-aware: rules attach to the most recent
+  *    `User-agent:` lines; `*` matches everyone; comments stripped);
+  *  - a rules-table builder: the crawl input table already CONTAINS the
+  *    web's robots.txt bodies as ordinary `/robots.txt` rows, so the
+  *    per-host rules table is one filtered scan + parse — no extra
+  *    fetching machinery. The result feeds CrawlJob's broadcast robots
+  *    gate (host, disallow_prefixes).
+  */
+object Robots {
+
+  /** Disallow prefixes applying to `userAgent`. `*` groups always
+    * apply; a named group applies on a case-insensitive substring match
+    * (de-facto standard). Asking for userAgent="*" (the default gate)
+    * returns the UNION of all groups — conservative compliance for a
+    * generic crawler. Empty Disallow values (allow all) are dropped. */
+  def disallowPrefixes(body: String, userAgent: String = "*"): Seq[String] = {
+    if (body == null) return Nil
+    val ua = userAgent.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var groupAgents = List.empty[String]
+    var inRules = false // false while accumulating User-agent lines
+    body.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        val idx = line.indexOf(':')
+        if (idx > 0) {
+          val key = line.substring(0, idx).trim.toLowerCase
+          val value = line.substring(idx + 1).trim
+          key match {
+            case "user-agent" =>
+              if (inRules) { groupAgents = Nil; inRules = false }
+              groupAgents ::= value.toLowerCase
+            case "disallow" =>
+              inRules = true
+              val applies =
+                if (ua == "*") groupAgents.nonEmpty
+                else groupAgents.exists(g => g == "*" || ua.contains(g))
+              if (applies && value.nonEmpty) out += value
+            case _ =>
+              inRules = true // allow/crawl-delay/sitemap close the agent list
+          }
+        }
+      }
+    }
+    out.distinct.toSeq
+  }
+
+  private val parseUdf = udf((html: Array[Byte]) =>
+    if (html == null) Seq.empty[String]
+    else disallowPrefixes(new String(html, UTF_8)))
+
+  /** Build the (host, disallow_prefixes) rules table from the pages
+    * table's own `/robots.txt` rows. Scan-level predicate (url suffix)
+    * pushes down; one row per host with a robots file. */
+  def rulesFromPages(pages: DataFrame): DataFrame =
+    pages
+      .filter(col("url").endsWith("/robots.txt"))
+      .select(UF.url_host(col("url")).as("host"),
+        parseUdf(col("html")).as("disallow_prefixes"))
+      .filter(size(col("disallow_prefixes")) > 0)
+}

@@ -45,20 +45,12 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("_rk").as("rank"))
   }
 
-  /** IVF index: assign every vector to its nearest of nCells centroids.
-    * Centroids are the vectors of the lexicographically-first nCells ids
-    * (deterministic; real deployments would k-means, the partitioning
-    * contract is identical). Returns df + `cell` column.
-    */
-  def ivfIndex(df: DataFrame, id: Column, vec: Column,
-               nCells: Int): (DataFrame, Array[(Int, Seq[Float])]) = {
-    import df.sparkSession.implicits._
-    val centroids = df.select(id.as("cid"), vec.as("cv"))
-      .orderBy(col("cid")).limit(nCells)
-      .as[(Long, Seq[Float])].collect()
-      .zipWithIndex.map { case ((_, v), i) => (i, v) }
+  /** Nearest-centroid assignment UDF over a broadcast centroid array
+    * (cosine; the shared primitive of indexing and k-means). */
+  private def assignUdfFor(df: DataFrame,
+      centroids: Array[(Int, Seq[Float])]) = {
     val bc = df.sparkSession.sparkContext.broadcast(centroids)
-    val assignUdf = udf((v: Seq[Float]) => {
+    udf((v: Seq[Float]) => {
       var best = 0; var bestSim = Double.MinValue
       bc.value.foreach { case (i, c) =>
         var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -72,8 +64,62 @@ object Similarity {
       }
       best
     })
+  }
+
+  /** Deterministic distributed Lloyd's k-means over `array<float>`
+    * vectors. Init = the k vectors with the smallest xxhash64(id) (a
+    * deterministic pseudo-random sample — no locality bias, no RNG
+    * state). Each round: assign via broadcast centroids (one scan), then
+    * recompute means with ONE groupBy(cell, dim) shuffle of
+    * (cell, dim, value) triples — k×dims result rows, collected to the
+    * driver (tiny). Cells that go empty keep their previous centroid. */
+  def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int,
+                      iters: Int): Array[(Int, Seq[Float])] = {
+    import df.sparkSession.implicits._
+    val base = df.select(id.as("vid"), vec.as("v"))
+    var centroids: Array[(Int, Seq[Float])] = base
+      .withColumn("h", xxhash64(col("vid")))
+      .orderBy(col("h"), col("vid"))
+      .limit(k)
+      .select(col("v")).as[Seq[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    for (_ <- 1 to iters) {
+      val assign = assignUdfFor(base, centroids)
+      val stats = base
+        .select(assign(col("v")).as("cell"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = stats.groupBy(_.getAs[Int]("cell"))
+      centroids = centroids.map { case (i, old) =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val dims = old.length
+            val mean = new Array[Float](dims)
+            rows.foreach { r =>
+              mean(r.getAs[Int]("dim")) =
+                (r.getAs[Double]("s") / r.getAs[Long]("n")).toFloat
+            }
+            (i, mean.toSeq)
+          case None => (i, old) // empty cell keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** IVF index: assign every vector to its nearest of nCells centroids.
+    * `kmeansIters` = 0 uses the k smallest-hash vectors directly as
+    * centroids (deterministic sample); > 0 refines them with distributed
+    * Lloyd's rounds. Returns df + `cell` column.
+    */
+  def ivfIndex(df: DataFrame, id: Column, vec: Column, nCells: Int,
+               kmeansIters: Int = 0): (DataFrame, Array[(Int, Seq[Float])]) = {
+    val centroids = kmeansCentroids(df, id, vec, nCells, kmeansIters)
+    val assign = assignUdfFor(df, centroids)
     val indexed = df.select(id.as("vec_id"), vec.as("v"))
-      .withColumn("cell", assignUdf(col("v")))
+      .withColumn("cell", assign(col("v")))
     (indexed, centroids)
   }
 

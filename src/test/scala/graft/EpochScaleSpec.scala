@@ -74,6 +74,44 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
     assert(engine.len == engine.lenExact)
   }
 
+  test("epoch loop job count is flat across epochs and bounded " +
+       "(guards the no-O(|state|)-work property)") {
+    // ~10 logical actions per epoch; AQE stage materialization and
+    // broadcast-build sub-jobs inflate the physical count on tiny data,
+    // so the guard is: bounded absolutely AND not growing as seen/
+    // frontier/domain state accumulates across epochs.
+    val web = SynthWeb.WebConfig(nDomains = 8, pagesPerDomain = 10)
+    val job = new CrawlJob(spark, CrawlConfig(batchSize = 30, seed = 21L),
+      SynthWeb.pages(spark, web).toDF().localCheckpoint(true))
+    job.seed(SynthWeb.seedUrls(web, 4))
+    job.runEpoch() // epoch 1 warms lazily-initialized session state
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def measure(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(counter)
+      try {
+        counter.jobs.set(0)
+        body
+        var last = -1
+        var n = counter.jobs.get()
+        while (n != last) {
+          last = n; Thread.sleep(300); n = counter.jobs.get()
+        }
+        n
+      } finally spark.sparkContext.removeSparkListener(counter)
+    }
+    val early = measure(job.runEpoch()) // epoch 2
+    (3 to 5).foreach(_ => job.runEpoch())
+    val late = measure(job.runEpoch()) // epoch 6, 3x more state
+    assert(early > 0 && early <= 25, s"epoch 2 ran $early Spark jobs")
+    assert(late <= early + 4,
+      s"job count grew with state: epoch2=$early epoch6=$late")
+  }
+
   test("incremental len/seenCount match exact recounts across a crawl") {
     val web = SynthWeb.WebConfig(nDomains = 5, pagesPerDomain = 8)
     val job = new CrawlJob(spark, CrawlConfig(batchSize = 30, seed = 12L),

@@ -215,6 +215,25 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(got == expected)
   }
 
+  test("k-means IVF: deterministic, k centroids, exact at full probes") {
+    val all = embeddings.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val query = all.find(_._1 == 11L).get._2
+    val c1 = Similarity.kmeansCentroids(embeddings, $"vec_id",
+      $"embedding", k = 8, iters = 3)
+    val c2 = Similarity.kmeansCentroids(embeddings, $"vec_id",
+      $"embedding", k = 8, iters = 3)
+    assert(c1.length == 8)
+    assert(c1.map(_._2).toSeq == c2.map(_._2).toSeq) // fully deterministic
+    val (indexed, cents) = Similarity.ivfIndex(embeddings, $"vec_id",
+      $"embedding", nCells = 8, kmeansIters = 3)
+    val brute = Similarity.bruteForceTopK(embeddings, $"vec_id",
+      $"embedding", query, 10).select("vec_id").as[Long].collect().toSeq
+    val ivf = Similarity.ivfTopK(indexed.localCheckpoint(true), cents,
+      query, 10, nProbe = 8).select("vec_id").as[Long].collect().toSeq
+    assert(ivf == brute)
+  }
+
   test("IVF top-k finds the exact top-1 with modest probes") {
     val all = embeddings.select($"vec_id", $"embedding")
       .as[(Long, Seq[Float])].collect()

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.epoch.CrawlJob
+import graft.frontier.CrawlConfig
+import graft.gen.SynthWeb
+import graft.html.Robots
+import graft.tables.Schemas.PageRow
+
+/** robots.txt parsing + the in-table rules pipeline: the crawl input
+  * already contains each host's /robots.txt body as an ordinary row, so
+  * rules derive from one filtered scan and feed the broadcast gate.
+  */
+class RobotsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val body =
+    """# robots
+      |User-agent: *
+      |Disallow: /private/
+      |Disallow:
+      |Disallow: /tmp
+      |
+      |User-agent: GoodBot
+      |User-agent: OtherBot
+      |Disallow: /good-only/
+      |Crawl-delay: 5
+      |
+      |User-agent: evilbot
+      |Disallow: /
+      |""".stripMargin
+
+  test("disallow prefixes per user-agent group") {
+    // generic gate: union of all groups (conservative)
+    assert(Robots.disallowPrefixes(body) ==
+      Seq("/private/", "/tmp", "/good-only/", "/"))
+    // named agent: its groups + the * group
+    assert(Robots.disallowPrefixes(body, "GoodBot/1.0") ==
+      Seq("/private/", "/tmp", "/good-only/"))
+    assert(Robots.disallowPrefixes(body, "nobody") ==
+      Seq("/private/", "/tmp"))
+    assert(Robots.disallowPrefixes("") == Nil)
+    assert(Robots.disallowPrefixes(null) == Nil)
+  }
+
+  test("rules table from in-table robots.txt rows gates the crawl") {
+    val web = SynthWeb.WebConfig(nDomains = 6, pagesPerDomain = 10)
+    val blockedHost = SynthWeb.domainName(web, 1)
+    val robotsRow = PageRow(
+      url = s"http://$blockedHost/robots.txt",
+      warc_ts = new Timestamp(1735689600000L),
+      html = s"User-agent: *\nDisallow: /p/\n".getBytes("UTF-8"),
+      text = "", lang = "en")
+    val pages = SynthWeb.pages(spark, web).toDF()
+      .unionByName(Seq(robotsRow).toDS().toDF())
+      .localCheckpoint(true)
+
+    val rules = Robots.rulesFromPages(pages)
+    val collected = rules.collect()
+    assert(collected.length == 1)
+    assert(collected.head.getAs[String]("host") == blockedHost)
+    assert(collected.head.getAs[scala.collection.Seq[String]](
+      "disallow_prefixes") == Seq("/p/"))
+
+    val job = new CrawlJob(spark,
+      CrawlConfig(batchSize = 40, robotsEnabled = true, seed = 5L,
+        maxScore = Double.PositiveInfinity),
+      pages, robots = Some(rules.localCheckpoint(true)))
+    job.seed(SynthWeb.seedUrls(web, 4))
+    job.run(maxEpochs = 30)
+    val urls = job.crawledPages.select("url").as[String].collect().toSeq
+    assert(urls.nonEmpty)
+    assert(!urls.exists(_.startsWith(s"http://$blockedHost/p/")))
+    // unblocked hosts' /p/ pages still crawl
+    assert(urls.exists(u => u.contains("/p/")))
+  }
+}
