@@ -38,8 +38,7 @@ object StreamingIngest {
           .withColumn("priority", lit(priority))
           .withColumn("depth", lit(0))
           .withColumn("parent", lit(null).cast(BinaryType))
-        val unseen = engine.dedupAgainstSeen(cand)
-        engine.pushBatch(unseen, batchId.toInt, assumeFresh = true)
+        engine.ingestBatch(cand, batchId.toInt)
         ()
       }
       .start()
@@ -55,4 +54,42 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket_start"), col("n"),
         (col("n") * 60.0 / stepSec).as("rpm"))
+
+  /** Per-domain fetch outcome event (the DomainStatusMiddleware input —
+    * dd_crawler/middleware/domain_status.py:41-58). */
+  final case class DomainEvent(domain: String, ok: Boolean)
+
+  /** Running per-domain status. `status` transitions: "alive" while the
+    * failure streak is below the threshold, "failing" at/above it,
+    * back to "alive" on the next success (the reference's
+    * success/failure domain sets, expressed as keyed streaming state). */
+  final case class DomainStatus(domain: String, status: String,
+                                nOk: Long, nFail: Long, failStreak: Int)
+
+  /** Custom keyed state over a response stream via mapGroupsWithState:
+    * per-domain success/failure counters + consecutive-failure streak
+    * (the stateful shape Structured Streaming can't express with
+    * windowed aggs). Update output mode; one status row per domain per
+    * micro-batch it appears in. */
+  def domainStatusStream(events: Dataset[DomainEvent],
+                         failThreshold: Int = 3): Dataset[DomainStatus] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.domain)
+      .mapGroupsWithState[DomainStatus, DomainStatus](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (domain, evs, state) =>
+          var s = state.getOption
+            .getOrElse(DomainStatus(domain, "alive", 0L, 0L, 0))
+          evs.foreach { e =>
+            s =
+              if (e.ok) s.copy(nOk = s.nOk + 1, failStreak = 0)
+              else s.copy(nFail = s.nFail + 1, failStreak = s.failStreak + 1)
+          }
+          s = s.copy(status =
+            if (s.failStreak >= failThreshold) "failing" else "alive")
+          state.update(s)
+          s
+      }
+  }
 }

@@ -29,6 +29,34 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("per-domain status via mapGroupsWithState: streaks across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIngest.{DomainEvent, DomainStatus}
+    val stream = MemoryStream[DomainEvent]
+    val out = StreamingIngest.domainStatusStream(stream.toDS(),
+      failThreshold = 2)
+    val q = out.writeStream.format("memory").queryName("dom_status")
+      .outputMode("update").start()
+    try {
+      stream.addData(DomainEvent("a.com", true), DomainEvent("a.com", false),
+        DomainEvent("b.com", false))
+      q.processAllAvailable()
+      // second batch: a.com fails again (streak 2 → failing),
+      // b.com recovers (streak resets → alive)
+      stream.addData(DomainEvent("a.com", false), DomainEvent("b.com", true))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT * FROM dom_status").as[DomainStatus].collect()
+        .groupBy(_.domain).view.mapValues(_.maxBy(s => s.nOk + s.nFail)).toMap
+      assert(last("a.com").status == "failing")
+      assert(last("a.com").failStreak == 2)
+      assert(last("a.com").nOk == 1 && last("a.com").nFail == 2)
+      assert(last("b.com").status == "alive")
+      assert(last("b.com").failStreak == 0)
+      assert(last("b.com").nOk == 1 && last("b.com").nFail == 1)
+    } finally q.stop()
+  }
+
   test("watermarked RPM windowed aggregation over an event stream") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)]
