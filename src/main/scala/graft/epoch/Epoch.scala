@@ -358,9 +358,9 @@ final class CrawlJob(
     val linkScoreCol = linkScorer
       .map(s => s.score($"link.url", $"link.anchor")).getOrElse(lit(0.0))
     val dupeSegOk =
-      UF.num_duplicate_segments(UF.urlPathUdf($"url"), "/")
+      UF.num_duplicate_segments(UF.url_path($"url"), "/")
         .leq(cfg.maxDupePathSegments) &&
-      UF.num_duplicate_segments(UF.urlQueryUdf($"url"), "&")
+      UF.num_duplicate_segments(UF.url_query($"url"), "&")
         .leq(cfg.maxDupeQuerySegments)
     val (rawLinks, linkStats) = Eager.ckptObserve(
       parsed
@@ -431,7 +431,7 @@ final class CrawlJob(
       val withHost = candidates.withColumn("host", UF.url_host($"url"))
       val (gated, nGated) = Eager.ckptCount(withHost
         .join(broadcast(robots.get), Seq("host"), "left")
-        .withColumn("path", UF.urlPathUdf($"url"))
+        .withColumn("path", UF.url_path($"url"))
         .filter($"disallow_prefixes".isNull ||
           !exists($"disallow_prefixes",
             p => startswith(coalesce($"path", lit("/")), p)))

@@ -25,6 +25,12 @@ object UrlStatics {
     UTF8String.fromString(UrlOps.requestFingerprint(u.toString))
   def safeUrl(u: UTF8String): UTF8String =
     UTF8String.fromString(UrlOps.safeUrl(u.toString))
+  def urlPath(u: UTF8String): UTF8String =
+    UTF8String.fromString(UrlOps.urlPath(u.toString))
+  def urlQuery(u: UTF8String): UTF8String =
+    UTF8String.fromString(UrlOps.urlQuery(u.toString))
+  def urlHost(u: UTF8String): UTF8String =
+    UTF8String.fromString(UrlOps.host(u.toString))
 }
 
 abstract class UrlStringExpression extends UnaryExpression
@@ -69,6 +75,42 @@ case class UrlFingerprint(child: Expression) extends UrlStringExpression {
       : UrlFingerprint = copy(child = newChild)
 }
 
+/** safe_url_string form as a native expression (what Request stores). */
+case class SafeUrl(child: Expression) extends UrlStringExpression {
+  override def staticMethod: String = "safeUrl"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlStatics.safeUrl(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression)
+      : SafeUrl = copy(child = newChild)
+}
+
+/** url path component as a native expression. */
+case class UrlPath(child: Expression) extends UrlStringExpression {
+  override def staticMethod: String = "urlPath"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlStatics.urlPath(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression)
+      : UrlPath = copy(child = newChild)
+}
+
+/** url query component as a native expression. */
+case class UrlQuery(child: Expression) extends UrlStringExpression {
+  override def staticMethod: String = "urlQuery"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlStatics.urlQuery(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression)
+      : UrlQuery = copy(child = newChild)
+}
+
+/** url host as a native expression. */
+case class UrlHost(child: Expression) extends UrlStringExpression {
+  override def staticMethod: String = "urlHost"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlStatics.urlHost(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression)
+      : UrlHost = copy(child = newChild)
+}
+
 /** Registration: either per-session (registerNative) or globally via
   * `spark.sql.extensions=graft.urlops.GraftExtensions`.
   */
@@ -81,7 +123,15 @@ object NativeExpressions {
       ("canon_url_native", "w3lib-canonical form of a url",
         es => CanonicalizeUrl(es.head)),
       ("url_fingerprint_native", "sha1 request fingerprint of a url",
-        es => UrlFingerprint(es.head)))
+        es => UrlFingerprint(es.head)),
+      ("safe_url_native", "w3lib safe_url_string form of a url",
+        es => SafeUrl(es.head)),
+      ("url_path_native", "path component of a url",
+        es => UrlPath(es.head)),
+      ("url_query_native", "query component of a url",
+        es => UrlQuery(es.head)),
+      ("url_host_native", "host of a url",
+        es => UrlHost(es.head)))
 
   def registerNative(spark: SparkSession): Unit =
     functions.foreach { case (name, usage, builder) =>

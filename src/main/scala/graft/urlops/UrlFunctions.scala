@@ -6,11 +6,17 @@ import org.apache.spark.sql.functions._
 /** Column-level URL functions for the frontier engine.
   *
   * Where the semantics are expressible with Spark built-ins we use them
-  * directly (codegen'd, pushdown-friendly); the irreducibly imperative
-  * ones (canonicalization, public-suffix extraction) are Scala UDFs over
-  * the pure functions in [[UrlOps]].
+  * directly (codegen'd, pushdown-friendly). The irreducibly imperative
+  * ones (canonicalization, public-suffix extraction, path/query/host
+  * splitting) go through the native Catalyst expressions in
+  * [[NativeExpressions]] — whole-stage codegen calls [[UrlStatics]]
+  * statically, with no ScalaUDF encoder boundary in the per-candidate
+  * hot path. The plain UDF forms remain for SQL registration and as the
+  * comparison baseline in NativeExpressionsSpec.
   */
 object UrlFunctions {
+
+  import org.apache.spark.sql.GraftColumnBridge.{column => ncol, expression => nexpr}
 
   val registeredDomainUdf = udf((u: String) =>
     if (u == null) null else UrlOps.registeredDomain(u))
@@ -29,13 +35,15 @@ object UrlFunctions {
   val hostUdf = udf((u: String) =>
     if (u == null) null else UrlOps.host(u))
 
-  def registered_domain(c: Column): Column = registeredDomainUdf(c)
-  def canon_url(c: Column): Column = canonicalizeUrlUdf(c)
+  def registered_domain(c: Column): Column = ncol(RegisteredDomain(nexpr(c)))
+  def canon_url(c: Column): Column = ncol(CanonicalizeUrl(nexpr(c)))
 
   /** w3lib safe_url_string form — what Scrapy's Request stores
     * (graft.urlops.UrlOps.safeUrl). */
-  def safe_url(c: Column): Column = safeUrlUdf(c)
-  def url_host(c: Column): Column = hostUdf(c)
+  def safe_url(c: Column): Column = ncol(SafeUrl(nexpr(c)))
+  def url_host(c: Column): Column = ncol(UrlHost(nexpr(c)))
+  def url_path(c: Column): Column = ncol(UrlPath(nexpr(c)))
+  def url_query(c: Column): Column = ncol(UrlQuery(nexpr(c)))
 
   /** sha1 hex fingerprint of a GET request with no body and no login state
     * (dd_crawler/dupefilter.py:14-21). Built on the UDF canonicalizer but

@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ Catalyst-Expression bridge. Spark 4 made `Column` a
+  * backend-agnostic node and gated the classic conversions behind
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so
+  * libraries shipping native expressions expose them through a
+  * same-package bridge — the standard extension-library technique
+  * (Delta, Frameless, etc. do the same). Used only by
+  * `graft.urlops.UrlFunctions` to wire its Column API to the codegen
+  * expressions in `graft.urlops.NativeExpressions`.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}

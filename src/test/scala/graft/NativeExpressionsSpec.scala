@@ -25,8 +25,10 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSuite {
         "registered_domain_native(url) AS nd",
         "canon_url_native(url) AS nc",
         "url_fingerprint_native(url) AS nf")
-      .withColumn("ud", UF.registered_domain($"url"))
-      .withColumn("uc", UF.canon_url($"url"))
+      // compare against the plain-UDF baseline (the Column API now routes
+      // through the native expressions itself)
+      .withColumn("ud", UF.registeredDomainUdf($"url"))
+      .withColumn("uc", UF.canonicalizeUrlUdf($"url"))
       .collect()
     out.foreach { r =>
       assert(r.getAs[String]("nd") == r.getAs[String]("ud"))
