@@ -26,22 +26,42 @@ object Sampling {
   }
 
   /** One index drawn ∝ p (np.random.choice, size=None). */
-  def choiceIndex(p: Array[Double], rng: java.util.Random): Int = {
-    val r = rng.nextDouble()
+  def choiceIndex(p: Array[Double], rng: java.util.Random): Int =
+    searchCum(cumulative(p), rng.nextDouble())
+
+  /** Left-to-right prefix sums of p — the same partial sums the naive
+    * linear scan accumulates, so draws are bit-identical. */
+  private def cumulative(p: Array[Double]): Array[Double] = {
+    val cum = new Array[Double](p.length)
     var acc = 0.0
     var i = 0
-    while (i < p.length - 1) {
-      acc += p(i)
-      if (r < acc) return i
-      i += 1
-    }
-    p.length - 1
+    while (i < p.length) { acc += p(i); cum(i) = acc; i += 1 }
+    cum
   }
 
-  /** n independent draws ∝ p (with replacement). */
+  /** First i with r < cum(i), capped at n-1 (the sequential scan never
+    * tests the last entry and falls through to it) — lower-bound binary
+    * search, exact semantics of the linear scan (same doubles, ties). */
+  private def searchCum(cum: Array[Double], r: Double): Int = {
+    var lo = 0
+    var hi = cum.length - 1 // cap: converges to n-1 when nothing matches
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (r < cum(mid)) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
+  /** n independent draws ∝ p (with replacement). The cumulative array is
+    * built once; each draw is O(log n) instead of O(n) — at batch=2000
+    * over 10^4-10^6 domains the naive form is a measurable serial driver
+    * cost in the scheduling hot path. Draw-for-draw identical to the
+    * sequential scan (same rng consumption, same prefix sums). */
   def choiceWithReplacement(p: Array[Double], n: Int,
-                            rng: java.util.Random): Array[Int] =
-    Array.fill(n)(choiceIndex(p, rng))
+                            rng: java.util.Random): Array[Int] = {
+    val cum = cumulative(p)
+    Array.fill(n)(searchCum(cum, rng.nextDouble()))
+  }
 
   /** n draws without replacement ∝ p, sequential renormalization —
     * numpy semantics incl. the ValueError when p has fewer non-zero
