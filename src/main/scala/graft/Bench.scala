@@ -96,20 +96,18 @@ object Bench {
 
   private def fmt(d: Double): String = f"$d%.3f"
 
-  /** Min-of-`reps` timing with block-manager cleanup between reps (old
+  /** All `reps` timings with block-manager cleanup between reps (old
     * localCheckpoint snapshots would otherwise accumulate and skew later
-    * reps; min-of-k also rides out noisy-neighbor interference on the
-    * sandbox VM). */
-  private def bestOf(spark: SparkSession, reps: Int, nUrls: Long,
-                     nDomains: Int): Double = {
-    val times = (1 to reps).map { _ =>
+    * reps). The caller takes the min: noisy-neighbor interference on the
+    * shared VM inflates, never deflates, a sample. */
+  private def repTimes(spark: SparkSession, reps: Int, nUrls: Long,
+                       nDomains: Int): Seq[Double] =
+    (1 to reps).map { _ =>
       val t = frontierBatch(spark, nUrls, nDomains)._2
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       t
     }
-    times.min
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -136,19 +134,23 @@ object Bench {
     // decomposition at N=2 and 4N=8 cores; efficiency = thr_4N/(4·thr_N).
     // (This box's memory bandwidth saturates near 8 threads, so 8→32
     // measures the VM, not the engine — 2→8 is the honest linear regime.)
-    // Sessions alternate N / 4N and each side takes its best time across
-    // sessions: sandbox neighbors cause 2-3x whole-session swings, and
-    // interference inflates but never deflates a time, so per-side best
-    // is the closest observable to the quiet-machine value.
-    def side(cores: Int): Double = {
+    // FIXED 3 alternating session pairs × `reps` each; each side takes
+    // its min across all samples: sandbox neighbors cause 2-3x
+    // whole-session swings, interference inflates but never deflates a
+    // time, so the per-side min is the closest observable to the
+    // quiet-machine value. All raw samples are published in the JSON so
+    // the estimator is auditable.
+    def side(cores: Int): Seq[Double] = {
       val s = session(cores, fixedPartitions = true)
-      val t = bestOf(s, reps, benchUrls, nDomains)
+      val t = repTimes(s, reps, benchUrls, nDomains)
       s.stop()
       t
     }
-    val (n1, f1, n2, f2) = (side(2), side(8), side(2), side(8))
-    val tN = math.min(n1, n2)
-    val t4N = math.min(f1, f2)
+    val pairs = (1 to 3).map(_ => (side(2), side(8)))
+    val samplesN = pairs.flatMap(_._1)
+    val samples4N = pairs.flatMap(_._2)
+    val tN = samplesN.min
+    val t4N = samples4N.min
 
     val thrN = benchUrls / tN
     val thr4N = benchUrls / t4N
@@ -157,9 +159,11 @@ object Bench {
     val qs = results.map { case (k, (sec, _)) => s""""$k":${fmt(sec)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
+    def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
     val frontier =
       s"""{"urls":$benchUrls,"domains":$nDomains,""" +
       s""""sec_n2":${fmt(tN)},"sec_n8":${fmt(t4N)},""" +
+      s""""samples_n2":${arr(samplesN)},"samples_n8":${arr(samples4N)},""" +
       s""""throughput_n2":${fmt(thrN)},"throughput_n8":${fmt(thr4N)},""" +
       s""""scaling_efficiency":${fmt(eff)}}"""
     println(

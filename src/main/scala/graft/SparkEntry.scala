@@ -255,6 +255,18 @@ object SparkEntry {
         .orderBy($"worker", $"bucket")
     }),
 
+    // --- batch ANN: top-k per query row against a broadcast query set ---------
+    "q31_batch_ann_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      Similarity.bruteForceTopKBatch(emb, $"vec_id", $"embedding",
+          queries, $"qid", $"qv", k = 5)
+        .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // --- A12 median: exact interpolating percentile ------------------------------
     "q30_median_value" -> ((s, dir) => {
       import s.implicits._
@@ -499,6 +511,18 @@ object SparkEntry {
          SELECT worker, bucket, n, round(n * 60.0 / 900, 6) AS rpm
          FROM (SELECT * FROM filled UNION ALL SELECT * FROM allrows)
          ORDER BY worker, bucket""",
+    "q31_batch_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+             CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3)
+         SELECT query_id, rank, vec_id FROM (
+           SELECT q.query_id, e.vec_id,
+             CAST(row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC, e.vec_id)
+               AS BIGINT) AS rank
+           FROM embeddings e CROSS JOIN q) t
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "q30_median_value" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 6) AS median_value,
