@@ -41,12 +41,15 @@ object Bench {
       .config("spark.driver.memory",
         sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
     // scaling runs: identical data decomposition at both core counts —
-    // partitioning is sized to the data (64), cores only add concurrency,
-    // and AQE must not re-coalesce differently per level
+    // partitioning is sized to the data (64), cores only add concurrency.
+    // AQE is off entirely: its value is runtime re-planning, which the
+    // fixed-decomposition protocol forbids anyway, and each adaptive
+    // stage boundary is a serial driver round trip that lands in the
+    // fixed cost the efficiency ratio divides by.
     val b2 =
       if (fixedPartitions) b
         .config("spark.sql.shuffle.partitions", 64)
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "false")
       else b.config("spark.sql.shuffle.partitions", math.max(cpus, 8))
     val s = b2.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
