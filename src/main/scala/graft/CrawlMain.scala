@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.epoch.CrawlJob
+import graft.frontier.{CrawlConfig, Selection}
+import graft.html.Robots
+import graft.tables.TableIO
+
+/** spark-submit entry point — the `scrapy crawl dd_crawler -a seeds=…`
+  * analogue (north rule: "run via spark-submit on a multi-executor
+  * cluster"). Reads the Common-Crawl-style pages table, runs scheduling
+  * epochs with per-epoch checkpoints under --out, resumes from the last
+  * manifest when --resume is set, and prints one JSON counters line per
+  * epoch (the response-log totals a driver operator watches).
+  *
+  * Usage:
+  *   spark-submit --class graft.CrawlMain <jar> \
+  *     --pages /data/pages --seeds seeds.txt --out /data/crawl \
+  *     [--epochs 100] [--batch-size 100] [--workers 1]
+  *     [--buckets 0] [--max-domains 0] [--max-relevant 0]
+  *     [--domain-limit] [--reset-depth] [--autologin]
+  *     [--credentials creds.json] [--robots] [--resume] [--seed 42]
+  */
+object CrawlMain {
+
+  private def parse(args: Array[String]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val k = args(i).stripPrefix("--")
+      val hasValue = i + 1 < args.length && !args(i + 1).startsWith("--")
+      if (hasValue) { out(k) = args(i + 1); i += 2 }
+      else { out(k) = "true"; i += 1 }
+    }
+    out.toMap
+  }
+
+  def run(spark: SparkSession, args: Array[String]): Seq[epoch.EpochCounters] = {
+    val a = parse(args)
+    def flag(k: String): Boolean = a.get(k).contains("true")
+    val cfg = CrawlConfig(
+      selection = Selection.BatchSoftmax,
+      batchSize = a.getOrElse("batch-size", "100").toInt,
+      nWorkers = a.getOrElse("workers", "1").toInt,
+      maxDomains = a.getOrElse("max-domains", "0").toInt,
+      maxRelevantDomains = a.getOrElse("max-relevant", "0").toInt,
+      domainLimit = flag("domain-limit"),
+      resetDepth = flag("reset-depth"),
+      autologinEnabled = flag("autologin"),
+      robotsEnabled = flag("robots"),
+      bloomPrefilter = flag("bloom"),
+      pagesBuckets = a.getOrElse("buckets", "0").toInt,
+      domainStateLog = flag("domain-state"),
+      seed = a.getOrElse("seed", "42").toLong)
+
+    val pagesPath = a("pages")
+    val pages =
+      if (cfg.pagesBuckets > 0) spark.read
+        .option("basePath", pagesPath).parquet(pagesPath)
+      else spark.read.parquet(pagesPath)
+    val robots =
+      if (cfg.robotsEnabled)
+        Some(Robots.rulesFromPages(pages.drop("bucket")).localCheckpoint(true))
+      else None
+    val job = new CrawlJob(spark, cfg, pages, robots = robots,
+      outDir = a.get("out"))
+
+    a.get("credentials").foreach(job.loadLoginCredentialsJson)
+    val resumed = if (flag("resume")) job.resume() else None
+    if (resumed.isEmpty)
+      job.seed(job.seedsFromText(a("seeds")))
+
+    val maxEpochs = a.getOrElse("epochs", "100").toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[epoch.EpochCounters]
+    var continue = job.engine.len > 0
+    while (continue && job.engine.clock < maxEpochs) {
+      val c = job.runEpoch()
+      out += c
+      // one auditable JSON line per epoch (stats counters, A14)
+      println(s"""{"epoch":${c.epoch},"popped":${c.popped},""" +
+        s""""fetched":${c.fetched},"failures":${c.failures},""" +
+        s""""items":${c.items},"deduped":${c.dedupedSeen},""" +
+        s""""pushed":${c.pushedAccepted},""" +
+        s""""deferred_by_politeness":${c.deferredByPoliteness},""" +
+        s""""frontier_len":${c.frontierLen},"seen":${c.seenCount}}""")
+      continue = c.frontierLen > 0
+    }
+    out.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-crawl")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args)
+    finally spark.stop()
+  }
+}

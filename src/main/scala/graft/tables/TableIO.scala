@@ -26,10 +26,13 @@ object TableIO {
                     epoch: Int): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(epochDir(root, table, epoch))
 
-  /** Append write: this epoch's new rows of a log table. */
+  /** Append write: this epoch's new rows of a log table. An `epoch` data
+    * column would collide with the hive-style path partition on
+    * `readLog`, so the path alone carries it. */
   def appendEpoch(df: DataFrame, root: String, table: String,
                   epoch: Int): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(epochDir(root, table, epoch))
+    df.drop("epoch")
+      .write.mode(SaveMode.Overwrite).parquet(epochDir(root, table, epoch))
 
   def readSnapshot(spark: SparkSession, root: String, table: String,
                    epoch: Int): DataFrame =

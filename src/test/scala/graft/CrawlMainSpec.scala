@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.SynthWeb
+import graft.tables.TableIO
+
+/** The spark-submit surface: crawl from CLI-style args over an on-disk
+  * bucketed pages table, checkpoint per epoch, resume from the manifest.
+  */
+class CrawlMainSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("CrawlMain: bucketed crawl, per-epoch counters, resume") {
+    val dir = Files.createTempDirectory("graft-main").toString
+    val web = SynthWeb.WebConfig(nDomains = 5, pagesPerDomain = 8)
+    TableIO.writeBucketed(SynthWeb.pages(spark, web).toDF(), dir, "pages", 8)
+    val seeds = s"$dir/seeds.txt"
+    Files.writeString(Paths.get(seeds),
+      ("# seeds\n" + SynthWeb.seedUrls(web, 3).mkString("\n") + "\n"))
+    val out = s"$dir/crawl"
+
+    val first = CrawlMain.run(spark, Array(
+      "--pages", s"$dir/pages", "--buckets", "8",
+      "--seeds", seeds, "--out", out,
+      "--epochs", "2", "--batch-size", "20", "--seed", "7"))
+    assert(first.size == 2)
+    assert(first.map(_.items).sum > 0)
+    assert(first.forall(c => c.fetched + c.failures == c.popped))
+    assert(Files.exists(Paths.get(out, "_manifest.json")))
+    val crawled1 = TableIO.readLog(spark, out, "crawled_pages")
+      .select("url").as[String].collect().toSet
+
+    // resume continues from epoch 2 without recrawling
+    val rest = CrawlMain.run(spark, Array(
+      "--pages", s"$dir/pages", "--buckets", "8",
+      "--seeds", seeds, "--out", out, "--resume",
+      "--epochs", "8", "--batch-size", "20", "--seed", "7"))
+    assert(rest.nonEmpty && rest.head.epoch == 3)
+    val crawledAll = TableIO.readLog(spark, out, "crawled_pages")
+      .select("url").as[String].collect().toSeq
+    assert(crawledAll.distinct.size == crawledAll.size,
+      "a url was crawled twice across the resume")
+    assert(crawledAll.toSet.size > crawled1.size)
+  }
+}
