@@ -267,6 +267,25 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // --- dedup clustering: iterative connected components -----------------------
+    // Edges are consecutive-id CHAINS within equal-md5-prefix groups
+    // (16 groups of ~N/16 docs → ~30-hop paths at sf0.01), so the
+    // distributed CC loop must actually propagate labels along long
+    // paths; the fixpoint (min id per group) is SQL-expressible, which
+    // makes an iterative operator oracle-checkable.
+    "q32_neardup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy($"h").orderBy($"doc_id")
+      val edges = docs.select($"doc_id", substring(md5($"text"), 1, 1).as("h"))
+        .withColumn("next_id", lead($"doc_id", 1).over(w))
+        .filter($"next_id".isNotNull)
+        .select($"doc_id".as("id_a"), $"next_id".as("id_b"))
+      Dedup.connectedComponents(edges, "id_a", "id_b")
+        .select($"node".as("doc_id"), $"component".as("cluster_id"))
+        .orderBy($"doc_id")
+    }),
+
     // --- A12 median: exact interpolating percentile ------------------------------
     "q30_median_value" -> ((s, dir) => {
       import s.implicits._
@@ -527,6 +546,13 @@ object SparkEntry {
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 6) AS median_value,
          round(quantile_cont(value, 0.9), 6) AS p90_value
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q32_neardup_clusters" ->
+      """SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY substr(md5(text), 1, 1))
+             AS cluster_id
+         FROM documents
+         QUALIFY count(*) OVER (PARTITION BY substr(md5(text), 1, 1)) >= 2
+         ORDER BY doc_id"""
   )
 }

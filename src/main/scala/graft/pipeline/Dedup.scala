@@ -265,4 +265,79 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  // --- near-dup clustering (connected components) ----------------------------
+
+  /** Connected components over an undirected pair list: returns
+    * `(node, component)` with `component` = the minimum node id reachable
+    * from `node`; nodes are whatever id type the pair columns carry.
+    *
+    * Distributed min-label propagation: each round joins the (static,
+    * symmetric) edge list against the current labels, takes the
+    * per-node min over neighbor labels, and checkpoints the result to
+    * truncate lineage — two shuffles per round, no driver-side graph
+    * state, so it holds at 10^9-edge near-dup graphs. Each round also
+    * follows one pointer-doubling hop (`label(label(u))`, path
+    * halving), so convergence is O(log diameter) — ~60 rounds covers a
+    * 10^18-node chain; `maxRounds` is a safety bound and the fixpoint
+    * check (a changed-row count that rides the checkpoint the loop
+    * takes anyway, same pattern as the frontier engine's counters)
+    * stops as soon as labels are stable.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 60): DataFrame = {
+    val a = col(aCol)
+    val b = col(bCol)
+    // symmetric edge list, kept hot: it is re-joined every round
+    val edges = graft.util.Eager.ckpt(
+      pairs.select(a.as("src"), b.as("dst"))
+        .union(pairs.select(b.as("src"), a.as("dst")))
+        .distinct())
+    var labels = graft.util.Eager.ckpt(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("component", col("node")))
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      // min over every neighbor's label
+      val nbr = edges
+        .join(labels.select(col("node").as("dst"),
+          col("component").as("nbr_component")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nbr_component")).as("nbr_min"))
+      // pointer-doubling hop: the label of my label (path halving)
+      val hop = labels
+        .join(labels.select(col("node").as("component"),
+          col("component").as("hop_component")), Seq("component"))
+        .select(col("node"), col("hop_component"))
+      val (next, m) = graft.util.Eager.ckptObserve(
+        labels.join(nbr, Seq("node"), "left")
+          .join(hop, Seq("node"), "left")
+          .select(col("node"),
+            least(col("component"),
+              least(coalesce(col("nbr_min"), col("component")),
+                coalesce(col("hop_component"), col("component"))))
+              .as("component"),
+            (coalesce(col("nbr_min"), col("component")) < col("component") ||
+              coalesce(col("hop_component"), col("component")) < col("component"))
+              .as("_changed")),
+        "chg" -> count(when(col("_changed"), 1)))
+      labels = next.drop("_changed")
+      changed = graft.util.Eager.long(m, "chg")
+      round += 1
+    }
+    labels
+  }
+
+  /** Keep one document per near-duplicate cluster: rows whose id is its
+    * component's representative (the minimum id), plus every row that
+    * appears in no pair. The pair list comes from any of the near-dup
+    * generators above. */
+  def dedupByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                     aCol: String, bCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val losers = comps.filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -37,6 +37,9 @@ object Eager {
     (out, m("n").asInstanceOf[Long])
   }
 
+  /** Plain eager localCheckpoint (lineage truncation for loop state). */
+  def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   def long(m: Map[String, Any], key: String): Long = m(key) match {
     case null    => 0L
     case l: Long => l

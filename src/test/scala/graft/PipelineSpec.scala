@@ -320,4 +320,55 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     val expected = Seq(1.0, 1.6666666666666667, 2.4285714285714284)
     got.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
   }
+
+  // --- connected-components clustering ----------------------------------------
+
+  /** Brute-force reference: union-find over the pair list. */
+  private def bruteComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components equal union-find on chains, cliques, random") {
+    val rnd = new scala.util.Random(7)
+    // a 40-node chain (worst case for plain label propagation), a
+    // 10-clique, an isolated pair, plus 60 random edges over 80 nodes
+    val chain = (0L until 39L).map(i => (100 + i, 101 + i))
+    val clique = for (i <- 0 until 10; j <- i + 1 until 10)
+      yield (200L + i, 200L + j)
+    val pairEdge = Seq((300L, 301L))
+    val random = Seq.fill(60)((400L + rnd.nextInt(80), 400L + rnd.nextInt(80)))
+      .filter { case (a, b) => a != b }
+    val all = chain ++ clique ++ pairEdge ++ random
+    val got = Dedup.connectedComponents(
+        all.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val want = bruteComponents(all)
+    assert(got == want)
+    // chain collapsed to its minimum
+    assert(got(139L) == 100L)
+  }
+
+  test("dedupByCluster keeps exactly one row per near-dup cluster") {
+    val rows = Seq(
+      (1L, "aaa"), (2L, "aaa"), (3L, "aaa"), // exact triplicate
+      (4L, "bbb"), (5L, "bbb"),
+      (6L, "unique")).toDF("doc_id", "text")
+    val pairs = Dedup.exact(rows, $"doc_id", $"text")
+      .filter($"n_copies" > 1)
+      .join(rows.select($"doc_id", md5($"text").as("text_hash")), "text_hash")
+      .filter($"doc_id" =!= $"keeper_id")
+      .select($"keeper_id".as("id_a"), $"doc_id".as("id_b"))
+    val kept = Dedup.dedupByCluster(rows, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 6L))
+  }
 }
