@@ -95,7 +95,13 @@ final case class CrawlConfig(
       * column = pmod(xxhash64(url), pagesBuckets) (TableIO.writeBucketed)
       * and the per-epoch fetch join prunes the scan to the buckets of the
       * popped batch — without it every epoch scans the full 100 TB table. */
-    pagesBuckets: Int = 0) {
+    pagesBuckets: Int = 0,
+    /** For UNbucketed pages layouts: push the popped batch's url set into
+      * the fetch scan as an IN predicate (parquet row-group stats then
+      * skip row groups outside the batch's url range) when the batch is
+      * at most this many urls. 0 disables. Batch-bounded by definition —
+      * the list is the popped batch, never frontier-sized. */
+    fetchUrlPushdown: Int = 10000) {
 
   /** max_queue_n = ceil(0.5 × CONCURRENT_REQUESTS_PER_DOMAIN)
     * (queue.py:513-515): per-batch per-domain politeness budget. */

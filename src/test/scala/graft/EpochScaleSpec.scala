@@ -152,6 +152,33 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
       plan.take(2000))
   }
 
+  test("url-IN pushdown: fetch results identical, predicate reaches the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inpd").toString
+    val web = SynthWeb.WebConfig(nDomains = 6, pagesPerDomain = 6)
+    SynthWeb.pages(spark, web).toDF()
+      .write.mode("overwrite").parquet(s"$dir/pages")
+    val onDisk = spark.read.parquet(s"$dir/pages")
+
+    def crawl(pushdown: Int) = {
+      val job = new CrawlJob(spark,
+        CrawlConfig(batchSize = 25, seed = 4L, fetchUrlPushdown = pushdown),
+        onDisk)
+      job.seed(SynthWeb.seedUrls(web, 3))
+      job.run(maxEpochs = 6)
+      job.crawledPages.select("url").as[String].collect().sorted.toSeq
+    }
+    val pushed = crawl(10000)
+    val plain = crawl(0)
+    assert(pushed == plain)
+    assert(pushed.nonEmpty)
+
+    // physical evidence: the batch's url set reaches the parquet scan as
+    // a pushed predicate (row-group stats pruning on the 100 TB table)
+    val plan = onDisk.filter($"url".isin(SynthWeb.seedUrls(web, 3): _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(url"), plan.take(2000))
+  }
+
   test("Cumulative.runningTotals == single-partition window reference") {
     val df = spark.range(0, 1000)
       .select(concat(lit("k"), format_string("%04d", pmod($"id" * 37, lit(1000))))
