@@ -67,6 +67,14 @@ final case class CrawlConfig(
       * phase; raise it (e.g. 8-32) when individual domain queues grow to
       * millions of rows — the extra shuffle only pays off then. */
     popSalts: Int = 1,
+    /** Adaptive hot-domain repartitioning: when > 0, each sampled
+      * domain's pop-ranking salt count is sized to ITS observed queue
+      * length — ceil(qlen / adaptiveSaltTarget), capped at 1024 — using
+      * the per-domain qlen the selection step already collected. A
+      * domain with 10^8 queued URLs gets ~qlen/target sort slices while
+      * cold domains keep a single partition, with no global knob to
+      * mis-tune. Overrides popSalts when set. */
+    adaptiveSaltTarget: Long = 0L,
     /** REDIRECT_PRIORITY_ADJUST (settings.py:33-35). */
     redirectPriorityAdjust: Int = 1,
     /** AUTOPAGER (spiders.py:74-77): pagination links keep their page's

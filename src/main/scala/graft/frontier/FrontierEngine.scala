@@ -1,6 +1,6 @@
 package graft.frontier
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -643,7 +643,11 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       lastScheduleDecision =
         Some(ScheduleDecision(clock, queues, scores.toSeq, selected))
       val counts = selected.groupBy(identity).view.mapValues(_.size).toSeq
-      val popped = popRankedDf(counts.toDF("domain", "n"))
+      // adaptive hot-domain repartitioning: salt count per domain from
+      // the qlen vector already in hand — no extra job
+      val popped = popRankedDf(counts
+        .map { case (d, n) => (d, n, saltsFor(qlens.getOrElse(d, 0L))) }
+        .toDF("domain", "n", "salts"))
       // deferred-by-politeness = rows left in the sampled domains beyond
       // their per-domain budget — driver arithmetic over the score vector
       // already in hand, no extra job
@@ -652,12 +656,29 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       popped
     } else {
       val countsDf = gumbelTopK(scoresDf).localCheckpoint(true)
-      val popped = popRankedDf(countsDf.select("domain", "n"))
+      val popped = popRankedDf(countsDf.select($"domain", $"n",
+        saltsForCol($"qlen").as("salts")))
       lastPopDeferred = countsDf.agg(sum($"qlen")).head().getLong(0) -
         lastPopCount
       popped
     }
   }
+
+  /** Per-domain pop-ranking salt count (adaptive hot-domain
+    * repartitioning when cfg.adaptiveSaltTarget > 0, else the static
+    * cfg.popSalts knob). */
+  private def saltsFor(qlen: Long): Int =
+    if (cfg.adaptiveSaltTarget > 0)
+      math.min(1024L,
+        math.max(1L, (qlen + cfg.adaptiveSaltTarget - 1) /
+          cfg.adaptiveSaltTarget)).toInt
+    else math.max(cfg.popSalts, 1)
+
+  private def saltsForCol(qlen: Column): Column =
+    if (cfg.adaptiveSaltTarget > 0)
+      least(lit(1024L), greatest(lit(1L),
+        ceil(qlen.cast("double") / cfg.adaptiveSaltTarget))).cast("int")
+    else lit(math.max(cfg.popSalts, 1))
 
   /** Distributed Gumbel-top-k selection for very large domain counts:
     * key = priority/T + Gumbel noise; the top ceil(batch/maxQueueN)
@@ -682,21 +703,27 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * Hot-domain skew (north rule): a single domain with 10^8 queued URLs
     * would force one partition to sort them all, so ranking is two-phase
     * — a salted partial top-k bounds every sort to its salt slice, then
-    * the exact top-k runs over ≤ popSalts × n survivors per domain.
-    * Correct because the global top-n is contained in the union of
-    * per-salt top-n. */
+    * the exact top-k runs over ≤ salts × n survivors per domain. The
+    * salt count is PER DOMAIN (`salts` column): adaptive repartitioning
+    * sizes it to each domain's observed queue length, so cold domains
+    * keep one partition while hot ones fan out. Correct because the
+    * global top-n is contained in the union of per-salt top-n. */
   private def popRankedDf(countsDf: DataFrame): DataFrame = {
     val order = Seq($"priority".desc, $"url".asc, $"depth".asc)
-    val selected = visibleFrontier.join(broadcast(countsDf), Seq("domain"))
+    val withSalts =
+      if (countsDf.columns.contains("salts")) countsDf
+      else countsDf.withColumn("salts", lit(math.max(cfg.popSalts, 1)))
+    val selected = visibleFrontier.join(broadcast(withSalts), Seq("domain"))
     val partial =
-      if (cfg.popSalts <= 1) selected
+      if (cfg.popSalts <= 1 && cfg.adaptiveSaltTarget <= 0)
+        selected.drop("salts")
       else {
         val w1 = Window.partitionBy($"domain", $"_salt").orderBy(order: _*)
         selected
-          .withColumn("_salt", pmod(xxhash64($"url"), lit(cfg.popSalts)))
+          .withColumn("_salt", pmod(xxhash64($"url"), $"salts"))
           .withColumn("_r1", row_number().over(w1))
           .filter($"_r1" <= $"n")
-          .drop("_r1", "_salt")
+          .drop("_r1", "_salt", "salts")
       }
     val w = Window.partitionBy($"domain").orderBy(order: _*)
     val (popped, nPopped) = Eager.ckptCount(partial

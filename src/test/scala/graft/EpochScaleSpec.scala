@@ -179,6 +179,30 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("PushedFilters: [In(url"), plan.take(2000))
   }
 
+  test("adaptive hot-domain salting pops the identical set (and sizes salts to qlen)") {
+    // one hot domain (300 urls), two cold ones (5 each)
+    val reqs = (
+      (0 until 300).map(i => ("http://hot.com/p" + i, (i * 7 % 101).toLong)) ++
+      (0 until 5).map(i => ("http://cold-a.com/p" + i, i.toLong)) ++
+      (0 until 5).map(i => ("http://cold-b.com/p" + i, i.toLong))
+    ).map { case (u, p) => (u, p, 0, null: Array[Byte]) }
+      .toDF("url", "priority", "depth", "parent")
+
+    def pop(c: CrawlConfig) = {
+      val e = new FrontierEngine(spark, c)
+      e.pushBatch(reqs, epoch = 1, assumeFresh = false)
+      e.popEpochDf(0).select("url").as[String].collect().toSeq.sorted
+    }
+    val base = CrawlConfig(selection = Selection.BatchSoftmax,
+      batchSize = 24, concurrentPerDomain = 16, seed = 11L)
+    val plain = pop(base)
+    val adaptive = pop(base.copy(adaptiveSaltTarget = 50L))
+    val static4 = pop(base.copy(popSalts = 4))
+    assert(plain.nonEmpty)
+    assert(adaptive == plain)
+    assert(static4 == plain)
+  }
+
   test("Cumulative.runningTotals == single-partition window reference") {
     val df = spark.range(0, 1000)
       .select(concat(lit("k"), format_string("%04d", pmod($"id" * 37, lit(1000))))
