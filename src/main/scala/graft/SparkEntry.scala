@@ -547,6 +547,49 @@ object SparkEntry {
          round(quantile_cont(value, 0.5), 6) AS median_value,
          round(quantile_cont(value, 0.9), 6) AS p90_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // The media stub's metadata derives from a splitmix64-style mix of
+    // (0x3D1A, doc_id); the oracle recomputes it in HUGEINT arithmetic
+    // mod 2^64 (mul64 decomposed into 32-bit halves so the 128-bit
+    // product never overflows), so the whole multimodal metadata path
+    // is value-checked end to end.
+    "q25_media_meta" ->
+      """WITH m AS (
+           SELECT doc_id, text,
+             CAST(11400714819323198485 AS HUGEINT) AS h0,
+             CAST(13787848793156543929 AS HUGEINT) AS c1,
+             CAST(10723151780598845931 AS HUGEINT) AS c2,
+             CAST(18446744073709551616 AS HUGEINT) AS p64,
+             CAST(4294967296 AS HUGEINT) AS p32
+           FROM documents),
+         r1 AS (SELECT *, xor(h0, ((15642 % p32) * c1 +
+             ((((15642 // p32) * c1) % p32) * p32)) % p64) AS z0 FROM m),
+         r1b AS (SELECT *, ((xor(z0, z0 // 1073741824) % p32) * c1 +
+             ((((xor(z0, z0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS z1 FROM r1),
+         r1c AS (SELECT *, ((xor(z1, z1 // 134217728) % p32) * c2 +
+             ((((xor(z1, z1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS z2 FROM r1b),
+         r1d AS (SELECT *, xor(z2, z2 // 2147483648) AS h1 FROM r1c),
+         r2 AS (SELECT *, xor(h1, ((doc_id % p32) * c1 +
+             ((((doc_id // p32) * c1) % p32) * p32)) % p64) AS y0 FROM r1d),
+         r2b AS (SELECT *, ((xor(y0, y0 // 1073741824) % p32) * c1 +
+             ((((xor(y0, y0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS y1 FROM r2),
+         r2c AS (SELECT *, ((xor(y1, y1 // 134217728) % p32) * c2 +
+             ((((xor(y1, y1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS y2 FROM r2b),
+         r2d AS (SELECT *, xor(y2, y2 // 2147483648) AS u FROM r2c)
+         SELECT doc_id AS media_id,
+           ['image','audio','video'][1 + CAST((u % 3 +
+             CASE WHEN u >= 9223372036854775808 THEN 2 ELSE 0 END) % 3
+             AS INTEGER)] AS kind,
+           CAST(64 + (u // 256 % 64) * 8 AS INTEGER) AS width,
+           CAST(64 + (u // 65536 % 64) * 8 AS INTEGER) AS height,
+           CAST(CASE WHEN (u % 3 +
+               CASE WHEN u >= 9223372036854775808 THEN 2 ELSE 0 END) % 3 = 2
+             THEN 8 + u // 16777216 % 24 ELSE 1 END AS INTEGER) AS n_frames,
+           CAST(16 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM r2d ORDER BY media_id""",
     "q32_neardup_clusters" ->
       """SELECT doc_id,
            min(doc_id) OVER (PARTITION BY substr(md5(text), 1, 1))
