@@ -547,6 +547,71 @@ object SparkEntry {
          round(quantile_cont(value, 0.5), 6) AS median_value,
          round(quantile_cont(value, 0.9), 6) AS p90_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // SimHash end to end in SQL: per-token Java String.hashCode via
+    // list_reduce over codepoints, the splitmix64-style mix in HUGEINT
+    // arithmetic mod 2^64, per-bit majority vote, then brute-force
+    // hamming<=3 pairs (the banded Spark path equals brute force —
+    // pinned by PipelineSpec — so the oracle checks the VALUES).
+    "q24_simhash_pairs" ->
+      """WITH consts AS (
+           SELECT CAST(11400714819323198485 AS HUGEINT) AS h0,
+                  CAST(13787848793156543929 AS HUGEINT) AS c1,
+                  CAST(10723151780598845931 AS HUGEINT) AS c2,
+                  CAST(18446744073709551616 AS HUGEINT) AS p64,
+                  CAST(4294967296 AS HUGEINT) AS p32),
+         toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS tok
+           FROM documents),
+         jh AS (
+           SELECT doc_id, tok,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(generate_series(1, length(tok)),
+                   i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
+               (acc, c) -> (acc * 31 + c) % 4294967296) AS h32u
+           FROM toks),
+         ph AS (
+           SELECT doc_id, tok, c.*,
+             CASE WHEN h32u >= 2147483648 THEN h32u - 4294967296 + p64
+                  ELSE h32u END AS p
+           FROM jh, consts c),
+         r1 AS (SELECT *, xor(h0, ((20906 % p32) * c1 +
+             ((((20906 // p32) * c1) % p32) * p32)) % p64) AS z0 FROM ph),
+         r1b AS (SELECT *, ((xor(z0, z0 // 1073741824) % p32) * c1 +
+             ((((xor(z0, z0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS z1 FROM r1),
+         r1c AS (SELECT *, ((xor(z1, z1 // 134217728) % p32) * c2 +
+             ((((xor(z1, z1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS z2 FROM r1b),
+         r1d AS (SELECT *, xor(z2, z2 // 2147483648) AS h1 FROM r1c),
+         r2 AS (SELECT *, xor(h1, ((p % p32) * c1 +
+             ((((p // p32) * c1) % p32) * p32)) % p64) AS y0 FROM r1d),
+         r2b AS (SELECT *, ((xor(y0, y0 // 1073741824) % p32) * c1 +
+             ((((xor(y0, y0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS y1 FROM r2),
+         r2c AS (SELECT *, ((xor(y1, y1 // 134217728) % p32) * c2 +
+             ((((xor(y1, y1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS y2 FROM r2b),
+         tokh AS (SELECT doc_id, xor(y2, y2 // 2147483648) AS th FROM r2c),
+         bits AS (
+           SELECT doc_id, b.b,
+             SUM(CASE WHEN th // power(2, b.b)::HUGEINT % 2 = 1
+                 THEN 1 ELSE -1 END) AS acc
+           FROM tokh, (SELECT unnest(generate_series(0, 63)) AS b) b
+           GROUP BY doc_id, b.b),
+         sims AS (
+           SELECT doc_id,
+             SUM(CASE WHEN acc > 0 THEN power(2, b)::HUGEINT ELSE 0 END)
+               AS simu
+           FROM bits GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(CAST(xor(a.simu, b.simu) AS UBIGINT))
+               AS INTEGER) AS dist
+           FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, dist FROM pairs WHERE dist <= 3
+         ORDER BY id_a, id_b""",
     // The media stub's metadata derives from a splitmix64-style mix of
     // (0x3D1A, doc_id); the oracle recomputes it in HUGEINT arithmetic
     // mod 2^64 (mul64 decomposed into 32-bit halves so the 128-bit
