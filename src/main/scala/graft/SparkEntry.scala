@@ -547,6 +547,86 @@ object SparkEntry {
          round(quantile_cont(value, 0.5), 6) AS median_value,
          round(quantile_cont(value, 0.9), 6) AS p90_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // Text analysis end to end in SQL: the marker-based language-ID
+    // heuristic, the Rabin-Karp rolling fingerprint (Java hashCode per
+    // token, h = h*31 + p mod 2^64 in HUGEINT with branch-free sign
+    // extension), and the C4/Gopher-style quality composite.
+    "q26_text_analysis" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             substr(text, 1, 4000) AS head,
+             least(length(text), 4000) AS n
+           FROM documents),
+         langs AS (
+           SELECT *,
+             len(regexp_extract_all(head, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]')) AS cjk,
+             len(regexp_extract_all(head, '[\x{0400}-\x{04FF}]')) AS cyr,
+             list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+               x -> x <> '') AS ltoks
+           FROM base),
+         scored AS (
+           SELECT *,
+             len(list_filter(ltoks, t -> list_contains(['the','and','of','to','is','that','it','with','for','was','this'], t))) AS s_en,
+             len(list_filter(ltoks, t -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','für','von','zu'], t))) AS s_de,
+             len(list_filter(ltoks, t -> list_contains(['le','la','les','et','est','une','un','des','dans','pour','que','qui'], t))) AS s_fr,
+             len(list_filter(ltoks, t -> list_contains(['el','la','los','las','y','es','una','un','en','por','para','con','del','que'], t))) AS s_es,
+             len(list_filter(ltoks, t -> list_contains(['и','в','не','на','что','это','из','по'], t))) AS s_ru
+           FROM langs),
+         lang AS (
+           SELECT *, CASE
+             WHEN text IS NULL OR text = '' THEN 'und'
+             WHEN cjk * 20 > n THEN 'zh'
+             WHEN cyr * 5 > n THEN 'ru'
+             WHEN greatest(s_de, s_en, s_es, s_fr, s_ru) = 0 THEN 'en'
+             WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_ru) THEN 'de'
+             WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_ru) THEN 'en'
+             WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_ru) THEN 'es'
+             WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_ru) THEN 'fr'
+             ELSE 'ru' END AS pred_lang
+           FROM scored),
+         fp AS (
+           SELECT *,
+             list_reduce(
+               list_prepend(CAST(1125899906842597 AS HUGEINT),
+                 list_transform(
+                   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+                   tok -> ((((list_reduce(
+                       list_prepend(CAST(0 AS HUGEINT),
+                         list_transform(generate_series(1, length(tok)),
+                           i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
+                       (acc, c) -> (acc * 31 + c) % 4294967296)) + 2147483648) % 4294967296 - 2147483648
+                     + 18446744073709551616) % 18446744073709551616))),
+               (h, p) -> (h * 31 + p) % 18446744073709551616) AS fpu
+           FROM lang),
+         fps AS (
+           SELECT *, CAST(CASE WHEN fpu >= 9223372036854775808
+             THEN fpu - 18446744073709551616 ELSE fpu END AS BIGINT) AS fingerprint
+           FROM fp),
+         q AS (
+           SELECT *,
+             least(length(text) / 500.0, 1.0) AS len_score,
+             CASE WHEN length(text) > 0
+               THEN len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END AS punct,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS qtoks,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS wtoks
+           FROM fps),
+         q2 AS (
+           SELECT *,
+             CASE WHEN punct < 0.2 THEN 1.0 - punct * 2.5 ELSE 0.5 END AS punct_score,
+             least(CASE WHEN len(qtoks) > 0
+               THEN len(list_filter(qtoks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from','this','be'], t))) / CAST(len(qtoks) AS DOUBLE)
+               ELSE 0.0 END * 5.0, 1.0) AS stop_score,
+             CASE WHEN len(wtoks) > 0
+               THEN list_reduce(list_prepend(0.0, list_transform(wtoks, t -> CAST(length(t) AS DOUBLE))), (a, x) -> a + x) / len(wtoks)
+               ELSE 0.0 END AS mtl
+           FROM q),
+         q3 AS (
+           SELECT *, CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END AS token_score
+           FROM q2)
+         SELECT doc_id, pred_lang, fingerprint,
+           round(len_score * 0.4 + punct_score * 0.2 + stop_score * 0.2 + token_score * 0.2, 6) AS quality
+         FROM q3 ORDER BY doc_id""",
     // crc32 (zlib polynomial 0xEDB88320) via a table-driven list_reduce
     // over the queue-key characters (the key strings are ASCII, so
     // codepoints == UTF-8 bytes), sharded mod nWorkers like the
