@@ -3,6 +3,7 @@ package graft.epoch
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -91,19 +92,12 @@ final class CrawlJob(
   /** CDR-like output items (dd_crawler/spiders.py:88-114;
     * has_login_form = item metadata flag, spiders.py:100-106). */
   def crawledPages: DataFrame =
-    partsDf(epochParts, epochPartSchema)
-      .select($"url", $"warc_ts", $"text", $"id", $"parent", $"depth",
-        $"priority", $"page_score", $"epoch", $"media_urls",
-        $"has_login_form")
+    CrawlJob.itemsProjection(partsDf(epochParts, epochPartSchema))
 
   /** Response-log rows (dd_crawler/middleware/log.py:48-65, including the
     * has_login_form / login_success fields of log.py:61-64). */
   def metrics: DataFrame =
-    partsDf(epochParts, epochPartSchema)
-      .select($"epoch", $"url", $"id", $"parent", $"depth", $"priority",
-        $"page_score".as("score"), $"total_score", $"n_crawled",
-        $"n_domains", $"n_relevant_domains", $"has_login_form",
-        $"login_success")
+    CrawlJob.metricsProjection(partsDf(epochParts, epochPartSchema))
 
   private val scheduleSchema = StructType(Seq(
     StructField("epoch", IntegerType), StructField("worker", IntegerType),
@@ -220,7 +214,6 @@ final class CrawlJob(
     val epoch = engine.clock
     // per-epoch deterministic reseed → resume-safe scheduling
     engine.rng.setSeed(graft.gen.SynthWeb.mix(cfg.seed, epoch.toLong))
-    val trackFailures = cfg.domainStateLog || outDir.nonEmpty
 
     // 1. pop batch per worker (Q1-Q5); each worker's part is checkpointed
     // inside popRankedDf, the union is cheap lineage
@@ -271,8 +264,18 @@ final class CrawlJob(
         UF.registered_domain(UF.safe_url($"redirect_to")) ===
           UF.registered_domain($"url")
       else lit(true)
+    // a NULL html body is a fetch failure (the r1 / domain_status.py
+    // semantics), and a multi-snapshot pages layout (same url, several
+    // warc_ts) must yield ONE response per request — latest snapshot
+    // wins, md5(html) as the deterministic tiebreak. The window runs
+    // over the batch-sized join output, not the table.
+    val wSnap = Window.partitionBy($"url")
+      .orderBy($"warc_ts".desc_nulls_last, md5($"html").asc)
     val (ok, fetchStats) = Eager.ckptObserve(
-      prunedPages.join(broadcast(popped), Seq("url"))
+      prunedPages.filter($"html".isNotNull)
+        .join(broadcast(popped), Seq("url"))
+        .withColumn("_sn", row_number().over(wSnap)).filter($"_sn" === 1)
+        .drop("_sn")
         .withColumn("redirect_to", LF.redirect_target($"html", $"url")),
       "n_ok" -> count(lit(1)),
       "n_redir_cand" -> count(when($"redirect_to".isNotNull && redirGate, 1)),
@@ -335,12 +338,25 @@ final class CrawlJob(
         when($"domain".isin(credDomainSet.toSeq: _*), lit(true))
           .otherwise(lit(null).cast(BooleanType))
       else lit(null).cast(BooleanType)
+    // within-epoch "first detection per domain": the reference's Redis
+    // set is checked response-by-response, so only the FIRST form page
+    // of a domain carries the flag — the batch equivalent keeps it on
+    // the row first in pop order (priority desc, url) among this
+    // epoch's flag rows; window over batch-bounded items only
+    val wLoginFirst = Window.partitionBy($"domain")
     val itemsRaw = withMedia
       .withColumn("domain", UF.registered_domain($"url"))
       .withColumn("page_score", scoreCol)
       .withColumn("id", UF.url_hash_b64($"url"))
       .withColumn("parent_str", base64($"parent"))
       .withColumn("has_login_form", loginFormCol)
+      .withColumn("_lfkey", when($"has_login_form" === true,
+        struct((-$"priority").as("np"), $"url")))
+      .withColumn("has_login_form",
+        when($"has_login_form" === true,
+          $"_lfkey" === min($"_lfkey").over(wLoginFirst))
+          .otherwise($"has_login_form"))
+      .drop("_lfkey")
       .withColumn("login_success", loginSuccessCol)
       .select($"url", $"warc_ts", $"text", $"id",
         $"parent_str".as("parent"), $"depth", $"priority", $"page_score",
@@ -459,10 +475,12 @@ final class CrawlJob(
 
     // 7. outputs + cumulative domain sets (batch-bounded collects only)
     successSet.addAll(okDomains)
-    if (trackFailures)
-      failureSet.addAll(failures
-        .select(UF.registered_domain($"url").as("d"))
-        .distinct().as[String].collect().toSeq)
+    // always tracked: the public failureDomains getter is part of the
+    // domain-status surface (domain_status.py), and the collect is
+    // batch-bounded (≤ one row per failed url in this epoch's batch)
+    failureSet.addAll(failures
+      .select(UF.registered_domain($"url").as("d"))
+      .distinct().as[String].collect().toSeq)
     if (pageScorer.nonEmpty)
       relevantSet.addAll(withTotals
         .filter($"page_score" > cfg.relevancyThreshold)
@@ -554,4 +572,32 @@ final class CrawlJob(
       m
     }
   }
+}
+
+object CrawlJob {
+
+  /** The CDR-items view of a fused epoch part (in memory or on disk). */
+  private[epoch] def itemsProjection(parts: DataFrame): DataFrame =
+    parts.select(col("url"), col("warc_ts"), col("text"), col("id"),
+      col("parent"), col("depth"), col("priority"), col("page_score"),
+      col("epoch"), col("media_urls"), col("has_login_form"))
+
+  /** The response-log view of a fused epoch part. */
+  private[epoch] def metricsProjection(parts: DataFrame): DataFrame =
+    parts.select(col("epoch"), col("url"), col("id"), col("parent"),
+      col("depth"), col("priority"), col("page_score").as("score"),
+      col("total_score"), col("n_crawled"), col("n_domains"),
+      col("n_relevant_domains"), col("has_login_form"),
+      col("login_success"))
+
+  /** Read the CDR items of an on-disk crawl (`--out` root). The crawl
+    * persists ONE fused log table (`crawled_pages` parts carry both the
+    * item and the response-log columns; `epoch` rides the path
+    * partition) — these readers are the two public projections of it. */
+  def readCrawledPages(spark: SparkSession, root: String): DataFrame =
+    itemsProjection(TableIO.readLog(spark, root, "crawled_pages"))
+
+  /** Read the response log (metrics) of an on-disk crawl. */
+  def readMetricsLog(spark: SparkSession, root: String): DataFrame =
+    metricsProjection(TableIO.readLog(spark, root, "crawled_pages"))
 }

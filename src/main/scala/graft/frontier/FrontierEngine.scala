@@ -61,8 +61,19 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   // driver round-trips per pop on a result that is one row per domain.
   // Scanning all reduce partitions in the first round costs nothing
   // extra (the map stage ran anyway) and removes the serial rounds.
-  spark.conf.set("spark.sql.limit.initialNumPartitions",
-    math.max(spark.sessionState.conf.numShufflePartitions, 1).toString)
+  // Scoped per-take (save/restore) so a shared application session's
+  // unrelated limit/head collects keep Spark's incremental default.
+  private def takeAllPartitions(df: DataFrame, n: Int): Array[Row] = {
+    val key = "spark.sql.limit.initialNumPartitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      math.max(spark.sessionState.conf.numShufflePartitions, 1).toString)
+    try df.take(n)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   // --- state ---------------------------------------------------------------
 
@@ -627,7 +638,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     val scoresDf = myDomainScores(workerIdx)
     // one job decides the path AND fetches the vector: overflow past the
     // driver limit means "too many domains, go distributed"
-    val taken = scoresDf.take(cfg.driverSelectLimit + 1)
+    val taken = takeAllPartitions(scoresDf, cfg.driverSelectLimit + 1)
     if (taken.length <= cfg.driverSelectLimit) {
       val all = taken.map(r => (r.getString(0), r.getLong(1))).toSeq
       val qlens = taken.map(r => r.getString(0) -> r.getLong(2)).toMap

@@ -72,8 +72,12 @@ object StatsJobs {
         ewmUdf(transform(col("s"), e => e("_x"))).as("es"))
       .select(col("_sk"), explode(arrays_zip(col("os"), col("es"))).as("z"))
       .select(col("_sk"), col("z.os").as("_o"), col("z.es").as("ewm"))
+    // null-safe rejoin: a null series/order key must keep its row (the
+    // r1 window implementation did). Duplicate order keys within a
+    // series multiply rows, all carrying the same smoothed value — the
+    // scaladoc's uniqueness requirement covers exact parity.
     df.join(series,
-      seriesCol === col("_sk") && orderCol === col("_o"))
+      seriesCol <=> col("_sk") && orderCol <=> col("_o"))
       .drop("_sk", "_o")
   }
 

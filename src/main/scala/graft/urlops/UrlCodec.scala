@@ -89,8 +89,12 @@ object UrlCodec {
         out.write(codeOf(matched))
         i += matched.length
       } else {
-        verbatim.write(s.substring(i, i + 1).getBytes(UTF_8))
-        i += 1
+        // consume a full code point: emitting UTF-16 units one at a
+        // time would split surrogate pairs and corrupt non-BMP chars
+        val cp = s.codePointAt(i)
+        val n = Character.charCount(cp)
+        verbatim.write(s.substring(i, i + n).getBytes(UTF_8))
+        i += n
       }
     }
     flushVerbatim()

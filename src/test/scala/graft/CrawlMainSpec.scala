@@ -44,5 +44,15 @@ class CrawlMainSpec extends AnyFunSuite with SparkSuite {
     assert(crawledAll.distinct.size == crawledAll.size,
       "a url was crawled twice across the resume")
     assert(crawledAll.toSet.size > crawled1.size)
+
+    // both public projections of the on-disk fused log are readable:
+    // CDR items and the response log (metrics), epoch from the path
+    val items = graft.epoch.CrawlJob.readCrawledPages(spark, out)
+    assert(items.columns.contains("media_urls"))
+    assert(items.count() == crawledAll.size)
+    val metrics = graft.epoch.CrawlJob.readMetricsLog(spark, out)
+    assert(metrics.columns.toSet.contains("n_crawled"))
+    assert(metrics.count() == crawledAll.size)
+    assert(metrics.select("epoch").distinct().count() > 1)
   }
 }

@@ -179,6 +179,36 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("PushedFilters: [In(url"), plan.take(2000))
   }
 
+  test("fetch: NULL html is a failure; multi-snapshot pages yield one response") {
+    def p(url: String, html: String, ts: Long) = PageRow(
+      url = url, warc_ts = new Timestamp(ts),
+      html = if (html == null) null else html.getBytes("UTF-8"),
+      text = if (html == null) null
+             else graft.text.TextExtract.extractText(html),
+      lang = "en")
+    val t0 = 1735689600000L
+    val pages = spark.createDataset(Seq(
+      p("http://a-site.com/", "alpha", t0),
+      p("http://b-site.com/", null, t0), // body never fetched
+      p("http://c-site.com/", "old snapshot", t0),
+      p("http://c-site.com/", "new snapshot", t0 + 1000) // later wins
+    )).toDF()
+    val job = new CrawlJob(spark,
+      CrawlConfig(batchSize = 10, concurrentPerDomain = 8, seed = 5L), pages)
+    job.seed(Seq("http://a-site.com/", "http://b-site.com/",
+      "http://c-site.com/"))
+    val c = job.runEpoch()
+    assert(c.popped == 3)
+    assert(c.fetched == 2, "null-html row must count as a failure")
+    assert(c.failures == 1)
+    val texts = job.crawledPages.select($"url", $"text")
+      .as[(String, String)].collect().toMap
+    assert(texts.keySet == Set("http://a-site.com/", "http://c-site.com/"))
+    assert(texts("http://c-site.com/") == "new snapshot")
+    assert(job.failureDomains.as[String].collect().toSeq == Seq("b-site.com"),
+      "failure domains are tracked without an outDir or domain-state flag")
+  }
+
   test("adaptive hot-domain salting pops the identical set (and sizes salts to qlen)") {
     // one hot domain (300 urls), two cold ones (5 each)
     val reqs = (

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.epoch.CrawlJob
 import graft.frontier.{CrawlConfig, Selection}
+import graft.tables.Schemas.PageRow
 import graft.gen.SynthWeb
 import graft.urlops.{UrlOps, UrlFunctions => UF}
 
@@ -97,5 +98,33 @@ class LoginFlowSpec extends AnyFunSuite with SparkSuite {
     assert(job.metrics.filter($"login_success" === true).count() > 0)
     // queue surface: the login-form domain set (queue.py:342-348)
     assert(job.hasLoginForm("http://localhost/anything"))
+  }
+
+  test("has_login_form flags only the FIRST form page per domain in an epoch " +
+       "(spiders.py:100-106 queue-set short-circuit)") {
+    val form = """<form action="/l" method="post">""" +
+      """<input type="text" name="login">""" +
+      """<input type="password" name="password"></form>"""
+    def p(url: String, html: String) = PageRow(
+      url = url, warc_ts = new java.sql.Timestamp(1735689600000L),
+      html = html.getBytes("UTF-8"),
+      text = graft.text.TextExtract.extractText(html), lang = "en")
+    val pages = spark.createDataset(Seq(
+      p("http://two-forms.com/a", form),
+      p("http://two-forms.com/b", form),
+      p("http://no-form.com/", "plain"))).toDF()
+    val job = new CrawlJob(spark,
+      cfg.copy(batchSize = 10, concurrentPerDomain = 8), pages)
+    job.seed(Seq("http://two-forms.com/a", "http://two-forms.com/b",
+      "http://no-form.com/"))
+    job.runEpoch()
+    val flags = job.crawledPages
+      .select($"url", $"has_login_form").as[(String, Boolean)]
+      .collect().toMap
+    // both form pages fetched the same epoch — exactly one flag, on the
+    // first in pop order (priority ties → url asc)
+    assert(flags("http://two-forms.com/a"))
+    assert(!flags("http://two-forms.com/b"))
+    assert(!flags("http://no-form.com/"))
   }
 }
