@@ -66,10 +66,12 @@ object CrawlMain {
     val job = new CrawlJob(spark, cfg, pages, robots = robots,
       outDir = a.get("out"))
 
-    a.get("credentials").foreach(job.loadLoginCredentialsJson)
     val resumed = if (flag("resume")) job.resume() else None
     if (resumed.isEmpty)
       job.seed(job.seedsFromText(a("seeds")))
+    // after resume: restoreState would otherwise wipe the login-URL
+    // re-pushes that credential loading deliberately makes
+    a.get("credentials").foreach(job.loadLoginCredentialsJson)
 
     val maxEpochs = a.getOrElse("epochs", "100").toInt
     val out = scala.collection.mutable.ArrayBuffer.empty[epoch.EpochCounters]

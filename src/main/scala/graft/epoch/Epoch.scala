@@ -221,7 +221,8 @@ final class CrawlJob(
     var popped = emptyDf(StructType(Seq(
       StructField("domain", StringType), StructField("url", StringType),
       StructField("priority", LongType), StructField("depth", IntegerType),
-      StructField("parent", BinaryType), StructField("epoch_added", IntegerType))))
+      StructField("parent", BinaryType), StructField("login", StringType),
+      StructField("epoch_added", IntegerType))))
     var nPopped = 0L
     var nDeferred = 0L
     for (w <- 0 until cfg.nWorkers) {
@@ -235,10 +236,19 @@ final class CrawlJob(
     // plus — once logged in — the credentialed domains' authenticated
     // pages (the autologin session surface).
     val visiblePages =
-      if (cfg.autologinEnabled && credDomainSet.nonEmpty && authPages.nonEmpty)
-        pages.unionByName(authPages.get.filter(
-          UF.registered_domain($"url").isin(credDomainSet.toSeq: _*)))
-      else pages
+      if (cfg.autologinEnabled && credDomainSet.nonEmpty && authPages.nonEmpty) {
+        val auth = authPages.get.filter(
+          UF.registered_domain($"url").isin(credDomainSet.toSeq: _*))
+        // a bucketed pages layout carries a `bucket` partition column —
+        // derive it for the auth rows so the union aligns AND the
+        // bucket prune below keeps them
+        val aligned =
+          if (cfg.pagesBuckets > 0)
+            auth.withColumn("bucket",
+              TableIO.bucketCol($"url", cfg.pagesBuckets))
+          else auth
+        pages.unionByName(aligned)
+      } else pages
     // bucket pruning: read only the url-hash buckets the popped batch
     // can possibly match (partition pruning at the source)
     val prunedPages =
@@ -266,10 +276,14 @@ final class CrawlJob(
       else lit(true)
     // a NULL html body is a fetch failure (the r1 / domain_status.py
     // semantics), and a multi-snapshot pages layout (same url, several
-    // warc_ts) must yield ONE response per request — latest snapshot
-    // wins, md5(html) as the deterministic tiebreak. The window runs
-    // over the batch-sized join output, not the table.
-    val wSnap = Window.partitionBy($"url")
+    // warc_ts) must yield ONE response per REQUEST — latest snapshot
+    // wins, md5(html) as the deterministic tiebreak. Partitioning is
+    // the full popped-request identity (url, depth, parent, login): the
+    // login fingerprint dimension means the same url can be two live
+    // requests (pre/post-login), each owed its own response. The window
+    // runs over the batch-sized join output, not the table.
+    val wSnap = Window
+      .partitionBy($"url", $"depth", $"parent", $"login")
       .orderBy($"warc_ts".desc_nulls_last, md5($"html").asc)
     val (ok, fetchStats) = Eager.ckptObserve(
       prunedPages.filter($"html".isNotNull)
@@ -365,9 +379,12 @@ final class CrawlJob(
     // distributed running totals in url order (the reference's per-item
     // n_crawled / total_score counters) — prefix scan, no global window;
     // also materializes the epoch part and yields its count + score sum
+    // order key = url + request identity: the login dimension lets the
+    // same url be crawled twice (pre/post-login), and the prefix scan's
+    // order must stay total
     val (withTotals, nItems, epochScore) = Cumulative.runningTotals(
-      itemsRaw, Seq($"url"), $"page_score", "n_crawled", "total_score",
-      nCrawledTotal, totalScore)
+      itemsRaw, Seq($"url", $"depth", $"parent"), $"page_score",
+      "n_crawled", "total_score", nCrawledTotal, totalScore)
 
     // 4. relevance accumulation (A4, queue.py:174-179) — only when a page
     // classifier is configured and score > threshold (spiders.py:158-163)

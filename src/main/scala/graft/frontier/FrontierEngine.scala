@@ -77,10 +77,15 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
   // --- state ---------------------------------------------------------------
 
+  // `login` is part of the request identity: the dupefilter fingerprint
+  // carries the login state (dupefilter.py:20), so the frontier row and
+  // the pop tombstone pkey must too — otherwise a pre-login tombstone
+  // could shadow a legitimately re-ingested post-login request.
   private val frontierSchema = StructType(Seq(
     StructField("domain", StringType), StructField("url", StringType),
     StructField("priority", LongType), StructField("depth", IntegerType),
-    StructField("parent", BinaryType), StructField("epoch_added", IntegerType)))
+    StructField("parent", BinaryType), StructField("login", StringType),
+    StructField("epoch_added", IntegerType)))
 
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -90,15 +95,17 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * union(parts) minus union(tombstones); a full rewrite happens only
     * on compaction or on the rare replace-semantics push path. Under the
     * dedup-before-push flow a pkey enters the frontier at most once ever
-    * (its fingerprint lands in `seen`), so tombstones can never shadow a
-    * future row. */
+    * (its fingerprint lands in `seen`, and the pkey carries every
+    * fingerprint dimension including login state), so tombstones can
+    * never shadow a future row. */
   private var frontierParts: Vector[DataFrame] = Vector.empty
   private var popTombstones: Vector[DataFrame] = Vector.empty // pkey
   private val frontierCompactThreshold = 48
 
   private def pkeyCol: org.apache.spark.sql.Column =
     concat_ws("\u0001", $"domain", $"url", $"depth".cast("string"),
-      coalesce(base64($"parent"), lit("")))
+      coalesce(base64($"parent"), lit("")),
+      coalesce($"login", lit("None")))
 
   private[frontier] def frontier: DataFrame = {
     val base = frontierParts.reduceOption(_ unionByName _)
@@ -255,8 +262,14 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * from accepted rows). Priorities/depths are clamped on entry
     * (queue.py:91-92,403).
     */
-  def pushBatch(reqsIn: DataFrame, epoch: Int,
+  def pushBatch(reqsIn0: DataFrame, epoch: Int,
                 assumeFresh: Boolean = false): DataFrame = {
+    // normalize the login dimension on entry — it is part of the row
+    // identity (pkey) and of the frontier schema
+    val reqsIn =
+      if (reqsIn0.columns.contains("login"))
+        reqsIn0.withColumn("login", coalesce($"login", lit("None")))
+      else reqsIn0.withColumn("login", lit("None"))
     // Fast path: dedup-guaranteed-fresh batch with no active gates —
     // pkeys are unique (one fp per canonical url) and every row is
     // accepted, so push is a single checkpointed append: one write of
@@ -267,7 +280,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         .withColumn("priority", UF.clamp_priority($"priority", cfg.maxScore))
         .withColumn("depth", UF.clamp_depth($"depth"))
         .select($"domain", $"url", $"priority", $"depth", $"parent",
-          lit(epoch).as("epoch_added"))
+          $"login", lit(epoch).as("epoch_added"))
       val (part, n) = Eager.ckptCount(entries)
       frontierParts = frontierParts :+ part
       frontierLenCount += n
@@ -348,7 +361,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     val newEntries = keyed
       .withColumn("_rn", row_number().over(dedupW)).filter($"_rn" === 1)
       .select($"domain", $"url", $"priority", $"depth", $"parent",
-        lit(epoch).as("epoch_added"), $"pkey")
+        $"login", lit(epoch).as("epoch_added"), $"pkey")
 
     if (assumeFresh) {
       // dedup-before-push flow: pkeys are globally fresh - pure append
@@ -444,21 +457,27 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * dimension (dupefilter.py:20). Returns the unseen rows. With the
     * Bloom pre-filter on, only bloom hits reach the exact anti-join —
     * decisions stay exact either way. */
-  def dedupAgainstSeen(cand: DataFrame): DataFrame = {
-    val loginCol =
-      if (cand.columns.contains("login")) coalesce($"login", lit("None"))
-      else lit("None")
-    val fped = cand.withColumn("fp", UF.url_fingerprint($"url", loginCol))
-    // intra-batch test-and-set: one row per fp, deterministic winner by
-    // url — hash aggregate with map-side partial combine (no sort
-    // window; min over a struct ordered by url first)
+  /** The shared unseen plan: fingerprint, intra-batch test-and-set (one
+    * row per fp, deterministic winner by url — hash aggregate with
+    * map-side partial combine, no sort window), then the anti-join
+    * against seen history — Bloom-prefiltered when enabled. Used by both
+    * the two-step dedup (dedupAgainstSeen) and the fused dedup+push
+    * (ingestBatch) so their semantics cannot drift. Returns the plan
+    * with a normalized `login` column and the `fp` column retained. */
+  private def unseenPlanOf(cand: DataFrame): DataFrame = {
+    val withLogin =
+      if (cand.columns.contains("login"))
+        cand.withColumn("login", coalesce($"login", lit("None")))
+      else cand.withColumn("login", lit("None"))
+    val fped = withLogin
+      .withColumn("fp", UF.url_fingerprint($"url", $"login"))
     val payload = fped.columns.filter(_ != "fp")
     val ordered = Seq("url") ++ payload.filterNot(_ == "url")
     val batchUnique = fped
       .groupBy($"fp")
       .agg(min(struct(ordered.map(col): _*)).as("_s"))
       .select(col("fp") +: payload.map(c => col(s"_s.$c").as(c)): _*)
-    val (unseen, nUnseen) = Eager.ckptCount(bloom match {
+    bloom match {
       case Some(b) =>
         val (maybeSeen0, fresh) = BloomSeen.prefilter(batchUnique, b)
         val maybeSeen = maybeSeen0.localCheckpoint(true)
@@ -475,7 +494,12 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         maybeSeen.join(seenSlice, Seq("fp"), "left_anti").unionByName(fresh)
       case None =>
         batchUnique.join(seen, Seq("fp"), "left_anti")
-    })
+    }
+  }
+
+  def dedupAgainstSeen(cand: DataFrame): DataFrame = {
+    val hadLogin = cand.columns.contains("login")
+    val (unseen, nUnseen) = Eager.ckptCount(unseenPlanOf(cand))
     seenCounter += nUnseen
     lastDedupUnseen = nUnseen
     // append-only: checkpoint just the increment, never rewrite history
@@ -488,7 +512,8 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       b.merge(BloomSeen.build(unseen.select("fp"), "fp",
         cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01))
     }
-    unseen.drop("fp")
+    // a caller that never passed `login` gets its own columns back
+    if (hadLogin) unseen.drop("fp") else unseen.drop("fp", "login")
   }
 
   /** Fused dedup + push — the epoch hot path. `dedupAgainstSeen`
@@ -506,35 +531,14 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   def ingestBatch(cand: DataFrame, epoch: Int): DataFrame = {
     if (cfg.maxDomains > 0 || didRestrict) {
       val unseen = dedupAgainstSeen(cand)
-      return pushBatch(unseen.drop("login"), epoch, assumeFresh = true)
+      return pushBatch(unseen, epoch, assumeFresh = true)
     }
-    val loginCol =
-      if (cand.columns.contains("login")) coalesce($"login", lit("None"))
-      else lit("None")
-    val fped = cand.withColumn("fp", UF.url_fingerprint($"url", loginCol))
-    val payload = Seq("url", "priority", "depth", "parent")
-    val batchUnique = fped
-      .groupBy($"fp")
-      .agg(min(struct(payload.map(col): _*)).as("_s"))
-      .select(col("fp") +: payload.map(c => col(s"_s.$c").as(c)): _*)
-    val unseenPlan = bloom match {
-      case Some(b) =>
-        val (maybeSeen0, fresh) = BloomSeen.prefilter(batchUnique, b)
-        val maybeSeen = maybeSeen0.localCheckpoint(true)
-        val batchBloom = BloomSeen.build(maybeSeen.select("fp"), "fp",
-          cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01)
-        val bc = spark.sparkContext.broadcast(batchBloom)
-        val hit = udf((fp: String) => bc.value.mightContain(fp))
-        maybeSeen.join(seen.filter(hit($"fp")), Seq("fp"), "left_anti")
-          .unionByName(fresh)
-      case None => batchUnique.join(seen, Seq("fp"), "left_anti")
-    }
-    val (part, n) = Eager.ckptCount(unseenPlan
+    val (part, n) = Eager.ckptCount(unseenPlanOf(cand)
       .withColumn("domain", UF.registered_domain($"url"))
       .withColumn("priority", UF.clamp_priority($"priority", cfg.maxScore))
       .withColumn("depth", UF.clamp_depth($"depth"))
       .select($"fp", $"domain", $"url", $"priority", $"depth", $"parent",
-        lit(epoch).as("epoch_added")))
+        $"login", lit(epoch).as("epoch_added")))
     lastDedupUnseen = n
     lastPushAccepted = n
     seenCounter += n
@@ -771,7 +775,11 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   def restoreState(tables: Map[String, DataFrame], didRestrictFlag: Boolean,
                    epoch: Int, seq: Long,
                    rebuildBloom: Boolean = true): Unit = {
-    val (fPart, fLen) = Eager.ckptCount(tables("frontier"))
+    val frontier0 = tables("frontier")
+    val (fPart, fLen) = Eager.ckptCount(
+      // snapshots written before the login dimension joined the schema
+      if (frontier0.columns.contains("login")) frontier0
+      else frontier0.withColumn("login", lit("None")))
     frontierParts = Vector(fPart)
     frontierLenCount = fLen
     popTombstones = Vector.empty

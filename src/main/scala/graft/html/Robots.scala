@@ -3,6 +3,7 @@ package graft.html
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.urlops.{UrlFunctions => UF}
@@ -67,11 +68,20 @@ object Robots {
 
   /** Build the (host, disallow_prefixes) rules table from the pages
     * table's own `/robots.txt` rows. Scan-level predicate (url suffix)
-    * pushes down; one row per host with a robots file. */
-  def rulesFromPages(pages: DataFrame): DataFrame =
+    * pushes down. EXACTLY one row per host: a multi-snapshot layout
+    * (several warc_ts of the same robots url, or http+https copies)
+    * must not duplicate candidates through the gate's left join or
+    * mix rules OR-wise — the latest snapshot wins (same rule as the
+    * fetch join), url as the deterministic tiebreak. */
+  def rulesFromPages(pages: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("warc_ts").desc_nulls_last, col("url").asc)
     pages
       .filter(col("url").endsWith("/robots.txt"))
-      .select(UF.url_host(col("url")).as("host"),
-        parseUdf(col("html")).as("disallow_prefixes"))
+      .select(UF.url_host(col("url")).as("host"), col("url"),
+        col("warc_ts"), parseUdf(col("html")).as("disallow_prefixes"))
       .filter(size(col("disallow_prefixes")) > 0)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select("host", "disallow_prefixes")
+  }
 }

@@ -179,6 +179,24 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("PushedFilters: [In(url"), plan.take(2000))
   }
 
+  test("a pre-login pop tombstone cannot shadow a post-login re-ingest " +
+       "(login state is part of the frontier row identity)") {
+    val e = new FrontierEngine(spark, CrawlConfig(batchSize = 4, seed = 2L))
+    val r1 = Seq(("http://d-login.com/u", 0L, 0, null: Array[Byte]))
+      .toDF("url", "priority", "depth", "parent")
+    e.ingestBatch(r1, 1)
+    assert(e.popEpochDf(0).count() == 1) // pops u; tombstone stays live
+    assert(e.len == 0)
+    // the same url re-discovered after login: new fingerprint dimension,
+    // passes dedup — and must be visible despite the un-compacted
+    // pre-login tombstone
+    e.ingestBatch(r1.withColumn("login", lit("True")), 2)
+    assert(e.len == 1)
+    val popped = e.popEpochDf(0)
+    assert(popped.count() == 1)
+    assert(popped.select("login").as[String].head() == "True")
+  }
+
   test("fetch: NULL html is a failure; multi-snapshot pages yield one response") {
     def p(url: String, html: String, ts: Long) = PageRow(
       url = url, warc_ts = new Timestamp(ts),
