@@ -225,10 +225,13 @@ final class CrawlJob(
       StructField("epoch_added", IntegerType))))
     var nPopped = 0L
     var nDeferred = 0L
+    val poppedDomainCounts = mutable.Map.empty[String, Int]
     for (w <- 0 until cfg.nWorkers) {
       popped = popped.unionByName(engine.popEpochDf(w))
       nPopped += engine.lastPopCount
       nDeferred += engine.lastPopDeferred
+      engine.lastPopDomains.foreach(d =>
+        poppedDomainCounts(d) = poppedDomainCounts.getOrElse(d, 0) + 1)
       engine.lastScheduleDecision.foreach(d => decisions += (w -> d))
     }
 
@@ -293,21 +296,26 @@ final class CrawlJob(
         .withColumn("redirect_to", LF.redirect_target($"html", $"url")),
       "n_ok" -> count(lit(1)),
       "n_redir_cand" -> count(when($"redirect_to".isNotNull && redirGate, 1)),
-      // the fetched-domain set rides the same job (batch-bounded: one
-      // entry per sampled domain) — feeds the n_domains counter without
-      // a separate collect
-      "doms" -> collect_set(UF.registered_domain($"url")))
+      // the per-response domain MULTISET rides the same job
+      // (batch-bounded): its distinct is the success-domain set, and
+      // comparing its counts against the popped domain counts yields the
+      // failure-domain set — no separate job on the failures side
+      "doms" -> collect_list(UF.registered_domain($"url")))
     val nOk = Eager.long(fetchStats, "n_ok")
     val nRedirCands = Eager.long(fetchStats, "n_redir_cand")
-    val okDomains: Seq[String] = fetchStats("doms") match {
+    val okDomainList: Seq[String] = fetchStats("doms") match {
       case null => Nil
       case s: scala.collection.Seq[_] => s.map(_.toString).toSeq
       case other => Seq(other.toString)
     }
+    val okDomains: Seq[String] = okDomainList.distinct
+    val okDomainCounts = okDomainList.groupBy(identity).view.mapValues(_.size)
+    // a domain with fewer responses than popped requests had a failure
+    // (registered_domain(url) == the popped row's domain column)
+    val failureDomains = poppedDomainCounts.collect {
+      case (d, n) if n > okDomainCounts.getOrElse(d, 0) => d
+    }.toSeq
     val nFailures = nPopped - nOk
-    // fetch failures: batch-sized anti-join, both sides broadcastable
-    val failures = popped.join(broadcast(ok.select("url")), Seq("url"),
-      "left_anti")
     val parsed = ok.filter($"redirect_to".isNull)
     val redirects = ok.filter($"redirect_to".isNotNull)
 
@@ -493,11 +501,9 @@ final class CrawlJob(
     // 7. outputs + cumulative domain sets (batch-bounded collects only)
     successSet.addAll(okDomains)
     // always tracked: the public failureDomains getter is part of the
-    // domain-status surface (domain_status.py), and the collect is
-    // batch-bounded (≤ one row per failed url in this epoch's batch)
-    failureSet.addAll(failures
-      .select(UF.registered_domain($"url").as("d"))
-      .distinct().as[String].collect().toSeq)
+    // domain-status surface (domain_status.py); derived from the popped
+    // and fetched domain multisets already observed — no extra job
+    failureSet.addAll(failureDomains)
     if (pageScorer.nonEmpty)
       relevantSet.addAll(withTotals
         .filter($"page_score" > cfg.relevancyThreshold)

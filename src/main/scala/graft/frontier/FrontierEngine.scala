@@ -179,6 +179,9 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   /** URLs left queued in the sampled domains beyond their per-domain
     * politeness budget this pop (the north-star deferred counter). */
   var lastPopDeferred: Long = 0L
+  /** Domain of every popped row (multiset), observed on the pop
+    * materialization — batch-bounded. */
+  var lastPopDomains: Seq[String] = Nil
 
   /** Politeness slot mock: domain → has free transfer slots. Domains not
     * present are considered free (queue.py:209-231, slots_mock in tests).
@@ -741,10 +744,20 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
           .drop("_r1", "_salt", "salts")
       }
     val w = Window.partitionBy($"domain").orderBy(order: _*)
-    val (popped, nPopped) = Eager.ckptCount(partial
+    // the per-url domain multiset rides the same materialization
+    // (batch-bounded) — it is what lets the epoch loop derive the
+    // failure-domain set without a separate job on the failures side
+    val (popped, m) = Eager.ckptObserve(partial
       .withColumn("_rank", row_number().over(w))
       .filter($"_rank" <= $"n")
-      .drop("_rank", "n"))
+      .drop("_rank", "n"),
+      "n" -> count(lit(1)), "doms" -> collect_list($"domain"))
+    val nPopped = Eager.long(m, "n")
+    lastPopDomains = m("doms") match {
+      case null => Nil
+      case s: scala.collection.Seq[_] => s.map(_.toString).toSeq
+      case other => Seq(other.toString)
+    }
     frontierLenCount -= nPopped
     lastPopCount = nPopped
     // pop delete = tombstone append (no frontier rewrite); popped is
