@@ -288,11 +288,15 @@ final class CrawlJob(
     val wSnap = Window
       .partitionBy($"url", $"depth", $"parent", $"login")
       .orderBy($"warc_ts".desc_nulls_last, md5($"html").asc)
-    val (ok, fetchStats) = Eager.ckptObserve(
-      prunedPages.filter($"html".isNotNull)
-        .join(broadcast(popped), Seq("url"))
+    def oneResponsePerRequest(joined: DataFrame): DataFrame =
+      if (!cfg.pagesMultiSnapshot) joined
+      else joined
         .withColumn("_sn", row_number().over(wSnap)).filter($"_sn" === 1)
         .drop("_sn")
+    val (ok, fetchStats) = Eager.ckptObserve(
+      oneResponsePerRequest(
+        prunedPages.filter($"html".isNotNull)
+          .join(broadcast(popped), Seq("url")))
         .withColumn("redirect_to", LF.redirect_target($"html", $"url")),
       "n_ok" -> count(lit(1)),
       "n_redir_cand" -> count(when($"redirect_to".isNotNull && redirGate, 1)),
@@ -366,19 +370,22 @@ final class CrawlJob(
     // the row first in pop order (priority desc, url) among this
     // epoch's flag rows; window over batch-bounded items only
     val wLoginFirst = Window.partitionBy($"domain")
-    val itemsRaw = withMedia
+    def firstFormOnly(df: DataFrame): DataFrame =
+      if (!cfg.autologinEnabled) df // flag is constant-null: skip the window
+      else df
+        .withColumn("_lfkey", when($"has_login_form" === true,
+          struct((-$"priority").as("np"), $"url")))
+        .withColumn("has_login_form",
+          when($"has_login_form" === true,
+            $"_lfkey" === min($"_lfkey").over(wLoginFirst))
+            .otherwise($"has_login_form"))
+        .drop("_lfkey")
+    val itemsRaw = firstFormOnly(withMedia
       .withColumn("domain", UF.registered_domain($"url"))
       .withColumn("page_score", scoreCol)
       .withColumn("id", UF.url_hash_b64($"url"))
       .withColumn("parent_str", base64($"parent"))
-      .withColumn("has_login_form", loginFormCol)
-      .withColumn("_lfkey", when($"has_login_form" === true,
-        struct((-$"priority").as("np"), $"url")))
-      .withColumn("has_login_form",
-        when($"has_login_form" === true,
-          $"_lfkey" === min($"_lfkey").over(wLoginFirst))
-          .otherwise($"has_login_form"))
-      .drop("_lfkey")
+      .withColumn("has_login_form", loginFormCol))
       .withColumn("login_success", loginSuccessCol)
       .select($"url", $"warc_ts", $"text", $"id",
         $"parent_str".as("parent"), $"depth", $"priority", $"page_score",

@@ -109,7 +109,14 @@ final case class CrawlConfig(
       * skip row groups outside the batch's url range) when the batch is
       * at most this many urls. 0 disables. Batch-bounded by definition —
       * the list is the popped batch, never frontier-sized. */
-    fetchUrlPushdown: Int = 10000) {
+    fetchUrlPushdown: Int = 10000,
+    /** The pages table may hold several snapshots of the same url
+      * (Common-Crawl-style multi-crawl layouts): the fetch then picks
+      * exactly one response per request (latest warc_ts). Costs one
+      * batch-sized shuffle per epoch; an operator with a known
+      * one-row-per-url table can turn it off. Default ON — correctness
+      * over latency. */
+    pagesMultiSnapshot: Boolean = true) {
 
   /** max_queue_n = ceil(0.5 × CONCURRENT_REQUESTS_PER_DOMAIN)
     * (queue.py:513-515): per-batch per-domain politeness budget. */
