@@ -384,13 +384,31 @@ object SparkEntry {
         k = 10, nProbe = 8)
     }),
 
-    // embedding-cosine near-dup pairs via hyperplane LSH
+    // embedding-cosine near-dup pairs via hyperplane LSH. Threshold 0.35
+    // sits inside the synthetic embeddings' actual similarity range (max
+    // pairwise cosine at sf0.01 is 0.513) so the query exercises real
+    // bucket collisions + verifications instead of returning empty.
     "q28_embedding_neardup" -> ((s, dir) => {
       import s.implicits._
       Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), $"vec_id",
-          $"embedding", threshold = 0.9, nBits = 8, nBands = 4)
+          $"embedding", threshold = 0.35, nBits = 8, nBands = 4)
         .withColumn("cos", round($"cos", 6))
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // A11 EWM: pandas ewm(span=10).mean() parity over the hourly RPM
+    // series (response_stats.py:84) — the adjust=true recurrence
+    // N_t = x_t + (1-α)N_{t-1}, D_t = 1 + (1-α)D_{t-1}, y = N/D.
+    "q33_ewm_rpm" -> ((s, dir) => {
+      import s.implicits._
+      val buckets = t(s, dir, "events")
+        .groupBy((floor(unix_timestamp($"ts") / 3600) * 3600)
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      graft.stats.StatsJobs.ewm(buckets, $"bucket", $"n", span = 10.0)
+        .withColumn("ewm", round($"ewm", 6))
+        .select($"bucket", $"n", $"ewm")
+        .orderBy($"bucket")
     })
   )
 
@@ -855,6 +873,105 @@ object SparkEntry {
            FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, dist FROM pairs WHERE dist <= 3
          ORDER BY id_a, id_b""",
+    // The ewm recurrence replicated with IDENTICAL floating-point op
+    // order: list_reduce over each ordered prefix runs the exact
+    // x + (1-α)·acc sequence the Scala UDF runs (explicit ::DOUBLE casts
+    // keep DuckDB out of DECIMAL arithmetic), so values match bit-exactly
+    // before the final round.
+    "q33_ewm_rpm" ->
+      """WITH b AS (
+           SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY bucket),
+         arr AS (
+           SELECT list(n::DOUBLE ORDER BY bucket) AS xs,
+             list(bucket ORDER BY bucket) AS bs FROM b),
+         idx AS (SELECT unnest(generate_series(1, len(xs))) AS t, xs, bs
+           FROM arr)
+         SELECT bs[t] AS bucket, CAST(xs[t] AS BIGINT) AS n,
+           round(
+             list_reduce(list_prepend(0.0::DOUBLE, xs[1:t]),
+               (acc, x) -> x + (1.0::DOUBLE - 2.0::DOUBLE/11.0::DOUBLE) * acc) /
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(generate_series(1, t), i -> 1.0::DOUBLE)),
+               (acc, x) -> x + (1.0::DOUBLE - 2.0::DOUBLE/11.0::DOUBLE) * acc),
+             6) AS ewm
+         FROM idx ORDER BY bucket""",
+    // The hyperplane-LSH pipeline recomputed end-to-end: plane weights
+    // w(band,bit,i) = mix(42 + band*1000 + bit, i) / Long.MaxValue in
+    // HUGEINT mod-2^64 (same mul64 decomposition as q23/q24), sign-bit
+    // buckets per band, bucket-join candidates, exact cosine verify.
+    "q28_embedding_neardup" ->
+      """WITH consts AS (
+           SELECT CAST(11400714819323198485 AS HUGEINT) AS h0,
+                  CAST(13787848793156543929 AS HUGEINT) AS c1,
+                  CAST(10723151780598845931 AS HUGEINT) AS c2,
+                  CAST(18446744073709551616 AS HUGEINT) AS p64,
+                  CAST(4294967296 AS HUGEINT) AS p32),
+         dims AS (SELECT unnest(generate_series(0, 63)) AS i),
+         planes AS (
+           SELECT band.band, bit.b, d.i, c.*,
+             CAST(42 + band.band * 1000 + bit.b AS HUGEINT) AS p1
+           FROM (SELECT unnest(generate_series(0, 3)) AS band) band,
+                (SELECT unnest(generate_series(0, 7)) AS b) bit,
+                dims d, consts c),
+         m1 AS (SELECT *, xor(h0, ((p1 % p32) * c1 +
+             ((((p1 // p32) * c1) % p32) * p32)) % p64) AS z0 FROM planes),
+         m1b AS (SELECT *, ((xor(z0, z0 // 1073741824) % p32) * c1 +
+             ((((xor(z0, z0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS z1 FROM m1),
+         m1c AS (SELECT *, ((xor(z1, z1 // 134217728) % p32) * c2 +
+             ((((xor(z1, z1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS z2 FROM m1b),
+         m1d AS (SELECT *, xor(z2, z2 // 2147483648) AS h1 FROM m1c),
+         m2 AS (SELECT *, xor(h1, ((CAST(i AS HUGEINT) % p32) * c1 +
+             ((((CAST(i AS HUGEINT) // p32) * c1) % p32) * p32)) % p64)
+             AS y0 FROM m1d),
+         m2b AS (SELECT *, ((xor(y0, y0 // 1073741824) % p32) * c1 +
+             ((((xor(y0, y0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS y1 FROM m2),
+         m2c AS (SELECT *, ((xor(y1, y1 // 134217728) % p32) * c2 +
+             ((((xor(y1, y1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS y2 FROM m2b),
+         weights AS (
+           SELECT band, b, i,
+             CAST(CASE WHEN xor(y2, y2 // 2147483648) >= 9223372036854775808
+               THEN xor(y2, y2 // 2147483648) - 18446744073709551616
+               ELSE xor(y2, y2 // 2147483648) END AS DOUBLE)
+               / 9223372036854775807.0 AS w
+           FROM m2c),
+         elems AS (
+           SELECT vec_id, i.i, embedding[i.i + 1]::DOUBLE AS x
+           FROM embeddings, dims i),
+         dots AS (
+           SELECT e.vec_id, w.band, w.b, sum(e.x * w.w) AS s
+           FROM elems e JOIN weights w ON e.i = w.i
+           GROUP BY e.vec_id, w.band, w.b),
+         buckets AS (
+           SELECT vec_id, band,
+             SUM(CASE WHEN s >= 0 THEN power(2, b)::BIGINT ELSE 0 END)
+               AS bucket
+           FROM dots GROUP BY vec_id, band),
+         norms AS (
+           SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x),
+               (a, b) -> a + b)) AS nrm
+           FROM embeddings),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id),
+         verified AS (
+           SELECT c.id_a, c.id_b,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> na.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE),
+               (x, y) -> x + y) / (na.nrm * nb.nrm) AS cos
+           FROM cand c
+           JOIN norms na ON na.vec_id = c.id_a
+           JOIN norms nb ON nb.vec_id = c.id_b)
+         SELECT id_a, id_b, round(cos, 6) AS cos FROM verified
+         WHERE cos >= 0.35 ORDER BY id_a, id_b""",
     // The media stub's metadata derives from a splitmix64-style mix of
     // (0x3D1A, doc_id); the oracle recomputes it in HUGEINT arithmetic
     // mod 2^64 (mul64 decomposed into 32-bit halves so the 128-bit

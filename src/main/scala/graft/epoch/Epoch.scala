@@ -418,10 +418,25 @@ final class CrawlJob(
         .leq(cfg.maxDupePathSegments) &&
       UF.num_duplicate_segments(UF.url_query($"url"), "&")
         .leq(cfg.maxDupeQuerySegments)
+    // P15 autopager (spiders.py:74-77): the pagination set is a per-PAGE
+    // property (URL-template clusters + anchor features over the page's
+    // own link list), so it is computed on the links array BEFORE the
+    // explode; each exploded row then carries its membership flag.
+    val linkRows = {
+      val base = parsed.select($"url".as("page_url"),
+        $"depth".as("page_depth"), LF.extract_links($"html", $"url").as("_ls"))
+      if (cfg.autopager)
+        base.withColumn("_pag", LF.pagination_urls($"_ls"))
+          .select($"page_url", $"page_depth", $"_pag",
+            explode($"_ls").as("link"))
+          .withColumn("is_pag", array_contains($"_pag", $"link.url"))
+          .drop("_pag")
+      else
+        base.select($"page_url", $"page_depth", explode($"_ls").as("link"))
+          .withColumn("is_pag", lit(false))
+    }
     val (rawLinks, linkStats) = Eager.ckptObserve(
-      parsed
-        .select($"url".as("page_url"), $"depth".as("page_depth"),
-          explode(LF.extract_links($"html", $"url")).as("link"))
+      linkRows
         .withColumn("url", UF.safe_url($"link.url"))
         .withColumn("link_domain", UF.registered_domain($"url"))
         .withColumn("page_domain", UF.registered_domain($"page_url"))
@@ -450,8 +465,7 @@ final class CrawlJob(
     val linkCands = afterDomainLimit
       .withColumn("depth",
         when(lit(cfg.resetDepth) && $"cross_domain", lit(0))
-          .when(lit(cfg.autopager) &&
-            LF.is_pagination($"url", $"page_url"), $"page_depth")
+          .when(lit(cfg.autopager) && $"is_pag", $"page_depth")
           .otherwise($"page_depth" + 1))
       .withColumn("priority",
         UF.link_priority($"link_score", cfg.priorityMultiplier) -

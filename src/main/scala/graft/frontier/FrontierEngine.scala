@@ -155,6 +155,114 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   private def seen: DataFrame =
     seenParts.reduceOption(_ unionByName _).getOrElse(emptyDf(seenSchema))
 
+  // --- master domain scores (incremental) -----------------------------------
+
+  private val scoresSchema = StructType(Seq(
+    StructField("domain", StringType), StructField("best", LongType),
+    StructField("qlen", LongType)))
+
+  /** The master domain-score table (domain, best priority, queue length)
+    * — the reference's master zset, maintained INCREMENTALLY on every
+    * push/pop (queue.py:96-102,291-298) instead of recomputed from the
+    * frontier: per-epoch maintenance is O(|domains| + batch), never
+    * O(|frontier|) (VERDICT r2 "What's wrong" #1). Pop deltas carry the
+    * exact next-best priority per drained domain (the pop ranking keeps
+    * rank n+1 for free), so no rescan is ever needed; a domain whose
+    * queue empties drops out of the table (the reference's empty-queue
+    * GC, queue.py:296-298). Rebuilt from the frontier only on events
+    * that change row visibility wholesale: state restore, the
+    * replace-semantics push path, domain restriction, and post-
+    * restriction growth of the allowed set. */
+  private var scoresBase: DataFrame = emptyDf(scoresSchema)
+  private var scoresValid: Boolean = true
+  /** Diagnostic counters: logical delta-compactions and full rebuilds of
+    * the master score table (tests pin flushes == 1 per epoch and
+    * rebuilds == 0 in steady state). */
+  var scoreFlushes: Long = 0L
+  var scoreRebuilds: Long = 0L
+  private var pendingPushDeltas: Vector[DataFrame] = Vector.empty
+  /** (domain, popped count, next-best priority | None=queue drained). */
+  private var pendingPopDeltas: Vector[(String, Long, Option[Long])] =
+    Vector.empty
+
+  private def invalidateScores(): Unit = {
+    scoresValid = false
+    pendingPushDeltas = Vector.empty
+    pendingPopDeltas = Vector.empty
+    popRoundEpoch = Int.MinValue
+    popRoundCache = None
+  }
+
+  /** Record an accepted-push increment (a plan over an already-
+    * checkpointed part — evaluated inside the next compaction job). */
+  private def noteScorePush(part: DataFrame): Unit =
+    if (scoresValid)
+      pendingPushDeltas = pendingPushDeltas :+ part.groupBy($"domain")
+        .agg(max($"priority").as("best"), count(lit(1)).as("qlen"))
+
+  /** Compact-on-read: apply all pending pop + push deltas in ONE job
+    * (tagged `graft-domain-scores` so tests can pin jobs-per-epoch == 1),
+    * or rebuild from the frontier after an invalidating event. */
+  private[frontier] def domainScoresState: DataFrame = {
+    val sc = spark.sparkContext
+    if (!scoresValid) {
+      sc.setJobGroup("graft-domain-scores", "rebuild domain scores")
+      try scoresBase = ckpt(visibleFrontier.groupBy($"domain")
+        .agg(max($"priority").as("best"), count(lit(1)).as("qlen")))
+      finally sc.clearJobGroup()
+      scoreRebuilds += 1
+      pendingPushDeltas = Vector.empty
+      pendingPopDeltas = Vector.empty
+      scoresValid = true
+    } else if (pendingPopDeltas.nonEmpty || pendingPushDeltas.nonEmpty) {
+      // merge sequential deltas per domain: counts add, LAST next-best wins
+      val merged =
+        scala.collection.mutable.LinkedHashMap.empty[String, (Long, Option[Long])]
+      pendingPopDeltas.foreach { case (d, n, nb) =>
+        merged(d) = (merged.get(d).map(_._1).getOrElse(0L) + n, nb)
+      }
+      val afterPop =
+        if (merged.isEmpty) scoresBase
+        else {
+          import scala.jdk.CollectionConverters._
+          val rows: Seq[Row] = merged.toSeq.map { case (d, (n, nb)) =>
+            Row(d, n, nb.map(Long.box).orNull)
+          }
+          val popDf = spark.createDataFrame(rows.asJava, StructType(Seq(
+            StructField("domain", StringType),
+            StructField("_popped", LongType), StructField("_next", LongType))))
+          // pop deltas are batch-bounded (≤ sampled domains) → broadcast
+          scoresBase.join(broadcast(popDf), Seq("domain"), "left")
+            .withColumn("qlen", $"qlen" - coalesce($"_popped", lit(0L)))
+            .filter($"qlen" > 0)
+            .withColumn("best",
+              when($"_popped".isNotNull, $"_next").otherwise($"best"))
+            .drop("_popped", "_next")
+        }
+      val withPush =
+        if (pendingPushDeltas.isEmpty) afterPop
+        else (afterPop +: pendingPushDeltas).reduce(_ unionByName _)
+          .groupBy($"domain")
+          .agg(max($"best").as("best"), sum($"qlen").as("qlen"))
+      sc.setJobGroup("graft-domain-scores", "apply domain-score deltas")
+      try scoresBase = ckpt(withPush)
+      finally sc.clearJobGroup()
+      scoreFlushes += 1
+      pendingPushDeltas = Vector.empty
+      pendingPopDeltas = Vector.empty
+    }
+    scoresBase
+  }
+
+  /** Public view of the master score table (compacts pending deltas). */
+  def domainScores: DataFrame = domainScoresState
+
+  /** Exact recount from the frontier — O(|frontier|); invariant tests and
+    * debugging only. */
+  def domainScoresExact: DataFrame =
+    visibleFrontier.groupBy($"domain")
+      .agg(max($"priority").as("best"), count(lit(1)).as("qlen"))
+
   var didRestrict: Boolean = false
   /** Scheduling clock in epochs (replaces the reference's wall-clock
     * RESTRICT_DELAY gate — SURVEY.md §2.7). */
@@ -206,8 +314,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * (best first, key ascending on ties) — queue.py:141-143.
     */
   def getQueues: Seq[(String, Long)] =
-    visibleFrontier.groupBy($"domain")
-      .agg(max($"priority").as("best"))
+    domainScoresState
       .orderBy($"best".desc, $"domain".asc)
       .collect()
       .map(r => (UrlOps.queueKey(cfg.spiderName, r.getString(0)), r.getLong(1)))
@@ -216,8 +323,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   /** Queue-stats dump (queue.py:331-340): len, n_domains,
     * [(key, best, count)]. */
   def stats: (Long, Long, Seq[(String, Long, Long)]) = {
-    val rows = visibleFrontier.groupBy($"domain")
-      .agg(max($"priority").as("best"), count(lit(1)).as("n"))
+    val rows = domainScoresState
       .orderBy($"best".desc, $"domain".asc).collect()
     (len, rows.length.toLong,
       rows.map(r => (UrlOps.queueKey(cfg.spiderName, r.getString(0)),
@@ -288,6 +394,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       frontierParts = frontierParts :+ part
       frontierLenCount += n
       lastPushAccepted = n
+      noteScorePush(part)
       maybeCompactFrontier()
       return part.withColumn("accepted", lit(true))
     }
@@ -371,6 +478,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       val (part, n) = Eager.ckptCount(newEntries.drop("pkey"))
       frontierParts = frontierParts :+ part
       frontierLenCount += n
+      noteScorePush(part)
       maybeCompactFrontier()
     } else {
       // zadd replace semantics (test/login path): compact, then rewrite.
@@ -386,6 +494,9 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       frontierParts = Vector(part)
       frontierLenCount = n
       popTombstones = Vector.empty
+      // zadd-replace can LOWER an existing member's stored priority —
+      // not expressible as a monotone delta; rebuild on next read
+      invalidateScores()
     }
 
     // maintain first-seen domain ranking (only needed by the F6 gate) +
@@ -398,9 +509,14 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       knownDomainCount = domainsSeen.count()
     }
     if (didRestrict) {
-      allowed = ckpt(allowed.unionByName(
+      val (newAllowed, nNew) = Eager.ckptCount(
         accepted.select("domain").distinct()
-          .join(allowed, Seq("domain"), "left_anti")))
+          .join(allowed, Seq("domain"), "left_anti"))
+      allowed = ckpt(allowed.unionByName(newAllowed))
+      // rows pushed BEFORE restriction under a domain that only now
+      // became allowed re-enter the visible frontier — a visibility
+      // change incremental deltas cannot see; rebuild on next read
+      if (nNew > 0) invalidateScores()
     }
     flagged
   }
@@ -436,6 +552,8 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         .limit(cfg.maxRelevantDomains)
         .select("domain"))
       didRestrict = true
+      // restriction changes the visible frontier wholesale
+      invalidateScores()
     }
   }
 
@@ -546,6 +664,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     lastPushAccepted = n
     seenCounter += n
     frontierLenCount += n
+    noteScorePush(part)
     seenParts = seenParts :+ part.select("fp")
     if (seenParts.size > seenCompactThreshold)
       seenParts = Vector(ckpt(seen))
@@ -560,18 +679,43 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
   /** Per-worker visible domain scores in master-zset order:
     * (domain, best priority, queue length), crc32-sharded
-    * (queue.py:233-247). `qlen` rides along in the same aggregate — it
-    * is what makes the deferred-by-politeness counter free (deferred =
-    * Σ qlen over sampled domains − popped, no extra frontier scan). */
+    * (queue.py:233-247). Reads the incrementally-maintained master
+    * score table — no frontier scan. `qlen` rides along — it is what
+    * makes the deferred-by-politeness counter free (deferred = Σ qlen
+    * over sampled domains − popped). */
   def myDomainScores(workerIdx: Int): DataFrame = {
-    val base = visibleFrontier
-      .groupBy($"domain").agg(max($"priority").as("best"),
-        count(lit(1)).as("qlen"))
+    val base = domainScoresState
     val sharded =
       if (cfg.nWorkers <= 1) base
       else base.filter(
         UF.domain_shard($"domain", cfg.spiderName, cfg.nWorkers) === workerIdx)
     sharded.orderBy($"best".desc, $"domain".asc)
+  }
+
+  // --- pop-round freeze (VERDICT r2 #1a) ------------------------------------
+
+  /** Within one epoch the workers' crc32 shards are disjoint, so ONE
+    * compacted score snapshot serves all nWorkers pop calls — previously
+    * each worker recomputed the full aggregate independently (an
+    * nWorkers× O(|frontier|) duplication). A worker popping twice in the
+    * same round, or an interleaved push, re-compacts so exact sequential
+    * semantics are preserved on the test paths. */
+  private var popRoundEpoch: Int = Int.MinValue
+  private var popRoundCache: Option[DataFrame] = None
+  private var popRoundShards: Set[Int] = Set.empty
+
+  private def popRoundScores(workerIdx: Int): DataFrame = {
+    if (cfg.nWorkers <= 1) return myDomainScores(workerIdx)
+    if (popRoundEpoch != clock || popRoundShards.contains(workerIdx) ||
+        pendingPushDeltas.nonEmpty || popRoundCache.isEmpty) {
+      popRoundCache = Some(domainScoresState.withColumn("_shard",
+        UF.domain_shard($"domain", cfg.spiderName, cfg.nWorkers)))
+      popRoundEpoch = clock
+      popRoundShards = Set.empty
+    }
+    popRoundShards += workerIdx
+    popRoundCache.get.filter($"_shard" === workerIdx).drop("_shard")
+      .orderBy($"best".desc, $"domain".asc)
   }
 
   /** Politeness filter Q2 (queue.py:209-231): keep domains with free
@@ -642,7 +786,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     */
   def popEpochDf(workerIdx: Int = 0): DataFrame = {
     tryToRestrictDomains()
-    val scoresDf = myDomainScores(workerIdx)
+    val scoresDf = popRoundScores(workerIdx)
     // one job decides the path AND fetches the vector: overflow past the
     // driver limit means "too many domains, go distributed"
     val taken = takeAllPartitions(scoresDf, cfg.driverSelectLimit + 1)
@@ -736,27 +880,48 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       if (cfg.popSalts <= 1 && cfg.adaptiveSaltTarget <= 0)
         selected.drop("salts")
       else {
+        // keep rank n+1 per salt slice so the GLOBAL rank-(n+1) row is
+        // guaranteed to survive into the exact phase (its slice rank is
+        // ≤ its global rank) — it carries the domain's next-best
+        // priority for the incremental master-score delta
         val w1 = Window.partitionBy($"domain", $"_salt").orderBy(order: _*)
         selected
           .withColumn("_salt", pmod(xxhash64($"url"), $"salts"))
           .withColumn("_r1", row_number().over(w1))
-          .filter($"_r1" <= $"n")
+          .filter($"_r1" <= $"n" + 1)
           .drop("_r1", "_salt", "salts")
       }
     val w = Window.partitionBy($"domain").orderBy(order: _*)
     // the per-url domain multiset rides the same materialization
     // (batch-bounded) — it is what lets the epoch loop derive the
-    // failure-domain set without a separate job on the failures side
-    val (popped, m) = Eager.ckptObserve(partial
+    // failure-domain set without a separate job on the failures side.
+    // Rank n+1 (one extra row per domain) rides along too: its priority
+    // is the popped domain's NEW best — the master-score pop delta costs
+    // no extra scan (queue.py:291-298 incremental zset semantics).
+    val (ranked, m) = Eager.ckptObserve(partial
       .withColumn("_rank", row_number().over(w))
-      .filter($"_rank" <= $"n")
-      .drop("_rank", "n"),
-      "n" -> count(lit(1)), "doms" -> collect_list($"domain"))
+      .filter($"_rank" <= $"n" + 1),
+      "n" -> count(when($"_rank" <= $"n", 1)),
+      "doms" -> collect_list(when($"_rank" <= $"n", $"domain")),
+      "next" -> collect_list(when($"_rank" === $"n" + 1,
+        struct($"domain", $"priority"))))
+    val popped = ranked.filter($"_rank" <= $"n").drop("_rank", "n")
     val nPopped = Eager.long(m, "n")
     lastPopDomains = m("doms") match {
       case null => Nil
       case s: scala.collection.Seq[_] => s.map(_.toString).toSeq
       case other => Seq(other.toString)
+    }
+    val nextBest: Map[String, Long] = m("next") match {
+      case s: scala.collection.Seq[_] =>
+        s.collect { case r: Row => r.getString(0) -> r.getLong(1) }.toMap
+      case _ => Map.empty
+    }
+    if (scoresValid) {
+      val poppedCounts = lastPopDomains.groupBy(identity)
+      pendingPopDeltas = pendingPopDeltas ++ poppedCounts.map {
+        case (d, occ) => (d, occ.size.toLong, nextBest.get(d))
+      }
     }
     frontierLenCount -= nPopped
     lastPopCount = nPopped
@@ -806,6 +971,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     clock = epoch
     seqCounter = seq
     knownDomainCount = domainsSeen.count()
+    invalidateScores() // rebuild the master score table from the snapshot
     // an empty Bloom would classify every candidate as definitely-new and
     // skip the exact anti-join — rebuild it from the restored seen set so
     // dedup exactness cannot be violated by a bare restoreState. Callers

@@ -53,21 +53,62 @@ object LinkFunctions {
   def extract_file_links(html: Column, pageUrl: Column): Column =
     fileLinksUdf(html, pageUrl)
 
-  /** P15 autopager heuristic: a link is a pagination variant of its page
-    * when the two URLs are identical after digit-run removal but differ
-    * as strings (…/page/2 vs …/page/3, ?p=4 …). Stands in for the
-    * `autopager` library's structural heuristics (dd_crawler/
-    * spiders.py:74-77, utils.py:78-85 dont_increase_depth). */
-  private val isPaginationUdf = udf((link: String, page: String) =>
-    if (link == null || page == null) false
-    else {
-      val a = link.replaceAll("[0-9]+", "#")
-      val b = page.replaceAll("[0-9]+", "#")
-      a == b && link != page
-    })
+  /** P15: the autopager algorithm's observable subset. The library
+    * (autopager, used at dd_crawler/spiders.py:74-77 and yielded with
+    * `dont_increase_depth`, utils.py:78-85) scores link GROUPS on a page
+    * with a CRF over URL-pattern and anchor features; this port keeps
+    * its two dominant signals, per page:
+    *
+    *  (a) template clusters — ≥ 2 distinct link urls on the page that
+    *      are identical after digit-run normalization, whose anchors are
+    *      mostly page-ish (bare numbers, next/prev/older/newer words,
+    *      arrow glyphs) → the whole cluster is pagination;
+    *  (b) strong navigation anchors (next/prev/older/newer/arrows, but
+    *      NOT bare numbers) → the link is pagination on its own (the
+    *      single "next page" link case).
+    *
+    * Unlike the r2 digit heuristic (link ≈ page url after digit
+    * removal), this cannot misclassify a lone numeric URL — e.g.
+    * /article/123 linked from /article/456 — as pagination: a singleton
+    * cluster with a non-navigation anchor matches neither rule.
+    */
+  private val strongNavRe = java.util.regex.Pattern.compile(
+    "(?iu)(\\bnext\\b|\\bprev\\b|\\bprevious\\b|\\bolder\\b|\\bnewer\\b" +
+      "|[»«›‹]|->|<-|>>|<<|\\bmore\\b)")
 
-  def is_pagination(link: Column, page: Column): Column =
-    isPaginationUdf(link, page)
+  private def isStrongNavAnchor(a: String): Boolean =
+    a != null && strongNavRe.matcher(a.trim).find()
+
+  private def isPageishAnchor(a: String): Boolean = {
+    if (a == null) return false
+    val t = a.trim
+    (t.nonEmpty && t.forall(_.isDigit) && t.length <= 4) ||
+      t == "..." || t == "…" || isStrongNavAnchor(t)
+  }
+
+  /** Pagination urls among a page's extracted links (pure, testable). */
+  def paginationUrls(links: Seq[Link]): Seq[String] = {
+    if (links == null || links.isEmpty) return Seq.empty
+    val strong = links.filter(l => isStrongNavAnchor(l.anchor)).map(_.url)
+    val clustered = links
+      .groupBy(l => if (l.url == null) "" else l.url.replaceAll("[0-9]+", "#"))
+      .valuesIterator.flatMap { group =>
+        val urls = group.map(_.url).distinct
+        if (urls.size < 2) Nil
+        else {
+          val pageish = group.count(l => isPageishAnchor(l.anchor))
+          if (pageish * 2 >= group.size) urls else Nil
+        }
+      }
+    (strong ++ clustered).distinct
+  }
+
+  private val paginationUrlsUdf =
+    udf((links: Seq[Link]) => paginationUrls(links))
+
+  /** array<string> of the pagination urls within an extracted-links
+    * array column (applied per page BEFORE the explode). */
+  def pagination_urls(links: Column): Column = paginationUrlsUdf(links)
 
   /** Login-form detector: a `<form>` block containing an
     * `<input type=password>` (deterministic stand-in for the reference's

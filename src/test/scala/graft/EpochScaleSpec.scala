@@ -292,6 +292,53 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("incremental master domain scores == frontier recount across a " +
+       "mixed multi-worker crawl") {
+    val web = SynthWeb.WebConfig(nDomains = 12, pagesPerDomain = 8)
+    val job = new CrawlJob(spark,
+      CrawlConfig(batchSize = 20, seed = 31L, nWorkers = 4,
+        adaptiveSaltTarget = 10L),
+      SynthWeb.pages(spark, web).toDF().localCheckpoint(true))
+    job.seed(SynthWeb.seedUrls(web, 6))
+    def scoresNow() = job.engine.domainScores
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    def scoresExact() = job.engine.domainScoresExact
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(scoresNow() == scoresExact())
+    assert(scoresNow().nonEmpty)
+    (1 to 5).foreach { _ =>
+      job.runEpoch()
+      assert(scoresNow() == scoresExact(),
+        s"drift after epoch ${job.engine.clock}")
+    }
+    // and on the sequential test path (single pops + replace-push)
+    val e = job.engine
+    e.push(Seq(Req("http://zz-extra.com/a", priority = 7L),
+      Req("http://zz-extra.com/b", priority = 3L)))
+    e.pop(0); e.pop(0)
+    assert(scoresNow() == scoresExact())
+  }
+
+  test("domain-score maintenance is ONE compaction per epoch, shared " +
+       "across 4 workers, with zero frontier rebuilds in steady state") {
+    val web = SynthWeb.WebConfig(nDomains = 12, pagesPerDomain = 10)
+    val job = new CrawlJob(spark,
+      CrawlConfig(batchSize = 24, seed = 7L, nWorkers = 4),
+      SynthWeb.pages(spark, web).toDF().localCheckpoint(true))
+    job.seed(SynthWeb.seedUrls(web, 6))
+    job.runEpoch() // warm-up; the seed push delta flushes here
+    (2 to 5).foreach { k =>
+      val flushes0 = job.engine.scoreFlushes
+      val rebuilds0 = job.engine.scoreRebuilds
+      job.runEpoch()
+      assert(job.engine.scoreFlushes - flushes0 == 1,
+        s"epoch $k ran ${job.engine.scoreFlushes - flushes0} score " +
+          "compactions; the one flush must be shared by all 4 workers")
+      assert(job.engine.scoreRebuilds == rebuilds0,
+        s"epoch $k triggered an O(|frontier|) score rebuild")
+    }
+  }
+
   test("workerRpms: outer-aligned, zero-filled, with the <all> sum") {
     val rows = Seq(
       ("w0", 0L), ("w0", 10L), ("w0", 70L), // buckets 0 and 60

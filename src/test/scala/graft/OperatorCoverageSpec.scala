@@ -63,6 +63,40 @@ class OperatorCoverageSpec extends AnyFunSuite with SparkSuite {
     assert(depths("http://a.com/article") == 1) // ordinary link: +1
   }
 
+  test("P15: template clusters paginate; lone numeric sibling urls do not") {
+    // listing page: a numbered nav cluster (?page=2/3 with bare-number
+    // anchors) AND two numeric article links with wordy anchors — only
+    // the nav cluster may keep depth. Article page: a lone sibling
+    // article url differing from the page only in its digits — the r2
+    // digit-vs-page-url heuristic called that pagination; the autopager
+    // clustering must not.
+    val listHtml =
+      """<a href="/list?page=2">2</a> <a href="/list?page=3">3</a>
+         <a href="/article/123">Deep learning at scale</a>
+         <a href="/article/456">Crawler design notes</a>"""
+    val pages = Seq(
+      page("http://a.com/list?page=1", listHtml),
+      page("http://a.com/list?page=2", "p2"),
+      page("http://a.com/list?page=3", "p3"),
+      page("http://a.com/article/123",
+        """<a href="/article/789">Related: sharding</a>"""),
+      page("http://a.com/article/456", "fin"),
+      page("http://a.com/article/789", "fin2")).toDF()
+    val job = new CrawlJob(spark,
+      CrawlConfig(autopager = true, seed = 3L), pages)
+    job.seed(Seq("http://a.com/list?page=1"))
+    job.run(maxEpochs = 8)
+    val depths = job.crawledPages.select($"url", $"depth").as[(String, Int)]
+      .collect().toMap
+    assert(depths("http://a.com/list?page=2") == 0) // nav cluster: kept
+    assert(depths("http://a.com/list?page=3") == 0)
+    assert(depths("http://a.com/article/123") == 1) // wordy anchors: +1
+    assert(depths("http://a.com/article/456") == 1)
+    // lone sibling url from an article page — same digit template as its
+    // page, but a singleton cluster with a wordy anchor: NOT pagination
+    assert(depths("http://a.com/article/789") == 2)
+  }
+
   test("S2: credentials loader keyed by registered domain") {
     val dir = java.nio.file.Files.createTempDirectory("creds")
     val f = dir.resolve("creds.json")

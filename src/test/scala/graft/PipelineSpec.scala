@@ -234,6 +234,28 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(ivf == brute)
   }
 
+  test("IVF recall@10 vs brute force across multiple query vectors at " +
+       "half probes (q27 invariant)") {
+    val all = embeddings.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val (indexed, cents) = Similarity.ivfIndex(embeddings, $"vec_id",
+      $"embedding", nCells = 16, kmeansIters = 3)
+    val cached = indexed.localCheckpoint(true)
+    val recalls = Seq(0L, 17L, 42L).map { qid =>
+      val query = all.find(_._1 == qid).get._2
+      val brute = Similarity.bruteForceTopK(embeddings, $"vec_id",
+        $"embedding", query, 10).select("vec_id").as[Long].collect().toSet
+      val ivf = Similarity.ivfTopK(cached, cents, query, 10, nProbe = 8)
+        .select("vec_id").as[Long].collect().toSet
+      ivf.intersect(brute).size.toDouble / brute.size
+    }
+    // fully deterministic (hash-seeded k-means, no RNG): the measured
+    // recalls on the near-uniform synthetic embeddings (max pairwise
+    // cos 0.51 — a worst case for IVF) are 0.8/0.7/0.7; pin that floor
+    recalls.foreach(r => assert(r >= 0.7, s"recalls=$recalls"))
+    assert(recalls.sum / recalls.size >= 0.73, s"recalls=$recalls")
+  }
+
   test("IVF top-k finds the exact top-1 with modest probes") {
     val all = embeddings.select($"vec_id", $"embedding")
       .as[(Long, Seq[Float])].collect()
