@@ -21,6 +21,7 @@ import graft.tables.TableIO
   *     [--buckets 0] [--max-domains 0] [--max-relevant 0]
   *     [--domain-limit] [--reset-depth] [--autologin]
   *     [--credentials creds.json] [--robots] [--resume] [--seed 42]
+  *     [--seen-store [path]] [--seen-buckets 16]
   */
 object CrawlMain {
 
@@ -52,6 +53,14 @@ object CrawlMain {
       bloomPrefilter = flag("bloom"),
       pagesBuckets = a.getOrElse("buckets", "0").toInt,
       domainStateLog = flag("domain-state"),
+      // --seen-store: fp-bucketed persistent seen history (defaults to
+      // <out>/seen_store when --out is set and the flag is passed bare)
+      seenStorePath = a.get("seen-store") match {
+        case Some("true") => a.get("out").map(_ + "/seen_store").getOrElse("")
+        case Some(p)      => p
+        case None         => ""
+      },
+      seenStoreBuckets = a.getOrElse("seen-buckets", "16").toInt,
       seed = a.getOrElse("seed", "42").toLong)
 
     val pagesPath = a("pages")

@@ -44,7 +44,13 @@ object Checkpoint {
   def save(engine: FrontierEngine, root: String, epoch: Int,
            totals: Map[String, Long]): Unit = {
     val tables = engine.stateTables
-    stateTables.foreach(t => TableIO.writeSnapshot(tables(t), root, t, epoch))
+    // with a persistent fp-bucketed seen store the history is already
+    // durable (appended per batch); re-snapshotting it every epoch would
+    // be the O(|seen|) write the store exists to avoid
+    val toWrite =
+      if (engine.seenStore.nonEmpty) stateTables.filterNot(_ == "seen")
+      else stateTables
+    toWrite.foreach(t => TableIO.writeSnapshot(tables(t), root, t, epoch))
     engine.bloom.foreach(b => graft.frontier.BloomSeen.save(
       engine.spark, b, TableIO.epochDir(root, "bloom", epoch)))
     val json = new StringBuilder()
@@ -93,10 +99,13 @@ object Checkpoint {
   def resume(spark: SparkSession, engine: FrontierEngine,
              root: String): Option[Manifest] =
     loadManifest(root).map { m =>
+      val fromStore = engine.seenStore.nonEmpty
       val tables = stateTables
-        .map(t => t -> TableIO.readSnapshot(spark, root, t, m.epoch)).toMap
+        .map(t => t -> (if (t == "seen" && fromStore) engine.seenStore.get.df
+                        else TableIO.readSnapshot(spark, root, t, m.epoch)))
+        .toMap
       engine.restoreState(tables, m.didRestrict, m.epoch, m.seq,
-        rebuildBloom = false)
+        rebuildBloom = false, seenFromStore = fromStore)
       if (engine.cfg.bloomPrefilter)
         engine.bloom = Some(graft.frontier.BloomSeen.load(
           spark, TableIO.epochDir(root, "bloom", m.epoch)))

@@ -152,8 +152,27 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * (Iceberg appends + periodic compaction in production). */
   private var seenParts: Vector[DataFrame] = Vector.empty
   private val seenCompactThreshold = 64
-  private def seen: DataFrame =
-    seenParts.reduceOption(_ unionByName _).getOrElse(emptyDf(seenSchema))
+  /** Persistent fp-bucketed seen history (cfg.seenStorePath): increments
+    * append into bucket files, the dedup anti-join reads the table scan
+    * in place (HashPartitioning(fp, n) — no full-table exchange). */
+  val seenStore: Option[graft.tables.SeenStore] =
+    if (cfg.seenStorePath.nonEmpty)
+      Some(new graft.tables.SeenStore(spark, cfg.seenStorePath,
+        cfg.seenStoreBuckets))
+    else None
+  private def seen: DataFrame = seenStore match {
+    case Some(st) => st.df
+    case None =>
+      seenParts.reduceOption(_ unionByName _).getOrElse(emptyDf(seenSchema))
+  }
+  /** Record a dedup batch's new fingerprints. */
+  private def appendSeen(fps: DataFrame): Unit = seenStore match {
+    case Some(st) => st.append(fps)
+    case None =>
+      seenParts = seenParts :+ fps
+      if (seenParts.size > seenCompactThreshold)
+        seenParts = Vector(ckpt(seen))
+  }
 
   // --- master domain scores (incremental) -----------------------------------
 
@@ -279,6 +298,9 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * piggybacked on the checkpoint jobs, so they cost zero extra scans. */
   private var frontierLenCount: Long = 0L
   private var seenCounter: Long = 0L
+  // a fresh engine over an existing persistent store resumes its count
+  // (one count job at construction, never per epoch)
+  seenStore.foreach(st => seenCounter = st.count())
 
   /** Per-call result surfaces for the epoch loop (saves re-count jobs). */
   var lastPushAccepted: Long = 0L
@@ -624,9 +646,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     seenCounter += nUnseen
     lastDedupUnseen = nUnseen
     // append-only: checkpoint just the increment, never rewrite history
-    seenParts = seenParts :+ unseen.select("fp")
-    if (seenParts.size > seenCompactThreshold)
-      seenParts = Vector(ckpt(seen))
+    appendSeen(unseen.select("fp"))
     bloom = bloom.map { b =>
       // fold the batch's new fps in with one treeAggregate (sizes match
       // the engine's filters, so mergeInPlace is compatible)
@@ -665,9 +685,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     seenCounter += n
     frontierLenCount += n
     noteScorePush(part)
-    seenParts = seenParts :+ part.select("fp")
-    if (seenParts.size > seenCompactThreshold)
-      seenParts = Vector(ckpt(seen))
+    appendSeen(part.select("fp"))
     frontierParts = frontierParts :+ part.drop("fp")
     maybeCompactFrontier()
     bloom = bloom.map(_.merge(BloomSeen.build(part.select("fp"), "fp",
@@ -950,9 +968,12 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     "frontier" -> frontier, "domains" -> domainsSeen,
     "relevance" -> relevance, "allowed" -> allowed, "seen" -> seen)
 
+  /** `seenFromStore` = the seen history already lives in this engine's
+    * persistent store (resume path) — skip the snapshot rewrite. */
   def restoreState(tables: Map[String, DataFrame], didRestrictFlag: Boolean,
                    epoch: Int, seq: Long,
-                   rebuildBloom: Boolean = true): Unit = {
+                   rebuildBloom: Boolean = true,
+                   seenFromStore: Boolean = false): Unit = {
     val frontier0 = tables("frontier")
     val (fPart, fLen) = Eager.ckptCount(
       // snapshots written before the login dimension joined the schema
@@ -964,9 +985,21 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     domainsSeen = ckpt(tables("domains"))
     relevance = ckpt(tables("relevance"))
     allowed = ckpt(tables("allowed"))
-    val (sPart, sLen) = Eager.ckptCount(tables("seen"))
-    seenParts = Vector(sPart)
-    seenCounter = sLen
+    val seenDf: DataFrame = seenStore match {
+      case Some(st) =>
+        // the store is the durable history: never pull 10^10 fps into
+        // memory — overwrite it only when restoring from a snapshot
+        // that did not come from this store
+        if (!seenFromStore) st.overwrite(tables("seen"))
+        seenParts = Vector.empty
+        seenCounter = st.count()
+        st.df
+      case None =>
+        val (sPart, sLen) = Eager.ckptCount(tables("seen"))
+        seenParts = Vector(sPart)
+        seenCounter = sLen
+        sPart
+    }
     didRestrict = didRestrictFlag
     clock = epoch
     seqCounter = seq
@@ -978,7 +1011,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     // holding a checkpointed Bloom (Checkpoint.resume) pass
     // rebuildBloom=false and load theirs instead of paying the rebuild.
     if (cfg.bloomPrefilter && rebuildBloom)
-      bloom = Some(BloomSeen.build(sPart.select("fp"), "fp",
+      bloom = Some(BloomSeen.build(seenDf.select("fp"), "fp",
         cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01))
   }
 
