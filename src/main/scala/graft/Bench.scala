@@ -101,6 +101,51 @@ object Bench {
 
   private def fmt(d: Double): String = f"$d%.3f"
 
+  /** 100×-shape rehearsal: the DISTRIBUTED Gumbel-top-k selection path
+    * (too many domains for driver-side sampling — driverSelectLimit
+    * forced low) over a multi-million-row frontier with adaptive
+    * hot-domain salting, run for several epochs. Records per-epoch
+    * Spark-job counts (must stay flat — no O(|state|) work creeps in as
+    * the tombstone/seen history grows) and pop throughput. This is the
+    * epoch-loop shape a 10^10-row frontier runs: selection never
+    * collects a per-domain vector to the driver. */
+  def gumbelRehearsal(spark: SparkSession, nUrls: Long, nDomains: Int,
+                      epochs: Int): String = {
+    val cfg = CrawlConfig(selection = Selection.BatchSoftmax,
+      batchSize = 2000, seed = 42L,
+      driverSelectLimit = 1000, // << nDomains → always the Gumbel path
+      adaptiveSaltTarget = 4096L)
+    val engine = new FrontierEngine(spark, cfg)
+    engine.ingestBatch(candidates(spark, nUrls, nDomains), 0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val perEpoch = (1 to epochs).map { _ =>
+        engine.clock += 1
+        jobs.set(0)
+        val t0 = System.nanoTime()
+        engine.popEpochDf(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        // drain the async listener bus before reading the counter
+        var last = -1; var cur = jobs.get()
+        while (cur != last) { last = cur; Thread.sleep(120); cur = jobs.get() }
+        (cur, secs, engine.lastPopCount)
+      }
+      val totalPopped = perEpoch.map(_._3).sum
+      val totalSec = perEpoch.map(_._2).sum
+      s"""{"urls":$nUrls,"domains":$nDomains,"epochs":$epochs,""" +
+        s""""jobs_per_epoch":${perEpoch.map(_._1).mkString("[", ",", "]")},""" +
+        s""""epoch_sec":${perEpoch.map(e => fmt(e._2)).mkString("[", ",", "]")},""" +
+        s""""popped":$totalPopped,""" +
+        s""""popped_per_sec":${fmt(totalPopped / totalSec)}}"""
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** All `reps` timings with block-manager cleanup between reps (old
     * localCheckpoint snapshots would otherwise accumulate and skew later
     * reps). The caller takes the min: noisy-neighbor interference on the
@@ -131,6 +176,20 @@ object Bench {
     // q01 measures the operator, not first-query session startup
     try SparkEntry.queries("q01_agg_pricing")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // same principle for the epoch loop: its plans (fetch join, link
+    // explode, window ranking, observe metrics) cost ~8 s of one-time
+    // Catalyst + whole-stage-codegen compilation — measured directly by
+    // the gumbel section below, whose epoch time drops 11.5 s → 3.3 s on
+    // identical 10M-row input once warm. One untimed 2-epoch mini-crawl
+    // compiles them so q22 measures the scheduling loop, not the JIT.
+    try {
+      val web = graft.gen.SynthWeb.WebConfig(nDomains = 3, pagesPerDomain = 4)
+      val j = new graft.epoch.CrawlJob(spark,
+        CrawlConfig(batchSize = 20, seed = 1L),
+        graft.gen.SynthWeb.pages(spark, web).toDF().localCheckpoint(true))
+      j.seed(graft.gen.SynthWeb.seedUrls(web, 2))
+      j.runEpoch(); j.runEpoch()
+    } catch { case _: Throwable => () }
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
@@ -138,6 +197,16 @@ object Bench {
         name -> ((System.nanoTime() - t0) / 1e9, n)
       }
     }
+    // 100×-shape rehearsal on the same full-core session
+    val gumbelUrls =
+      sys.env.getOrElse("SPARK_GRAFT_GUMBEL_URLS", "10000000").toLong
+    val gumbelDomains =
+      sys.env.getOrElse("SPARK_GRAFT_GUMBEL_DOMAINS", "1000000").toInt
+    val gumbelEpochs =
+      sys.env.getOrElse("SPARK_GRAFT_GUMBEL_EPOCHS", "5").toInt
+    val gumbelJson =
+      try gumbelRehearsal(spark, gumbelUrls, gumbelDomains, gumbelEpochs)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     spark.stop()
 
     // scaling protocol (north rule): identical input + identical 64-way
@@ -192,6 +261,6 @@ object Bench {
       s""""scaling_efficiency":${fmt(eff)}}"""
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","frontier":$frontier}""")
+      s""""sf":"$sfDir","frontier":$frontier,"gumbel":$gumbelJson}""")
   }
 }

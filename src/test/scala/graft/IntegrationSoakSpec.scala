@@ -74,6 +74,51 @@ class IntegrationSoakSpec extends AnyFunSuite with SparkSuite {
     assert(coverages.sameElements(coverages.sorted))
   }
 
+  test("per-domain pop shares match the reference's softmax proportions " +
+       "(politeness-budget carryover audit)") {
+    // The reference's batch classes pop exactly the drawn counts per
+    // domain — pop_multi applies NO live slot gating (queue.py:455
+    // 'TODO - take free slots into account'), so a domain's expected
+    // share of pops IS its softmax probability. The live-slot carryover
+    // of queue.py:209-231 belongs to the single-pop CompactQueue path,
+    // which pop()/availableOf re-gates per call. This pins the epoch
+    // batch path: empirical pop shares over a static frontier must track
+    // softmax(priority/T) with no hot-domain under-scheduling.
+    import graft.frontier.{FrontierEngine, QueueSelector, Req}
+    val prios = Map("dom-a.com" -> 0L, "dom-b.com" -> 200L,
+      "dom-c.com" -> 400L, "dom-d.com" -> 600L, "dom-e.com" -> 800L,
+      "dom-f.com" -> 1000L)
+    // maxQueueN = 20 → min unique = 3 ≤ 6 domains, so the with-
+    // repetition softmax path runs (not the low-unique resample)
+    val c = CrawlConfig(selection = Selection.BatchSoftmax,
+      batchSize = 60, concurrentPerDomain = 40, seed = 5L)
+    val e = new FrontierEngine(spark, c)
+    val reqs = for {
+      (d, p) <- prios.toSeq; i <- 0 until 700
+    } yield Req(s"http://$d/p/$i", priority = p)
+    e.pushBatch(reqs.toDF("url", "priority", "depth", "parent")
+      .withColumn("seq", org.apache.spark.sql.functions
+        .monotonically_increasing_id()), epoch = 1)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    (1 to 20).foreach { _ =>
+      e.clock += 1
+      e.popEpochDf(0)
+      e.lastPopDomains.foreach(d =>
+        counts(d) = counts.getOrElse(d, 0L) + 1L)
+    }
+    val total = counts.values.sum.toDouble
+    assert(total == 20 * 60, s"every draw must pop (no deferrals): $total")
+    val domains = prios.keys.toSeq.sorted
+    val expected = QueueSelector.softmaxP(
+      domains.map(d => prios(d).toDouble).toArray, c)
+    domains.zip(expected).foreach { case (d, p) =>
+      val share = counts.getOrElse(d, 0L) / total
+      // 1200 multinomial draws; 4σ ≈ 4·sqrt(p(1-p)/1200) ≤ 0.058
+      assert(math.abs(share - p) < 0.06,
+        s"$d share=$share expected=$p (counts=$counts)")
+    }
+  }
+
   test("same seed reproduces the identical schedule log") {
     val a = jobA
     val b = run()
