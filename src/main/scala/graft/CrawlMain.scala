@@ -56,7 +56,9 @@ object CrawlMain {
       // --seen-store: fp-bucketed persistent seen history (defaults to
       // <out>/seen_store when --out is set and the flag is passed bare)
       seenStorePath = a.get("seen-store") match {
-        case Some("true") => a.get("out").map(_ + "/seen_store").getOrElse("")
+        case Some("true") => a.get("out").map(_ + "/seen_store").getOrElse(
+          throw new IllegalArgumentException(
+            "--seen-store without a path requires --out to derive one"))
         case Some(p)      => p
         case None         => ""
       },

@@ -56,6 +56,7 @@ object Checkpoint {
     val json = new StringBuilder()
       .append("{\"epoch\":").append(epoch)
       .append(",\"did_restrict\":").append(engine.didRestrict)
+      .append(",\"seen_store\":").append(engine.seenStore.nonEmpty)
       .append(",\"seq\":").append(engine.currentSeq)
       .append(",\"totals\":{")
       .append(totals.toSeq.sortBy(_._1)
@@ -69,8 +70,12 @@ object Checkpoint {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** `seenStore` = this checkpoint's seen history lives in the
+    * persistent fp-bucketed store, not in a per-epoch snapshot (older
+    * manifests without the field parse as false). */
   final case class Manifest(epoch: Int, didRestrict: Boolean, seq: Long,
-                            totals: Map[String, Long])
+                            totals: Map[String, Long],
+                            seenStore: Boolean = false)
 
   def loadManifest(root: String): Option[Manifest] = {
     val p = Paths.get(root, "_manifest.json")
@@ -91,7 +96,8 @@ object Checkpoint {
       epoch <- longOf("epoch")
       dr <- boolOf("did_restrict")
       seq <- longOf("seq")
-    } yield Manifest(epoch.toInt, dr, seq, totals)
+    } yield Manifest(epoch.toInt, dr, seq, totals,
+      boolOf("seen_store").getOrElse(false))
   }
 
   /** Restore engine state from the last complete epoch. Returns the
@@ -99,7 +105,20 @@ object Checkpoint {
   def resume(spark: SparkSession, engine: FrontierEngine,
              root: String): Option[Manifest] =
     loadManifest(root).map { m =>
-      val fromStore = engine.seenStore.nonEmpty
+      // where the seen history LIVES is a property of the CHECKPOINT
+      // (manifest flag), not of the current config: a store-mode
+      // checkpoint has no seen snapshot to read, and a snapshot-mode
+      // checkpoint must not be shadowed by an unrelated store
+      val fromStore = m.seenStore
+      if (fromStore && engine.seenStore.isEmpty)
+        throw new IllegalStateException(
+          s"checkpoint at $root was written with a persistent seen " +
+            "store (manifest seen_store=true); resuming requires " +
+            "cfg.seenStorePath to point at it")
+      if (fromStore)
+        // crash rollback: drop fingerprints appended after the last
+        // complete epoch, so the store matches the restored frontier
+        engine.seenStore.get.pruneBeyond(m.epoch)
       val tables = stateTables
         .map(t => t -> (if (t == "seen" && fromStore) engine.seenStore.get.df
                         else TableIO.readSnapshot(spark, root, t, m.epoch)))

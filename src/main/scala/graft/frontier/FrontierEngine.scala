@@ -165,9 +165,10 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     case None =>
       seenParts.reduceOption(_ unionByName _).getOrElse(emptyDf(seenSchema))
   }
-  /** Record a dedup batch's new fingerprints. */
-  private def appendSeen(fps: DataFrame): Unit = seenStore match {
-    case Some(st) => st.append(fps)
+  /** Record a dedup batch's new fingerprints. The epoch tag makes a
+    * crash rollback exact (SeenStore.pruneBeyond). */
+  private def appendSeen(fps: DataFrame, epoch: Int): Unit = seenStore match {
+    case Some(st) => st.append(fps, epoch)
     case None =>
       seenParts = seenParts :+ fps
       if (seenParts.size > seenCompactThreshold)
@@ -298,9 +299,6 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * piggybacked on the checkpoint jobs, so they cost zero extra scans. */
   private var frontierLenCount: Long = 0L
   private var seenCounter: Long = 0L
-  // a fresh engine over an existing persistent store resumes its count
-  // (one count job at construction, never per epoch)
-  seenStore.foreach(st => seenCounter = st.count())
 
   /** Per-call result surfaces for the epoch loop (saves re-count jobs). */
   var lastPushAccepted: Long = 0L
@@ -593,6 +591,19 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         cfg.bloomExpectedPerPartition, 0.01))
     else None
 
+  // A fresh engine over an existing persistent store resumes its seen
+  // count AND its Bloom: an empty Bloom over a non-empty history would
+  // classify every historical fp as definitely-new and bypass the exact
+  // anti-join — silently breaking dedup exactness. One count job + one
+  // treeAggregate at construction, never per epoch. (Checkpoint.resume
+  // replaces both with the checkpointed values right after.)
+  seenStore.foreach { st =>
+    seenCounter = st.count()
+    if (cfg.bloomPrefilter && seenCounter > 0)
+      bloom = Some(BloomSeen.build(st.df, "fp",
+        cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01))
+  }
+
   /** F1: drop candidates whose fingerprint is already seen; mark the
     * survivors as seen (test-and-set batch emulation: intra-batch
     * duplicates collapse first). Input needs a `url` column; an optional
@@ -646,7 +657,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     seenCounter += nUnseen
     lastDedupUnseen = nUnseen
     // append-only: checkpoint just the increment, never rewrite history
-    appendSeen(unseen.select("fp"))
+    appendSeen(unseen.select("fp"), clock)
     bloom = bloom.map { b =>
       // fold the batch's new fps in with one treeAggregate (sizes match
       // the engine's filters, so mergeInPlace is compatible)
@@ -685,7 +696,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     seenCounter += n
     frontierLenCount += n
     noteScorePush(part)
-    appendSeen(part.select("fp"))
+    appendSeen(part.select("fp"), epoch)
     frontierParts = frontierParts :+ part.drop("fp")
     maybeCompactFrontier()
     bloom = bloom.map(_.merge(BloomSeen.build(part.select("fp"), "fp",
@@ -989,8 +1000,8 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       case Some(st) =>
         // the store is the durable history: never pull 10^10 fps into
         // memory — overwrite it only when restoring from a snapshot
-        // that did not come from this store
-        if (!seenFromStore) st.overwrite(tables("seen"))
+        // that did not come from this store (migration INTO store mode)
+        if (!seenFromStore) st.overwrite(tables("seen"), epoch)
         seenParts = Vector.empty
         seenCounter = st.count()
         st.df

@@ -72,12 +72,19 @@ object LinkFunctions {
     * /article/123 linked from /article/456 — as pagination: a singleton
     * cluster with a non-navigation anchor matches neither rule.
     */
+  // WHOLE-anchor match only: a substring test would classify every
+  // "Read more" / "next meeting notes" article link as pagination and
+  // hold its depth constant forever — the anchor must BE a navigation
+  // word/phrase/glyph, not merely contain one.
   private val strongNavRe = java.util.regex.Pattern.compile(
-    "(?iu)(\\bnext\\b|\\bprev\\b|\\bprevious\\b|\\bolder\\b|\\bnewer\\b" +
-      "|[»«›‹]|->|<-|>>|<<|\\bmore\\b)")
+    "(?iu)(next|prev|previous|older|newer|first|last" +
+      "|(next|prev|previous)\\s+(page|\\d{1,4})" +
+      "|(older|newer)\\s+(posts|entries)" +
+      "|(load|show)\\s+more|more\\s+results" +
+      "|[»«›‹]|->|<-|>>|<<|…|\\.\\.\\.)")
 
   private def isStrongNavAnchor(a: String): Boolean =
-    a != null && strongNavRe.matcher(a.trim).find()
+    a != null && strongNavRe.matcher(a.trim).matches()
 
   private def isPageishAnchor(a: String): Boolean = {
     if (a == null) return false

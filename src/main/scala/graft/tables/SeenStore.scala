@@ -1,33 +1,52 @@
 package graft.tables
 
+import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
-/** Persistent URL-seen fingerprint store, hash-bucketed by `fp`.
+/** Persistent URL-seen fingerprint store, hash-bucketed by `fp` and
+  * partitioned by the epoch that discovered each fingerprint.
   *
   * At 10^10 fingerprints the seen history is ~200 GB; the dedup
   * anti-join must not re-shuffle it every epoch (VERDICT r2 "What's
   * wrong" #2). This store keeps the history as a Spark bucketed table
-  * (`CLUSTERED BY (fp) INTO n BUCKETS` — the plain-parquet analogue of
-  * an Iceberg `bucket(fp)` partition spec): the scan itself reports
-  * `HashPartitioning(fp, n)`, so a join against it is BUCKET-LOCAL —
-  * only the (batch-sized) candidate side is exchanged, the seen side is
-  * read in place with no full-table exchange. Epoch increments are
-  * plain appends (new files into existing buckets), never rewrites —
-  * the Iceberg append + periodic-compaction shape.
+  * (`PARTITIONED BY (epoch) CLUSTERED BY (fp) INTO n BUCKETS` — the
+  * plain-parquet analogue of an Iceberg bucket(fp) partition spec):
+  * the scan reports `HashPartitioning(fp, n)`, so a join against it is
+  * BUCKET-LOCAL — only the (batch-sized) candidate side is exchanged,
+  * the seen side is read in place with no full-table exchange. Epoch
+  * increments are plain appends (new files into the epoch's partition
+  * directory), never rewrites — the Iceberg append + periodic-
+  * compaction shape.
   *
-  * Durability note: appends land immediately (like the reference's
-  * Redis SADD, dupefilter.py:14-21), not atomically with the epoch
-  * manifest. A crash between an append and its manifest leaves the
-  * extra fingerprints in place — on resume those urls are treated as
-  * already seen, i.e. crawl-once semantics are kept at-least-once,
-  * matching the reference's behavior under the same crash.
+  * Crash consistency: appends land immediately, not atomically with
+  * the epoch manifest, so a crash mid-epoch leaves fingerprints whose
+  * frontier rows rolled back — URLs that would then be deduped but
+  * never crawled. The `epoch` partition column makes the rollback
+  * exact: [[pruneBeyond]] deletes every partition newer than the last
+  * complete manifest epoch on resume, restoring the store to the same
+  * point-in-time as the rest of the state (Checkpoint.resume calls it).
+  *
+  * The on-disk layout is authoritative: the bucket count is recorded in
+  * a `_graft_buckets` marker at creation and adopted on re-open, so a
+  * later session passing a different `--seen-buckets` cannot silently
+  * mis-bucket the join against existing files.
   */
 final class SeenStore(val spark: SparkSession, val path: String,
-                      val buckets: Int) {
+                      requestedBuckets: Int) {
 
-  /** Table names are session-global; derive one per store path. */
+  private val fsPath = path.stripPrefix("file:")
+  private val marker = Paths.get(fsPath, "_graft_buckets")
+
+  /** Effective bucket count — from the marker when the store already
+    * exists, else the requested count (then recorded). */
+  val buckets: Int =
+    if (Files.exists(marker)) Files.readString(marker).trim.toInt
+    else requestedBuckets
+
+  /** Table names are session-global; derive one per store instance. */
   val table: String = "graft_seen_" +
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xFFFFFFFFL) +
@@ -35,30 +54,64 @@ final class SeenStore(val spark: SparkSession, val path: String,
 
   private def ensureTable(): Unit =
     if (!spark.catalog.tableExists(table)) {
+      val preExisting = Files.exists(marker)
       // pre-create the location so the catalog's initial file listing
       // does not log FileNotFound noise
-      try java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
-        path.stripPrefix("file:")))
+      try Files.createDirectories(Paths.get(fsPath))
       catch { case _: Exception => () }
       spark.sql(
-        s"""CREATE TABLE IF NOT EXISTS $table (fp STRING) USING parquet
+        s"""CREATE TABLE IF NOT EXISTS $table (fp STRING, epoch INT)
+            USING parquet PARTITIONED BY (epoch)
             CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
             LOCATION '$path'""")
+      if (preExisting)
+        // a fresh registration of a partitioned location starts with an
+        // empty partition list — sync it from the directories
+        spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+      else Files.writeString(marker, buckets.toString)
     }
 
   ensureTable()
 
-  /** Append one dedup batch's new fingerprints (column `fp`). */
-  def append(fps: DataFrame): Unit = {
-    fps.select("fp").write.mode("append")
-      .format("parquet").insertInto(table)
+  /** Append one dedup batch's new fingerprints (column `fp`), tagged
+    * with the scheduling epoch that discovered them. */
+  def append(fps: DataFrame, epoch: Int): Unit = {
+    fps.select("fp").withColumn("epoch", lit(epoch))
+      .write.mode("append").format("parquet").insertInto(table)
     refresh()
   }
 
-  /** Replace the whole store (state restore from a snapshot). */
-  def overwrite(fps: DataFrame): Unit = {
-    fps.select("fp").write.mode("overwrite")
-      .format("parquet").insertInto(table)
+  /** Replace the whole store (state restore from a snapshot table). */
+  def overwrite(fps: DataFrame, epoch: Int): Unit = {
+    fps.select("fp").withColumn("epoch", lit(epoch))
+      .write.mode("overwrite").format("parquet").insertInto(table)
+    refresh()
+  }
+
+  /** Crash rollback: drop every fingerprint discovered AFTER the given
+    * epoch (partitions newer than the last complete manifest). */
+  def pruneBeyond(epoch: Int): Unit = {
+    val root = Paths.get(fsPath)
+    if (Files.isDirectory(root)) {
+      val stream = Files.list(root)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("epoch=") &&
+              scala.util.Try(name.stripPrefix("epoch=").toInt)
+                .toOption.exists(_ > epoch)) {
+            def rm(f: java.io.File): Unit = {
+              val fs = f.listFiles
+              if (fs != null) fs.foreach(rm)
+              f.delete(): Unit
+            }
+            rm(p.toFile)
+          }
+        }
+      } finally stream.close()
+    }
     refresh()
   }
 
@@ -66,7 +119,7 @@ final class SeenStore(val spark: SparkSession, val path: String,
     spark.catalog.refreshTable(table)
 
   /** The full history as a bucketed scan (HashPartitioning(fp, n)). */
-  def df: DataFrame = spark.table(table)
+  def df: DataFrame = spark.table(table).select("fp")
 
   def count(): Long = df.count()
 }

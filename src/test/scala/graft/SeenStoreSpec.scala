@@ -44,7 +44,7 @@ class SeenStoreSpec extends AnyFunSuite with SparkSuite {
     val dir = Files.createTempDirectory("graft-seenplan").toString
     val store = new SeenStore(spark, s"$dir/seen", 8)
     store.append(spark.range(0, 2000)
-      .select(md5($"id".cast("string")).as("fp")))
+      .select(md5($"id".cast("string")).as("fp")), epoch = 1)
     val cand = spark.range(1000, 3000)
       .select(md5($"id".cast("string")).as("fp"))
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -110,5 +110,70 @@ class SeenStoreSpec extends AnyFunSuite with SparkSuite {
     e2.ingestBatch(batch, 1) // all already seen
     assert(e2.lastDedupUnseen == 0)
     assert(e2.seenCountExact == 20)
+  }
+
+  test("a fresh engine with bloomPrefilter over an existing store " +
+       "rebuilds the Bloom — historical urls still dedup exactly") {
+    val dir = Files.createTempDirectory("graft-seenbloom").toString
+    val cfg = CrawlConfig(batchSize = 10, seed = 3L,
+      seenStorePath = s"$dir/seen", seenStoreBuckets = 8,
+      bloomPrefilter = true, bloomPartitions = 4,
+      bloomExpectedPerPartition = 1 << 14)
+    val batch = (0 until 30).map(i => s"http://bloom-site.com/p/$i")
+      .toDF("url")
+      .withColumn("priority", lit(0L)).withColumn("depth", lit(0))
+      .withColumn("parent", lit(null).cast("binary"))
+    new FrontierEngine(spark, cfg).ingestBatch(batch, 1)
+    // fresh engine, fresh (empty) Bloom state — an unrebuilt Bloom
+    // would route every historical url around the exact anti-join
+    val e2 = new FrontierEngine(spark, cfg)
+    e2.ingestBatch(batch, 1)
+    assert(e2.lastDedupUnseen == 0,
+      "historical urls re-accepted: Bloom not rebuilt from the store")
+    assert(e2.seenCountExact == 30)
+  }
+
+  test("the on-disk bucket count is authoritative over a differing " +
+       "--seen-buckets on re-open") {
+    val dir = Files.createTempDirectory("graft-seenbkts").toString
+    val s8 = new SeenStore(spark, s"$dir/seen", 8)
+    s8.append(spark.range(0, 500)
+      .select(md5($"id".cast("string")).as("fp")), epoch = 1)
+    val s16 = new SeenStore(spark, s"$dir/seen", 16)
+    assert(s16.buckets == 8, "marker bucket count must win")
+    assert(s16.count() == 500)
+    // and the join against it still matches every historical fp
+    val hits = spark.range(0, 500)
+      .select(md5($"id".cast("string")).as("fp"))
+      .join(s16.df, Seq("fp"), "left_semi").count()
+    assert(hits == 500)
+  }
+
+  test("resume prunes fingerprints appended after the last complete " +
+       "epoch (crash rollback), and a store-mode checkpoint refuses " +
+       "to resume without the store") {
+    val dir = Files.createTempDirectory("graft-seencrash").toString
+    val web = SynthWeb.WebConfig(nDomains = 6, pagesPerDomain = 6)
+    val pages = SynthWeb.pages(spark, web).toDF().localCheckpoint(true)
+    val cfg = CrawlConfig(batchSize = 20, seed = 9L,
+      seenStorePath = s"$dir/seen", seenStoreBuckets = 8)
+    val j1 = new CrawlJob(spark, cfg, pages, outDir = Some(s"$dir/out"))
+    j1.seed(SynthWeb.seedUrls(web, 3))
+    (1 to 3).foreach(_ => if (j1.engine.len > 0) j1.runEpoch())
+    val committed = j1.engine.seenCount
+    // simulate a crash mid-epoch-4: fps appended, manifest never written
+    new SeenStore(spark, s"$dir/seen", 8).append(
+      Seq("deadbeef01", "deadbeef02").toDF("fp"), epoch = 4)
+    val j2 = new CrawlJob(spark, cfg, pages, outDir = Some(s"$dir/out"))
+    assert(j2.resume().exists(_.seenStore))
+    assert(j2.engine.seenCount == committed,
+      "crashed-epoch fingerprints must be pruned on resume")
+    assert(!j2.engine.stateTables("seen").as[String].collect()
+      .contains("deadbeef01"))
+    // and resuming the same checkpoint WITHOUT the store must fail fast
+    val bare = new CrawlJob(spark, cfg.copy(seenStorePath = ""), pages,
+      outDir = Some(s"$dir/out"))
+    val err = intercept[IllegalStateException](bare.resume())
+    assert(err.getMessage.contains("seen_store"))
   }
 }
