@@ -22,6 +22,7 @@ import graft.tables.TableIO
   *     [--domain-limit] [--reset-depth] [--autologin]
   *     [--credentials creds.json] [--robots] [--resume] [--seed 42]
   *     [--seen-store [path]] [--seen-buckets 16]
+  *     [--frontier-store [path]] [--frontier-dbuckets 64]
   */
 object CrawlMain {
 
@@ -63,6 +64,15 @@ object CrawlMain {
         case None         => ""
       },
       seenStoreBuckets = a.getOrElse("seen-buckets", "16").toInt,
+      // --frontier-store: persistent (epoch, dbkt)-partitioned frontier
+      frontierStorePath = a.get("frontier-store") match {
+        case Some("true") => a.get("out").map(_ + "/frontier_store").getOrElse(
+          throw new IllegalArgumentException(
+            "--frontier-store without a path requires --out to derive one"))
+        case Some(p)      => p
+        case None         => ""
+      },
+      frontierStoreDbuckets = a.getOrElse("frontier-dbuckets", "64").toInt,
       seed = a.getOrElse("seed", "42").toLong)
 
     val pagesPath = a("pages")

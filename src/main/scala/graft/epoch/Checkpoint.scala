@@ -44,12 +44,12 @@ object Checkpoint {
   def save(engine: FrontierEngine, root: String, epoch: Int,
            totals: Map[String, Long]): Unit = {
     val tables = engine.stateTables
-    // with a persistent fp-bucketed seen store the history is already
-    // durable (appended per batch); re-snapshotting it every epoch would
-    // be the O(|seen|) write the store exists to avoid
-    val toWrite =
-      if (engine.seenStore.nonEmpty) stateTables.filterNot(_ == "seen")
-      else stateTables
+    // persistent stores are already durable (appended per batch);
+    // re-snapshotting them every epoch would be the O(|state|) write
+    // the stores exist to avoid
+    val toWrite = stateTables
+      .filterNot(t => t == "seen" && engine.seenStore.nonEmpty)
+      .filterNot(t => t == "frontier" && engine.frontierStore.nonEmpty)
     toWrite.foreach(t => TableIO.writeSnapshot(tables(t), root, t, epoch))
     engine.bloom.foreach(b => graft.frontier.BloomSeen.save(
       engine.spark, b, TableIO.epochDir(root, "bloom", epoch)))
@@ -57,6 +57,7 @@ object Checkpoint {
       .append("{\"epoch\":").append(epoch)
       .append(",\"did_restrict\":").append(engine.didRestrict)
       .append(",\"seen_store\":").append(engine.seenStore.nonEmpty)
+      .append(",\"frontier_store\":").append(engine.frontierStore.nonEmpty)
       .append(",\"seq\":").append(engine.currentSeq)
       .append(",\"totals\":{")
       .append(totals.toSeq.sortBy(_._1)
@@ -68,14 +69,19 @@ object Checkpoint {
     Files.writeString(tmp, json)
     Files.move(tmp, Paths.get(root, "_manifest.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // the manifest is the rollback anchor — store compaction (a full
+    // rewrite tagged with THIS epoch) is only safe right after it
+    engine.lastCheckpointEpoch = epoch
+    engine.maybeCompactFrontierStore(epoch)
   }
 
-  /** `seenStore` = this checkpoint's seen history lives in the
-    * persistent fp-bucketed store, not in a per-epoch snapshot (older
-    * manifests without the field parse as false). */
+  /** `seenStore` / `frontierStore` = that state lives in a persistent
+    * store, not in a per-epoch snapshot (older manifests without the
+    * fields parse as false). */
   final case class Manifest(epoch: Int, didRestrict: Boolean, seq: Long,
                             totals: Map[String, Long],
-                            seenStore: Boolean = false)
+                            seenStore: Boolean = false,
+                            frontierStore: Boolean = false)
 
   def loadManifest(root: String): Option[Manifest] = {
     val p = Paths.get(root, "_manifest.json")
@@ -97,7 +103,8 @@ object Checkpoint {
       dr <- boolOf("did_restrict")
       seq <- longOf("seq")
     } yield Manifest(epoch.toInt, dr, seq, totals,
-      boolOf("seen_store").getOrElse(false))
+      boolOf("seen_store").getOrElse(false),
+      boolOf("frontier_store").getOrElse(false))
   }
 
   /** Restore engine state from the last complete epoch. Returns the
@@ -115,16 +122,27 @@ object Checkpoint {
           s"checkpoint at $root was written with a persistent seen " +
             "store (manifest seen_store=true); resuming requires " +
             "cfg.seenStorePath to point at it")
-      if (fromStore)
-        // crash rollback: drop fingerprints appended after the last
-        // complete epoch, so the store matches the restored frontier
-        engine.seenStore.get.pruneBeyond(m.epoch)
+      val frontierFromStore = m.frontierStore
+      if (frontierFromStore && engine.frontierStore.isEmpty)
+        throw new IllegalStateException(
+          s"checkpoint at $root was written with a persistent frontier " +
+            "store (manifest frontier_store=true); resuming requires " +
+            "cfg.frontierStorePath to point at it")
+      // crash rollback: drop state appended after the last complete
+      // epoch, so the stores match the rest of the restored state
+      if (fromStore) engine.seenStore.get.pruneBeyond(m.epoch)
+      if (frontierFromStore) engine.frontierStore.get.pruneBeyond(m.epoch)
+      engine.lastCheckpointEpoch = m.epoch
       val tables = stateTables
-        .map(t => t -> (if (t == "seen" && fromStore) engine.seenStore.get.df
-                        else TableIO.readSnapshot(spark, root, t, m.epoch)))
+        .map(t => t -> (
+          if (t == "seen" && fromStore) engine.seenStore.get.df
+          else if (t == "frontier" && frontierFromStore)
+            engine.frontierStore.get.df
+          else TableIO.readSnapshot(spark, root, t, m.epoch)))
         .toMap
       engine.restoreState(tables, m.didRestrict, m.epoch, m.seq,
-        rebuildBloom = false, seenFromStore = fromStore)
+        rebuildBloom = false, seenFromStore = fromStore,
+        frontierFromStore = frontierFromStore)
       if (engine.cfg.bloomPrefilter)
         engine.bloom = Some(graft.frontier.BloomSeen.load(
           spark, TableIO.epochDir(root, "bloom", m.epoch)))

@@ -121,6 +121,20 @@ final case class CrawlConfig(
     /** Bucket count of the persistent seen store (match executor
       * parallelism × a small factor at scale). */
     seenStoreBuckets: Int = 16,
+    /** When non-empty: keep the frontier itself in a PERSISTENT table
+      * PARTITIONED BY (epoch, dbkt) CLUSTERED BY (domain) — the pop
+      * path then scans only the sampled domains' dbkt partitions and
+      * ranks them with zero exchanges, pops are tombstone appends, and
+      * crash rollback prunes epoch partitions. The in-memory default
+      * models the same layout in executor memory; this is the
+      * 10^10-row configuration. */
+    frontierStorePath: String = "",
+    /** dbkt partition count of the frontier store — the pop-prune
+      * granularity. Size well above the per-epoch sampled-domain count
+      * so an epoch reads a small fraction of partitions. */
+    frontierStoreDbuckets: Int = 64,
+    /** CLUSTERED BY (domain) bucket count of the frontier store. */
+    frontierStoreBuckets: Int = 16,
     /** The pages table may hold several snapshots of the same url
       * (Common-Crawl-style multi-crawl layouts): the fetch then picks
       * exactly one response per request (latest warc_ts). Costs one

@@ -102,38 +102,76 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   private var popTombstones: Vector[DataFrame] = Vector.empty // pkey
   private val frontierCompactThreshold = 48
 
+  /** Persistent frontier storage (cfg.frontierStorePath): the same
+    * parts + tombstones model, but on disk — PARTITIONED BY
+    * (epoch, dbkt) CLUSTERED BY (domain), so pop scans prune to the
+    * sampled domains' partitions and rank with zero exchanges, and
+    * crash rollback prunes epoch partitions (Checkpoint.resume). */
+  val frontierStore: Option[graft.tables.FrontierStore] =
+    if (cfg.frontierStorePath.nonEmpty)
+      Some(new graft.tables.FrontierStore(spark, cfg.frontierStorePath,
+        cfg.frontierStoreDbuckets, cfg.frontierStoreBuckets))
+    else None
+  /** Last epoch whose checkpoint manifest is complete — the rollback
+    * anchor for store compaction (set by Checkpoint.save/resume). */
+  var lastCheckpointEpoch: Int = 0
+  private var storeOpsSinceCompact: Int = 0
+
   private def pkeyCol: org.apache.spark.sql.Column =
     concat_ws("\u0001", $"domain", $"url", $"depth".cast("string"),
       coalesce(base64($"parent"), lit("")),
       coalesce($"login", lit("None")))
 
-  private[frontier] def frontier: DataFrame = {
-    val base = frontierParts.reduceOption(_ unionByName _)
-      .getOrElse(emptyDf(frontierSchema))
-    popTombstones.reduceOption(_ unionByName _) match {
-      case Some(tombs) =>
-        // tombstones are batch-bounded by construction (popped rows
-        // since the last compaction), so BROADCAST them explicitly.
-        // Without the hint the optimizer pushes the anti-join through
-        // the parts union and plans K sort-merge joins that each
-        // re-shuffle the full tombstone union (K = part count — job
-        // count and shuffle volume grew with epochs; caught by the
-        // EpochScaleSpec job-budget guard). With it, the pushed-down
-        // per-part joins share ONE reused broadcast and no shuffle.
-        base.withColumn("pkey", pkeyCol)
-          .join(broadcast(tombs), Seq("pkey"), "left_anti").drop("pkey")
-      case None => base
-    }
+  /** Subtract tombstones: batch-bounded by construction (popped rows
+    * since the last compaction), so BROADCAST them explicitly. Without
+    * the hint the optimizer pushes the anti-join through the parts
+    * union and plans K sort-merge joins that each re-shuffle the full
+    * tombstone union (K = part count — job count and shuffle volume
+    * grew with epochs; caught by the EpochScaleSpec job-budget guard).
+    * With it, the pushed-down per-part joins share ONE reused
+    * broadcast and no shuffle. */
+  private def minusTombs(base: DataFrame, tombs: DataFrame): DataFrame =
+    base.withColumn("pkey", pkeyCol)
+      .join(broadcast(tombs), Seq("pkey"), "left_anti").drop("pkey")
+
+  private[frontier] def frontier: DataFrame = frontierStore match {
+    case Some(fs) => minusTombs(fs.df, fs.tombstones)
+    case None =>
+      val base = frontierParts.reduceOption(_ unionByName _)
+        .getOrElse(emptyDf(frontierSchema))
+      popTombstones.reduceOption(_ unionByName _) match {
+        case Some(tombs) => minusTombs(base, tombs)
+        case None        => base
+      }
   }
 
   private def compactFrontier(): Unit = {
-    frontierParts = Vector(ckpt(frontier))
-    popTombstones = Vector.empty
+    // store mode compacts via maybeCompactFrontierStore (checkpoint-
+    // anchored); the in-memory compaction here would pull the table
+    // into executor memory
+    if (frontierStore.isEmpty) {
+      frontierParts = Vector(ckpt(frontier))
+      popTombstones = Vector.empty
+    }
   }
 
   private def maybeCompactFrontier(): Unit =
-    if (frontierParts.size + popTombstones.size > frontierCompactThreshold)
+    if (frontierStore.isEmpty &&
+        frontierParts.size + popTombstones.size > frontierCompactThreshold)
       compactFrontier()
+
+  /** Store-mode compaction: fold tombstones into a rewritten snapshot.
+    * Called by Checkpoint.save right AFTER the manifest write, tagged
+    * with that manifest's epoch, so a later crash-prune (which deletes
+    * partitions NEWER than the last manifest) keeps the rewrite — the
+    * rollback unit stays exact. */
+  def maybeCompactFrontierStore(checkpointedEpoch: Int): Unit =
+    frontierStore.foreach { fs =>
+      if (storeOpsSinceCompact > frontierCompactThreshold) {
+        fs.overwrite(frontier, checkpointedEpoch)
+        storeOpsSinceCompact = 0
+      }
+    }
   /** First-accepted order of every domain ever pushed (F6 gate). */
   private var domainsSeen: DataFrame = emptyDf(StructType(Seq(
     StructField("domain", StringType), StructField("first_seq", LongType))))
@@ -165,6 +203,17 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     case None =>
       seenParts.reduceOption(_ unionByName _).getOrElse(emptyDf(seenSchema))
   }
+  /** Record an accepted-push part (checkpointed). The epoch tag makes
+    * a crash rollback exact (FrontierStore.pruneBeyond). */
+  private def appendFrontier(part: DataFrame, epoch: Int): Unit =
+    frontierStore match {
+      case Some(fs) =>
+        fs.append(part, math.max(epoch, 0))
+        storeOpsSinceCompact += 1
+      case None =>
+        frontierParts = frontierParts :+ part
+    }
+
   /** Record a dedup batch's new fingerprints. The epoch tag makes a
     * crash rollback exact (SeenStore.pruneBeyond). */
   private def appendSeen(fps: DataFrame, epoch: Int): Unit = seenStore match {
@@ -411,7 +460,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         .select($"domain", $"url", $"priority", $"depth", $"parent",
           $"login", lit(epoch).as("epoch_added"))
       val (part, n) = Eager.ckptCount(entries)
-      frontierParts = frontierParts :+ part
+      appendFrontier(part, epoch)
       frontierLenCount += n
       lastPushAccepted = n
       noteScorePush(part)
@@ -496,7 +545,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     if (assumeFresh) {
       // dedup-before-push flow: pkeys are globally fresh - pure append
       val (part, n) = Eager.ckptCount(newEntries.drop("pkey"))
-      frontierParts = frontierParts :+ part
+      appendFrontier(part, epoch)
       frontierLenCount += n
       noteScorePush(part)
       maybeCompactFrontier()
@@ -504,16 +553,24 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       // zadd replace semantics (test/login path): compact, then rewrite.
       // The rewrite is O(|frontier|) anyway, so resync the incremental
       // counter from the same job rather than tracking replace overlaps.
-      compactFrontier()
-      val oldKeyed = frontierParts.headOption
-        .getOrElse(emptyDf(frontierSchema)).withColumn("pkey", pkeyCol)
       val (part, n) = Eager.ckptCount(
-        oldKeyed.join(newEntries.select("pkey"), Seq("pkey"), "left_anti")
+        frontier.withColumn("pkey", pkeyCol)
+          .join(newEntries.select("pkey"), Seq("pkey"), "left_anti")
           .drop("pkey")
           .unionByName(newEntries.drop("pkey")))
-      frontierParts = Vector(part)
+      frontierStore match {
+        case Some(fs) =>
+          // durable immediately (the reference's `scrapy login` writes
+          // Redis at once); tagged with the last manifest epoch so it
+          // joins the previous checkpoint's rollback unit rather than
+          // being deleted wholesale by a crash-prune
+          fs.overwrite(part, lastCheckpointEpoch)
+          storeOpsSinceCompact = 0
+        case None =>
+          frontierParts = Vector(part)
+          popTombstones = Vector.empty
+      }
       frontierLenCount = n
-      popTombstones = Vector.empty
       // zadd-replace can LOWER an existing member's stored priority —
       // not expressible as a monotone delta; rebuild on next read
       invalidateScores()
@@ -602,6 +659,12 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     if (cfg.bloomPrefilter && seenCounter > 0)
       bloom = Some(BloomSeen.build(st.df, "fp",
         cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01))
+  }
+  // likewise for a fresh engine over an existing frontier store: resume
+  // the visible row count and schedule a master-score rebuild
+  frontierStore.foreach { _ =>
+    frontierLenCount = frontier.count()
+    if (frontierLenCount > 0) invalidateScores()
   }
 
   /** F1: drop candidates whose fingerprint is already seen; mark the
@@ -697,7 +760,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     frontierLenCount += n
     noteScorePush(part)
     appendSeen(part.select("fp"), epoch)
-    frontierParts = frontierParts :+ part.drop("fp")
+    appendFrontier(part.drop("fp"), epoch)
     maybeCompactFrontier()
     bloom = bloom.map(_.merge(BloomSeen.build(part.select("fp"), "fp",
       cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01)))
@@ -904,7 +967,21 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     val withSalts =
       if (countsDf.columns.contains("salts")) countsDf
       else countsDf.withColumn("salts", lit(math.max(cfg.popSalts, 1)))
-    val selected = visibleFrontier.join(broadcast(withSalts), Seq("domain"))
+    // store mode: prune the scan to the sampled domains' dbkt
+    // partitions (PartitionFilters at the source — a batch-sized slice
+    // of a 10^10-row frontier) before subtracting tombstones; the
+    // domain list is driver-bounded on both selection paths (driver
+    // vector or Gumbel top-k)
+    val baseFrontier = frontierStore match {
+      case Some(fs) =>
+        val doms = countsDf.select("domain").as[String].collect().toSeq
+        val pruned = minusTombs(fs.slice(doms), fs.tombstones)
+        if (didRestrict)
+          pruned.join(broadcast(allowed), Seq("domain"), "left_semi")
+        else pruned
+      case None => visibleFrontier
+    }
+    val selected = baseFrontier.join(broadcast(withSalts), Seq("domain"))
     val partial =
       if (cfg.popSalts <= 1 && cfg.adaptiveSaltTarget <= 0)
         selected.drop("salts")
@@ -956,8 +1033,15 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     lastPopCount = nPopped
     // pop delete = tombstone append (no frontier rewrite); popped is
     // already checkpointed, so the tombstone is a cheap view on it
-    popTombstones = popTombstones :+
-      popped.withColumn("pkey", pkeyCol).select("pkey")
+    frontierStore match {
+      case Some(fs) =>
+        fs.appendTombstones(
+          popped.withColumn("pkey", pkeyCol).select("pkey"), clock)
+        storeOpsSinceCompact += 1
+      case None =>
+        popTombstones = popTombstones :+
+          popped.withColumn("pkey", pkeyCol).select("pkey")
+    }
     maybeCompactFrontier()
     popped
   }
@@ -979,20 +1063,34 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     "frontier" -> frontier, "domains" -> domainsSeen,
     "relevance" -> relevance, "allowed" -> allowed, "seen" -> seen)
 
-  /** `seenFromStore` = the seen history already lives in this engine's
-    * persistent store (resume path) — skip the snapshot rewrite. */
+  /** `seenFromStore` / `frontierFromStore` = that state already lives
+    * in this engine's persistent store (resume path) — skip the
+    * snapshot rewrite. */
   def restoreState(tables: Map[String, DataFrame], didRestrictFlag: Boolean,
                    epoch: Int, seq: Long,
                    rebuildBloom: Boolean = true,
-                   seenFromStore: Boolean = false): Unit = {
+                   seenFromStore: Boolean = false,
+                   frontierFromStore: Boolean = false): Unit = {
     val frontier0 = tables("frontier")
-    val (fPart, fLen) = Eager.ckptCount(
+    val frontierNorm =
       // snapshots written before the login dimension joined the schema
       if (frontier0.columns.contains("login")) frontier0
-      else frontier0.withColumn("login", lit("None")))
-    frontierParts = Vector(fPart)
-    frontierLenCount = fLen
-    popTombstones = Vector.empty
+      else frontier0.withColumn("login", lit("None"))
+    frontierStore match {
+      case Some(fs) =>
+        // the store is durable: never pull the table into memory —
+        // overwrite it only when restoring from a foreign snapshot
+        // (migration INTO store mode)
+        if (!frontierFromStore) fs.overwrite(frontierNorm, epoch)
+        frontierParts = Vector.empty
+        popTombstones = Vector.empty
+        frontierLenCount = frontier.count() // visible = parts − tombs
+      case None =>
+        val (fPart, fLen) = Eager.ckptCount(frontierNorm)
+        frontierParts = Vector(fPart)
+        frontierLenCount = fLen
+        popTombstones = Vector.empty
+    }
     domainsSeen = ckpt(tables("domains"))
     relevance = ckpt(tables("relevance"))
     allowed = ckpt(tables("allowed"))

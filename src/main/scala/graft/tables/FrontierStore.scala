@@ -1,0 +1,186 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent frontier storage: the disk form of the engine's
+  * append-only parts + pop tombstones, shaped for a 10^10-row frontier
+  * (the last state table that otherwise lives in executor memory).
+  *
+  * Layout (the plain-parquet analogue of an Iceberg table with a
+  * `bucket(domain)` spec + positional-delete files):
+  *
+  *  - data: `PARTITIONED BY (epoch, dbkt) CLUSTERED BY (domain)` where
+  *    `dbkt = pmod(hash(domain), dbuckets)`. The pop path knows its
+  *    sampled domains, so its scan prunes to their dbkt partitions
+  *    (`PartitionFilters: [dbkt IN …]` — a ~batch-sized slice of the
+  *    frontier, not a full scan) AND the per-domain ranking window runs
+  *    directly on the bucketed scan's `HashPartitioning(domain)` with
+  *    ZERO exchanges (PLANS.md frontier_store_pop);
+  *  - deletes: a `(pkey)` tombstone table partitioned by epoch; reads
+  *    subtract it with a broadcast anti-join (tombstones are pop-batch
+  *    sized between compactions);
+  *  - the `epoch` partition level exists for exact crash rollback:
+  *    [[pruneBeyond]] drops everything newer than the last complete
+  *    manifest epoch on resume, so mid-epoch appends/pops roll back
+  *    with the rest of the state;
+  *  - [[compact]] folds tombstones into a rewritten snapshot tagged
+  *    with the last CHECKPOINTED epoch (so a later crash-prune keeps
+  *    it). The rewrite itself is not atomic on plain parquet — under
+  *    the Iceberg seam it becomes a snapshot swap; the caller runs it
+  *    right after a checkpoint to keep the exposure window minimal.
+  *
+  * Bucket counts are recorded in a `_graft_buckets` marker at creation
+  * and adopted on re-open (the on-disk layout is authoritative).
+  */
+final class FrontierStore(val spark: SparkSession, val path: String,
+                          requestedDbuckets: Int, requestedBuckets: Int) {
+  import spark.implicits._
+
+  private val fsPath = path.stripPrefix("file:")
+  private val marker = Paths.get(fsPath, "_graft_buckets")
+
+  /** Effective (dbuckets, cluster buckets) — marker wins on re-open. */
+  val (dbuckets: Int, buckets: Int) =
+    if (Files.exists(marker)) {
+      val Array(a, b) = Files.readString(marker).trim.split(",")
+      (a.toInt, b.toInt)
+    } else (requestedDbuckets, requestedBuckets)
+
+  private val suffix = java.lang.Long.toHexString(
+    scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xFFFFFFFFL) +
+    "_" + FrontierStore.ctr.incrementAndGet()
+  val table: String = "graft_frontier_" + suffix
+  val tombTable: String = "graft_fronttomb_" + suffix
+
+  private def ensure(): Unit = {
+    val preExisting = Files.exists(marker)
+    // pre-create the locations so the catalog's initial file listings
+    // do not log FileNotFound noise
+    try {
+      Files.createDirectories(Paths.get(fsPath, "data"))
+      Files.createDirectories(Paths.get(fsPath, "tombstones")): Unit
+    } catch { case _: Exception => () }
+    if (!spark.catalog.tableExists(table)) {
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $table
+            (domain STRING, url STRING, priority BIGINT, depth INT,
+             parent BINARY, login STRING, epoch_added INT,
+             epoch INT, dbkt INT)
+            USING parquet PARTITIONED BY (epoch, dbkt)
+            CLUSTERED BY (domain) SORTED BY (domain) INTO $buckets BUCKETS
+            LOCATION '$path/data'""")
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $tombTable (pkey STRING, epoch INT)
+            USING parquet PARTITIONED BY (epoch)
+            LOCATION '$path/tombstones'""")
+      if (preExisting) {
+        spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+        spark.sql(s"ALTER TABLE $tombTable RECOVER PARTITIONS")
+      } else Files.writeString(marker, s"$dbuckets,$buckets")
+    }
+  }
+
+  ensure()
+
+  /** The shared domain→partition function (writer and pop-side pruner
+    * MUST agree, like TableIO.bucketCol). */
+  def dbktCol(domain: Column): Column = pmod(hash(domain), lit(dbuckets))
+
+  /** dbkt values of a driver-known domain list, evaluated through the
+    * SAME catalyst hash the writer used (local relation — no job). */
+  def dbktsOf(domains: Seq[String]): Seq[Int] =
+    if (domains.isEmpty) Nil
+    else domains.toDF("domain").select(dbktCol($"domain").cast("int"))
+      .collect().map(_.getInt(0)).toSeq.distinct
+
+  private val dataCols = Seq("domain", "url", "priority", "depth",
+    "parent", "login", "epoch_added")
+
+  /** Append an accepted-push part, tagged with its scheduling epoch. */
+  def append(part: DataFrame, epoch: Int): Unit = {
+    part.select(dataCols.map(col): _*)
+      .withColumn("epoch", lit(epoch))
+      .withColumn("dbkt", dbktCol(col("domain")))
+      .write.mode("append").format("parquet").insertInto(table)
+    refresh()
+  }
+
+  /** Append popped-row tombstone pkeys. */
+  def appendTombstones(pkeys: DataFrame, epoch: Int): Unit = {
+    pkeys.select("pkey").withColumn("epoch", lit(epoch))
+      .write.mode("append").format("parquet").insertInto(tombTable)
+    spark.catalog.refreshTable(tombTable)
+  }
+
+  /** Raw parts (without tombstone subtraction), partition cols dropped. */
+  def df: DataFrame = spark.table(table).select(dataCols.map(col): _*)
+
+  /** Parts pruned to the given domains' dbkt partitions. */
+  def slice(domains: Seq[String]): DataFrame =
+    spark.table(table)
+      .filter(col("dbkt").isin(dbktsOf(domains).map(Integer.valueOf): _*))
+      .select(dataCols.map(col): _*)
+
+  def tombstones: DataFrame = spark.table(tombTable).select("pkey")
+
+  /** Replace the whole store with `visible` (compaction or the
+    * replace-semantics push path), clearing tombstones. Tag with the
+    * last CHECKPOINTED epoch so a crash-prune keeps the rewrite. */
+  def overwrite(visible: DataFrame, epoch: Int): Unit = {
+    val staged = visible.select(dataCols.map(col): _*)
+      .withColumn("epoch", lit(epoch))
+      .withColumn("dbkt", dbktCol(col("domain")))
+      // the input may read this very table — materialize before truncate
+      .localCheckpoint(true)
+    staged.write.mode("overwrite").format("parquet").insertInto(table)
+    truncateTombstones()
+    refresh()
+  }
+
+  private def truncateTombstones(): Unit = {
+    deleteEpochDirsBeyond(Paths.get(fsPath, "tombstones"), Int.MinValue)
+    spark.catalog.refreshTable(tombTable)
+  }
+
+  /** Crash rollback: drop every append/tombstone tagged after the last
+    * complete manifest epoch. */
+  def pruneBeyond(epoch: Int): Unit = {
+    deleteEpochDirsBeyond(Paths.get(fsPath, "data"), epoch)
+    deleteEpochDirsBeyond(Paths.get(fsPath, "tombstones"), epoch)
+    refresh()
+    spark.catalog.refreshTable(tombTable)
+  }
+
+  private def deleteEpochDirsBeyond(root: java.nio.file.Path,
+                                    epoch: Int): Unit =
+    if (Files.isDirectory(root)) {
+      val stream = Files.list(root)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("epoch=") &&
+              scala.util.Try(name.stripPrefix("epoch=").toInt)
+                .toOption.exists(_ > epoch)) {
+            def rm(f: java.io.File): Unit = {
+              val fs = f.listFiles
+              if (fs != null) fs.foreach(rm)
+              f.delete(): Unit
+            }
+            rm(p.toFile)
+          }
+        }
+      } finally stream.close()
+    }
+
+  private def refresh(): Unit = spark.catalog.refreshTable(table)
+}
+
+object FrontierStore {
+  private val ctr = new AtomicLong()
+}

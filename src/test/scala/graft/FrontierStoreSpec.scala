@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.epoch.CrawlJob
+import graft.frontier.{CrawlConfig, FrontierEngine, Req}
+import graft.gen.SynthWeb
+import graft.tables.FrontierStore
+
+/** The persistent (epoch, dbkt)-partitioned, domain-clustered frontier
+  * store: crawl results byte-identical to the in-memory path, the pop
+  * scan pruned to the sampled domains' partitions with a zero-exchange
+  * ranking window, exact crash rollback, and cross-engine reuse.
+  */
+class FrontierStoreSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("store-backed crawl == in-memory crawl; incremental counters hold") {
+    val dir = Files.createTempDirectory("graft-fstore").toString
+    val web = SynthWeb.WebConfig(nDomains = 8, pagesPerDomain = 8)
+    def crawl(f: CrawlConfig => CrawlConfig) = {
+      val job = new CrawlJob(spark,
+        f(CrawlConfig(batchSize = 25, seed = 6L)),
+        SynthWeb.pages(spark, web).toDF().localCheckpoint(true))
+      job.seed(SynthWeb.seedUrls(web, 4))
+      job.run(maxEpochs = 6)
+      (job.crawledPages.select("url").as[String].collect().sorted.toSeq,
+        job.engine.len, job.engine.lenExact)
+    }
+    val (mem, memLen, _) = crawl(identity)
+    val (st, stLen, stExact) = crawl(_.copy(
+      frontierStorePath = s"$dir/frontier",
+      frontierStoreDbuckets = 16, frontierStoreBuckets = 4))
+    assert(st == mem)
+    assert(st.nonEmpty)
+    assert(stLen == memLen)
+    assert(stLen == stExact)
+  }
+
+  test("pop scan prunes to the sampled domains' dbkt partitions and " +
+       "ranks with zero hash exchanges") {
+    val dir = Files.createTempDirectory("graft-fsplan").toString
+    val store = new FrontierStore(spark, s"$dir/frontier", 32, 4)
+    val rows = spark.range(0, 5000).select(
+      concat(lit("site-"), pmod($"id", lit(200)), lit(".com")).as("domain"),
+      concat(lit("http://site-"), pmod($"id", lit(200)), lit(".com/p"),
+        $"id").as("url"),
+      pmod($"id" * 37, lit(1000)).cast("long").as("priority"),
+      lit(0).as("depth"), lit(null).cast("binary").as("parent"),
+      lit("None").as("login"), lit(1).as("epoch_added"))
+    store.append(rows, epoch = 1)
+    val sampled = Seq("site-3.com", "site-77.com", "site-150.com")
+    val counts = sampled.map(d => (d, 2)).toDF("domain", "n")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"domain").orderBy($"priority".desc, $"url".asc)
+      val plan = store.slice(sampled)
+        .join(broadcast(counts), Seq("domain"))
+        .withColumn("_r", row_number().over(w)).filter($"_r" <= $"n")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [dbkt"), plan.take(2000))
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashExchanges == 0,
+        s"pop ranking must run on the bucketed scan's partitioning " +
+          s"with no exchange; got $hashExchanges:\n" + plan.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("resume prunes frontier appends and tombstones of a crashed " +
+       "epoch; a store-mode checkpoint refuses to resume without it") {
+    val dir = Files.createTempDirectory("graft-fscrash").toString
+    val web = SynthWeb.WebConfig(nDomains = 6, pagesPerDomain = 6)
+    val pages = SynthWeb.pages(spark, web).toDF().localCheckpoint(true)
+    val cfg = CrawlConfig(batchSize = 20, seed = 9L,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 16,
+      frontierStoreBuckets = 4)
+    val ref = {
+      val j = new CrawlJob(spark, CrawlConfig(batchSize = 20, seed = 9L),
+        pages)
+      j.seed(SynthWeb.seedUrls(web, 3))
+      j.run(maxEpochs = 6)
+      j.crawledPages.select("url").as[String].collect().sorted.toSeq
+    }
+    val j1 = new CrawlJob(spark, cfg, pages, outDir = Some(s"$dir/out"))
+    j1.seed(SynthWeb.seedUrls(web, 3))
+    (1 to 3).foreach(_ => if (j1.engine.len > 0) j1.runEpoch())
+    val committedLen = j1.engine.len
+    // no per-epoch frontier snapshot in store mode
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/out/frontier")))
+    // simulate a crashed epoch 4: rows + tombstones appended, no manifest
+    val crashStore = new FrontierStore(spark, s"$dir/frontier", 16, 4)
+    crashStore.append(Seq(("crashed.com", "http://crashed.com/x", 5L, 0,
+      null: Array[Byte], "None", 4)).toDF("domain", "url", "priority",
+      "depth", "parent", "login", "epoch_added"), epoch = 4)
+    crashStore.appendTombstones(Seq("bogus-pkey").toDF("pkey"), epoch = 4)
+    // resume: crashed partitions pruned, crawl completes identically
+    val j2 = new CrawlJob(spark, cfg, pages, outDir = Some(s"$dir/out"))
+    assert(j2.resume().exists(_.frontierStore))
+    assert(j2.engine.len == committedLen,
+      "crashed-epoch frontier rows must be pruned on resume")
+    assert(j2.engine.len == j2.engine.lenExact)
+    while (j2.engine.len > 0 && j2.engine.clock < 6) j2.runEpoch()
+    val got = CrawlJob.readCrawledPages(spark, s"$dir/out")
+      .select("url").as[String].collect().sorted.toSeq
+    assert(got == ref)
+    // and a bare config cannot resume a store-mode checkpoint
+    val bare = new CrawlJob(spark, cfg.copy(frontierStorePath = ""), pages,
+      outDir = Some(s"$dir/out"))
+    val err = intercept[IllegalStateException](bare.resume())
+    assert(err.getMessage.contains("frontier_store"))
+  }
+
+  test("on-disk bucket counts are authoritative; a fresh engine over " +
+       "an existing store resumes the visible frontier") {
+    val dir = Files.createTempDirectory("graft-fsreuse").toString
+    val cfg = CrawlConfig(batchSize = 10, seed = 3L,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 16,
+      frontierStoreBuckets = 4)
+    val e1 = new FrontierEngine(spark, cfg)
+    e1.push((0 until 12).map(i => Req(s"http://reuse-site.com/p/$i",
+      priority = i.toLong)))
+    assert(e1.popEpochDf(0).count() > 0)
+    val remaining = e1.len
+    // differing bucket config on re-open: the marker wins
+    val e2 = new FrontierEngine(spark,
+      cfg.copy(frontierStoreDbuckets = 99, frontierStoreBuckets = 7))
+    assert(e2.frontierStore.get.dbuckets == 16)
+    assert(e2.frontierStore.get.buckets == 4)
+    assert(e2.len == remaining)
+    assert(e2.len == e2.lenExact)
+    // the tombstoned rows stay invisible to the new engine
+    val popped2 = e2.popEpochDf(0)
+    assert(popped2.count() <= remaining)
+  }
+}
