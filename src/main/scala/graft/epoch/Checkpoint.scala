@@ -72,6 +72,7 @@ object Checkpoint {
     // the manifest is the rollback anchor — store compaction (a full
     // rewrite tagged with THIS epoch) is only safe right after it
     engine.lastCheckpointEpoch = epoch
+    engine.checkpointing = true
     engine.maybeCompactFrontierStore(epoch)
   }
 
@@ -140,9 +141,11 @@ object Checkpoint {
             engine.frontierStore.get.df
           else TableIO.readSnapshot(spark, root, t, m.epoch)))
         .toMap
+      engine.checkpointing = true
       engine.restoreState(tables, m.didRestrict, m.epoch, m.seq,
         rebuildBloom = false, seenFromStore = fromStore,
-        frontierFromStore = frontierFromStore)
+        frontierFromStore = frontierFromStore,
+        knownFrontierLen = m.totals.get("frontier_len"))
       if (engine.cfg.bloomPrefilter)
         engine.bloom = Some(graft.frontier.BloomSeen.load(
           spark, TableIO.epochDir(root, "bloom", m.epoch)))

@@ -122,6 +122,15 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       coalesce(base64($"parent"), lit("")),
       coalesce($"login", lit("None")))
 
+  /** Tombstone key = pkey + the row VERSION (epoch_added, priority):
+    * pop tombstones kill exactly the popped row either way (visible
+    * rows are unique by pkey), and the store-mode replace path needs
+    * version granularity so tombstoning a superseded row cannot shadow
+    * its same-pkey replacement. */
+  private def tombKeyCol: org.apache.spark.sql.Column =
+    concat_ws("\u0001", pkeyCol, $"epoch_added".cast("string"),
+      $"priority".cast("string"))
+
   /** Subtract tombstones: batch-bounded by construction (popped rows
     * since the last compaction), so BROADCAST them explicitly. Without
     * the hint the optimizer pushes the anti-join through the parts
@@ -131,7 +140,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * With it, the pushed-down per-part joins share ONE reused
     * broadcast and no shuffle. */
   private def minusTombs(base: DataFrame, tombs: DataFrame): DataFrame =
-    base.withColumn("pkey", pkeyCol)
+    base.withColumn("pkey", tombKeyCol)
       .join(broadcast(tombs), Seq("pkey"), "left_anti").drop("pkey")
 
   private[frontier] def frontier: DataFrame = frontierStore match {
@@ -155,16 +164,30 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     }
   }
 
-  private def maybeCompactFrontier(): Unit =
-    if (frontierStore.isEmpty &&
-        frontierParts.size + popTombstones.size > frontierCompactThreshold)
-      compactFrontier()
+  /** True once a checkpoint manifest governs this engine's store state
+    * (set by Checkpoint.save/resume) — from then on, store compaction
+    * may only run anchored to a manifest write. */
+  var checkpointing: Boolean = false
 
-  /** Store-mode compaction: fold tombstones into a rewritten snapshot.
-    * Called by Checkpoint.save right AFTER the manifest write, tagged
-    * with that manifest's epoch, so a later crash-prune (which deletes
-    * partitions NEWER than the last manifest) keeps the rewrite — the
-    * rollback unit stays exact. */
+  private def maybeCompactFrontier(): Unit = frontierStore match {
+    case Some(fs) =>
+      // no checkpoint contract → no rollback unit to preserve: compact
+      // on the op trigger so the tombstone table (force-broadcast on
+      // every read) stays batch-bounded even in checkpoint-less runs
+      if (!checkpointing && storeOpsSinceCompact > frontierCompactThreshold) {
+        fs.overwrite(frontier, math.max(clock, 0))
+        storeOpsSinceCompact = 0
+      }
+    case None =>
+      if (frontierParts.size + popTombstones.size > frontierCompactThreshold)
+        compactFrontier()
+  }
+
+  /** Store-mode compaction under checkpointing: fold tombstones into a
+    * rewritten snapshot. Called by Checkpoint.save right AFTER the
+    * manifest write, tagged with that manifest's epoch, so a later
+    * crash-prune (which deletes partitions NEWER than the last
+    * manifest) keeps the rewrite — the rollback unit stays exact. */
   def maybeCompactFrontierStore(checkpointedEpoch: Int): Unit =
     frontierStore.foreach { fs =>
       if (storeOpsSinceCompact > frontierCompactThreshold) {
@@ -347,6 +370,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * pushes minus popped rows. Counts are taken from `observe` aggregates
     * piggybacked on the checkpoint jobs, so they cost zero extra scans. */
   private var frontierLenCount: Long = 0L
+  private var frontierLenSynced: Boolean = true
   private var seenCounter: Long = 0L
 
   /** Per-call result surfaces for the epoch loop (saves re-count jobs). */
@@ -373,8 +397,17 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
   // --- introspection -------------------------------------------------------
 
-  /** Frontier length, maintained incrementally (O(1), no scan). */
-  def len: Long = frontierLenCount
+  /** Frontier length, maintained incrementally (O(1), no scan). A
+    * fresh engine over an existing persistent store syncs the count
+    * lazily on first read (one scan, not per epoch — and none at all
+    * when Checkpoint.resume supplies the manifest total first). */
+  def len: Long = {
+    if (!frontierLenSynced) {
+      frontierLenCount = frontier.count()
+      frontierLenSynced = true
+    }
+    frontierLenCount
+  }
 
   /** Full recount — restore paths and tests only (O(|frontier|)). */
   def lenExact: Long = frontier.count()
@@ -550,27 +583,52 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       noteScorePush(part)
       maybeCompactFrontier()
     } else {
-      // zadd replace semantics (test/login path): compact, then rewrite.
-      // The rewrite is O(|frontier|) anyway, so resync the incremental
-      // counter from the same job rather than tracking replace overlaps.
-      val (part, n) = Eager.ckptCount(
-        frontier.withColumn("pkey", pkeyCol)
-          .join(newEntries.select("pkey"), Seq("pkey"), "left_anti")
-          .drop("pkey")
-          .unionByName(newEntries.drop("pkey")))
+      // zadd replace semantics (test/login path).
       frontierStore match {
         case Some(fs) =>
-          // durable immediately (the reference's `scrapy login` writes
-          // Redis at once); tagged with the last manifest epoch so it
-          // joins the previous checkpoint's rollback unit rather than
-          // being deleted wholesale by a crash-prune
-          fs.overwrite(part, lastCheckpointEpoch)
-          storeOpsSinceCompact = 0
+          // Replace WITHOUT a rewrite: tombstone the superseded old
+          // versions (version-keyed, so the same-pkey replacement
+          // survives the anti-join) and append the new rows — both
+          // tagged with the CURRENT epoch, so a crash prunes them
+          // together and rollback stays exact. A full-store rewrite
+          // tagged with an older epoch would fold uncommitted
+          // mid-epoch state into the committed rollback unit.
+          val (oldMatched, om) = Eager.ckptObserve(
+            frontier.withColumn("pkey", pkeyCol)
+              .join(broadcast(newEntries
+                .select($"pkey", $"priority".as("_np"))), Seq("pkey")),
+            "m" -> count(lit(1)),
+            "ident" -> count(when($"priority" === $"_np" &&
+              $"epoch_added" === lit(epoch), 1)))
+          val nOld = Eager.long(om, "m")
+          val nIdent = Eager.long(om, "ident")
+          fs.appendTombstones(oldMatched
+            .filter(!($"priority" === $"_np" &&
+              $"epoch_added" === lit(epoch)))
+            .select(tombKeyCol.as("pkey")), math.max(epoch, 0))
+          // rows identical to their replacement need no action (and
+          // tombstoning them would shadow the replacement too)
+          val identKeys = oldMatched
+            .filter($"priority" === $"_np" &&
+              $"epoch_added" === lit(epoch)).select("pkey")
+          val (part2, nApp) = Eager.ckptCount(newEntries
+            .join(broadcast(identKeys), Seq("pkey"), "left_anti")
+            .drop("pkey"))
+          fs.append(part2, math.max(epoch, 0))
+          storeOpsSinceCompact += 2
+          frontierLenCount = frontierLenCount - (nOld - nIdent) + nApp
         case None =>
+          // in-memory: compact-and-rewrite (O(|frontier|) anyway);
+          // resync the incremental counter from the same job
+          val (part, n) = Eager.ckptCount(
+            frontier.withColumn("pkey", pkeyCol)
+              .join(newEntries.select("pkey"), Seq("pkey"), "left_anti")
+              .drop("pkey")
+              .unionByName(newEntries.drop("pkey")))
           frontierParts = Vector(part)
           popTombstones = Vector.empty
+          frontierLenCount = n
       }
-      frontierLenCount = n
       // zadd-replace can LOWER an existing member's stored priority —
       // not expressible as a monotone delta; rebuild on next read
       invalidateScores()
@@ -662,9 +720,13 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   }
   // likewise for a fresh engine over an existing frontier store: resume
   // the visible row count and schedule a master-score rebuild
+  // a fresh engine over a frontier store defers the length sync to the
+  // first `len` read and schedules a master-score rebuild (the store
+  // may hold prior-session rows the empty in-memory score state cannot
+  // know about; rebuilding over an empty store is trivial)
   frontierStore.foreach { _ =>
-    frontierLenCount = frontier.count()
-    if (frontierLenCount > 0) invalidateScores()
+    frontierLenSynced = false
+    invalidateScores()
   }
 
   /** F1: drop candidates whose fingerprint is already seen; mark the
@@ -991,8 +1053,19 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         // ≤ its global rank) — it carries the domain's next-best
         // priority for the incremental master-score delta
         val w1 = Window.partitionBy($"domain", $"_salt").orderBy(order: _*)
-        selected
+        val salted = selected
           .withColumn("_salt", pmod(xxhash64($"url"), $"salts"))
+        // store mode: the bucketed scan's HashPartitioning(domain)
+        // already SATISFIES the salted window's required distribution
+        // (subset rule), so the planner would insert no exchange and a
+        // hot domain would sort in ONE task — the exact skew the salts
+        // exist to split. Force the (domain, salt) fan-out explicitly.
+        // (In-memory parts have no useful partitioning, so the window
+        // requirement inserts the same exchange there anyway.)
+        val distributed =
+          if (frontierStore.nonEmpty) salted.repartition($"domain", $"_salt")
+          else salted
+        distributed
           .withColumn("_r1", row_number().over(w1))
           .filter($"_r1" <= $"n" + 1)
           .drop("_r1", "_salt", "salts")
@@ -1036,11 +1109,11 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     frontierStore match {
       case Some(fs) =>
         fs.appendTombstones(
-          popped.withColumn("pkey", pkeyCol).select("pkey"), clock)
+          popped.withColumn("pkey", tombKeyCol).select("pkey"), clock)
         storeOpsSinceCompact += 1
       case None =>
         popTombstones = popTombstones :+
-          popped.withColumn("pkey", pkeyCol).select("pkey")
+          popped.withColumn("pkey", tombKeyCol).select("pkey")
     }
     maybeCompactFrontier()
     popped
@@ -1070,7 +1143,8 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
                    epoch: Int, seq: Long,
                    rebuildBloom: Boolean = true,
                    seenFromStore: Boolean = false,
-                   frontierFromStore: Boolean = false): Unit = {
+                   frontierFromStore: Boolean = false,
+                   knownFrontierLen: Option[Long] = None): Unit = {
     val frontier0 = tables("frontier")
     val frontierNorm =
       // snapshots written before the login dimension joined the schema
@@ -1084,11 +1158,14 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         if (!frontierFromStore) fs.overwrite(frontierNorm, epoch)
         frontierParts = Vector.empty
         popTombstones = Vector.empty
-        frontierLenCount = frontier.count() // visible = parts − tombs
+        // the manifest's frontier_len total saves a full-store recount
+        frontierLenCount = knownFrontierLen.getOrElse(frontier.count())
+        frontierLenSynced = true
       case None =>
         val (fPart, fLen) = Eager.ckptCount(frontierNorm)
         frontierParts = Vector(fPart)
         frontierLenCount = fLen
+        frontierLenSynced = true
         popTombstones = Vector.empty
     }
     domainsSeen = ckpt(tables("domains"))

@@ -40,19 +40,19 @@ final class FrontierStore(val spark: SparkSession, val path: String,
                           requestedDbuckets: Int, requestedBuckets: Int) {
   import spark.implicits._
 
-  private val fsPath = path.stripPrefix("file:")
+  private val fsPath = StoreLayout.fsPath(path)
   private val marker = Paths.get(fsPath, "_graft_buckets")
 
   /** Effective (dbuckets, cluster buckets) — marker wins on re-open. */
-  val (dbuckets: Int, buckets: Int) =
-    if (Files.exists(marker)) {
-      val Array(a, b) = Files.readString(marker).trim.split(",")
-      (a.toInt, b.toInt)
-    } else (requestedDbuckets, requestedBuckets)
+  val (dbuckets: Int, buckets: Int) = {
+    val Array(a, b) = StoreLayout
+      .adoptMarker(marker, s"$requestedDbuckets,$requestedBuckets")
+      .split(",")
+    (a.toInt, b.toInt)
+  }
 
-  private val suffix = java.lang.Long.toHexString(
-    scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xFFFFFFFFL) +
-    "_" + FrontierStore.ctr.incrementAndGet()
+  private val suffix =
+    StoreLayout.tableSuffix(path, FrontierStore.ctr.incrementAndGet())
   val table: String = "graft_frontier_" + suffix
   val tombTable: String = "graft_fronttomb_" + suffix
 
@@ -60,10 +60,8 @@ final class FrontierStore(val spark: SparkSession, val path: String,
     val preExisting = Files.exists(marker)
     // pre-create the locations so the catalog's initial file listings
     // do not log FileNotFound noise
-    try {
-      Files.createDirectories(Paths.get(fsPath, "data"))
-      Files.createDirectories(Paths.get(fsPath, "tombstones")): Unit
-    } catch { case _: Exception => () }
+    StoreLayout.ensureDirs(
+      Paths.get(fsPath, "data"), Paths.get(fsPath, "tombstones"))
     if (!spark.catalog.tableExists(table)) {
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $table
@@ -128,55 +126,40 @@ final class FrontierStore(val spark: SparkSession, val path: String,
   def tombstones: DataFrame = spark.table(tombTable).select("pkey")
 
   /** Replace the whole store with `visible` (compaction or the
-    * replace-semantics push path), clearing tombstones. Tag with the
-    * last CHECKPOINTED epoch so a crash-prune keeps the rewrite. */
+    * migration path), clearing tombstones. Tag with the last
+    * CHECKPOINTED epoch so a crash-prune keeps the rewrite. The input
+    * reads this very table, so it is staged through a temp directory ON
+    * DISK first (never pinned in executor memory — at 10^10 rows a
+    * localCheckpoint stage would be the cost the store exists to
+    * avoid), then inserted back and the temp removed. */
   def overwrite(visible: DataFrame, epoch: Int): Unit = {
-    val staged = visible.select(dataCols.map(col): _*)
+    val tmp = s"$fsPath/stage_tmp"
+    visible.select(dataCols.map(col): _*)
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
       .withColumn("epoch", lit(epoch))
       .withColumn("dbkt", dbktCol(col("domain")))
-      // the input may read this very table — materialize before truncate
-      .localCheckpoint(true)
-    staged.write.mode("overwrite").format("parquet").insertInto(table)
+      .write.mode("overwrite").format("parquet").insertInto(table)
+    try StoreLayout.deleteRecursive(Paths.get(tmp))
+    catch { case _: Exception => () }
     truncateTombstones()
     refresh()
   }
 
   private def truncateTombstones(): Unit = {
-    deleteEpochDirsBeyond(Paths.get(fsPath, "tombstones"), Int.MinValue)
+    StoreLayout.deleteEpochDirsBeyond(
+      Paths.get(fsPath, "tombstones"), Int.MinValue)
     spark.catalog.refreshTable(tombTable)
   }
 
   /** Crash rollback: drop every append/tombstone tagged after the last
     * complete manifest epoch. */
   def pruneBeyond(epoch: Int): Unit = {
-    deleteEpochDirsBeyond(Paths.get(fsPath, "data"), epoch)
-    deleteEpochDirsBeyond(Paths.get(fsPath, "tombstones"), epoch)
+    StoreLayout.deleteEpochDirsBeyond(Paths.get(fsPath, "data"), epoch)
+    StoreLayout.deleteEpochDirsBeyond(Paths.get(fsPath, "tombstones"), epoch)
     refresh()
     spark.catalog.refreshTable(tombTable)
   }
-
-  private def deleteEpochDirsBeyond(root: java.nio.file.Path,
-                                    epoch: Int): Unit =
-    if (Files.isDirectory(root)) {
-      val stream = Files.list(root)
-      try {
-        val it = stream.iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          val name = p.getFileName.toString
-          if (name.startsWith("epoch=") &&
-              scala.util.Try(name.stripPrefix("epoch=").toInt)
-                .toOption.exists(_ > epoch)) {
-            def rm(f: java.io.File): Unit = {
-              val fs = f.listFiles
-              if (fs != null) fs.foreach(rm)
-              f.delete(): Unit
-            }
-            rm(p.toFile)
-          }
-        }
-      } finally stream.close()
-    }
 
   private def refresh(): Unit = spark.catalog.refreshTable(table)
 }

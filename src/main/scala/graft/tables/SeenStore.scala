@@ -37,28 +37,24 @@ import org.apache.spark.sql.functions.lit
 final class SeenStore(val spark: SparkSession, val path: String,
                       requestedBuckets: Int) {
 
-  private val fsPath = path.stripPrefix("file:")
+  private val fsPath = StoreLayout.fsPath(path)
   private val marker = Paths.get(fsPath, "_graft_buckets")
 
   /** Effective bucket count — from the marker when the store already
     * exists, else the requested count (then recorded). */
   val buckets: Int =
-    if (Files.exists(marker)) Files.readString(marker).trim.toInt
-    else requestedBuckets
+    StoreLayout.adoptMarker(marker, requestedBuckets.toString).toInt
 
   /** Table names are session-global; derive one per store instance. */
   val table: String = "graft_seen_" +
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xFFFFFFFFL) +
-    "_" + SeenStore.ctr.incrementAndGet()
+    StoreLayout.tableSuffix(path, SeenStore.ctr.incrementAndGet())
 
   private def ensureTable(): Unit =
     if (!spark.catalog.tableExists(table)) {
       val preExisting = Files.exists(marker)
       // pre-create the location so the catalog's initial file listing
       // does not log FileNotFound noise
-      try Files.createDirectories(Paths.get(fsPath))
-      catch { case _: Exception => () }
+      StoreLayout.ensureDirs(Paths.get(fsPath))
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $table (fp STRING, epoch INT)
             USING parquet PARTITIONED BY (epoch)
@@ -91,27 +87,7 @@ final class SeenStore(val spark: SparkSession, val path: String,
   /** Crash rollback: drop every fingerprint discovered AFTER the given
     * epoch (partitions newer than the last complete manifest). */
   def pruneBeyond(epoch: Int): Unit = {
-    val root = Paths.get(fsPath)
-    if (Files.isDirectory(root)) {
-      val stream = Files.list(root)
-      try {
-        val it = stream.iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          val name = p.getFileName.toString
-          if (name.startsWith("epoch=") &&
-              scala.util.Try(name.stripPrefix("epoch=").toInt)
-                .toOption.exists(_ > epoch)) {
-            def rm(f: java.io.File): Unit = {
-              val fs = f.listFiles
-              if (fs != null) fs.foreach(rm)
-              f.delete(): Unit
-            }
-            rm(p.toFile)
-          }
-        }
-      } finally stream.close()
-    }
+    StoreLayout.deleteEpochDirsBeyond(Paths.get(fsPath), epoch)
     refresh()
   }
 

@@ -1,0 +1,52 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Shared mechanics of the persistent state stores (SeenStore,
+  * FrontierStore): epoch-partition rollback deletes, the authoritative
+  * on-disk bucket marker, and session-unique table naming.
+  */
+private[tables] object StoreLayout {
+
+  def fsPath(path: String): String = path.stripPrefix("file:")
+
+  /** Session-unique table-name suffix for a store path. */
+  def tableSuffix(path: String, ctr: Long): String =
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(path).toLong & 0xFFFFFFFFL) +
+      "_" + ctr
+
+  /** Read the `_graft_buckets` marker if present, else the requested
+    * layout (the on-disk layout is authoritative on re-open). */
+  def adoptMarker(marker: Path, requested: String): String =
+    if (Files.exists(marker)) Files.readString(marker).trim else requested
+
+  /** Delete every `epoch=K` partition directory with K > epoch. */
+  def deleteEpochDirsBeyond(root: Path, epoch: Int): Unit =
+    if (Files.isDirectory(root)) {
+      val stream = Files.list(root)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("epoch=") &&
+              scala.util.Try(name.stripPrefix("epoch=").toInt)
+                .toOption.exists(_ > epoch))
+            rmRecursive(p.toFile)
+        }
+      } finally stream.close()
+    }
+
+  def deleteRecursive(p: Path): Unit = rmRecursive(p.toFile)
+
+  private def rmRecursive(f: java.io.File): Unit = {
+    val fs = f.listFiles
+    if (fs != null) fs.foreach(rmRecursive)
+    f.delete(): Unit
+  }
+
+  def ensureDirs(paths: Path*): Unit =
+    try paths.foreach(p => Files.createDirectories(p): Unit)
+    catch { case _: Exception => () }
+}

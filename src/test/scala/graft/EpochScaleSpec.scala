@@ -249,6 +249,14 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
     assert(plain.nonEmpty)
     assert(adaptive == plain)
     assert(static4 == plain)
+    // store mode: the explicit (domain, salt) repartition (the bucketed
+    // scan's domain partitioning would otherwise satisfy the salted
+    // window and keep a hot domain in one task) must not change results
+    val dir = java.nio.file.Files.createTempDirectory("graft-salt").toString
+    val storeAdaptive = pop(base.copy(adaptiveSaltTarget = 50L,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 8,
+      frontierStoreBuckets = 4))
+    assert(storeAdaptive == plain)
   }
 
   test("Cumulative.runningTotals == single-partition window reference") {

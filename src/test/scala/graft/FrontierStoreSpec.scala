@@ -117,6 +117,78 @@ class FrontierStoreSpec extends AnyFunSuite with SparkSuite {
     assert(err.getMessage.contains("frontier_store"))
   }
 
+  test("a replace-semantics push after the last checkpoint rolls back " +
+       "with its epoch (no uncommitted state folded into the manifest)") {
+    val dir = Files.createTempDirectory("graft-fsreplace").toString
+    val web = SynthWeb.WebConfig(nDomains = 6, pagesPerDomain = 6)
+    val pages = SynthWeb.pages(spark, web).toDF().localCheckpoint(true)
+    val cfg = CrawlConfig(batchSize = 15, seed = 9L,
+      autologinEnabled = true,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 16,
+      frontierStoreBuckets = 4)
+    val j1 = new CrawlJob(spark, cfg, pages, outDir = Some(s"$dir/out"))
+    j1.seed(SynthWeb.seedUrls(web, 3))
+    (1 to 2).foreach(_ => j1.runEpoch())
+    val committedLen = j1.engine.len
+    val committedRows = j1.engine.stateTables("frontier")
+      .select("url").as[String].collect().sorted.toSeq
+    // mid-epoch-3 activity that never reaches a manifest: pops
+    // (tombstones) AND a replace-semantics push (login re-push)
+    j1.engine.clock += 1
+    j1.engine.popEpochDf(0)
+    j1.addLoginCredentials("http://crashed-login.com/login", "u", "p")
+    // crash here — resume must reproduce the epoch-2 state exactly
+    val j2 = new CrawlJob(spark, cfg, pages, outDir = Some(s"$dir/out"))
+    assert(j2.resume().exists(_.epoch == 2))
+    assert(j2.engine.len == committedLen)
+    assert(j2.engine.len == j2.engine.lenExact,
+      "manifest len and store recount must agree after rollback")
+    val rows2 = j2.engine.stateTables("frontier")
+      .select("url").as[String].collect().sorted.toSeq
+    assert(rows2 == committedRows,
+      "rolled-back pops/replace must be restored/removed exactly")
+    assert(!rows2.contains("http://crashed-login.com/login"))
+  }
+
+  test("same-epoch double replace keeps exactly the last version " +
+       "(store tombstones are version-keyed)") {
+    val dir = Files.createTempDirectory("graft-fsdouble").toString
+    val cfg = CrawlConfig(batchSize = 10, seed = 3L,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 8,
+      frontierStoreBuckets = 4)
+    val e = new FrontierEngine(spark, cfg)
+    def pushAt(p: Long): Unit = e.push(
+      Seq(Req("http://replay-site.com/a", priority = p)), epoch = 5)
+    pushAt(10L); pushAt(20L); pushAt(30L)
+    val rows = e.stateTables("frontier")
+      .select("url", "priority").as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("http://replay-site.com/a", 30L)),
+      s"replace must keep only the last version, got $rows")
+    assert(e.len == 1)
+    assert(e.lenExact == 1)
+  }
+
+  test("checkpoint-less runs still compact: the tombstone table stays " +
+       "bounded") {
+    val dir = Files.createTempDirectory("graft-fscompact").toString
+    val cfg = CrawlConfig(batchSize = 4, seed = 3L,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 8,
+      frontierStoreBuckets = 4)
+    val e = new FrontierEngine(spark, cfg)
+    val fs = e.frontierStore.get
+    // > frontierCompactThreshold (48) store ops without any checkpoint
+    (0 until 30).foreach { i =>
+      e.clock += 1
+      e.ingestBatch((0 until 4).map(j =>
+        (s"http://compact-$i.com/p/$j", j.toLong, 0, null: Array[Byte]))
+        .toDF("url", "priority", "depth", "parent"), e.clock)
+      e.popEpochDf(0)
+    }
+    assert(fs.tombstones.count() < 60,
+      "tombstones must compact away in checkpoint-less store runs")
+    assert(e.len == e.lenExact)
+  }
+
   test("on-disk bucket counts are authoritative; a fresh engine over " +
        "an existing store resumes the visible frontier") {
     val dir = Files.createTempDirectory("graft-fsreuse").toString
