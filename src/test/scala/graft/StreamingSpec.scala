@@ -29,6 +29,37 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest into persistent stores: dedup + frontier " +
+       "survive an engine restart (exactly-once URL admission)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-store").toString
+    val cfg = CrawlConfig(seed = 9L,
+      seenStorePath = s"$dir/seen", seenStoreBuckets = 4,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 8,
+      frontierStoreBuckets = 4)
+    val e1 = new FrontierEngine(spark, cfg)
+    val s1 = MemoryStream[String]
+    val q1 = StreamingIngest.ingest(e1, s1.toDS(), s"$dir/ckpt1")
+    try {
+      s1.addData("http://stream-a.com/1", "http://stream-a.com/2")
+      q1.processAllAvailable()
+      assert(e1.len == 2)
+    } finally q1.stop()
+    // a NEW engine over the same stores (process restart): the history
+    // is durable, so a re-delivered URL is still deduped and the
+    // frontier still holds the earlier admissions
+    val e2 = new FrontierEngine(spark, cfg)
+    val s2 = MemoryStream[String]
+    val q2 = StreamingIngest.ingest(e2, s2.toDS(), s"$dir/ckpt2")
+    try {
+      s2.addData("http://stream-a.com/1", "http://stream-b.com/9")
+      q2.processAllAvailable()
+      assert(e2.seenCount == 3)
+      assert(e2.len == 3)
+      assert(e2.len == e2.lenExact)
+    } finally q2.stop()
+  }
+
   test("per-domain status via mapGroupsWithState: streaks across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingIngest.{DomainEvent, DomainStatus}
