@@ -110,11 +110,18 @@ object Bench {
     * epoch-loop shape a 10^10-row frontier runs: selection never
     * collects a per-domain vector to the driver. */
   def gumbelRehearsal(spark: SparkSession, nUrls: Long, nDomains: Int,
-                      epochs: Int): String = {
+                      epochs: Int, storeDir: String = ""): String = {
     val cfg = CrawlConfig(selection = Selection.BatchSoftmax,
       batchSize = 2000, seed = 42L,
       driverSelectLimit = 1000, // << nDomains → always the Gumbel path
-      adaptiveSaltTarget = 4096L)
+      adaptiveSaltTarget = 4096L,
+      // storeDir non-empty → the fully persistent configuration: the
+      // frontier lives on disk (pop scans prune to sampled dbkts) and
+      // the seen history is the fp-bucketed table
+      frontierStorePath = if (storeDir.isEmpty) "" else s"$storeDir/frontier",
+      frontierStoreDbuckets = 64,
+      seenStorePath = if (storeDir.isEmpty) "" else s"$storeDir/seen",
+      seenStoreBuckets = 16)
     val engine = new FrontierEngine(spark, cfg)
     engine.ingestBatch(candidates(spark, nUrls, nDomains), 0)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
