@@ -117,6 +117,37 @@ class FrontierStoreSpec extends AnyFunSuite with SparkSuite {
     assert(err.getMessage.contains("frontier_store"))
   }
 
+  test("everything-on store crawl (restriction + bloom + salting + 2 " +
+       "workers) == in-memory crawl") {
+    val dir = Files.createTempDirectory("graft-fsrestrict").toString
+    val web = SynthWeb.WebConfig(nDomains = 10, pagesPerDomain = 10,
+      zipf = 1.0)
+    val pages = SynthWeb.pages(spark, web).toDF().localCheckpoint(true)
+    def crawl(f: CrawlConfig => CrawlConfig) = {
+      val base = CrawlConfig(batchSize = 40, seed = 77L, nWorkers = 2,
+        bloomPrefilter = true, bloomPartitions = 4,
+        bloomExpectedPerPartition = 1 << 14,
+        adaptiveSaltTarget = 20L,
+        maxRelevantDomains = 6, restrictDelayEpochs = 2,
+        relevancyThreshold = 0.4)
+      val job = new CrawlJob(spark, f(base), pages,
+        pageScorer = Some(graft.score.LinearScorer(
+          Map("river" -> 2.0, "stone" -> 1.5), bias = -1.0)))
+      job.seed(SynthWeb.seedUrls(web, 5), f(base).initialPriority)
+      job.run(maxEpochs = 10)
+      (job.crawledPages.select("url").as[String].collect().sorted.toSeq,
+        job.engine.didRestrict)
+    }
+    val (mem, memRestricted) = crawl(identity)
+    val (st, stRestricted) = crawl(_.copy(
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 16,
+      frontierStoreBuckets = 4, seenStorePath = s"$dir/seen",
+      seenStoreBuckets = 8))
+    assert(st == mem)
+    assert(st.nonEmpty)
+    assert(stRestricted == memRestricted)
+  }
+
   test("a replace-semantics push after the last checkpoint rolls back " +
        "with its epoch (no uncommitted state folded into the manifest)") {
     val dir = Files.createTempDirectory("graft-fsreplace").toString
