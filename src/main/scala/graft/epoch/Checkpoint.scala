@@ -74,6 +74,7 @@ object Checkpoint {
     engine.lastCheckpointEpoch = epoch
     engine.checkpointing = true
     engine.maybeCompactFrontierStore(epoch)
+    engine.maybeCompactSeenStore(epoch)
   }
 
   /** `seenStore` / `frontierStore` = that state lives in a persistent

@@ -239,13 +239,35 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
   /** Record a dedup batch's new fingerprints. The epoch tag makes a
     * crash rollback exact (SeenStore.pruneBeyond). */
+  private var seenAppendsSinceCompact: Int = 0
+
   private def appendSeen(fps: DataFrame, epoch: Int): Unit = seenStore match {
-    case Some(st) => st.append(fps, epoch)
+    case Some(st) =>
+      st.append(fps, epoch)
+      seenAppendsSinceCompact += 1
+      // checkpoint-less runs consolidate on the op trigger (no manifest
+      // → no rollback unit to preserve); under checkpointing the
+      // rewrite anchors to Checkpoint.save
+      if (!checkpointing && seenAppendsSinceCompact > seenCompactThreshold) {
+        st.compact(math.max(clock, 0))
+        seenAppendsSinceCompact = 0
+      }
     case None =>
       seenParts = seenParts :+ fps
       if (seenParts.size > seenCompactThreshold)
         seenParts = Vector(ckpt(seen))
   }
+
+  /** Seen-store maintenance compaction under checkpointing — called by
+    * Checkpoint.save right after the manifest write, like
+    * [[maybeCompactFrontierStore]]. */
+  def maybeCompactSeenStore(checkpointedEpoch: Int): Unit =
+    seenStore.foreach { st =>
+      if (seenAppendsSinceCompact > seenCompactThreshold) {
+        st.compact(checkpointedEpoch)
+        seenAppendsSinceCompact = 0
+      }
+    }
 
   // --- master domain scores (incremental) -----------------------------------
 

@@ -91,6 +91,24 @@ final class SeenStore(val spark: SparkSession, val path: String,
     refresh()
   }
 
+  /** Maintenance compaction: consolidate the per-epoch append files
+    * into one rewritten partition (Iceberg's rewrite_data_files
+    * analogue — after 10^4 epochs the history is 10^4 × buckets small
+    * files otherwise). Tagged with the last CHECKPOINTED epoch so a
+    * crash-prune keeps the rewrite; staged through a temp directory on
+    * disk because the input reads this very table. */
+  def compact(epoch: Int): Unit = {
+    // OUTSIDE the table location: INSERT OVERWRITE truncates the whole
+    // location, which would delete the stage mid-read
+    val tmp = s"${fsPath}_stage_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).withColumn("epoch", lit(epoch))
+      .write.mode("overwrite").format("parquet").insertInto(table)
+    try StoreLayout.deleteRecursive(Paths.get(tmp))
+    catch { case _: Exception => () }
+    refresh()
+  }
+
   private def refresh(): Unit =
     spark.catalog.refreshTable(table)
 

@@ -112,6 +112,32 @@ class SeenStoreSpec extends AnyFunSuite with SparkSuite {
     assert(e2.seenCountExact == 20)
   }
 
+  test("checkpoint-less seen-store runs compact: per-epoch append files " +
+       "consolidate without changing dedup results") {
+    val dir = Files.createTempDirectory("graft-seencompact").toString
+    val cfg = CrawlConfig(batchSize = 4, seed = 3L,
+      seenStorePath = s"$dir/seen", seenStoreBuckets = 4)
+    val e = new FrontierEngine(spark, cfg)
+    (0 until 66).foreach { i =>
+      e.clock += 1
+      e.ingestBatch(Seq((s"http://sc-$i.com/p", 0L, 0, null: Array[Byte]))
+        .toDF("url", "priority", "depth", "parent"), e.clock)
+    }
+    // > seenCompactThreshold (64) appends → at least one consolidation
+    val epochDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dir/seen")).iterator()
+    var n = 0
+    while (epochDirs.hasNext) {
+      if (epochDirs.next().getFileName.toString.startsWith("epoch=")) n += 1
+    }
+    assert(n < 20, s"append partitions must consolidate, found $n")
+    assert(e.seenCountExact == 66)
+    // dedup still exact over the compacted history
+    e.ingestBatch(Seq(("http://sc-0.com/p", 0L, 0, null: Array[Byte]))
+      .toDF("url", "priority", "depth", "parent"), e.clock)
+    assert(e.lastDedupUnseen == 0)
+  }
+
   test("a fresh engine with bloomPrefilter over an existing store " +
        "rebuilds the Bloom — historical urls still dedup exactly") {
     val dir = Files.createTempDirectory("graft-seenbloom").toString
