@@ -111,6 +111,17 @@ object Bench {
     * collects a per-domain vector to the driver. */
   def gumbelRehearsal(spark: SparkSession, nUrls: Long, nDomains: Int,
                       epochs: Int, storeDir: String = ""): String = {
+    // a pre-existing store would make the probe meaningless: the ingest
+    // dedups against it and the pops drain the previous run's frontier
+    if (storeDir.nonEmpty) {
+      val p = java.nio.file.Paths.get(storeDir.stripPrefix("file:"))
+      val empty = !java.nio.file.Files.exists(p) || {
+        val s = java.nio.file.Files.list(p)
+        try !s.findFirst().isPresent finally s.close()
+      }
+      require(empty,
+        s"gumbelRehearsal storeDir must be empty/nonexistent: $storeDir")
+    }
     val cfg = CrawlConfig(selection = Selection.BatchSoftmax,
       batchSize = 2000, seed = 42L,
       driverSelectLimit = 1000, // << nDomains → always the Gumbel path

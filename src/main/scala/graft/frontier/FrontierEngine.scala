@@ -237,10 +237,10 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         frontierParts = frontierParts :+ part
     }
 
-  /** Record a dedup batch's new fingerprints. The epoch tag makes a
-    * crash rollback exact (SeenStore.pruneBeyond). */
   private var seenAppendsSinceCompact: Int = 0
 
+  /** Record a dedup batch's new fingerprints; the epoch tag makes a
+    * crash rollback exact (SeenStore.pruneBeyond). */
   private def appendSeen(fps: DataFrame, epoch: Int): Unit = seenStore match {
     case Some(st) =>
       st.append(fps, epoch)

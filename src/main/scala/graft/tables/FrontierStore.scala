@@ -83,6 +83,9 @@ final class FrontierStore(val spark: SparkSession, val path: String,
   }
 
   ensure()
+  // an interrupted full rewrite left its write-ahead marker: replay it
+  // before the table serves any read (idempotent)
+  if (Files.exists(markerPath)) replaySwap()
 
   /** The shared domain→partition function (writer and pop-side pruner
     * MUST agree, like TableIO.bucketCol). */
@@ -127,22 +130,38 @@ final class FrontierStore(val spark: SparkSession, val path: String,
 
   /** Replace the whole store with `visible` (compaction or the
     * migration path), clearing tombstones. Tag with the last
-    * CHECKPOINTED epoch so a crash-prune keeps the rewrite. The input
-    * reads this very table, so it is staged through a temp directory ON
-    * DISK first (never pinned in executor memory — at 10^10 rows a
-    * localCheckpoint stage would be the cost the store exists to
-    * avoid), then inserted back and the temp removed. */
+    * CHECKPOINTED epoch so a crash-prune keeps the rewrite.
+    *
+    * Crash-safe write-ahead swap: the rewrite is staged to a temp
+    * directory ON DISK first (never pinned in executor memory — at
+    * 10^10 rows a localCheckpoint stage would be the cost the store
+    * exists to avoid), then a marker records the pending swap, and
+    * only then is the table truncated and rewritten. A crash after the
+    * marker is replayed idempotently at the next open — the staged
+    * copy, not the half-truncated table, is the authority, so the
+    * frontier can never be lost to a torn rewrite. */
   def overwrite(visible: DataFrame, epoch: Int): Unit = {
-    val tmp = s"$fsPath/stage_tmp"
     visible.select(dataCols.map(col): _*)
-      .write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp)
+      .write.mode("overwrite").parquet(stagePath)
+    java.nio.file.Files.writeString(markerPath, epoch.toString)
+    replaySwap()
+  }
+
+  private def stagePath: String = s"$fsPath/stage_tmp"
+  private def markerPath: java.nio.file.Path =
+    Paths.get(fsPath, "_swap_pending")
+
+  /** Complete (or re-complete) a staged full rewrite — idempotent. */
+  private def replaySwap(): Unit = {
+    val epoch = Files.readString(markerPath).trim.toInt
+    spark.read.parquet(stagePath)
       .withColumn("epoch", lit(epoch))
       .withColumn("dbkt", dbktCol(col("domain")))
       .write.mode("overwrite").format("parquet").insertInto(table)
-    try StoreLayout.deleteRecursive(Paths.get(tmp))
-    catch { case _: Exception => () }
     truncateTombstones()
+    Files.deleteIfExists(markerPath)
+    try StoreLayout.deleteRecursive(Paths.get(stagePath))
+    catch { case _: Exception => () }
     refresh()
   }
 

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Persistent URL-seen fingerprint store, hash-bucketed by `fp` and
   * partitioned by the epoch that discovered each fingerprint.
@@ -68,6 +68,9 @@ final class SeenStore(val spark: SparkSession, val path: String,
     }
 
   ensureTable()
+  // an interrupted compaction left its write-ahead marker: replay it
+  // before the table serves any read (idempotent)
+  if (Files.exists(markerPath)) replayCompaction()
 
   /** Append one dedup batch's new fingerprints (column `fp`), tagged
     * with the scheduling epoch that discovered them. */
@@ -91,20 +94,63 @@ final class SeenStore(val spark: SparkSession, val path: String,
     refresh()
   }
 
-  /** Maintenance compaction: consolidate the per-epoch append files
-    * into one rewritten partition (Iceberg's rewrite_data_files
-    * analogue — after 10^4 epochs the history is 10^4 × buckets small
-    * files otherwise). Tagged with the last CHECKPOINTED epoch so a
-    * crash-prune keeps the rewrite; staged through a temp directory on
-    * disk because the input reads this very table. */
-  def compact(epoch: Int): Unit = {
-    // OUTSIDE the table location: INSERT OVERWRITE truncates the whole
-    // location, which would delete the stage mid-read
-    val tmp = s"${fsPath}_stage_tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).withColumn("epoch", lit(epoch))
-      .write.mode("overwrite").format("parquet").insertInto(table)
-    try StoreLayout.deleteRecursive(Paths.get(tmp))
+  /** Maintenance compaction — Iceberg's rewrite_data_files bin-pack
+    * analogue. Consolidates only SMALL epoch partitions (per-epoch
+    * append increments) into the target partition; previously
+    * consolidated generations above the size threshold are untouched,
+    * so the cost is O(appends since the last compaction), never
+    * O(|seen|) — the per-interval full-history rewrite the store
+    * exists to avoid.
+    *
+    * Crash-safe via a write-ahead stage + marker OUTSIDE the table
+    * location: the selected rows are staged first, the marker names
+    * the target epoch and the partitions being replaced, then a
+    * DYNAMIC partition overwrite replaces only the target partition
+    * and the superseded partitions are deleted. A crash anywhere after
+    * the marker is replayed idempotently at the next open
+    * ([[SeenStore]] construction), so the history can never be lost to
+    * a torn rewrite. Single-writer, like the Redis set it replaces. */
+  def compact(epoch: Int, smallBytes: Long = 256L << 20): Unit = {
+    val sizes = StoreLayout.epochDirSizes(Paths.get(fsPath))
+    // always fold the target partition itself (its rows would otherwise
+    // be lost when the dynamic overwrite replaces it)
+    val selected = (sizes.filter(_._2 < smallBytes).map(_._1) ++
+      sizes.map(_._1).filter(_ == epoch)).distinct.sorted
+    if (selected.size < 2) return // nothing folds together
+    spark.table(table)
+      .filter(col("epoch").isin(selected.map(Integer.valueOf): _*))
+      .select("fp")
+      .write.mode("overwrite").parquet(stagePath)
+    Files.writeString(markerPath,
+      s"$epoch|${selected.mkString(",")}")
+    replayCompaction()
+  }
+
+  private def stagePath: String = s"${fsPath}_stage_tmp"
+  private def markerPath: java.nio.file.Path =
+    Paths.get(s"${fsPath}_compact_pending")
+
+  /** Complete (or re-complete) a staged compaction: dynamic-overwrite
+    * the target partition from the stage, drop the superseded
+    * partitions, clean up. Idempotent — every step re-runs safely. */
+  private def replayCompaction(): Unit = {
+    val Array(targetS, listS) = Files.readString(markerPath).trim.split("\\|")
+    val target = targetS.toInt
+    val superseded = listS.split(",").map(_.toInt).filter(_ != target)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "dynamic")
+      spark.read.parquet(stagePath).withColumn("epoch", lit(target))
+        .write.mode("overwrite").format("parquet").insertInto(table)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    superseded.foreach(e =>
+      StoreLayout.deleteRecursive(Paths.get(fsPath, s"epoch=$e")))
+    Files.deleteIfExists(markerPath)
+    try StoreLayout.deleteRecursive(Paths.get(stagePath))
     catch { case _: Exception => () }
     refresh()
   }

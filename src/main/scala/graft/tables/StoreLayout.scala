@@ -40,6 +40,33 @@ private[tables] object StoreLayout {
 
   def deleteRecursive(p: Path): Unit = rmRecursive(p.toFile)
 
+  /** (epoch tag, total bytes) of every `epoch=K` partition directory. */
+  def epochDirSizes(root: Path): Seq[(Int, Long)] =
+    if (!Files.isDirectory(root)) Nil
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      val stream = Files.list(root)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("epoch="))
+            scala.util.Try(name.stripPrefix("epoch=").toInt).toOption
+              .foreach(e => out += (e -> dirBytes(p.toFile)))
+        }
+      } finally stream.close()
+      out.toSeq
+    }
+
+  private def dirBytes(f: java.io.File): Long = {
+    if (f.isFile) f.length()
+    else {
+      val fs = f.listFiles
+      if (fs == null) 0L else fs.map(dirBytes).sum
+    }
+  }
+
   private def rmRecursive(f: java.io.File): Unit = {
     val fs = f.listFiles
     if (fs != null) fs.foreach(rmRecursive)

@@ -124,18 +124,51 @@ class SeenStoreSpec extends AnyFunSuite with SparkSuite {
         .toDF("url", "priority", "depth", "parent"), e.clock)
     }
     // > seenCompactThreshold (64) appends → at least one consolidation
-    val epochDirs = java.nio.file.Files.list(
-      java.nio.file.Paths.get(s"$dir/seen")).iterator()
-    var n = 0
-    while (epochDirs.hasNext) {
-      if (epochDirs.next().getFileName.toString.startsWith("epoch=")) n += 1
-    }
+    val stream = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dir/seen"))
+    val n =
+      try {
+        val it = stream.iterator()
+        var c = 0
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.startsWith("epoch=")) c += 1
+        }
+        c
+      } finally stream.close()
     assert(n < 20, s"append partitions must consolidate, found $n")
     assert(e.seenCountExact == 66)
     // dedup still exact over the compacted history
     e.ingestBatch(Seq(("http://sc-0.com/p", 0L, 0, null: Array[Byte]))
       .toDF("url", "priority", "depth", "parent"), e.clock)
     assert(e.lastDedupUnseen == 0)
+  }
+
+  test("a torn compaction is replayed from the write-ahead stage at the " +
+       "next open — the history cannot be lost") {
+    val dir = Files.createTempDirectory("graft-seentorn").toString
+    val s1 = new SeenStore(spark, s"$dir/seen", 4)
+    s1.append(spark.range(0, 300).select(md5($"id".cast("string")).as("fp")),
+      epoch = 1)
+    s1.append(spark.range(300, 500)
+      .select(md5($"id".cast("string")).as("fp")), epoch = 2)
+    // simulate a compaction crash AFTER the stage+marker were written
+    // but the table truncate/rewrite was torn: stage the full history,
+    // write the marker, then delete the table partitions entirely
+    s1.df.write.mode("overwrite").parquet(s"$dir/seen_stage_tmp")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/seen_compact_pending"), "3|1,2")
+    def rm(f: java.io.File): Unit = {
+      val fs = f.listFiles
+      if (fs != null) fs.foreach(rm)
+      f.delete(): Unit
+    }
+    Seq(1, 2).foreach(e => rm(new java.io.File(s"$dir/seen/epoch=$e")))
+    // next open replays the pending compaction from the stage
+    val s2 = new SeenStore(spark, s"$dir/seen", 4)
+    assert(s2.count() == 500,
+      "the staged copy must restore the truncated history")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/seen_compact_pending")))
   }
 
   test("a fresh engine with bloomPrefilter over an existing store " +
