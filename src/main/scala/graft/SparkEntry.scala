@@ -371,17 +371,26 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // IVF approximate top-k (scale ANN path; centroids from 3 rounds of
-    // deterministic distributed Lloyd's k-means)
+    // IVF approximate top-k over PINNED centroids — the embeddings of
+    // vec_id 1..8 serve as the cell centroids (a literal CTE on the
+    // oracle side, like q17's query vector), so assignment + probe +
+    // exact-cosine top-k are all value-checked in SQL. The k-means
+    // TRAINING path stays pinned by its sbt invariants (deterministic
+    // centroids; nProbe=nCells == brute force; recall floor —
+    // PipelineSpec).
     "q27_ivf_topk" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter($"vec_id" === 0).select($"embedding")
         .head().getAs[scala.collection.Seq[Float]](0).toSeq
-      val (indexed, centroids) = Similarity.ivfIndex(emb, $"vec_id",
-        $"embedding", nCells = 16, kmeansIters = 3)
+      val centroids = emb.filter($"vec_id".between(1, 8))
+        .orderBy($"vec_id")
+        .select($"embedding").as[Seq[Float]].collect()
+        .zipWithIndex.map { case (v, i) => (i, v) }
+      val indexed = Similarity.ivfIndexWithCentroids(emb, $"vec_id",
+        $"embedding", centroids)
       Similarity.ivfTopK(indexed.localCheckpoint(true), centroids, qv,
-        k = 10, nProbe = 8)
+        k = 10, nProbe = 4)
     }),
 
     // embedding-cosine near-dup pairs via hyperplane LSH. Threshold 0.35
@@ -560,6 +569,30 @@ object SparkEntry {
                AS BIGINT) AS rank
            FROM embeddings e CROSS JOIN q) t
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // IVF search path with pinned centroids (embeddings of vec_id 1..8,
+    // 0-based cell ids): nearest-centroid assignment, probe = 4 nearest
+    // cells to the query, exact cosine top-10 inside the probed cells.
+    "q27_ivf_topk" ->
+      """WITH c AS (SELECT CAST(vec_id - 1 AS INT) AS cid,
+             CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         assign AS (SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+               c.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                   c.cv) DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+         probe AS (SELECT cid FROM (
+             SELECT c.cid, row_number() OVER (ORDER BY
+               list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+             FROM c, q) t WHERE rn <= 4)
+         SELECT vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cos
+         FROM assign a, q
+         WHERE a.cell IN (SELECT cid FROM probe)
+         ORDER BY cos DESC, vec_id LIMIT 10""",
     "q30_median_value" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 6) AS median_value,

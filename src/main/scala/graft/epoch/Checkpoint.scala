@@ -26,7 +26,11 @@ final case class EpochCounters(
     pushedAccepted: Long,
     deferredByPoliteness: Long,
     frontierLen: Long,
-    seenCount: Long)
+    seenCount: Long,
+    /** Batch slots lost to under-filled sampled domains (the
+      * reference's silent pop_multi shrink; 0 under cfg.popTopUp while
+      * capacity remains). */
+    slotShortfall: Long = 0L)
 
 /** Pause/resume — the Spark form of SCHEDULER_PERSIST=True
   * (dd_crawler/settings.py:18-19): every state table is snapshotted per
@@ -59,6 +63,7 @@ object Checkpoint {
       .append(",\"seen_store\":").append(engine.seenStore.nonEmpty)
       .append(",\"frontier_store\":").append(engine.frontierStore.nonEmpty)
       .append(",\"seq\":").append(engine.currentSeq)
+      .append(",\"ver\":").append(engine.currentVer)
       .append(",\"totals\":{")
       .append(totals.toSeq.sortBy(_._1)
         .map { case (k, v) => s"""\"$k\":$v""" }.mkString(","))
@@ -83,7 +88,8 @@ object Checkpoint {
   final case class Manifest(epoch: Int, didRestrict: Boolean, seq: Long,
                             totals: Map[String, Long],
                             seenStore: Boolean = false,
-                            frontierStore: Boolean = false)
+                            frontierStore: Boolean = false,
+                            ver: Long = -1L)
 
   def loadManifest(root: String): Option[Manifest] = {
     val p = Paths.get(root, "_manifest.json")
@@ -106,7 +112,8 @@ object Checkpoint {
       seq <- longOf("seq")
     } yield Manifest(epoch.toInt, dr, seq, totals,
       boolOf("seen_store").getOrElse(false),
-      boolOf("frontier_store").getOrElse(false))
+      boolOf("frontier_store").getOrElse(false),
+      longOf("ver").getOrElse(-1L))
   }
 
   /** Restore engine state from the last complete epoch. Returns the
@@ -146,7 +153,9 @@ object Checkpoint {
       engine.restoreState(tables, m.didRestrict, m.epoch, m.seq,
         rebuildBloom = false, seenFromStore = fromStore,
         frontierFromStore = frontierFromStore,
-        knownFrontierLen = m.totals.get("frontier_len"))
+        knownFrontierLen = m.totals.get("frontier_len"),
+        knownSeenCount = m.totals.get("seen"),
+        knownVerBase = if (m.ver >= 0L) Some(m.ver) else None)
       if (engine.cfg.bloomPrefilter)
         engine.bloom = Some(graft.frontier.BloomSeen.load(
           spark, TableIO.epochDir(root, "bloom", m.epoch)))

@@ -215,25 +215,19 @@ final class CrawlJob(
     // per-epoch deterministic reseed → resume-safe scheduling
     engine.rng.setSeed(graft.gen.SynthWeb.mix(cfg.seed, epoch.toLong))
 
-    // 1. pop batch per worker (Q1-Q5); each worker's part is checkpointed
-    // inside popRankedDf, the union is cheap lineage
-    val decisions = scala.collection.mutable.ArrayBuffer.empty[(Int, ScheduleDecision)]
-    var popped = emptyDf(StructType(Seq(
-      StructField("domain", StringType), StructField("url", StringType),
-      StructField("priority", LongType), StructField("depth", IntegerType),
-      StructField("parent", BinaryType), StructField("login", StringType),
-      StructField("epoch_added", IntegerType))))
-    var nPopped = 0L
-    var nDeferred = 0L
+    // 1. pop batch (Q1-Q5): ONE distributed pop serves every worker
+    // shard — per-shard selection over a single collected score vector,
+    // then one domain-partitioned ranking + tombstone pass — so the
+    // per-epoch job count is flat in nWorkers (VERDICT r3 #1; the old
+    // per-worker popEpochDf loop serialized nWorkers× the pop jobs).
+    val pr = engine.popEpochAll()
+    val popped = pr.popped
+    val nPopped = pr.nPopped
+    val nDeferred = pr.nDeferred
+    val decisions = pr.decisions
     val poppedDomainCounts = mutable.Map.empty[String, Int]
-    for (w <- 0 until cfg.nWorkers) {
-      popped = popped.unionByName(engine.popEpochDf(w))
-      nPopped += engine.lastPopCount
-      nDeferred += engine.lastPopDeferred
-      engine.lastPopDomains.foreach(d =>
-        poppedDomainCounts(d) = poppedDomainCounts.getOrElse(d, 0) + 1)
-      engine.lastScheduleDecision.foreach(d => decisions += (w -> d))
-    }
+    pr.poppedDomains.foreach(d =>
+      poppedDomainCounts(d) = poppedDomainCounts.getOrElse(d, 0) + 1)
 
     // 2. fetch (S10). Pages visible to this epoch: the public table,
     // plus — once logged in — the credentialed domains' authenticated
@@ -569,7 +563,8 @@ final class CrawlJob(
       pushedAccepted = nAccepted,
       deferredByPoliteness = nDeferred,
       frontierLen = engine.len,
-      seenCount = engine.seenCount)
+      seenCount = engine.seenCount,
+      slotShortfall = engine.lastPopShortfall)
     epochCounters += counters
 
     outDir.foreach { root =>

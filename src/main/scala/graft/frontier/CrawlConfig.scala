@@ -75,6 +75,16 @@ final case class CrawlConfig(
       * cold domains keep a single partition, with no global knob to
       * mis-tune. Overrides popSalts when set. */
     adaptiveSaltTarget: Long = 0L,
+    /** Refill batch slots lost to under-filled sampled domains. The
+      * reference's BatchQueue pops exactly the drawn per-queue counts,
+      * so a sampled domain with fewer queued rows than its drawn count
+      * silently shrinks the batch (queue.py:455 'TODO — take free
+      * slots into account'); on a draining crawl that decays epoch
+      * throughput. When enabled, the lost slots are redistributed
+      * deterministically to the highest-scored domains with remaining
+      * queue capacity. Off by default for reference parity; the loss is
+      * always measured (FrontierEngine.lastPopShortfall). */
+    popTopUp: Boolean = false,
     /** REDIRECT_PRIORITY_ADJUST (settings.py:33-35). */
     redirectPriorityAdjust: Int = 1,
     /** AUTOPAGER (spiders.py:74-77): pagination links keep their page's

@@ -117,10 +117,18 @@ object Similarity {
   def ivfIndex(df: DataFrame, id: Column, vec: Column, nCells: Int,
                kmeansIters: Int = 0): (DataFrame, Array[(Int, Seq[Float])]) = {
     val centroids = kmeansCentroids(df, id, vec, nCells, kmeansIters)
+    (ivfIndexWithCentroids(df, id, vec, centroids), centroids)
+  }
+
+  /** IVF index over FIXED caller-supplied centroids — the
+    * oracle-checkable search path: with pinned centroids, assignment +
+    * probe + top-k are plain SQL (the k-means TRAINING stays pinned by
+    * its own invariants). */
+  def ivfIndexWithCentroids(df: DataFrame, id: Column, vec: Column,
+      centroids: Array[(Int, Seq[Float])]): DataFrame = {
     val assign = assignUdfFor(df, centroids)
-    val indexed = df.select(id.as("vec_id"), vec.as("v"))
+    df.select(id.as("vec_id"), vec.as("v"))
       .withColumn("cell", assign(col("v")))
-    (indexed, centroids)
   }
 
   /** IVF query: probe the nProbe cells nearest to the query, exact

@@ -60,6 +60,33 @@ final case class LinearScorer(weights: Map[String, Double], bias: Double)
   }
 }
 
+/** Model-loading seam: the documented path for bringing a REAL trained
+  * model into the pluggable PageScorer/LinkScorer interfaces (README
+  * "Plugging in a trained model"). The reference ships joblib-pickled
+  * sklearn models (dd_crawler/utils.py:116-131, deepdeep/predictor.py:
+  * 42-74); the portable equivalent here is the model's exported
+  * weights as JSON. The weights ride the UDF closure, so they ship to
+  * each executor once (broadcast-equivalent at vocab sizes).
+  */
+object Scorers {
+
+  /** Load a bag-of-words logistic model from a JSON file of the form
+    * `{"bias": -1.0, "weights": {"token": 0.5, ...}}`. The result
+    * plugs into CrawlJob as either pageScorer (relevance/restriction)
+    * or linkScorer (priorities → crawl order). */
+  def linearFromJson(spark: org.apache.spark.sql.SparkSession,
+                     path: String): LinearScorer = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("bias", DoubleType),
+      StructField("weights", MapType(StringType, DoubleType))))
+    val row = spark.read.option("multiLine", "true").schema(schema)
+      .json(path).head()
+    val weights = row.getMap[String, Double](1)
+    LinearScorer(weights.toMap, row.getDouble(0))
+  }
+}
+
 /** Deterministic pseudo-random link scorer keyed on the target URL —
   * matches graft.gen.SynthWeb.linkScore so crawl fixtures have a
   * meaningful, recomputable priority signal without a trained model.

@@ -49,9 +49,12 @@ final class SeenStore(val spark: SparkSession, val path: String,
   val table: String = "graft_seen_" +
     StoreLayout.tableSuffix(path, SeenStore.ctr.incrementAndGet())
 
+  /** True when this open found an existing store on disk (the engine
+    * then syncs its seen counter/Bloom lazily, at first dedup use). */
+  val reopened: Boolean = Files.exists(marker)
+
   private def ensureTable(): Unit =
     if (!spark.catalog.tableExists(table)) {
-      val preExisting = Files.exists(marker)
       // pre-create the location so the catalog's initial file listing
       // does not log FileNotFound noise
       StoreLayout.ensureDirs(Paths.get(fsPath))
@@ -60,17 +63,20 @@ final class SeenStore(val spark: SparkSession, val path: String,
             USING parquet PARTITIONED BY (epoch)
             CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
             LOCATION '$path'""")
-      if (preExisting)
+      if (reopened)
         // a fresh registration of a partitioned location starts with an
         // empty partition list — sync it from the directories
         spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
-      else Files.writeString(marker, buckets.toString)
+      else StoreLayout.writeMarkerAtomic(marker, buckets.toString)
     }
 
   ensureTable()
   // an interrupted compaction left its write-ahead marker: replay it
-  // before the table serves any read (idempotent)
-  if (Files.exists(markerPath)) replayCompaction()
+  // before the table serves any read (idempotent); a torn/staleless
+  // marker is cleared instead of making the store unopenable
+  if (Files.exists(markerPath))
+    StoreLayout.readMarkerOrClear(markerPath, Paths.get(stagePath),
+      parseCompactMarker).foreach((replayCompaction _).tupled)
 
   /** Append one dedup batch's new fingerprints (column `fp`), tagged
     * with the scheduling epoch that discovered them. */
@@ -80,10 +86,16 @@ final class SeenStore(val spark: SparkSession, val path: String,
     refresh()
   }
 
-  /** Replace the whole store (state restore from a snapshot table). */
+  /** Replace the whole store (state restore from a snapshot table).
+    * partitionOverwriteMode pinned to static: an inherited dynamic mode
+    * would replace only the snapshot epoch's partition and leave stale
+    * history partitions alive under the restored state. */
   def overwrite(fps: DataFrame, epoch: Int): Unit = {
-    fps.select("fp").withColumn("epoch", lit(epoch))
-      .write.mode("overwrite").format("parquet").insertInto(table)
+    StoreLayout.withConf(spark,
+      "spark.sql.sources.partitionOverwriteMode", "static") {
+      fps.select("fp").withColumn("epoch", lit(epoch))
+        .write.mode("overwrite").format("parquet").insertInto(table)
+    }
     refresh()
   }
 
@@ -121,31 +133,30 @@ final class SeenStore(val spark: SparkSession, val path: String,
       .filter(col("epoch").isin(selected.map(Integer.valueOf): _*))
       .select("fp")
       .write.mode("overwrite").parquet(stagePath)
-    Files.writeString(markerPath,
+    StoreLayout.writeMarkerAtomic(markerPath,
       s"$epoch|${selected.mkString(",")}")
-    replayCompaction()
+    replayCompaction(epoch, selected.filter(_ != epoch))
   }
 
   private def stagePath: String = s"${fsPath}_stage_tmp"
   private def markerPath: java.nio.file.Path =
     Paths.get(s"${fsPath}_compact_pending")
 
+  /** `target|e1,e2,…` → (target epoch, superseded epochs). */
+  private def parseCompactMarker(s: String): (Int, Seq[Int]) = {
+    val Array(targetS, listS) = s.split("\\|")
+    val target = targetS.toInt
+    (target, listS.split(",").map(_.toInt).toSeq.filter(_ != target))
+  }
+
   /** Complete (or re-complete) a staged compaction: dynamic-overwrite
     * the target partition from the stage, drop the superseded
     * partitions, clean up. Idempotent — every step re-runs safely. */
-  private def replayCompaction(): Unit = {
-    val Array(targetS, listS) = Files.readString(markerPath).trim.split("\\|")
-    val target = targetS.toInt
-    val superseded = listS.split(",").map(_.toInt).filter(_ != target)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    try {
-      spark.conf.set(key, "dynamic")
+  private def replayCompaction(target: Int, superseded: Seq[Int]): Unit = {
+    StoreLayout.withConf(spark,
+      "spark.sql.sources.partitionOverwriteMode", "dynamic") {
       spark.read.parquet(stagePath).withColumn("epoch", lit(target))
         .write.mode("overwrite").format("parquet").insertInto(table)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
     }
     superseded.foreach(e =>
       StoreLayout.deleteRecursive(Paths.get(fsPath, s"epoch=$e")))

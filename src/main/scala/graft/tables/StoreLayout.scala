@@ -21,6 +21,44 @@ private[tables] object StoreLayout {
   def adoptMarker(marker: Path, requested: String): String =
     if (Files.exists(marker)) Files.readString(marker).trim else requested
 
+  /** Write a marker file atomically (tmp + ATOMIC_MOVE, the checkpoint-
+    * manifest protocol): a crash mid-write must never leave a torn
+    * marker that makes every subsequent store open throw. */
+  def writeMarkerAtomic(marker: Path, content: String): Unit = {
+    val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read a write-ahead marker defensively: a torn/empty marker (or one
+    * whose staged data is gone) is treated as no-pending — the marker is
+    * removed and `None` returned — instead of making the store
+    * permanently unopenable. `parse` must throw on bad content. */
+  def readMarkerOrClear[A](marker: Path, stage: Path,
+                           parse: String => A): Option[A] = {
+    val parsed =
+      try Some(parse(Files.readString(marker).trim))
+      catch { case _: Exception => None }
+    parsed.filter(_ => Files.isDirectory(stage)).orElse {
+      Files.deleteIfExists(marker)
+      None
+    }
+  }
+
+  /** Run `body` with a SQL conf pinned, restoring the prior value. */
+  def withConf[A](spark: org.apache.spark.sql.SparkSession, key: String,
+                  value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Delete every `epoch=K` partition directory with K > epoch. */
   def deleteEpochDirsBeyond(root: Path, epoch: Int): Unit =
     if (Files.isDirectory(root)) {
@@ -39,6 +77,32 @@ private[tables] object StoreLayout {
     }
 
   def deleteRecursive(p: Path): Unit = rmRecursive(p.toFile)
+
+  /** Delete `dbkt=K` partition dirs (K ∈ dbkts) under every `epoch=*`
+    * dir — the partial-compaction delete set. */
+  def deleteDbktDirs(dataRoot: Path, dbkts: Set[Int]): Unit =
+    if (Files.isDirectory(dataRoot)) {
+      val stream = Files.list(dataRoot)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val epochDir = it.next()
+          if (epochDir.getFileName.toString.startsWith("epoch=") &&
+              Files.isDirectory(epochDir)) {
+            dbkts.foreach { k =>
+              val d = epochDir.resolve(s"dbkt=$k")
+              if (Files.exists(d)) rmRecursive(d.toFile)
+            }
+            // an epoch dir emptied of all its dbkts is dropped too
+            val sub = Files.list(epochDir)
+            try {
+              if (!sub.findFirst().isPresent)
+                rmRecursive(epochDir.toFile)
+            } finally sub.close()
+          }
+        }
+      } finally stream.close()
+    }
 
   /** (epoch tag, total bytes) of every `epoch=K` partition directory. */
   def epochDirSizes(root: Path): Seq[(Int, Long)] =

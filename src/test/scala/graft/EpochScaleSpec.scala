@@ -112,6 +112,48 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
       s"job count grew with state: epoch2=$early epoch6=$late")
   }
 
+  test("epoch loop job count stays flat with restriction AND maxDomains " +
+       "gates BOTH enabled (incremental relevance + domain counters)") {
+    val web = SynthWeb.WebConfig(nDomains = 10, pagesPerDomain = 10,
+      zipf = 1.0)
+    val job = new CrawlJob(spark,
+      CrawlConfig(batchSize = 30, seed = 21L, maxDomains = 8,
+        maxRelevantDomains = 4, restrictDelayEpochs = 2,
+        relevancyThreshold = 0.3),
+      SynthWeb.pages(spark, web).toDF().localCheckpoint(true),
+      pageScorer = Some(graft.score.LinearScorer(
+        Map("river" -> 2.0, "stone" -> 1.5), bias = -1.0)))
+    job.seed(SynthWeb.seedUrls(web, 5))
+    job.runEpoch() // warm-up
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def measure(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(counter)
+      try {
+        counter.jobs.set(0)
+        body
+        var last = -1
+        var n = counter.jobs.get()
+        while (n != last) {
+          last = n; Thread.sleep(300); n = counter.jobs.get()
+        }
+        n
+      } finally spark.sparkContext.removeSparkListener(counter)
+    }
+    val early = measure(job.runEpoch()) // epoch 2
+    (3 to 5).foreach(_ => job.runEpoch()) // restriction engages in here
+    val late = measure(job.runEpoch()) // epoch 6
+    assert(job.engine.didRestrict,
+      "fixture must actually engage the restriction gate")
+    assert(early > 0 && early <= 35, s"epoch 2 ran $early Spark jobs")
+    assert(late <= early + 6,
+      s"job count grew with state under gates: epoch2=$early epoch6=$late")
+  }
+
   test("incremental len/seenCount match exact recounts across a crawl") {
     val web = SynthWeb.WebConfig(nDomains = 5, pagesPerDomain = 8)
     val job = new CrawlJob(spark, CrawlConfig(batchSize = 30, seed = 12L),
@@ -345,6 +387,105 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
       assert(job.engine.scoreRebuilds == rebuilds0,
         s"epoch $k triggered an O(|frontier|) score rebuild")
     }
+  }
+
+  test("fused epoch pop == the nWorkers-serial loop: identical popped " +
+       "set AND per-worker schedule decisions") {
+    import graft.frontier.ScheduleDecision
+    def mkEngine(nw: Int) = {
+      val e = new FrontierEngine(spark,
+        CrawlConfig(batchSize = 12, seed = 17L, nWorkers = nw,
+          selection = Selection.BatchSoftmax))
+      val reqs = for {
+        d <- 0 until 24; i <- 0 until 6
+      } yield Req(s"http://fused-$d.com/p/$i",
+        priority = (i * 13 + d % 7).toLong)
+      e.push(reqs)
+      e
+    }
+    val eLoop = mkEngine(4)
+    val loopDec =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, ScheduleDecision)]
+    val loopPopped = (0 until 4).flatMap { w =>
+      val p = eLoop.popEpochDf(w).select("url").as[String].collect().toSeq
+      eLoop.lastScheduleDecision.foreach(d => loopDec += (w -> d))
+      p
+    }.sorted
+    val eFused = mkEngine(4)
+    val pr = eFused.popEpochAll()
+    val fusedPopped = pr.popped.select("url").as[String].collect()
+      .toSeq.sorted
+    assert(fusedPopped.nonEmpty)
+    assert(fusedPopped == loopPopped,
+      "fused pop must select and pop exactly what the serial loop did")
+    assert(pr.decisions == loopDec.toSeq,
+      "per-worker schedule decisions must be byte-identical")
+    assert(pr.nPopped == loopPopped.size.toLong)
+    assert(eFused.len == eLoop.len)
+    assert(eFused.len == eFused.lenExact)
+    // and the incremental master scores survived the fused pop deltas
+    assert(eFused.domainScores.as[(String, Long, Long)].collect()
+      .sortBy(_._1).toSeq ==
+      eFused.domainScoresExact.as[(String, Long, Long)].collect()
+        .sortBy(_._1).toSeq)
+  }
+
+  test("fused epoch pop job count is flat in nWorkers (2 vs 8 workers, " +
+       "same frontier)") {
+    def popJobs(nw: Int): Int = {
+      val e = new FrontierEngine(spark,
+        CrawlConfig(batchSize = 12, seed = 17L, nWorkers = nw,
+          selection = Selection.BatchSoftmax))
+      e.push((for { d <- 0 until 24; i <- 0 until 6 }
+        yield Req(s"http://flat-$d.com/p/$i",
+          priority = (i * 13 + d % 7).toLong)))
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(counter)
+      try {
+        e.popEpochAll()
+        var last = -1
+        var n = counter.jobs.get()
+        while (n != last) { last = n; Thread.sleep(250); n = counter.jobs.get() }
+        n
+      } finally spark.sparkContext.removeSparkListener(counter)
+    }
+    val j2 = popJobs(2)
+    val j8 = popJobs(8)
+    assert(j2 > 0)
+    assert(j8 <= j2 + 1,
+      s"pop jobs must not scale with nWorkers: 2 workers=$j2, 8 workers=$j8")
+  }
+
+  test("fused multi-worker pop above driverSelectLimit (distributed " +
+       "per-shard Gumbel) pops within budget and keeps counters exact") {
+    val e = new FrontierEngine(spark,
+      CrawlConfig(batchSize = 8, concurrentPerDomain = 4, // maxQueueN=2
+        nWorkers = 4, seed = 23L, driverSelectLimit = 5,
+        selection = Selection.BatchSoftmax))
+    e.push((for { d <- 0 until 30; i <- 0 until 4 }
+      yield Req(s"http://gmb-$d.com/p/$i", priority = (i * 11 + d).toLong)))
+    val pr = e.popEpochAll()
+    assert(pr.decisions.isEmpty, "the never-collect path logs no vectors")
+    val byDomain = pr.popped.groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(byDomain.nonEmpty)
+    // per-domain budget: at most maxQueueN rows from any sampled domain
+    assert(byDomain.values.forall(_ <= 2L), byDomain.toString)
+    // per-shard k = ceil(batchSize/maxQueueN) = 4 sampled domains,
+    // 4 shards → at most 16 domains total
+    assert(byDomain.size <= 16)
+    assert(pr.nPopped == pr.popped.count())
+    assert(e.len == 120 - pr.nPopped)
+    assert(e.len == e.lenExact)
+    assert(e.domainScores.as[(String, Long, Long)].collect()
+      .sortBy(_._1).toSeq ==
+      e.domainScoresExact.as[(String, Long, Long)].collect()
+        .sortBy(_._1).toSeq)
   }
 
   test("workerRpms: outer-aligned, zero-filled, with the <all> sum") {

@@ -199,6 +199,53 @@ class FrontierStoreSpec extends AnyFunSuite with SparkSuite {
     assert(e.lenExact == 1)
   }
 
+  test("same-epoch A->B->A replace at a reused priority keeps the " +
+       "member (tombstone keys are unique per physical row)") {
+    val dir = Files.createTempDirectory("graft-fsaba").toString
+    val cfg = CrawlConfig(batchSize = 10, seed = 3L,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 8,
+      frontierStoreBuckets = 4)
+    val e = new FrontierEngine(spark, cfg)
+    def pushAt(p: Long): Unit = e.push(
+      Seq(Req("http://replay-aba.com/a", priority = p)), epoch = 5)
+    pushAt(10L); pushAt(20L); pushAt(10L) // A -> B -> A
+    val rows = e.stateTables("frontier")
+      .select("url", "priority").as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("http://replay-aba.com/a", 10L)),
+      s"A->B->A must keep the member at its last score, got $rows")
+    assert(e.len == 1)
+    assert(e.lenExact == 1)
+    // a REOPENED engine's fresh version counter must clear the on-disk
+    // versions too (lazy max-resync), or its replacement would be
+    // shadowed by an old tombstone
+    val e2 = new FrontierEngine(spark, cfg)
+    e2.push(Seq(Req("http://replay-aba.com/a", priority = 20L)), epoch = 5)
+    val rows2 = e2.stateTables("frontier")
+      .select("url", "priority").as[(String, Long)].collect().toSeq
+    assert(rows2 == Seq(("http://replay-aba.com/a", 20L)),
+      s"reopened-engine replace lost the member, got $rows2")
+    assert(e2.lenExact == 1)
+  }
+
+  test("a torn write-ahead swap marker does not brick the store") {
+    val dir = Files.createTempDirectory("graft-fstorn").toString
+    val cfg = CrawlConfig(batchSize = 10, seed = 3L,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 8,
+      frontierStoreBuckets = 4)
+    val e = new FrontierEngine(spark, cfg)
+    e.push(Seq(Req("http://torn-site.com/a", priority = 1L)))
+    // a crash mid-marker-write used to leave an unparsable marker that
+    // made every subsequent open throw; markers are atomic now, and a
+    // torn/garbage one (no staged data) is cleared as no-pending
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/frontier/_swap_pending"), "")
+    val e2 = new FrontierEngine(spark, cfg) // must not throw
+    assert(e2.lenExact == 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/frontier/_swap_pending")),
+      "an invalid marker must be cleared on open")
+  }
+
   test("checkpoint-less runs still compact: the tombstone table stays " +
        "bounded") {
     val dir = Files.createTempDirectory("graft-fscompact").toString
@@ -218,6 +265,109 @@ class FrontierStoreSpec extends AnyFunSuite with SparkSuite {
     assert(fs.tombstones.count() < 60,
       "tombstones must compact away in checkpoint-less store runs")
     assert(e.len == e.lenExact)
+  }
+
+  test("store compaction rewrites ONLY the dbkt partitions containing " +
+       "tombstoned rows; every other partition's files are untouched") {
+    val dir = Files.createTempDirectory("graft-fspart").toString
+    val cfg = CrawlConfig(batchSize = 4, concurrentPerDomain = 4, seed = 5L,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 32,
+      frontierStoreBuckets = 4)
+    val e = new FrontierEngine(spark, cfg)
+    e.clock = 1
+    e.push((0 until 10).flatMap(d => (0 until 4).map(i =>
+      Req(s"http://part-$d.com/p/$i", priority = (10 * i + d).toLong))),
+      epoch = 1)
+    e.clock = 2
+    e.push((10 until 20).flatMap(d => (0 until 4).map(i =>
+      Req(s"http://part-$d.com/p/$i", priority = (10 * i + d).toLong))),
+      epoch = 2)
+    val popped = e.popEpochDf(0).localCheckpoint(true)
+    val poppedDoms = popped.select("domain").distinct()
+      .as[String].collect().toSeq
+    assert(poppedDoms.nonEmpty)
+    val fs = e.frontierStore.get
+    val affected = fs.dbktsOf(poppedDoms).toSet
+    assert(affected.size < 20, "sampled dbkts must be a strict subset")
+    def fileState(): Map[String, Long] = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      def walk(f: java.io.File, rel: String): Unit = {
+        val fs0 = f.listFiles
+        if (fs0 != null) fs0.foreach(c => walk(c, s"$rel/${c.getName}"))
+        else out(rel) = f.length()
+      }
+      walk(new java.io.File(s"$dir/frontier/data"), "")
+      out.toMap
+    }
+    val before = fileState()
+    val lenBefore = e.lenExact
+    e.compactFrontierStoreNow(2)
+    assert(fs.tombstones.count() == 0, "tombstones must fold away")
+    assert(e.lenExact == lenBefore)
+    assert(e.len == lenBefore)
+    val after = fileState()
+    def dbktOf(p: String): Option[Int] =
+      "dbkt=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt)
+    val beforeUn = before.filter {
+      case (p, _) => dbktOf(p).exists(k => !affected(k)) }
+    val afterUn = after.filter {
+      case (p, _) => dbktOf(p).exists(k => !affected(k)) }
+    assert(beforeUn == afterUn,
+      "partitions without tombstoned rows must not be rewritten")
+    // affected partitions ARE rewritten (no stale pre-compaction files)
+    assert(before.keys.exists(p => dbktOf(p).exists(affected)))
+    assert(before.keySet.filter(p => dbktOf(p).exists(affected))
+      .intersect(after.keySet).isEmpty,
+      "affected dbkt partitions must be freshly written")
+    // the popped rows stay invisible after the fold
+    val urls = e.stateTables("frontier").select("url")
+      .as[String].collect().toSet
+    assert(popped.select("url").as[String].collect()
+      .forall(u => !urls.contains(u)))
+  }
+
+  test("a torn partial compaction is replayed from the write-ahead " +
+       "stage at the next open") {
+    val dir = Files.createTempDirectory("graft-fsparttorn").toString
+    val cfg = CrawlConfig(batchSize = 4, concurrentPerDomain = 4, seed = 5L,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 16,
+      frontierStoreBuckets = 4)
+    val e = new FrontierEngine(spark, cfg)
+    e.push((0 until 8).flatMap(d => (0 until 3).map(i =>
+      Req(s"http://torn-$d.com/p/$i", priority = (10 * i + d).toLong))))
+    e.popEpochDf(0)
+    val lenBefore = e.lenExact
+    val rowsBefore = e.stateTables("frontier").select("url")
+      .as[String].collect().sorted.toSeq
+    val fs = e.frontierStore.get
+    val affected = fs.dbktsOf((0 until 8).map(d => s"http://torn-$d.com")
+      .map(graft.urlops.UrlOps.registeredDomain)).distinct
+    // simulate a crash mid-replay: stage the affected dbkts' visible
+    // rows + marker, then tear those data dirs before the rewrite lands
+    e.stateTables("frontier")
+      .filter(fs.dbktCol($"domain")
+        .isin(affected.map(Integer.valueOf): _*))
+      .select("domain", "url", "priority", "depth", "parent", "login",
+        "epoch_added", "ver")
+      .write.mode("overwrite").parquet(s"$dir/frontier/stage_part_tmp")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/frontier/_part_compact_pending"),
+      s"0|${affected.mkString(",")}")
+    def rm(f: java.io.File): Unit = {
+      val fs0 = f.listFiles
+      if (fs0 != null) fs0.foreach(rm)
+      f.delete(): Unit
+    }
+    val dataDir = new java.io.File(s"$dir/frontier/data")
+    dataDir.listFiles.filter(_.getName.startsWith("epoch=")).foreach(rm)
+    // next open replays the pending partial compaction from the stage
+    val e2 = new FrontierEngine(spark, cfg)
+    assert(e2.lenExact == lenBefore,
+      "the staged copy must restore the torn partitions")
+    assert(e2.stateTables("frontier").select("url")
+      .as[String].collect().sorted.toSeq == rowsBefore)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/frontier/_part_compact_pending")))
   }
 
   test("on-disk bucket counts are authoritative; a fresh engine over " +

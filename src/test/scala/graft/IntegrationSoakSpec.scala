@@ -119,6 +119,56 @@ class IntegrationSoakSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("politeness slot-loss is measured exactly, and popTopUp refills " +
+       "the batch while queue capacity remains") {
+    import graft.frontier.{FrontierEngine, Req}
+    // an uneven draining frontier: 2 deep domains + 10 one-row domains,
+    // so drawn counts overshoot the shallow queues (the reference's
+    // silent pop_multi shrink, queue.py:455 TODO)
+    def mk(topUp: Boolean) = {
+      val c = CrawlConfig(selection = Selection.BatchSoftmax,
+        batchSize = 30, concurrentPerDomain = 20, seed = 11L,
+        popTopUp = topUp)
+      val e = new FrontierEngine(spark, c)
+      val reqs =
+        (for { d <- 0 until 2; i <- 0 until 50 }
+          yield Req(s"http://deep-$d.com/p/$i", priority = i.toLong)) ++
+        (for { d <- 0 until 10 }
+          yield Req(s"http://shallow-$d.com/only", priority = 5L))
+      e.push(reqs)
+      e
+    }
+    // without top-up: slot accounting is exact — popped + lost == drawn
+    val e1 = mk(topUp = false)
+    val p1 = e1.popEpochDf(0).count()
+    assert(p1 + e1.lastPopShortfall == 30,
+      s"popped=$p1 shortfall=${e1.lastPopShortfall}")
+    assert(e1.lastPopShortfall > 0,
+      "fixture must overshoot the shallow queues")
+    // with top-up: the full batch pops while total capacity (110) lasts
+    val e2 = mk(topUp = true)
+    val p2 = e2.popEpochDf(0).count()
+    assert(p2 == 30, s"top-up must refill the batch, popped=$p2")
+    assert(e2.lastPopShortfall == 0)
+    assert(e2.len == 110 - 30)
+    assert(e2.len == e2.lenExact)
+    // drain to exhaustion: every row pops exactly once, batches stay
+    // full until the frontier is smaller than a batch
+    var total = p2
+    var guard = 0
+    while (e2.len > 0 && guard < 20) {
+      val remaining = 110L - total
+      e2.clock += 1
+      val n = e2.popEpochDf(0).count()
+      assert(n == math.min(30L, remaining),
+        s"epoch batch must stay full while rows remain: popped $n " +
+          s"with $remaining left")
+      total += n
+      guard += 1
+    }
+    assert(total == 110)
+  }
+
   test("same seed reproduces the identical schedule log") {
     val a = jobA
     val b = run()

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.epoch.CrawlJob
+import graft.frontier.CrawlConfig
+import graft.score.Scorers
+import graft.tables.Schemas.PageRow
+
+/** The model-loading seam (README "Plugging in a trained model"): a
+  * LinearScorer loaded from exported JSON weights plugs into the
+  * pluggable scorer interfaces and demonstrably changes crawl order —
+  * the usable form of the reference's joblib model hooks
+  * (dd_crawler/utils.py:116-131, deepdeep/predictor.py:42-74).
+  */
+class ScorerLoadSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("a JSON-weights LinearScorer loads and drives crawl order") {
+    val dir = Files.createTempDirectory("graft-weights")
+    val wf = dir.resolve("weights.json")
+    Files.writeString(wf,
+      """{"bias": -2.0, "weights": {"treasure": 6.0, "boring": -1.0}}""")
+    val scorer = Scorers.linearFromJson(spark, wf.toString)
+    assert(scorer.scoreText("a treasure chest") > 0.9)
+    assert(scorer.scoreText("plain text") < 0.2)
+
+    def p(path: String, html: String) = PageRow(
+      url = "http://w-site.com" + path,
+      warc_ts = new Timestamp(1735689600000L),
+      html = html.getBytes("UTF-8"),
+      text = graft.text.TextExtract.extractText(html),
+      lang = "en")
+    val pages = spark.createDataset(Seq(
+      p("/", """<a href="/a">treasure</a><a href="/b">boring page</a>"""),
+      p("/a", "rich"),
+      p("/b", "poor"))).toDF()
+
+    def secondEpochUrl(s: graft.score.LinkScorer): String = {
+      val job = new CrawlJob(spark,
+        CrawlConfig(batchSize = 1, seed = 3L, depthPriority = 0), pages,
+        linkScorer = Some(s))
+      job.seed(Seq("http://w-site.com/"))
+      job.runEpoch() // crawls the root, pushes /a and /b
+      job.runEpoch() // batchSize 1: pops exactly the higher-priority link
+      job.crawledPages.filter($"epoch" === 2).select("url")
+        .as[String].head()
+    }
+    assert(secondEpochUrl(scorer) == "http://w-site.com/a")
+    // flipped weights flip the crawl order — the model, not a url
+    // tiebreak, drives the schedule
+    Files.writeString(wf,
+      """{"bias": -2.0, "weights": {"treasure": -1.0, "boring": 6.0}}""")
+    val flipped = Scorers.linearFromJson(spark, wf.toString)
+    assert(secondEpochUrl(flipped) == "http://w-site.com/b",
+      "flipped weights must flip the crawl order")
+  }
+}

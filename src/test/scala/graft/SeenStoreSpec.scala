@@ -171,6 +171,21 @@ class SeenStoreSpec extends AnyFunSuite with SparkSuite {
       java.nio.file.Paths.get(s"$dir/seen_compact_pending")))
   }
 
+  test("a torn compaction marker (garbage content, no stage) is " +
+       "cleared on open instead of bricking the store") {
+    val dir = Files.createTempDirectory("graft-seentornmk").toString
+    val s1 = new SeenStore(spark, s"$dir/seen", 4)
+    s1.append(spark.range(0, 100).select(md5($"id".cast("string")).as("fp")),
+      epoch = 1)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/seen_compact_pending"), "garb")
+    val s2 = new SeenStore(spark, s"$dir/seen", 4) // must not throw
+    assert(s2.count() == 100)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/seen_compact_pending")),
+      "an invalid marker must be cleared on open")
+  }
+
   test("a fresh engine with bloomPrefilter over an existing store " +
        "rebuilds the Bloom — historical urls still dedup exactly") {
     val dir = Files.createTempDirectory("graft-seenbloom").toString
