@@ -225,6 +225,24 @@ object Bench {
     val gumbelJson =
       try gumbelRehearsal(spark, gumbelUrls, gumbelDomains, gumbelEpochs)
       catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
+    // the same rehearsal with BOTH persistent stores on (frontier on
+    // disk with dbkt-pruned pops, fp-bucketed seen history) — the fully
+    // durable 100×-shape configuration at full scale, not a probe
+    val gumbelStoreJson =
+      try {
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft-bench-store").toString
+        val out = gumbelRehearsal(spark, gumbelUrls, gumbelDomains,
+          gumbelEpochs, storeDir = storeDir)
+        def rm(f: java.io.File): Unit = {
+          val fs = f.listFiles
+          if (fs != null) fs.foreach(rm)
+          f.delete(): Unit
+        }
+        try rm(new java.io.File(storeDir)) catch { case _: Throwable => () }
+        out
+      }
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     spark.stop()
 
     // scaling protocol (north rule): identical input + identical 64-way
@@ -279,6 +297,7 @@ object Bench {
       s""""scaling_efficiency":${fmt(eff)}}"""
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","frontier":$frontier,"gumbel":$gumbelJson}""")
+      s""""sf":"$sfDir","frontier":$frontier,"gumbel":$gumbelJson,""" +
+      s""""gumbel_store":$gumbelStoreJson}""")
   }
 }

@@ -47,6 +47,9 @@ object Checkpoint {
 
   def save(engine: FrontierEngine, root: String, epoch: Int,
            totals: Map[String, Long]): Unit = {
+    // a save on a freshly-reopened engine must not persist unsynced
+    // lazy state (a too-low version base, the empty pre-sync Bloom)
+    engine.ensureStateSynced()
     val tables = engine.stateTables
     // persistent stores are already durable (appended per batch);
     // re-snapshotting them every epoch would be the O(|state|) write

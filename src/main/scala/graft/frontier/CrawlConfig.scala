@@ -82,8 +82,14 @@ final case class CrawlConfig(
       * slots into account'); on a draining crawl that decays epoch
       * throughput. When enabled, the lost slots are redistributed
       * deterministically to the highest-scored domains with remaining
-      * queue capacity. Off by default for reference parity; the loss is
-      * always measured (FrontierEngine.lastPopShortfall). */
+      * queue capacity (never past the per-domain maxQueueN budget
+      * unless selection itself drew higher). Applies to the driver-
+      * vector selection paths only: the distributed Gumbel path (above
+      * driverSelectLimit domains) never collects a score vector, so it
+      * measures the shortfall but does not redistribute — at that scale
+      * a batch spans far more domains than it drains. Off by default
+      * for reference parity; the loss is always measured
+      * (FrontierEngine.lastPopShortfall). */
     popTopUp: Boolean = false,
     /** REDIRECT_PRIORITY_ADJUST (settings.py:33-35). */
     redirectPriorityAdjust: Int = 1,

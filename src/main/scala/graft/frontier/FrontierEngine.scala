@@ -147,17 +147,26 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * manifest's counter instead and skips even that. */
   private var verCounter: Long = 0L
   private var verSynced: Boolean = frontierStore.forall(!_.reopened)
-  private def nextVer(): Long = {
+  private def syncVerBase(): Unit =
     if (!verSynced) {
       verCounter = math.max(verCounter,
         frontierStore.map(_.maxVer() + 1L).getOrElse(0L))
       verSynced = true
     }
+  private def nextVer(): Long = {
+    syncVerBase()
     val v = verCounter
     verCounter += 1
     v
   }
-  def currentVer: Long = verCounter
+  /** Checkpoint surface — forces the lazy resync first: a manifest must
+    * never record an unsynced (too-low) version base, or a resumed
+    * session would re-issue on-disk versions and an old tombstone could
+    * shadow its same-key replacement. */
+  def currentVer: Long = {
+    syncVerBase()
+    verCounter
+  }
 
   /** Subtract tombstones: batch-bounded by construction (popped rows
     * since the last compaction), so BROADCAST them explicitly. Without
@@ -804,6 +813,13 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   // the sync is LAZY: it runs at the first dedup use (or first
   // seenCount read), and restore/resume mark it done without a scan.
   private var seenSyncPending: Boolean = seenStore.exists(_.reopened)
+  /** Force every lazy reopened-store sync (version base, seen
+    * count/Bloom) — Checkpoint.save calls this so a manifest can never
+    * capture an unsynced counter or the empty pre-sync Bloom. */
+  def ensureStateSynced(): Unit = {
+    syncVerBase()
+    syncSeenFromStore()
+  }
   private def syncSeenFromStore(): Unit =
     if (seenSyncPending) {
       seenSyncPending = false
@@ -969,6 +985,20 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       .orderBy($"best".desc, $"domain".asc)
   }
 
+  /** The shared batch queue-selection dispatch (Q3-Q6) over a collected
+    * score vector -- ONE implementation for popMulti, the per-worker
+    * pop, and the fused pop, so the serial-vs-fused byte-identical-
+    * decisions invariant cannot drift between copies. */
+  private def selectBatch(queues: IndexedSeq[String],
+                          scores: Array[Double]): Seq[String] =
+    cfg.selection match {
+      case Selection.BatchSoftmax | Selection.Softmax =>
+        QueueSelector.selectBatchSoftmax(queues, scores, cfg, rng)
+      case Selection.Greedy(eps) =>
+        QueueSelector.selectGreedy(queues, cfg, eps, rng)
+      case _ => QueueSelector.selectBatchUniform(queues, cfg, rng)
+    }
+
   /** Politeness filter Q2 (queue.py:209-231): keep domains with free
     * slots; if none qualify, fall back to all. */
   private def availableOf(all: Seq[(String, Long)]): Seq[(String, Long)] = {
@@ -1005,14 +1035,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     if (all.isEmpty) return Nil
     val queues = all.map(_._1).toIndexedSeq
     val scores = all.map(_._2.toDouble).toArray
-    val selected: Seq[String] = cfg.selection match {
-      case Selection.BatchSoftmax | Selection.Softmax =>
-        QueueSelector.selectBatchSoftmax(queues, scores, cfg, rng)
-      case Selection.Greedy(eps) =>
-        QueueSelector.selectGreedy(queues, cfg, eps, rng)
-      case _ =>
-        QueueSelector.selectBatchUniform(queues, cfg, rng)
-    }
+    val selected: Seq[String] = selectBatch(queues, scores)
     lastScheduleDecision =
       Some(ScheduleDecision(clock, queues, scores.toSeq, selected))
     // Counter(queues): counts in first-occurrence order
@@ -1046,21 +1069,18 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       val qlens = taken.map(r => r.getString(0) -> r.getLong(2)).toMap
       val queues = all.map(_._1).toIndexedSeq
       val scores = all.map(_._2.toDouble).toArray
-      val selected = cfg.selection match {
-        case Selection.BatchSoftmax | Selection.Softmax =>
-          QueueSelector.selectBatchSoftmax(queues, scores, cfg, rng)
-        case Selection.Greedy(eps) =>
-          QueueSelector.selectGreedy(queues, cfg, eps, rng)
-        case _ => QueueSelector.selectBatchUniform(queues, cfg, rng)
-      }
+      val selected = selectBatch(queues, scores)
       lastScheduleDecision =
         Some(ScheduleDecision(clock, queues, scores.toSeq, selected))
       val counts0 = selected.groupBy(identity).view.mapValues(_.size).toSeq
       val counts =
         if (cfg.popTopUp) topUpCounts(counts0, qlens, queues, scores)
         else counts0
-      lastPopShortfall = counts.map { case (d, n) =>
-        math.max(0L, n - qlens.getOrElse(d, 0L)) }.sum
+      // lost slots = drawn − what the final counts can actually pop
+      // (counts both overshoot and any surplus top-up could not place)
+      lastPopShortfall = counts0.map(_._2).sum.toLong -
+        counts.map { case (d, n) =>
+          math.min(n.toLong, qlens.getOrElse(d, 0L)) }.sum
       // adaptive hot-domain repartitioning: salt count per domain from
       // the qlen vector already in hand — no extra job
       val popped = popRankedDf(counts
@@ -1073,6 +1093,10 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         counts.map { case (d, _) => qlens.getOrElse(d, 0L) }.sum - lastPopCount
       popped
     } else {
+      // never-collect path: no score vector exists to log — clear the
+      // last driver-path decision so a stale one can't be re-recorded
+      // under this epoch's number
+      lastScheduleDecision = None
       val countsDf = gumbelTopK(scoresDf).localCheckpoint(true)
       val popped = popRankedDf(countsDf.select($"domain", $"n",
         saltsForCol($"qlen").as("salts")))
@@ -1087,7 +1111,10 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   /** Redistribute batch slots lost to under-filled sampled domains
     * (drawn count > queued rows) to the highest-scored domains with
     * remaining queue capacity — deterministic driver arithmetic over
-    * the score/qlen vectors already in hand (cfg.popTopUp). */
+    * the score/qlen vectors already in hand (cfg.popTopUp). Top-up
+    * never lifts a domain past the per-domain politeness budget
+    * (maxQueueN) unless selection itself already drew it higher — the
+    * refill must not let one deep host absorb the whole batch. */
   private def topUpCounts(counts: Seq[(String, Int)],
                           qlens: Map[String, Long],
                           queues: IndexedSeq[String],
@@ -1100,11 +1127,14 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       val cap = qlens.getOrElse(d, 0L)
       if (n > cap) cur(d) = cap.toInt
     }
+    def budgetOf(d: String): Long =
+      math.min(qlens.getOrElse(d, 0L),
+        math.max(cur.getOrElse(d, 0).toLong, cfg.maxQueueN.toLong))
     val order = queues.indices.sortBy(i => (-scores(i), queues(i)))
     var i = 0
     while (surplus > 0 && i < order.length) {
       val d = queues(order(i))
-      val room = qlens.getOrElse(d, 0L) - cur.getOrElse(d, 0)
+      val room = budgetOf(d) - cur.getOrElse(d, 0)
       if (room > 0) {
         val add = math.min(room, surplus).toInt
         cur(d) = cur.getOrElse(d, 0) + add
@@ -1156,13 +1186,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         val queues = rows.map(_.getString(0)).toIndexedSeq
         val scores = rows.map(_.getLong(1).toDouble).toArray
         val qlens = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
-        val selected = cfg.selection match {
-          case Selection.BatchSoftmax | Selection.Softmax =>
-            QueueSelector.selectBatchSoftmax(queues, scores, cfg, rng)
-          case Selection.Greedy(eps) =>
-            QueueSelector.selectGreedy(queues, cfg, eps, rng)
-          case _ => QueueSelector.selectBatchUniform(queues, cfg, rng)
-        }
+        val selected = selectBatch(queues, scores)
         val d = ScheduleDecision(clock, queues, scores.toSeq, selected)
         decisions += (w -> d)
         lastScheduleDecision = Some(d)
@@ -1170,8 +1194,9 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         val wCounts =
           if (cfg.popTopUp) topUpCounts(counts0, qlens, queues, scores)
           else counts0
-        shortfall += wCounts.map { case (dom, n) =>
-          math.max(0L, n - qlens.getOrElse(dom, 0L)) }.sum
+        shortfall += counts0.map(_._2).sum.toLong -
+          wCounts.map { case (dom, n) =>
+            math.min(n.toLong, qlens.getOrElse(dom, 0L)) }.sum
         wCounts.foreach { case (dom, n) =>
           counts += ((dom, n, saltsFor(qlens.getOrElse(dom, 0L))))
           expectedDepth += qlens.getOrElse(dom, 0L)

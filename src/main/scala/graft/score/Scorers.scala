@@ -80,10 +80,17 @@ object Scorers {
     val schema = StructType(Seq(
       StructField("bias", DoubleType),
       StructField("weights", MapType(StringType, DoubleType))))
-    val row = spark.read.option("multiLine", "true").schema(schema)
-      .json(path).head()
-    val weights = row.getMap[String, Double](1)
-    LinearScorer(weights.toMap, row.getDouble(0))
+    val rows = spark.read.option("multiLine", "true").schema(schema)
+      .json(path).take(2)
+    require(rows.length == 1,
+      s"weights file $path must hold exactly one JSON object, " +
+        s"found ${rows.length}")
+    val row = rows(0)
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"weights file $path must have the shape " +
+        """{"bias": <double>, "weights": {"token": <double>, ...}} — """ +
+        s"missing ${if (row.isNullAt(0)) "bias" else "weights"}")
+    LinearScorer(row.getMap[String, Double](1).toMap, row.getDouble(0))
   }
 }
 

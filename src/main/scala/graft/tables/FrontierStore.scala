@@ -220,11 +220,20 @@ final class FrontierStore(val spark: SparkSession, val path: String,
     * stage is the authority — a crash anywhere after the marker replays
     * idempotently at the next open. */
   def compactPartitions(targetEpoch: Int,
-                        visibleOf: DataFrame => DataFrame): Unit = {
-    val dbkts = spark.table(tombTable)
+                        visibleOf: DataFrame => DataFrame,
+                        maxFragments: Int = 16): Unit = {
+    val tombDbkts = spark.table(tombTable)
       .select(dbktCol(split(col("pkey"), "\\u0001").getItem(0))
         .cast("int").as("k"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // bin-pack COLD dbkts too: a rarely-popped dbkt appended across
+    // many epochs accumulates one partition dir per epoch; fold any
+    // dbkt whose fragment count passed the threshold, or its file
+    // count grows O(epochs) with no maintenance path
+    val fragmented = StoreLayout
+      .dbktFragmentCounts(Paths.get(fsPath, "data"))
+      .collect { case (k, n) if n > maxFragments => k }
+    val dbkts = (tombDbkts ++ fragmented).distinct.sorted
     if (dbkts.isEmpty) return
     val raw = spark.table(table)
       .filter(col("dbkt").isin(dbkts.map(Integer.valueOf): _*))

@@ -78,6 +78,36 @@ private[tables] object StoreLayout {
 
   def deleteRecursive(p: Path): Unit = rmRecursive(p.toFile)
 
+  /** Per-dbkt count of `dbkt=K` dirs across all epoch dirs — the
+    * fragment census partial compaction bin-packs on (a cold dbkt
+    * appended across many epochs accumulates one dir per epoch). */
+  def dbktFragmentCounts(dataRoot: Path): Map[Int, Int] = {
+    val out = scala.collection.mutable.Map.empty[Int, Int]
+    if (Files.isDirectory(dataRoot)) {
+      val stream = Files.list(dataRoot)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) {
+          val epochDir = it.next()
+          if (epochDir.getFileName.toString.startsWith("epoch=") &&
+              Files.isDirectory(epochDir)) {
+            val sub = Files.list(epochDir)
+            try {
+              val si = sub.iterator()
+              while (si.hasNext) {
+                val name = si.next().getFileName.toString
+                if (name.startsWith("dbkt="))
+                  scala.util.Try(name.stripPrefix("dbkt=").toInt).toOption
+                    .foreach(k => out(k) = out.getOrElse(k, 0) + 1)
+              }
+            } finally sub.close()
+          }
+        }
+      } finally stream.close()
+    }
+    out.toMap
+  }
+
   /** Delete `dbkt=K` partition dirs (K ∈ dbkts) under every `epoch=*`
     * dir — the partial-compaction delete set. */
   def deleteDbktDirs(dataRoot: Path, dbkts: Set[Int]): Unit =

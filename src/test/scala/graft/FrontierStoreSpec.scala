@@ -227,6 +227,42 @@ class FrontierStoreSpec extends AnyFunSuite with SparkSuite {
     assert(e2.lenExact == 1)
   }
 
+  test("a checkpoint saved on a freshly-reopened engine does not " +
+       "persist unsynced lazy state (version base + Bloom)") {
+    val dir = Files.createTempDirectory("graft-fsfreshsave").toString
+    val cfg = CrawlConfig(batchSize = 10, seed = 3L,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 8,
+      frontierStoreBuckets = 4, seenStorePath = s"$dir/seen",
+      seenStoreBuckets = 4, bloomPrefilter = true, bloomPartitions = 2,
+      bloomExpectedPerPartition = 1 << 12)
+    val batch = (0 until 6).map(i =>
+      (s"http://fresh-save.com/p/$i", i.toLong, 0, null: Array[Byte]))
+      .toDF("url", "priority", "depth", "parent")
+    val e1 = new FrontierEngine(spark, cfg)
+    e1.ingestBatch(batch, 1)
+    e1.push(Seq(Req("http://fresh-save.com/p/0", priority = 9L)),
+      epoch = 1) // replace bumps the on-disk version past 0
+    // a brand-new engine over the same stores, checkpointed BEFORE any
+    // mutation would otherwise persist verCounter=0 + the empty Bloom
+    val e2 = new FrontierEngine(spark, cfg)
+    graft.epoch.Checkpoint.save(e2, s"$dir/out", 1, Map.empty)
+    val e3 = new FrontierEngine(spark, cfg)
+    assert(graft.epoch.Checkpoint.resume(spark, e3, s"$dir/out").nonEmpty)
+    // (a) Bloom restored from the manifest must still dedup history
+    e3.ingestBatch(batch, 2)
+    assert(e3.lastDedupUnseen == 0,
+      "an empty unsynced Bloom leaked into the checkpoint")
+    // (b) the version base must clear every on-disk version: a replace
+    // at a previously-used (pkey, priority) must keep the member
+    e3.push(Seq(Req("http://fresh-save.com/p/0", priority = 0L)),
+      epoch = 2)
+    val p0 = e3.stateTables("frontier")
+      .filter($"url" === "http://fresh-save.com/p/0")
+      .select("priority").as[Long].collect().toSeq
+    assert(p0 == Seq(0L),
+      s"replace lost the member to a version collision: $p0")
+  }
+
   test("a torn write-ahead swap marker does not brick the store") {
     val dir = Files.createTempDirectory("graft-fstorn").toString
     val cfg = CrawlConfig(batchSize = 10, seed = 3L,

@@ -126,8 +126,10 @@ class IntegrationSoakSpec extends AnyFunSuite with SparkSuite {
     // so drawn counts overshoot the shallow queues (the reference's
     // silent pop_multi shrink, queue.py:455 TODO)
     def mk(topUp: Boolean) = {
+      // maxQueueN = 30 ≥ any queue, so the per-domain budget never
+      // binds here (the budget cap gets its own section below)
       val c = CrawlConfig(selection = Selection.BatchSoftmax,
-        batchSize = 30, concurrentPerDomain = 20, seed = 11L,
+        batchSize = 30, concurrentPerDomain = 60, seed = 11L,
         popTopUp = topUp)
       val e = new FrontierEngine(spark, c)
       val reqs =
@@ -167,6 +169,22 @@ class IntegrationSoakSpec extends AnyFunSuite with SparkSuite {
       guard += 1
     }
     assert(total == 110)
+    // the per-domain politeness budget caps the refill: one deep host
+    // (40 rows) must not absorb the batch past maxQueueN
+    val c3 = CrawlConfig(selection = Selection.BatchSoftmax,
+      batchSize = 30, concurrentPerDomain = 20, // maxQueueN = 10
+      seed = 11L, popTopUp = true)
+    val e3 = new FrontierEngine(spark, c3)
+    e3.push(
+      (0 until 40).map(i => Req(s"http://one-deep.com/p/$i",
+        priority = i.toLong)) ++
+      (0 until 10).map(d => Req(s"http://tiny-$d.com/only", priority = 5L)))
+    val popped3 = e3.popEpochDf(0)
+    val deepPopped = popped3.filter("domain = 'one-deep.com'").count()
+    assert(deepPopped <= 10L,
+      s"top-up lifted one-deep.com to $deepPopped > maxQueueN=10")
+    assert(popped3.count() + e3.lastPopShortfall == 30,
+      "unplaceable surplus must be accounted as shortfall")
   }
 
   test("same seed reproduces the identical schedule log") {
