@@ -1093,20 +1093,78 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         counts.map { case (d, _) => qlens.getOrElse(d, 0L) }.sum - lastPopCount
       popped
     } else {
-      // never-collect path: no score vector exists to log — clear the
-      // last driver-path decision so a stale one can't be re-recorded
-      // under this epoch's number
-      lastScheduleDecision = None
-      val countsDf = gumbelTopK(scoresDf).localCheckpoint(true)
-      val popped = popRankedDf(countsDf.select($"domain", $"n",
-        saltsForCol($"qlen").as("salts")))
-      val m = countsDf.agg(sum($"qlen"),
-        sum(greatest(lit(0L), lit(cfg.maxQueueN.toLong) - $"qlen"))).head()
-      lastPopDeferred = m.getLong(0) - lastPopCount
-      lastPopShortfall = m.getLong(1)
+      // distributed Gumbel selection: the score VECTOR is never
+      // collected — only the ranked winner prefix (≤ gumbelLim rows,
+      // batch-bounded) comes back, which is exactly what the S7
+      // schedule log needs (queue.py:555-566 logs the decision; at
+      // 10^6+ domains the full vector is not loggable, the sampled
+      // set + its scores are)
+      val sel = scoresDf
+        .withColumn("_g", gumbelCol)
+        .orderBy($"_g".desc)
+        .limit(gumbelLim)
+        .select($"domain", $"best", $"qlen")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val kept = gumbelPrefix(sel)
+      lastScheduleDecision = Some(ScheduleDecision(clock,
+        kept.map(_._1).toIndexedSeq, kept.map(_._2.toDouble), kept.map(_._1)))
+      val popped = popRankedDf(kept
+        .map { case (d, _, ql) => (d, cfg.maxQueueN, saltsFor(ql)) }
+        .toDF("domain", "n", "salts"))
+      lastPopDeferred = kept.map(_._3).sum - lastPopCount
+      lastPopShortfall = gumbelShortfall(kept)
       popped
     }
   }
+
+  /** Gumbel batch geometry: k domains of maxQueueN slots each cover the
+    * batch; under popTopUp the ranking must surface enough extra
+    * candidates to refill shallow domains — one row per slot bounds it. */
+  private def gumbelK: Int =
+    math.ceil(cfg.batchSize.toDouble / cfg.maxQueueN).toInt
+  private def gumbelLim: Int =
+    if (cfg.popTopUp) math.max(cfg.batchSize, gumbelK) else gumbelK
+  private def gumbelCol: org.apache.spark.sql.Column =
+    $"best".cast("double") / cfg.softmaxTemperature -
+      log(-log(rand(cfg.seed + clock)))
+
+  /** Driver-side prefix policy over ONE shard's Gumbel-ranked selection
+    * rows (domain, best, qlen — in rank order, batch-bounded):
+    *  - default: the top ceil(batchSize/maxQueueN) domains, each
+    *    budgeted maxQueueN (the fixed-k Gumbel batch; shallow sampled
+    *    domains silently shrink it, like the reference's pop_multi —
+    *    queue.py:455 TODO);
+    *  - cfg.popTopUp: the minimal prefix whose placeable capacity
+    *    Σ min(qlen, maxQueueN) covers batchSize — the rows are already
+    *    rank-ordered, so extending the prefix IS drawing the
+    *    next-best domains, and no domain ever exceeds its per-domain
+    *    politeness budget. */
+  private def gumbelPrefix(
+      rows: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] =
+    if (!cfg.popTopUp) rows.take(gumbelK)
+    else {
+      var cap = 0L
+      val b = Vector.newBuilder[(String, Long, Long)]
+      val it = rows.iterator
+      while (cap < cfg.batchSize && it.hasNext) {
+        val r = it.next(); b += r
+        cap += math.min(r._3, cfg.maxQueueN.toLong)
+      }
+      b.result()
+    }
+
+  /** Slots this Gumbel pop could not fill. Default policy: slots of
+    * drawn domains with fewer queued rows than maxQueueN. popTopUp:
+    * what remains of the batch after the capacity-prefix refill (> 0
+    * only when the whole shard's capacity is short); an empty shard
+    * draws nothing and loses nothing. */
+  private def gumbelShortfall(kept: Seq[(String, Long, Long)]): Long =
+    if (kept.isEmpty) 0L
+    else if (cfg.popTopUp)
+      math.max(0L, cfg.batchSize.toLong -
+        kept.map(r => math.min(r._3, cfg.maxQueueN.toLong)).sum)
+    else kept.map(r => math.max(0L, cfg.maxQueueN.toLong - r._3)).sum
 
   /** Redistribute batch slots lost to under-filled sampled domains
     * (drawn count > queued rows) to the highest-scored domains with
@@ -1162,7 +1220,9 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * Above cfg.driverSelectLimit TOTAL domains, selection switches to
     * the distributed Gumbel-top-k: one window partitioned by `_shard`
     * replaces nWorkers filtered jobs and never collects a score vector
-    * (schedule-log decisions are not materialized on that path). */
+    * — only each shard's batch-bounded winner prefix comes back, which
+    * is the S7 schedule-log decision (and the popTopUp capacity
+    * prefix) for that worker. */
   def popEpochAll(): EpochPopResult = {
     if (cfg.nWorkers <= 1) {
       // single worker: the per-worker path IS the fused path
@@ -1208,24 +1268,44 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       EpochPopResult(popped, decisions.result(), lastPopCount,
         lastPopDeferred, lastPopDomains)
     } else {
-      val k = math.ceil(cfg.batchSize.toDouble / cfg.maxQueueN).toInt
+      // distributed Gumbel: ONE per-shard ranking window; only each
+      // shard's batch-bounded winner prefix (≤ gumbelLim rows) is
+      // collected — never the score vector — giving every worker its
+      // S7 schedule-log decision even at 10^6+ domains
       val shardW = Window.partitionBy($"_shard").orderBy($"_g".desc)
-      val (countsDf, m) = Eager.ckptObserve(
-        scored
-          .withColumn("_g",
-            $"best".cast("double") / cfg.softmaxTemperature
-              - log(-log(rand(cfg.seed + clock))))
-          .withColumn("_rk", row_number().over(shardW))
-          .filter($"_rk" <= k)
-          .select($"domain", lit(cfg.maxQueueN).as("n"), $"qlen"),
-        "ql" -> sum($"qlen"),
-        "sf" -> sum(greatest(lit(0L), lit(cfg.maxQueueN.toLong) - $"qlen")))
-      val popped = popRankedDf(countsDf.select($"domain", $"n",
-        saltsForCol($"qlen").as("salts")))
-      lastPopDeferred = Eager.long(m, "ql") - lastPopCount
-      lastPopShortfall = Eager.long(m, "sf")
-      EpochPopResult(popped, Nil, lastPopCount, lastPopDeferred,
-        lastPopDomains)
+      val sel = scored
+        .withColumn("_g", gumbelCol)
+        .withColumn("_rk", row_number().over(shardW))
+        .filter($"_rk" <= gumbelLim)
+        .select($"domain", $"best", $"qlen", $"_shard", $"_rk")
+        .collect()
+      val selByShard = sel.groupBy(_.getLong(3).toInt)
+      val decisions = Vector.newBuilder[(Int, ScheduleDecision)]
+      val counts = Vector.newBuilder[(String, Int, Int)]
+      var expectedDepth = 0L
+      var shortfall = 0L
+      for (w <- 0 until cfg.nWorkers) {
+        val rows = selByShard.getOrElse(w, Array.empty[Row])
+          .sortBy(_.getInt(4))
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        val kept = gumbelPrefix(rows)
+        if (kept.nonEmpty) {
+          val d = ScheduleDecision(clock, kept.map(_._1).toIndexedSeq,
+            kept.map(_._2.toDouble), kept.map(_._1))
+          decisions += (w -> d)
+          lastScheduleDecision = Some(d)
+        }
+        kept.foreach { case (dom, _, ql) =>
+          counts += ((dom, cfg.maxQueueN, saltsFor(ql)))
+          expectedDepth += ql
+        }
+        shortfall += gumbelShortfall(kept)
+      }
+      val popped = popRankedDf(counts.result().toDF("domain", "n", "salts"))
+      lastPopDeferred = expectedDepth - lastPopCount
+      lastPopShortfall = shortfall
+      EpochPopResult(popped, decisions.result(), lastPopCount,
+        lastPopDeferred, lastPopDomains)
     }
   }
 
@@ -1244,22 +1324,6 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       least(lit(1024L), greatest(lit(1L),
         ceil(qlen.cast("double") / cfg.adaptiveSaltTarget))).cast("int")
     else lit(math.max(cfg.popSalts, 1))
-
-  /** Distributed Gumbel-top-k selection for very large domain counts:
-    * key = priority/T + Gumbel noise; the top ceil(batch/maxQueueN)
-    * domains each contribute maxQueueN — equivalent in distribution to
-    * softmax sampling without replacement (SURVEY.md §2.5 Q5).
-    */
-  private def gumbelTopK(scoresDf: DataFrame): DataFrame = {
-    val k = math.ceil(cfg.batchSize.toDouble / cfg.maxQueueN).toInt
-    scoresDf
-      .withColumn("_g",
-        $"best".cast("double") / cfg.softmaxTemperature
-          - log(-log(rand(cfg.seed + clock))))
-      .orderBy($"_g".desc)
-      .limit(k)
-      .select($"domain", lit(cfg.maxQueueN).as("n"), $"qlen")
-  }
 
   /** A7/A8: top-n_q per sampled domain by (priority desc, url asc), then
     * delete popped rows. The semi-join on sampled domains prunes the

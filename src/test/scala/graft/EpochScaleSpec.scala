@@ -470,9 +470,21 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
     e.push((for { d <- 0 until 30; i <- 0 until 4 }
       yield Req(s"http://gmb-$d.com/p/$i", priority = (i * 11 + d).toLong)))
     val pr = e.popEpochAll()
-    assert(pr.decisions.isEmpty, "the never-collect path logs no vectors")
+    // the score VECTOR is never collected, but the batch-bounded winner
+    // prefix is — every worker gets its S7 schedule-log decision
+    assert(pr.decisions.nonEmpty, "gumbel path must log its selections")
+    assert(pr.decisions.map(_._1).distinct.size == pr.decisions.size)
+    assert(pr.decisions.forall { case (w, d) =>
+      w >= 0 && w < 4 && d.sampledDomains.nonEmpty &&
+        d.sampledDomains.size <= 4 && // ceil(batchSize/maxQueueN)
+        d.sampledDomains == d.availableDomains &&
+        d.scores.size == d.sampledDomains.size
+    }, pr.decisions.toString)
     val byDomain = pr.popped.groupBy("domain").count()
       .as[(String, Long)].collect().toMap
+    // every sampled domain is non-empty (Q8 GC) → it contributes rows
+    assert(pr.decisions.flatMap(_._2.sampledDomains).toSet ==
+      byDomain.keySet, "popped domains must equal the logged selection")
     assert(byDomain.nonEmpty)
     // per-domain budget: at most maxQueueN rows from any sampled domain
     assert(byDomain.values.forall(_ <= 2L), byDomain.toString)
@@ -486,6 +498,50 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
       .sortBy(_._1).toSeq ==
       e.domainScoresExact.as[(String, Long, Long)].collect()
         .sortBy(_._1).toSeq)
+  }
+
+  test("popTopUp refills the batch on the distributed Gumbel path too, " +
+       "within per-domain budgets, and accounts unplaceable surplus") {
+    import graft.frontier.Req
+    // shallow queues force the fixed-k draw to overshoot; capacity
+    // prefix must extend to the next-ranked domains instead
+    def mk(topUp: Boolean, nw: Int) = {
+      val e = new FrontierEngine(spark,
+        CrawlConfig(selection = Selection.BatchSoftmax, batchSize = 30,
+          concurrentPerDomain = 20, // maxQueueN = 10
+          seed = 11L, popTopUp = topUp, nWorkers = nw,
+          driverSelectLimit = 3)) // < |domains| → gumbel path
+      e.push(
+        (0 until 40).map(i => Req(s"http://one-deep.com/p/$i",
+          priority = i.toLong)) ++
+        (0 until 10).map(d => Req(s"http://tiny-$d.com/only",
+          priority = 5L)))
+      e
+    }
+    // single-worker distributed pop (popEpochDf)
+    val e1 = mk(topUp = false, nw = 1)
+    val p1 = e1.popEpochDf(0).count()
+    assert(p1 + e1.lastPopShortfall == 30,
+      s"popped=$p1 shortfall=${e1.lastPopShortfall}")
+    assert(e1.lastPopShortfall > 0, "fixture must overshoot")
+    val e2 = mk(topUp = true, nw = 1)
+    val popped2 = e2.popEpochDf(0)
+    val deep2 = popped2.filter("domain = 'one-deep.com'").count()
+    assert(deep2 <= 10L, s"budget lifted to $deep2 > maxQueueN=10")
+    // total capacity = min(40,10) + 10×1 = 20 < 30: pop it all, the
+    // remaining 10 slots are honest shortfall
+    assert(popped2.count() == 20L)
+    assert(e2.lastPopShortfall == 10L)
+    assert(e2.len == e2.lenExact)
+    // fused multi-worker pop (popEpochAll): per-shard batches refill
+    val e3 = mk(topUp = true, nw = 2)
+    val pr3 = e3.popEpochAll()
+    val deep3 = pr3.popped.filter("domain = 'one-deep.com'").count()
+    assert(deep3 <= 10L)
+    assert(pr3.nPopped == 20L,
+      "both shards' capacity prefixes must drain the whole fixture")
+    assert(e3.lastPopShortfall > 0L)
+    assert(e3.len == e3.lenExact)
   }
 
   test("workerRpms: outer-aligned, zero-filled, with the <all> sum") {
