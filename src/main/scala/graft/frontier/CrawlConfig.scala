@@ -83,13 +83,13 @@ final case class CrawlConfig(
       * throughput. When enabled, the lost slots are redistributed
       * deterministically to the highest-scored domains with remaining
       * queue capacity (never past the per-domain maxQueueN budget
-      * unless selection itself drew higher). Applies to the driver-
-      * vector selection paths only: the distributed Gumbel path (above
-      * driverSelectLimit domains) never collects a score vector, so it
-      * measures the shortfall but does not redistribute — at that scale
-      * a batch spans far more domains than it drains. Off by default
-      * for reference parity; the loss is always measured
-      * (FrontierEngine.lastPopShortfall). */
+      * unless selection itself drew higher). On the distributed Gumbel
+      * path (above driverSelectLimit domains) the same policy selects
+      * the minimal Gumbel-rank prefix whose placeable capacity
+      * Σ min(qlen, maxQueueN) covers the batch — extending the prefix
+      * IS drawing the next-best domains, still without collecting the
+      * score vector. Off by default for reference parity; the loss is
+      * always measured (FrontierEngine.lastPopShortfall). */
     popTopUp: Boolean = false,
     /** REDIRECT_PRIORITY_ADJUST (settings.py:33-35). */
     redirectPriorityAdjust: Int = 1,
