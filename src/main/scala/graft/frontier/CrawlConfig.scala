@@ -49,7 +49,15 @@ final case class CrawlConfig(
     seed: Long = 42L,
     /** Above this many domains, queue selection switches from exact
       * driver-side multinomial sampling to the distributed Gumbel-top-k
-      * path (SURVEY.md §7.4.2). */
+      * path (SURVEY.md §7.4.2). The limit bounds the rows the driver
+      * will hold at once, so the fused epoch pop (popEpochAll) applies
+      * it to the TOTAL domain count across all worker shards — one
+      * collect serves every shard — while the serial per-worker path
+      * (popEpochDf) applies it per shard. In the band between
+      * max-shard-count and total-count the two run different selection
+      * algorithms (same softmax distribution — the reference's
+      * statistical gates hold for both); byte-identical fused-vs-serial
+      * decisions are guaranteed below the limit. */
     driverSelectLimit: Int = 1 << 20,
     /** Obey per-host robots.txt disallow rules (north-star capability;
       * the reference never enables ROBOTSTXT_OBEY — SURVEY.md §7.5). */
@@ -86,10 +94,12 @@ final case class CrawlConfig(
       * unless selection itself drew higher). On the distributed Gumbel
       * path (above driverSelectLimit domains) the same policy selects
       * the minimal Gumbel-rank prefix whose placeable capacity
-      * Σ min(qlen, maxQueueN) covers the batch — extending the prefix
-      * IS drawing the next-best domains, still without collecting the
-      * score vector. Off by default for reference parity; the loss is
-      * always measured (FrontierEngine.lastPopShortfall). */
+      * Σ min(qlen, budget) covers — but never exceeds — the batch
+      * (the last domain's budget is the batch remainder): extending
+      * the prefix IS drawing the next-best domains, still without
+      * collecting the score vector. Off by default for reference
+      * parity; the loss is always measured
+      * (FrontierEngine.lastPopShortfall). */
     popTopUp: Boolean = false,
     /** REDIRECT_PRIORITY_ADJUST (settings.py:33-35). */
     redirectPriorityAdjust: Int = 1,

@@ -693,16 +693,35 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
           // committed rollback unit.) The ver-keyed tombstones can
           // never catch the replacement rows: those carry a strictly
           // newer ver than anything a tombstone references.
+          // zadd at an UNCHANGED score is a visible no-op: skip both
+          // store writes for members whose incoming priority equals
+          // the stored one, or an idempotent re-push flow (login
+          // re-seeds each epoch) churns a tombstone + append pair per
+          // call that compaction then exists only to fold away
           val (oldMatched, om) = Eager.ckptObserve(
             frontier.withColumn("pkey", pkeyCol)
-              .join(broadcast(newEntries.select($"pkey")), Seq("pkey")),
-            "m" -> count(lit(1)))
+              .join(broadcast(newEntries.select($"pkey",
+                $"priority".as("_np"))), Seq("pkey")),
+            "m" -> count(when($"priority" =!= $"_np", 1)),
+            "i" -> count(when($"priority" === $"_np", 1)))
           val nOld = Eager.long(om, "m")
-          fs.appendTombstones(
-            oldMatched.select(tombKeyCol.as("pkey")), math.max(epoch, 0))
-          val (part2, nApp) = Eager.ckptCount(newEntries.drop("pkey"))
-          fs.append(part2, math.max(epoch, 0))
-          storeOpsSinceCompact += 2
+          val nIdent = Eager.long(om, "i")
+          val toAppend =
+            if (nIdent == 0L) newEntries
+            else newEntries.join(
+              broadcast(oldMatched.filter($"priority" === $"_np")
+                .select($"pkey")), Seq("pkey"), "left_anti")
+          val (part2, nApp) = Eager.ckptCount(toAppend.drop("pkey"))
+          if (nOld > 0L) {
+            fs.appendTombstones(
+              oldMatched.filter($"priority" =!= $"_np")
+                .select(tombKeyCol.as("pkey")), math.max(epoch, 0))
+            storeOpsSinceCompact += 1
+          }
+          if (nApp > 0L) {
+            fs.append(part2, math.max(epoch, 0))
+            storeOpsSinceCompact += 1
+          }
           frontierLenCount = frontierLenCount - nOld + nApp
         case None =>
           // in-memory: compact-and-rewrite (O(|frontier|) anyway);
@@ -1106,11 +1125,11 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         .select($"domain", $"best", $"qlen")
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-      val kept = gumbelPrefix(sel)
+      val kept = gumbelKept(sel)
       lastScheduleDecision = Some(ScheduleDecision(clock,
         kept.map(_._1).toIndexedSeq, kept.map(_._2.toDouble), kept.map(_._1)))
       val popped = popRankedDf(kept
-        .map { case (d, _, ql) => (d, cfg.maxQueueN, saltsFor(ql)) }
+        .map { case (d, _, ql, n) => (d, n, saltsFor(ql)) }
         .toDF("domain", "n", "salts"))
       lastPopDeferred = kept.map(_._3).sum - lastPopCount
       lastPopShortfall = gumbelShortfall(kept)
@@ -1130,41 +1149,47 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       log(-log(rand(cfg.seed + clock)))
 
   /** Driver-side prefix policy over ONE shard's Gumbel-ranked selection
-    * rows (domain, best, qlen — in rank order, batch-bounded):
+    * rows (domain, best, qlen — in rank order, batch-bounded). Returns
+    * each kept domain WITH its slot budget; budgets are capped so the
+    * drawn total never exceeds batchSize (the reference's draw counts
+    * sum to exactly the batch size — queue.py:516-553 — and the driver
+    * top-up path places exactly the batch too):
     *  - default: the top ceil(batchSize/maxQueueN) domains, each
-    *    budgeted maxQueueN (the fixed-k Gumbel batch; shallow sampled
-    *    domains silently shrink it, like the reference's pop_multi —
-    *    queue.py:455 TODO);
-    *  - cfg.popTopUp: the minimal prefix whose placeable capacity
-    *    Σ min(qlen, maxQueueN) covers batchSize — the rows are already
+    *    budgeted maxQueueN except the last, which gets the batch
+    *    remainder (shallow sampled domains silently shrink the batch,
+    *    like the reference's pop_multi — queue.py:455 TODO);
+    *  - cfg.popTopUp: the minimal prefix whose PLACEABLE capacity
+    *    Σ min(qlen, budget) covers batchSize — the rows are already
     *    rank-ordered, so extending the prefix IS drawing the
     *    next-best domains, and no domain ever exceeds its per-domain
     *    politeness budget. */
-  private def gumbelPrefix(
-      rows: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] =
-    if (!cfg.popTopUp) rows.take(gumbelK)
-    else {
-      var cap = 0L
-      val b = Vector.newBuilder[(String, Long, Long)]
-      val it = rows.iterator
-      while (cap < cfg.batchSize && it.hasNext) {
-        val r = it.next(); b += r
-        cap += math.min(r._3, cfg.maxQueueN.toLong)
-      }
-      b.result()
+  private def gumbelKept(
+      rows: Seq[(String, Long, Long)]): Seq[(String, Long, Long, Int)] = {
+    val src = if (cfg.popTopUp) rows else rows.take(gumbelK)
+    var remaining = cfg.batchSize.toLong
+    val b = Vector.newBuilder[(String, Long, Long, Int)]
+    val it = src.iterator
+    while (remaining > 0 && it.hasNext) {
+      val (d, best, ql) = it.next()
+      val budget = math.min(cfg.maxQueueN.toLong, remaining)
+      b += ((d, best, ql, budget.toInt))
+      remaining -=
+        (if (cfg.popTopUp) math.min(ql, budget) else budget)
     }
+    b.result()
+  }
 
-  /** Slots this Gumbel pop could not fill. Default policy: slots of
-    * drawn domains with fewer queued rows than maxQueueN. popTopUp:
-    * what remains of the batch after the capacity-prefix refill (> 0
-    * only when the whole shard's capacity is short); an empty shard
-    * draws nothing and loses nothing. */
-  private def gumbelShortfall(kept: Seq[(String, Long, Long)]): Long =
+  /** Slots this Gumbel pop could not fill. Default policy: budgeted
+    * slots of drawn domains with fewer queued rows than their budget.
+    * popTopUp: what remains of the batch after the capacity-prefix
+    * refill (> 0 only when the whole shard's capacity is short); an
+    * empty shard draws nothing and loses nothing. */
+  private def gumbelShortfall(kept: Seq[(String, Long, Long, Int)]): Long =
     if (kept.isEmpty) 0L
     else if (cfg.popTopUp)
       math.max(0L, cfg.batchSize.toLong -
-        kept.map(r => math.min(r._3, cfg.maxQueueN.toLong)).sum)
-    else kept.map(r => math.max(0L, cfg.maxQueueN.toLong - r._3)).sum
+        kept.map(r => math.min(r._3, r._4.toLong)).sum)
+    else kept.map(r => math.max(0L, r._4.toLong - r._3)).sum
 
   /** Redistribute batch slots lost to under-filled sampled domains
     * (drawn count > queued rows) to the highest-scored domains with
@@ -1288,15 +1313,16 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         val rows = selByShard.getOrElse(w, Array.empty[Row])
           .sortBy(_.getInt(4))
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-        val kept = gumbelPrefix(rows)
-        if (kept.nonEmpty) {
-          val d = ScheduleDecision(clock, kept.map(_._1).toIndexedSeq,
-            kept.map(_._2.toDouble), kept.map(_._1))
-          decisions += (w -> d)
-          lastScheduleDecision = Some(d)
-        }
-        kept.foreach { case (dom, _, ql) =>
-          counts += ((dom, cfg.maxQueueN, saltsFor(ql)))
+        val kept = gumbelKept(rows)
+        // empty shards log an empty decision too — the serial loop and
+        // the fused driver path both record one row per worker, and S7
+        // consumers key on worker id
+        val d = ScheduleDecision(clock, kept.map(_._1).toIndexedSeq,
+          kept.map(_._2.toDouble), kept.map(_._1))
+        decisions += (w -> d)
+        lastScheduleDecision = Some(d)
+        kept.foreach { case (dom, _, ql, n) =>
+          counts += ((dom, n, saltsFor(ql)))
           expectedDepth += ql
         }
         shortfall += gumbelShortfall(kept)
@@ -1472,9 +1498,11 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       if (frontierNorm0.columns.contains("ver")) frontierNorm0
       else frontierNorm0.withColumn("ver", lit(-1L))
     // the version counter must clear every restored ver: the manifest
-    // supplies it on resume; otherwise resync lazily from the store (in
-    // memory the replace path carries no cross-restore tombstones, so
-    // the fresh counter is safe)
+    // supplies it on resume; a reopened/migrated store resyncs lazily
+    // from the raw data; an in-memory restore syncs from the restored
+    // snapshot below (restored rows carry REAL vers, and a post-restore
+    // pop tombstone on one must never shadow a later re-push that the
+    // fresh counter re-issued the same ver to)
     knownVerBase match {
       case Some(v) =>
         verCounter = math.max(verCounter, v)
@@ -1498,6 +1526,14 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         frontierLenCount = fLen
         frontierLenSynced = true
         popTombstones = Vector.empty
+        if (knownVerBase.isEmpty && frontierNorm0.columns.contains("ver")) {
+          // one agg over the already-materialized part, restore-time only
+          val mv = fPart.agg(max($"ver")).head().get(0) match {
+            case null    => -1L
+            case l: Long => l
+          }
+          verCounter = math.max(verCounter, mv + 1L)
+        }
     }
     domainsSeenParts = Vector(ckpt(tables("domains")))
     relevanceParts = Vector(ckpt(tables("relevance")))

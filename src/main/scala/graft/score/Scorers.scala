@@ -90,7 +90,14 @@ object Scorers {
       s"weights file $path must have the shape " +
         """{"bias": <double>, "weights": {"token": <double>, ...}} — """ +
         s"missing ${if (row.isNullAt(0)) "bias" else "weights"}")
-    LinearScorer(row.getMap[String, Double](1).toMap, row.getDouble(0))
+    // fail at the load seam, not as an executor NPE at first scoring: a
+    // JSON null weight value survives the shape check as a null boxed
+    // Double inside the map
+    val w = row.getMap[String, java.lang.Double](1).toMap
+    val bad = w.collect { case (k, v) if v == null => k }
+    require(bad.isEmpty,
+      s"weights file $path has null weight values for: ${bad.mkString(", ")}")
+    LinearScorer(w.map { case (k, v) => k -> v.doubleValue }, row.getDouble(0))
   }
 }
 

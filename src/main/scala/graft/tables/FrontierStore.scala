@@ -85,6 +85,11 @@ final class FrontierStore(val spark: SparkSession, val path: String,
     }
   }
 
+  // declared before the constructor-time replay block below, which
+  // reaches it through replaySwap/replayPartCompaction
+  private val dataCols = Seq("domain", "url", "priority", "depth",
+    "parent", "login", "epoch_added", "ver")
+
   ensure()
   // an interrupted full rewrite / partial compaction left its
   // write-ahead marker: replay it before the table serves any read
@@ -107,9 +112,6 @@ final class FrontierStore(val spark: SparkSession, val path: String,
     if (domains.isEmpty) Nil
     else domains.toDF("domain").select(dbktCol($"domain").cast("int"))
       .collect().map(_.getInt(0)).toSeq.distinct
-
-  private val dataCols = Seq("domain", "url", "priority", "depth",
-    "parent", "login", "epoch_added", "ver")
 
   /** Tolerate ver-less input (migration snapshots, direct test appends):
     * a constant placeholder is safe because pkeys are unique within any
@@ -190,7 +192,10 @@ final class FrontierStore(val spark: SparkSession, val path: String,
   private def replaySwap(epoch: Int): Unit = {
     StoreLayout.withConf(spark,
       "spark.sql.sources.partitionOverwriteMode", "static") {
-      spark.read.parquet(stagePath)
+      // withVer: a stage written by a pre-`ver` binary (upgrade crash)
+      // must replay, not brick every subsequent open on a positional
+      // column-count mismatch
+      withVer(spark.read.parquet(stagePath)).select(dataCols.map(col): _*)
         .withColumn("epoch", lit(epoch))
         .withColumn("dbkt", dbktCol(col("domain")))
         .write.mode("overwrite").format("parquet").insertInto(table)
@@ -262,7 +267,7 @@ final class FrontierStore(val spark: SparkSession, val path: String,
   private def replayPartCompaction(target: Int, dbkts: Seq[Int]): Unit = {
     StoreLayout.deleteDbktDirs(Paths.get(fsPath, "data"), dbkts.toSet)
     refresh()
-    spark.read.parquet(stagePartPath)
+    withVer(spark.read.parquet(stagePartPath)).select(dataCols.map(col): _*)
       .withColumn("epoch", lit(target))
       .withColumn("dbkt", dbktCol(col("domain")))
       .write.mode("append").format("parquet").insertInto(table)

@@ -471,12 +471,12 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
       yield Req(s"http://gmb-$d.com/p/$i", priority = (i * 11 + d).toLong)))
     val pr = e.popEpochAll()
     // the score VECTOR is never collected, but the batch-bounded winner
-    // prefix is — every worker gets its S7 schedule-log decision
-    assert(pr.decisions.nonEmpty, "gumbel path must log its selections")
-    assert(pr.decisions.map(_._1).distinct.size == pr.decisions.size)
-    assert(pr.decisions.forall { case (w, d) =>
-      w >= 0 && w < 4 && d.sampledDomains.nonEmpty &&
-        d.sampledDomains.size <= 4 && // ceil(batchSize/maxQueueN)
+    // prefix is — every worker gets its S7 schedule-log decision (an
+    // empty one for an empty shard, like the serial loop)
+    assert(pr.decisions.map(_._1).sorted == Seq(0, 1, 2, 3),
+      "one decision per worker")
+    assert(pr.decisions.forall { case (_, d) =>
+      d.sampledDomains.size <= 4 && // ceil(batchSize/maxQueueN)
         d.sampledDomains == d.availableDomains &&
         d.scores.size == d.sampledDomains.size
     }, pr.decisions.toString)
@@ -498,6 +498,36 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
       .sortBy(_._1).toSeq ==
       e.domainScoresExact.as[(String, Long, Long)].collect()
         .sortBy(_._1).toSeq)
+  }
+
+  test("bare restoreState on an in-memory engine clears restored row " +
+       "versions: a post-restore pop tombstone cannot shadow a re-push " +
+       "that would otherwise re-issue the same ver") {
+    import graft.frontier.Req
+    val c = CrawlConfig(batchSize = 10, seed = 3L,
+      selection = Selection.BatchSoftmax)
+    val a = new FrontierEngine(spark, c)
+    // three separate pushes issue three distinct row versions
+    a.push(Seq(Req("http://ver-site.com/p0", priority = 1L)), epoch = 0)
+    a.push(Seq(Req("http://ver-site.com/p1", priority = 2L)), epoch = 0)
+    a.push(Seq(Req("http://ver-site.com/p2", priority = 3L)), epoch = 0)
+    val b = new FrontierEngine(spark, c)
+    b.restoreState(a.stateTables, didRestrictFlag = false, epoch = 0,
+      seq = a.currentSeq)
+    val popped = b.popEpochDf(0)
+    assert(popped.count() == 3L)
+    assert(b.len == 0L)
+    // re-issue pushes: without the restore-time ver resync these rows
+    // would receive the restored rows' versions and the pop tombstones
+    // above would anti-join them away (silent member loss)
+    for (i <- 0 until 3)
+      b.pushBatch(
+        Seq((s"http://ver-site.com/p$i", (10 + i).toLong, 0,
+          null: Array[Byte])).toDF("url", "priority", "depth", "parent"),
+        epoch = 1, assumeFresh = true)
+    assert(b.len == 3L, s"len=${b.len}")
+    assert(b.len == b.lenExact,
+      "re-pushed members must be visible (no tombstone shadowing)")
   }
 
   test("popTopUp refills the batch on the distributed Gumbel path too, " +
@@ -542,6 +572,23 @@ class EpochScaleSpec extends AnyFunSuite with SparkSuite {
       "both shards' capacity prefixes must drain the whole fixture")
     assert(e3.lastPopShortfall > 0L)
     assert(e3.len == e3.lenExact)
+    // capacity-RICH uneven fixture: the prefix must stop at EXACTLY
+    // batchSize — extending by whole maxQueueN budgets would overshoot
+    // (qlens 5,5,5,5,5,20 place 35 > 30 without the budget cap)
+    val e4 = new FrontierEngine(spark,
+      CrawlConfig(selection = Selection.BatchSoftmax, batchSize = 30,
+        concurrentPerDomain = 20, seed = 11L, popTopUp = true,
+        nWorkers = 1, driverSelectLimit = 3))
+    e4.push(
+      (for { d <- 0 until 5; i <- 0 until 5 }
+        yield Req(s"http://five-$d.com/p/$i", priority = i.toLong)) ++
+      (0 until 20).map(i => Req(s"http://big.com/p/$i",
+        priority = i.toLong)))
+    val popped4 = e4.popEpochDf(0)
+    assert(popped4.count() == 30L,
+      s"batch must be exactly batchSize, got ${popped4.count()}")
+    assert(e4.lastPopShortfall == 0L)
+    assert(e4.len == e4.lenExact)
   }
 
   test("workerRpms: outer-aligned, zero-filled, with the <all> sum") {

@@ -199,6 +199,34 @@ class FrontierStoreSpec extends AnyFunSuite with SparkSuite {
     assert(e.lenExact == 1)
   }
 
+  test("store-mode idempotent re-push at an unchanged priority is a " +
+       "no-op: no tombstone or append churn") {
+    val dir = Files.createTempDirectory("graft-fsident").toString
+    val cfg = CrawlConfig(batchSize = 10, seed = 3L,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 8,
+      frontierStoreBuckets = 4)
+    val e = new FrontierEngine(spark, cfg)
+    def pushSame(): Unit = e.push(
+      Seq(Req("http://ident-site.com/a", priority = 10L)), epoch = 5)
+    pushSame(); pushSame(); pushSame()
+    val fs = e.frontierStore.get
+    assert(fs.df.count() == 1L,
+      "re-pushing an identical member must not append new physical rows")
+    assert(fs.tombstones.count() == 0L,
+      "re-pushing an identical member must not write tombstones")
+    val rows = e.stateTables("frontier")
+      .select("url", "priority").as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("http://ident-site.com/a", 10L)))
+    assert(e.len == 1)
+    assert(e.lenExact == 1)
+    // and a REAL score change still replaces
+    e.push(Seq(Req("http://ident-site.com/a", priority = 25L)), epoch = 5)
+    val rows2 = e.stateTables("frontier")
+      .select("url", "priority").as[(String, Long)].collect().toSeq
+    assert(rows2 == Seq(("http://ident-site.com/a", 25L)))
+    assert(e.lenExact == 1)
+  }
+
   test("same-epoch A->B->A replace at a reused priority keeps the " +
        "member (tombstone keys are unique per physical row)") {
     val dir = Files.createTempDirectory("graft-fsaba").toString

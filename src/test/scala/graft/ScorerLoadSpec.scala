@@ -58,4 +58,16 @@ class ScorerLoadSpec extends AnyFunSuite with SparkSuite {
     assert(secondEpochUrl(flipped) == "http://w-site.com/b",
       "flipped weights must flip the crawl order")
   }
+
+  test("a null weight value fails at the load seam, naming the token") {
+    val dir = Files.createTempDirectory("graft-badweights")
+    val wf = dir.resolve("weights.json")
+    Files.writeString(wf,
+      """{"bias": 0.5, "weights": {"ok": 1.0, "broken": null}}""")
+    val ex = intercept[IllegalArgumentException] {
+      Scorers.linearFromJson(spark, wf.toString)
+    }
+    assert(ex.getMessage.contains("broken"),
+      s"error must name the offending token: ${ex.getMessage}")
+  }
 }
