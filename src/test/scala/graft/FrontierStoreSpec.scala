@@ -434,6 +434,48 @@ class FrontierStoreSpec extends AnyFunSuite with SparkSuite {
       java.nio.file.Paths.get(s"$dir/frontier/_part_compact_pending")))
   }
 
+  test("a staged swap written WITHOUT the ver column (upgrade crash) " +
+       "replays instead of bricking every subsequent open") {
+    val dir = Files.createTempDirectory("graft-fsnover").toString
+    val cfg = CrawlConfig(batchSize = 4, seed = 5L,
+      frontierStorePath = s"$dir/frontier", frontierStoreDbuckets = 8,
+      frontierStoreBuckets = 4)
+    val e = new FrontierEngine(spark, cfg)
+    e.push((0 until 6).map(i =>
+      Req(s"http://nv-$i.com/p", priority = i.toLong)))
+    val rowsBefore = e.stateTables("frontier").select("url")
+      .as[String].collect().sorted.toSeq
+    // stage the visible frontier WITHOUT ver (a pre-`ver` binary's
+    // layout), write the swap marker, then tear the data dirs — a crash
+    // right after the marker during a binary upgrade
+    e.stateTables("frontier")
+      .select("domain", "url", "priority", "depth", "parent", "login",
+        "epoch_added")
+      .write.mode("overwrite").parquet(s"$dir/frontier/stage_tmp")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/frontier/_swap_pending"), "0")
+    def rm(f: java.io.File): Unit = {
+      val fs0 = f.listFiles
+      if (fs0 != null) fs0.foreach(rm)
+      f.delete(): Unit
+    }
+    new java.io.File(s"$dir/frontier/data").listFiles
+      .filter(_.getName.startsWith("epoch=")).foreach(rm)
+    val e2 = new FrontierEngine(spark, cfg)
+    assert(e2.stateTables("frontier").select("url")
+      .as[String].collect().sorted.toSeq == rowsBefore)
+    assert(e2.lenExact == 6L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/frontier/_swap_pending")))
+    // and the replayed store still accepts versioned pushes + pops
+    e2.push(Seq(Req("http://nv-0.com/p", priority = 99L)))
+    assert(e2.lenExact == 6L)
+    val popped = e2.popEpochDf(0).count()
+    assert(popped + e2.lastPopShortfall == 4L,
+      s"popped=$popped shortfall=${e2.lastPopShortfall}")
+    assert(e2.len == e2.lenExact)
+  }
+
   test("on-disk bucket counts are authoritative; a fresh engine over " +
        "an existing store resumes the visible frontier") {
     val dir = Files.createTempDirectory("graft-fsreuse").toString
