@@ -51,7 +51,10 @@ object CrawlMain {
       resetDepth = flag("reset-depth"),
       autologinEnabled = flag("autologin"),
       robotsEnabled = flag("robots"),
-      bloomPrefilter = flag("bloom"),
+      // --bloom enables the seen pre-filter; --seen-filter bloom|cuckoo
+      // picks the family (cuckoo: deletion support, ~100× lower fp rate)
+      bloomPrefilter = flag("bloom") || a.contains("seen-filter"),
+      seenFilterKind = a.getOrElse("seen-filter", "bloom"),
       pagesBuckets = a.getOrElse("buckets", "0").toInt,
       domainStateLog = flag("domain-state"),
       // --seen-store: fp-bucketed persistent seen history (defaults to

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.frontier.{BloomSeen, CrawlConfig, FrontierEngine, QueueSelector, Selection}
+import graft.frontier.{BloomSeen, CrawlConfig, CuckooSeen, FrontierEngine, QueueSelector, Selection}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
 import graft.urlops.{UrlFunctions => UF}
 
@@ -225,6 +225,21 @@ object SparkEntry {
       val bloom = BloomSeen.build(seen, "fp", k = 8,
         expectedPerPartition = 4096)
       BloomSeen.dedupExact(fps.select($"fp"), seen, bloom)
+        .orderBy($"fp")
+    }),
+
+    // --- A1 (second filter family): cuckoo-prefiltered exact dedup ==
+    // plain anti-join. Same exactness contract as q18 — the filter only
+    // routes rows to the exact join — with deletion support and ~100×
+    // lower false-positive rate (Fan et al., CoNEXT 2014). ---------------------
+    "q34_cuckoo_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val fps = t(s, dir, "documents")
+        .select(md5($"text").as("fp"), $"doc_id")
+      val seen = fps.filter($"doc_id" % 2 === 0).select($"fp").distinct()
+      val cuckoo = CuckooSeen.build(seen, "fp", k = 8,
+        expectedPerPartition = 4096)
+      CuckooSeen.dedupExact(fps.select($"fp"), seen, cuckoo)
         .orderBy($"fp")
     }),
 
@@ -527,6 +542,11 @@ object SparkEntry {
            FROM embeddings e, q) t
          WHERE rank <= 10 ORDER BY rank""",
     "q18_bloom_dedup" ->
+      """SELECT md5(text) AS fp FROM documents
+         WHERE md5(text) NOT IN
+           (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+         ORDER BY fp""",
+    "q34_cuckoo_dedup" ->
       """SELECT md5(text) AS fp FROM documents
          WHERE md5(text) NOT IN
            (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)

@@ -58,8 +58,10 @@ object Checkpoint {
       .filterNot(t => t == "seen" && engine.seenStore.nonEmpty)
       .filterNot(t => t == "frontier" && engine.frontierStore.nonEmpty)
     toWrite.foreach(t => TableIO.writeSnapshot(tables(t), root, t, epoch))
-    engine.bloom.foreach(b => graft.frontier.BloomSeen.save(
-      engine.spark, b, TableIO.epochDir(root, "bloom", epoch)))
+    // dir name stays "bloom" for checkpoint back-compat; the parquet's
+    // `kind` column records which filter family (bloom/cuckoo) is inside
+    engine.seenFilter.foreach(f => graft.frontier.SeenFilters.save(
+      engine.spark, f, TableIO.epochDir(root, "bloom", epoch)))
     val json = new StringBuilder()
       .append("{\"epoch\":").append(epoch)
       .append(",\"did_restrict\":").append(engine.didRestrict)
@@ -160,7 +162,7 @@ object Checkpoint {
         knownSeenCount = m.totals.get("seen"),
         knownVerBase = if (m.ver >= 0L) Some(m.ver) else None)
       if (engine.cfg.bloomPrefilter)
-        engine.bloom = Some(graft.frontier.BloomSeen.load(
+        engine.seenFilter = Some(graft.frontier.SeenFilters.load(
           spark, TableIO.epochDir(root, "bloom", m.epoch)))
       m
     }

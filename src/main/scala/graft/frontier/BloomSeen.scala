@@ -32,7 +32,7 @@ object BloomSeen {
     math.floorMod(fp.hashCode, k)
 
   final class PartitionedBloom(val filters: Array[BloomFilter])
-      extends Serializable {
+      extends SeenFilter {
     def mightContain(fp: String): Boolean =
       filters(bucketOf(fp, filters.length)).mightContainString(fp)
     def put(fp: String): Unit =
@@ -40,6 +40,11 @@ object BloomSeen {
     def merge(other: PartitionedBloom): PartitionedBloom = {
       filters.zip(other.filters).foreach { case (a, b) => a.mergeInPlace(b) }
       this
+    }
+    def mergeWith(other: SeenFilter): SeenFilter = other match {
+      case b: PartitionedBloom => merge(b)
+      case _ => throw new IllegalArgumentException(
+        "cannot merge a bloom filter with a different filter kind")
     }
   }
 

@@ -62,11 +62,18 @@ final case class CrawlConfig(
     /** Obey per-host robots.txt disallow rules (north-star capability;
       * the reference never enables ROBOTSTXT_OBEY — SURVEY.md §7.5). */
     robotsEnabled: Boolean = false,
-    /** Maintain a partitioned Bloom filter over seen fingerprints and
+    /** Maintain a partitioned seen-set filter over seen fingerprints and
       * use it as an exactness-preserving pre-filter in dedup (A1 scale
       * path; SURVEY.md §7.4.3). */
     bloomPrefilter: Boolean = false,
-    /** Bloom partition count and per-partition capacity (sized so one
+    /** Which filter family backs the prefilter when `bloomPrefilter` is
+      * on: "bloom" (Spark sketch BloomFilter — cheapest bits/entry) or
+      * "cuckoo" (4-slot 16-bit-tag cuckoo filter — ~100× lower
+      * false-positive rate, supports deletion). Both are
+      * exactness-preserving: decisions never change, only how many rows
+      * reach the exact anti-join. */
+    seenFilterKind: String = "bloom",
+    /** Filter partition count and per-partition capacity (sized so one
       * partition's bitset stays comfortably broadcastable). */
     bloomPartitions: Int = 16,
     bloomExpectedPerPartition: Long = 1L << 22,

@@ -1,0 +1,273 @@
+package graft.frontier
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+
+/** Partitioned cuckoo filter over the URL-seen fingerprint set — the
+  * second filter family the north star names ("partitioned Bloom/cuckoo
+  * filters"); reference semantics: Redis SADD membership,
+  * dd_crawler/dupefilter.py:8-21.
+  *
+  * Design follows the public cuckoo-filter construction (Fan, Andersen,
+  * Kaminsky, Mitzenmacher, CoNEXT 2014): buckets of 4 slots holding
+  * 16-bit fingerprints ("tags"), partial-key cuckoo hashing
+  * (`i2 = i1 XOR hash(tag)`), bounded eviction chains. Two deltas keep
+  * the engine's exactness contract and Spark mergeability:
+  *
+  *  - NO FALSE NEGATIVES, ever: an insert whose eviction chain exceeds
+  *    MaxKicks lands in a small counting overflow map instead of being
+  *    dropped — membership stays a superset of the inserted multiset.
+  *  - mergeable: a stored tag's bucket index is always one of the
+  *    item's two legal indices, so a same-shape filter merges by
+  *    re-inserting each (bucket, tag) pair; `treeAggregate` combine
+  *    order only changes the physical layout, never membership.
+  *
+  * vs Bloom: ~19 bits/entry at 84% load (Bloom ≈ 9.6 at fpp 1e-2) but a
+  * ~100× lower false-positive rate (≈ 2·4/2^16 ≈ 1.2e-4) — fewer rows
+  * routed to the exact anti-join — and it supports DELETION of
+  * previously-inserted fingerprints, which Bloom structurally cannot
+  * (the hook for future seen-set pruning, e.g. recrawl-after-expiry).
+  * Deleting an fp that was never inserted is a caller error (standard
+  * cuckoo-filter caveat: it may remove another item's copy).
+  */
+object CuckooSeen {
+
+  private val SlotsPerBucket = 4
+  private val MaxKicks = 500
+  /** Target load factor; 4-slot buckets stay kick-cheap well past this. */
+  private val TargetLoad = 0.84
+
+  private def nextPow2(n: Long): Int = {
+    var p = 16L
+    while (p < n) p <<= 1
+    require(p <= (1L << 30), s"cuckoo table too large: $n")
+    p.toInt
+  }
+
+  /** FNV-1a 64-bit over the fingerprint's UTF-8 bytes. */
+  private def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** One partition's table: numBuckets × 4 slots of 16-bit tags (0 =
+    * empty; real tags are 1..65535) + a counting overflow map keyed by
+    * (bucket, tag) for chains that exceed MaxKicks. */
+  final class CuckooTable(val numBuckets: Int) extends Serializable {
+    require(Integer.bitCount(numBuckets) == 1, "numBuckets must be 2^k")
+    private val mask = numBuckets - 1
+    val slots = new Array[Short](numBuckets * SlotsPerBucket)
+    val overflow = mutable.HashMap.empty[Long, Int]
+    // deterministic xorshift for victim choice — keeps same-seed runs
+    // byte-reproducible (layout only; membership is order-independent)
+    private var rngState: Long = 0x9e3779b97f4a7c15L
+
+    private def nextRand(bound: Int): Int = {
+      rngState ^= rngState << 13
+      rngState ^= rngState >>> 7
+      rngState ^= rngState << 17
+      math.floorMod(rngState, bound).toInt
+    }
+
+    private def tagOf(h: Long): Short = {
+      val t = ((h >>> 48) & 0xffffL).toInt
+      (if (t == 0) 1 else t).toShort
+    }
+    private def indexOf(h: Long): Int = (h & mask).toInt
+    /** Partial-key alternate index (Fan et al. §3.1): xor with a
+      * mixed tag so i2's distribution is uniform even for 16-bit tags. */
+    private def altIndex(i: Int, tag: Short): Int =
+      i ^ (((tag & 0xffff) * 0x5bd1e995) & mask)
+    private def pack(i: Int, tag: Short): Long =
+      (i.toLong << 16) | (tag & 0xffffL)
+
+    private def tryPut(bucket: Int, tag: Short): Boolean = {
+      val base = bucket * SlotsPerBucket
+      var s = 0
+      while (s < SlotsPerBucket) {
+        if (slots(base + s) == 0) { slots(base + s) = tag; return true }
+        s += 1
+      }
+      false
+    }
+
+    private def bucketHas(bucket: Int, tag: Short): Boolean = {
+      val base = bucket * SlotsPerBucket
+      var s = 0
+      while (s < SlotsPerBucket) {
+        if (slots(base + s) == tag) return true
+        s += 1
+      }
+      false
+    }
+
+    private def bucketRemove(bucket: Int, tag: Short): Boolean = {
+      val base = bucket * SlotsPerBucket
+      var s = 0
+      while (s < SlotsPerBucket) {
+        if (slots(base + s) == tag) { slots(base + s) = 0; return true }
+        s += 1
+      }
+      false
+    }
+
+    /** Insert a (bucket, tag) pair; bucket must be one of the tag's two
+      * legal indices (true for fresh hashes AND for merged slots). */
+    def insertTag(i: Int, tag: Short): Unit = {
+      if (tryPut(i, tag)) return
+      val i2 = altIndex(i, tag)
+      if (tryPut(i2, tag)) return
+      var cur = if (nextRand(2) == 0) i else i2
+      var t = tag
+      var kicks = 0
+      while (kicks < MaxKicks) {
+        val slot = cur * SlotsPerBucket + nextRand(SlotsPerBucket)
+        val victim = slots(slot)
+        slots(slot) = t
+        t = victim
+        cur = altIndex(cur, t)
+        if (tryPut(cur, t)) return
+        kicks += 1
+      }
+      val key = pack(cur, t)
+      overflow.update(key, overflow.getOrElse(key, 0) + 1)
+    }
+
+    def insert(fp: String): Unit = {
+      val h = hash64(fp)
+      insertTag(indexOf(h), tagOf(h))
+    }
+
+    def contains(fp: String): Boolean = {
+      val h = hash64(fp)
+      val tag = tagOf(h)
+      val i1 = indexOf(h)
+      val i2 = altIndex(i1, tag)
+      bucketHas(i1, tag) || bucketHas(i2, tag) ||
+        overflow.contains(pack(i1, tag)) || overflow.contains(pack(i2, tag))
+    }
+
+    /** Remove ONE copy of a previously-inserted fingerprint; returns
+      * whether a copy was found. */
+    def remove(fp: String): Boolean = {
+      val h = hash64(fp)
+      val tag = tagOf(h)
+      val i1 = indexOf(h)
+      val i2 = altIndex(i1, tag)
+      if (bucketRemove(i1, tag) || bucketRemove(i2, tag)) return true
+      Seq(pack(i1, tag), pack(i2, tag)).exists { key =>
+        overflow.get(key) match {
+          case Some(n) =>
+            if (n <= 1) overflow.remove(key) else overflow.update(key, n - 1)
+            true
+          case None => false
+        }
+      }
+    }
+
+    /** In-place merge of a same-shape table: re-insert each of its
+      * stored (bucket, tag) pairs and overflow entries. */
+    def mergeInPlace(other: CuckooTable): CuckooTable = {
+      require(other.numBuckets == numBuckets,
+        s"cuckoo shape mismatch: $numBuckets vs ${other.numBuckets}")
+      var idx = 0
+      while (idx < other.slots.length) {
+        val tag = other.slots(idx)
+        if (tag != 0) insertTag(idx / SlotsPerBucket, tag)
+        idx += 1
+      }
+      other.overflow.foreach { case (key, n) =>
+        val bucket = (key >>> 16).toInt
+        val tag = (key & 0xffffL).toShort
+        var c = 0
+        while (c < n) { insertTag(bucket, tag); c += 1 }
+      }
+      this
+    }
+
+    def occupied: Int = {
+      var n = 0; var i = 0
+      while (i < slots.length) { if (slots(i) != 0) n += 1; i += 1 }
+      n + overflow.valuesIterator.sum
+    }
+    def overflowed: Int = overflow.valuesIterator.sum
+  }
+
+  /** k tables indexed by the same stable partition hash the Bloom uses,
+    * so a given fp always lands in the same partition whichever filter
+    * family is configured. */
+  final class PartitionedCuckoo(val tables: Array[CuckooTable])
+      extends SeenFilter {
+    def mightContain(fp: String): Boolean =
+      tables(BloomSeen.bucketOf(fp, tables.length)).contains(fp)
+    def put(fp: String): Unit =
+      tables(BloomSeen.bucketOf(fp, tables.length)).insert(fp)
+    def remove(fp: String): Boolean =
+      tables(BloomSeen.bucketOf(fp, tables.length)).remove(fp)
+    def mergeWith(other: SeenFilter): SeenFilter = other match {
+      case c: PartitionedCuckoo =>
+        require(c.tables.length == tables.length, "partition count mismatch")
+        tables.zip(c.tables).foreach { case (a, b) => a.mergeInPlace(b) }
+        this
+      case _ => throw new IllegalArgumentException(
+        "cannot merge a cuckoo filter with a different filter kind")
+    }
+  }
+
+  def empty(k: Int, expectedPerPartition: Long): PartitionedCuckoo = {
+    val buckets = nextPow2(math.ceil(
+      math.max(expectedPerPartition, 64L) / (SlotsPerBucket * TargetLoad)).toLong)
+    new PartitionedCuckoo(Array.fill(k)(new CuckooTable(buckets)))
+  }
+
+  /** Build from a fingerprint column with one treeAggregate pass. */
+  def build(seen: DataFrame, fpCol: String, k: Int = 16,
+            expectedPerPartition: Long = 1 << 20): PartitionedCuckoo = {
+    import seen.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    seen.select(col(fpCol)).as[String].rdd.treeAggregate(
+      empty(k, expectedPerPartition))(
+      seqOp = (t, fp) => { t.put(fp); t },
+      combOp = (a, b) => a.mergeWith(b).asInstanceOf[PartitionedCuckoo])
+  }
+
+  /** Exact dedup with the cuckoo fast path (mirror of
+    * [[BloomSeen.dedupExact]]): candidates whose fp is certainly not in
+    * `seen`. */
+  def dedupExact(cand: DataFrame, seen: DataFrame,
+                 cuckoo: PartitionedCuckoo): DataFrame = {
+    val (maybe, fresh) = SeenFilters.prefilter(cand, cuckoo)
+    maybe.join(seen, Seq("fp"), "left_anti").unionByName(fresh)
+  }
+
+  // --- checkpoint byte form ----------------------------------------------------
+
+  def toBytes(t: CuckooTable): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(t.numBuckets)
+    t.slots.foreach(out.writeShort(_))
+    out.writeInt(t.overflow.size)
+    t.overflow.foreach { case (k, n) => out.writeLong(k); out.writeInt(n) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(b: Array[Byte]): CuckooTable = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+    val t = new CuckooTable(in.readInt())
+    var i = 0
+    while (i < t.slots.length) { t.slots(i) = in.readShort(); i += 1 }
+    val nOv = in.readInt()
+    var j = 0
+    while (j < nOv) { t.overflow.update(in.readLong(), in.readInt()); j += 1 }
+    t
+  }
+}

@@ -815,13 +815,24 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
   // --- dedup (dupefilter.py:8-21) --------------------------------------------
 
-  /** Partitioned Bloom over seen fingerprints (A1 scale path); None
-    * unless cfg.bloomPrefilter. */
-  var bloom: Option[BloomSeen.PartitionedBloom] =
+  /** Partitioned seen filter — Bloom or cuckoo per cfg.seenFilterKind —
+    * over seen fingerprints (A1 scale path); None unless
+    * cfg.bloomPrefilter. Both kinds are exactness-preserving
+    * pre-filters (no false negatives), so every dedup decision below
+    * is identical whichever is configured. */
+  var seenFilter: Option[SeenFilter] =
     if (cfg.bloomPrefilter)
-      Some(BloomSeen.empty(cfg.bloomPartitions,
+      Some(SeenFilters.empty(cfg.seenFilterKind, cfg.bloomPartitions,
         cfg.bloomExpectedPerPartition, 0.01))
     else None
+
+  /** Build an incremental filter of `df`'s fps SHAPED LIKE `f` — keyed
+    * off the live filter's kind, not cfg, so a checkpoint resumed under
+    * a changed seenFilterKind keeps merging compatibly until the next
+    * full rebuild. */
+  private def buildFilterLike(f: SeenFilter, df: DataFrame): SeenFilter =
+    SeenFilters.build(df, "fp", SeenFilters.kindOf(f),
+      cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01)
 
   // A fresh engine over an existing persistent store must resume its
   // seen count AND its Bloom: an empty Bloom over a non-empty history
@@ -845,7 +856,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       val st = seenStore.get
       seenCounter = st.count()
       if (cfg.bloomPrefilter && seenCounter > 0)
-        bloom = Some(BloomSeen.build(st.df, "fp",
+        seenFilter = Some(SeenFilters.build(st.df, "fp", cfg.seenFilterKind,
           cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01))
     }
   // likewise for a fresh engine over an existing frontier store: resume
@@ -887,9 +898,9 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       .groupBy($"fp")
       .agg(min(struct(ordered.map(col): _*)).as("_s"))
       .select(col("fp") +: payload.map(c => col(s"_s.$c").as(c)): _*)
-    bloom match {
+    seenFilter match {
       case Some(b) =>
-        val (maybeSeen0, fresh) = BloomSeen.prefilter(batchUnique, b)
+        val (maybeSeen0, fresh) = SeenFilters.prefilter(batchUnique, b)
         val maybeSeen = maybeSeen0.localCheckpoint(true)
         // Slim the anti-join's RIGHT side too: a Bloom of the batch's
         // maybe-seen fps filters the seen history before the join, so the
@@ -914,11 +925,10 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     lastDedupUnseen = nUnseen
     // append-only: checkpoint just the increment, never rewrite history
     appendSeen(unseen.select("fp"), clock)
-    bloom = bloom.map { b =>
+    seenFilter = seenFilter.map { b =>
       // fold the batch's new fps in with one treeAggregate (sizes match
-      // the engine's filters, so mergeInPlace is compatible)
-      b.merge(BloomSeen.build(unseen.select("fp"), "fp",
-        cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01))
+      // the engine's filters, so the in-place merge is compatible)
+      b.mergeWith(buildFilterLike(b, unseen.select("fp")))
     }
     // a caller that never passed `login` gets its own columns back
     if (hadLogin) unseen.drop("fp") else unseen.drop("fp", "login")
@@ -956,8 +966,8 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     appendSeen(part.select("fp"), epoch)
     appendFrontier(part.drop("fp"), epoch)
     maybeCompactFrontier()
-    bloom = bloom.map(_.merge(BloomSeen.build(part.select("fp"), "fp",
-      cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01)))
+    seenFilter = seenFilter.map(b =>
+      b.mergeWith(buildFilterLike(b, part.select("fp"))))
     part.drop("fp", "ver")
   }
 
@@ -1560,14 +1570,15 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     seqCounter = seq
     knownDomainCount = domainsSeen.count()
     invalidateScores() // rebuild the master score table from the snapshot
-    // an empty Bloom would classify every candidate as definitely-new and
+    // an empty filter would classify every candidate as definitely-new and
     // skip the exact anti-join — rebuild it from the restored seen set so
     // dedup exactness cannot be violated by a bare restoreState. Callers
-    // holding a checkpointed Bloom (Checkpoint.resume) pass
+    // holding a checkpointed filter (Checkpoint.resume) pass
     // rebuildBloom=false and load theirs instead of paying the rebuild.
     if (cfg.bloomPrefilter && rebuildBloom)
-      bloom = Some(BloomSeen.build(seenDf.select("fp"), "fp",
-        cfg.bloomPartitions, cfg.bloomExpectedPerPartition, 0.01))
+      seenFilter = Some(SeenFilters.build(seenDf.select("fp"), "fp",
+        cfg.seenFilterKind, cfg.bloomPartitions,
+        cfg.bloomExpectedPerPartition, 0.01))
   }
 
   def currentSeq: Long = seqCounter

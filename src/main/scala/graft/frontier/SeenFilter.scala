@@ -1,0 +1,102 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Common contract of the exactness-preserving URL-seen pre-filters
+  * (north-star A1: "partitioned Bloom/cuckoo filters, treeAggregate-
+  * merged, checkpointed"). Implementations: [[BloomSeen.PartitionedBloom]]
+  * and [[CuckooSeen.PartitionedCuckoo]].
+  *
+  * The contract the engine relies on is NO FALSE NEGATIVES: an fp that
+  * was `put` (or present in the DataFrame a filter was built from) must
+  * always report `mightContain == true`. False positives are allowed —
+  * they only route rows to the exact anti-join, never change decisions.
+  */
+trait SeenFilter extends Serializable {
+  def mightContain(fp: String): Boolean
+  def put(fp: String): Unit
+  /** In-place merge with a same-kind, same-shape filter; returns this. */
+  def mergeWith(other: SeenFilter): SeenFilter
+}
+
+/** Kind-dispatched construction, build, prefilter and checkpoint I/O for
+  * [[SeenFilter]]s, so `FrontierEngine`/`Checkpoint` stay agnostic of
+  * which filter family `cfg.seenFilterKind` selects.
+  */
+object SeenFilters {
+
+  val Bloom = "bloom"
+  val Cuckoo = "cuckoo"
+
+  def kindOf(f: SeenFilter): String = f match {
+    case _: BloomSeen.PartitionedBloom    => Bloom
+    case _: CuckooSeen.PartitionedCuckoo  => Cuckoo
+  }
+
+  def empty(kind: String, k: Int, expectedPerPartition: Long,
+            fpp: Double = 0.01): SeenFilter = kind match {
+    case Bloom  => BloomSeen.empty(k, expectedPerPartition, fpp)
+    case Cuckoo => CuckooSeen.empty(k, expectedPerPartition)
+    case other  => throw new IllegalArgumentException(
+      s"unknown seenFilterKind '$other' (expected bloom|cuckoo)")
+  }
+
+  /** Build from a fingerprint column with one treeAggregate pass (no
+    * shuffle; partials merge log-tree-wise) — both families merge
+    * order-independently for membership purposes. */
+  def build(seen: DataFrame, fpCol: String, kind: String, k: Int,
+            expectedPerPartition: Long, fpp: Double = 0.01): SeenFilter = {
+    import seen.sparkSession.implicits._
+    seen.select(col(fpCol)).as[String].rdd.treeAggregate(
+      empty(kind, k, expectedPerPartition, fpp))(
+      seqOp = (f, fp) => { f.put(fp); f },
+      combOp = (a, b) => a.mergeWith(b))
+  }
+
+  /** Split candidates (must carry `fp`) into (maybeSeen, definitelyNew).
+    * Exact usage: `maybeSeen.join(seen, "fp", "left_anti") ∪ definitelyNew`. */
+  def prefilter(cand: DataFrame, f: SeenFilter): (DataFrame, DataFrame) = {
+    val bc = cand.sparkSession.sparkContext.broadcast(f)
+    val hit = udf((fp: String) => bc.value.mightContain(fp))
+    (cand.filter(hit(col("fp"))), cand.filter(!hit(col("fp"))))
+  }
+
+  // --- checkpoint form: (partition_id, kind, bits) parquet --------------------
+
+  def save(spark: SparkSession, f: SeenFilter, path: String): Unit = {
+    import spark.implicits._
+    val rows: Seq[(Int, String, Array[Byte])] = f match {
+      case b: BloomSeen.PartitionedBloom =>
+        b.filters.zipWithIndex.map { case (bf, i) =>
+          (i, Bloom, BloomSeen.toBytes(bf)) }.toSeq
+      case c: CuckooSeen.PartitionedCuckoo =>
+        c.tables.zipWithIndex.map { case (t, i) =>
+          (i, Cuckoo, CuckooSeen.toBytes(t)) }.toSeq
+    }
+    rows.toDF("partition_id", "kind", "bits")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a checkpointed filter; tables written by pre-kind versions of
+    * [[BloomSeen.save]] (no `kind` column) load as Bloom. */
+  def load(spark: SparkSession, path: String): SeenFilter = {
+    val df = spark.read.parquet(path)
+    val hasKind = df.columns.contains("kind")
+    val rows = df.collect().map { r =>
+      (r.getAs[Int]("partition_id"),
+       if (hasKind) r.getAs[String]("kind") else Bloom,
+       r.getAs[Array[Byte]]("bits"))
+    }.sortBy(_._1)
+    require(rows.nonEmpty, s"empty seen-filter checkpoint at $path")
+    rows.head._2 match {
+      case Bloom =>
+        new BloomSeen.PartitionedBloom(rows.map(r => BloomSeen.fromBytes(r._3)))
+      case Cuckoo =>
+        new CuckooSeen.PartitionedCuckoo(rows.map(r => CuckooSeen.fromBytes(r._3)))
+      case other => throw new IllegalArgumentException(
+        s"unknown filter kind '$other' in checkpoint at $path")
+    }
+  }
+}

@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.frontier.{BloomSeen, CrawlConfig, CuckooSeen, FrontierEngine,
+  SeenFilters, Selection}
+
+/** Cuckoo-filter seen-set pre-filter (north-star A1 "Bloom/cuckoo"):
+  * no-false-negative contract (incl. under forced overflow), deletion,
+  * order-independent merge, treeAggregate build, checkpoint roundtrip,
+  * and engine-level dedup equality vs Bloom vs exact.
+  */
+class CuckooSeenSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("cuckoo: no false negatives at target load") {
+    val c = CuckooSeen.empty(k = 4, expectedPerPartition = 4096)
+    val fps = (0 until 4 * 4000).map(i => s"sha1-of-url-$i")
+    fps.foreach(c.put)
+    assert(fps.forall(c.mightContain),
+      "a previously-inserted fp reported absent")
+  }
+
+  test("cuckoo: overflow beyond capacity keeps the no-false-negative " +
+       "contract") {
+    // expected=64 -> tiny tables; insert 40x capacity so eviction chains
+    // must exhaust and spill to the counting overflow map
+    val c = CuckooSeen.empty(k = 1, expectedPerPartition = 64)
+    val fps = (0 until 5000).map(i => s"overflow-$i")
+    fps.foreach(c.put)
+    assert(c.tables(0).overflowed > 0, "test did not exercise overflow")
+    assert(fps.forall(c.mightContain))
+  }
+
+  test("cuckoo: false-positive rate is far below bloom's 1%") {
+    val c = CuckooSeen.empty(k = 4, expectedPerPartition = 4096)
+    (0 until 12000).foreach(i => c.put(s"member-$i"))
+    val probes = (0 until 50000).map(i => s"non-member-$i")
+    val fpRate = probes.count(c.mightContain).toDouble / probes.size
+    // theory: 2*4/2^16 ~= 1.2e-4; allow generous slack
+    assert(fpRate < 0.002, s"fp rate $fpRate")
+  }
+
+  test("cuckoo: deletes previously-inserted fps; multiset copies " +
+       "survive a single delete") {
+    val c = CuckooSeen.empty(k = 2, expectedPerPartition = 1024)
+    val keep = (0 until 500).map(i => s"keep-$i")
+    val drop = (0 until 500).map(i => s"drop-$i")
+    (keep ++ drop).foreach(c.put)
+    drop.foreach(fp => assert(c.remove(fp), s"remove($fp) found nothing"))
+    // exactness contract is one-sided: kept members must ALL remain
+    assert(keep.forall(c.mightContain))
+    // deleted fps are gone up to the (tiny) false-positive rate
+    val stillThere = drop.count(c.mightContain)
+    assert(stillThere <= 5, s"$stillThere of 500 deleted fps still hit")
+    // multiset: two inserts need two removes
+    c.put("twice"); c.put("twice")
+    assert(c.remove("twice") && c.mightContain("twice"))
+    assert(c.remove("twice") && !c.mightContain("twice"))
+    assert(!c.remove("twice"))
+  }
+
+  test("cuckoo: delete also finds fps that landed in overflow") {
+    val c = CuckooSeen.empty(k = 1, expectedPerPartition = 64)
+    val fps = (0 until 3000).map(i => s"ovf-del-$i")
+    fps.foreach(c.put)
+    assert(c.tables(0).overflowed > 0)
+    fps.foreach(fp => assert(c.remove(fp)))
+    assert(c.tables(0).occupied == 0, "all copies removed -> table empty")
+  }
+
+  test("cuckoo: merge of same-shape filters is membership union, " +
+       "independent of merge order") {
+    def mk(range: Range, label: String) = {
+      val c = CuckooSeen.empty(k = 2, expectedPerPartition = 2048)
+      range.foreach(i => c.put(s"$label-$i"))
+      c
+    }
+    val ab = mk(0 until 3000, "a").mergeWith(mk(0 until 3000, "b"))
+    val ba = mk(0 until 3000, "b").mergeWith(mk(0 until 3000, "a"))
+    val all = (0 until 3000).flatMap(i => Seq(s"a-$i", s"b-$i"))
+    assert(all.forall(ab.mightContain))
+    assert(all.forall(ba.mightContain))
+  }
+
+  test("cuckoo: treeAggregate build over a DataFrame; dedupExact " +
+       "equals the plain anti-join") {
+    val seen = (0 until 5000).map(i => s"fp-$i").toDF("fp")
+      .repartition(8).localCheckpoint(true)
+    val c = CuckooSeen.build(seen, "fp", k = 8, expectedPerPartition = 1024)
+    assert((0 until 5000).forall(i => c.mightContain(s"fp-$i")))
+    val cand = (2500 until 7500).map(i => s"fp-$i").toDF("fp")
+    val viaCuckoo = CuckooSeen.dedupExact(cand, seen, c)
+      .as[String].collect().sorted
+    val exact = cand.join(seen, Seq("fp"), "left_anti")
+      .as[String].collect().sorted
+    assert(viaCuckoo.sameElements(exact))
+  }
+
+  test("cuckoo: save/load roundtrip preserves membership and overflow") {
+    val dir = Files.createTempDirectory("graft-cuckoo").toString
+    val c = CuckooSeen.empty(k = 3, expectedPerPartition = 64)
+    val fps = (0 until 2000).map(i => s"rt-$i")
+    fps.foreach(c.put)
+    assert(c.tables.exists(_.overflowed > 0))
+    SeenFilters.save(spark, c, dir)
+    val loaded = SeenFilters.load(spark, dir)
+    assert(loaded.isInstanceOf[CuckooSeen.PartitionedCuckoo])
+    assert(fps.forall(loaded.mightContain))
+    assert(loaded.asInstanceOf[CuckooSeen.PartitionedCuckoo]
+      .tables.map(_.occupied).sum == c.tables.map(_.occupied).sum)
+  }
+
+  test("seen-filter checkpoints written by the legacy BloomSeen.save " +
+       "(no kind column) load as bloom") {
+    val dir = Files.createTempDirectory("graft-legacybloom").toString
+    val seen = (0 until 1000).map(i => s"lg-$i").toDF("fp")
+    val bloom = BloomSeen.build(seen, "fp", k = 4,
+      expectedPerPartition = 1024)
+    BloomSeen.save(spark, bloom, dir)
+    val loaded = SeenFilters.load(spark, dir)
+    assert(loaded.isInstanceOf[BloomSeen.PartitionedBloom])
+    assert((0 until 1000).forall(i => loaded.mightContain(s"lg-$i")))
+  }
+
+  // --- engine-level equality: cuckoo == bloom == exact ------------------------
+
+  private def mkEngine(kind: Option[String]) = {
+    val base = CrawlConfig(batchSize = 10, seed = 7L,
+      selection = Selection.BatchSoftmax)
+    new FrontierEngine(spark, kind match {
+      case Some(k) => base.copy(bloomPrefilter = true, seenFilterKind = k,
+        bloomPartitions = 4, bloomExpectedPerPartition = 4096)
+      case None => base
+    })
+  }
+
+  test("engine dedup with cuckoo prefilter matches bloom and exact") {
+    val qExact = mkEngine(None)
+    val qBloom = mkEngine(Some(SeenFilters.Bloom))
+    val qCuckoo = mkEngine(Some(SeenFilters.Cuckoo))
+    val b1 = (0 until 500).map(i => s"http://d${i % 7}.com/p/${i % 300}")
+      .toDF("url")
+    val b2 = (150 until 650).map(i => s"http://d${i % 7}.com/p/${i % 300}")
+      .toDF("url")
+    for (b <- Seq(b1, b2)) {
+      val e = qExact.dedupAgainstSeen(b).select("url").as[String]
+        .collect().toSet
+      val f = qBloom.dedupAgainstSeen(b).select("url").as[String]
+        .collect().toSet
+      val g = qCuckoo.dedupAgainstSeen(b).select("url").as[String]
+        .collect().toSet
+      assert(e == f && e == g)
+    }
+    assert(qExact.seenCount == qCuckoo.seenCount)
+  }
+
+  test("checkpoint roundtrips a cuckoo seen filter (kind preserved, " +
+       "dedup history intact after resume)") {
+    val dir = Files.createTempDirectory("graft-cuckoockpt").toString
+    val cfg = CrawlConfig(batchSize = 10, seed = 5L,
+      bloomPrefilter = true, seenFilterKind = SeenFilters.Cuckoo,
+      bloomPartitions = 2, bloomExpectedPerPartition = 1 << 12)
+    val batch = (0 until 20).map(i =>
+      (s"http://cuckoo-ckpt.com/p/$i", i.toLong, 0, null: Array[Byte]))
+      .toDF("url", "priority", "depth", "parent")
+    val e1 = new FrontierEngine(spark, cfg)
+    e1.ingestBatch(batch, 1)
+    graft.epoch.Checkpoint.save(e1, s"$dir/out", 1, Map.empty)
+    val e2 = new FrontierEngine(spark, cfg)
+    assert(graft.epoch.Checkpoint.resume(spark, e2, s"$dir/out").nonEmpty)
+    assert(e2.seenFilter.exists(
+      _.isInstanceOf[CuckooSeen.PartitionedCuckoo]))
+    // the resumed filter + seen table must dedup the whole first batch
+    e2.ingestBatch(batch, 2)
+    assert(e2.lastDedupUnseen == 0)
+    // and incremental merges after resume stay kind-compatible
+    val fresh = Seq("http://cuckoo-ckpt.com/new").toDF("url")
+    e2.dedupAgainstSeen(fresh)
+    assert(e2.lastDedupUnseen == 1)
+    assert(e2.seenFilter.exists(
+      _.isInstanceOf[CuckooSeen.PartitionedCuckoo]))
+  }
+}
