@@ -243,6 +243,33 @@ object SparkEntry {
         .orderBy($"fp")
     }),
 
+    // --- Gopher-style within-document repetition rules: top-bigram /
+    // duplicate-bigram / duplicate-5-gram token-mass fractions + keep
+    // flag (Rae et al. 2021 §A1.1, token-mass variant). One corpus scan,
+    // both gram orders tagged into a single exploded stream, two
+    // map-side-combinable aggregations — no UDF. -------------------------------
+    "q35_gopher_repetition" -> ((s, dir) => {
+      import s.implicits._
+      TA.repetitionRules(t(s, dir, "documents"), $"doc_id", $"text")
+        .orderBy($"doc_id")
+    }),
+
+    // --- SemDedup: within-cell semantic near-dup pruning over pinned
+    // centroids (embeddings of vec_id 1..8, like q27's pinned-centroid
+    // search path — the oracle recomputes assignment + within-cell
+    // pairwise cosine in SQL). Assignment is shuffle-free (aggregate
+    // over the broadcast-literal centroid array); pairwise work is
+    // confined to cells. --------------------------------------------------------
+    "q36_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter($"vec_id".between(1, 8))
+        .select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      Similarity.semDedup(emb, $"vec_id", $"embedding", cents, tau = 0.35)
+        .orderBy($"vec_id")
+    }),
+
     // --- A12 coverage: top-N cumulative share — distributed prefix scan
     // (no single-partition global window; Cumulative range-partitions on
     // the order key and offsets each partition) -----------------------------
@@ -551,6 +578,65 @@ object SparkEntry {
          WHERE md5(text) NOT IN
            (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
          ORDER BY fp""",
+    "q35_gopher_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         pos2 AS (SELECT doc_id, unnest(range(1, len(ts))) AS i, ts
+           FROM toks WHERE len(ts) >= 2),
+         g2 AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS g FROM pos2),
+         c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+         m2 AS (SELECT doc_id, sum(cnt) AS n, max(cnt) AS top,
+             coalesce(sum(cnt) FILTER (cnt > 1), 0) AS dup
+           FROM c2 GROUP BY 1),
+         pos5 AS (SELECT doc_id, unnest(range(1, len(ts) - 3)) AS i, ts
+           FROM toks WHERE len(ts) >= 5),
+         g5 AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS g FROM pos5),
+         c5 AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+         m5 AS (SELECT doc_id, sum(cnt) AS n,
+             coalesce(sum(cnt) FILTER (cnt > 1), 0) AS dup
+           FROM c5 GROUP BY 1),
+         f AS (SELECT d.doc_id,
+             CASE WHEN coalesce(m2.n, 0) = 0 THEN 0.0
+               ELSE round(m2.top * 1.0 / m2.n, 6) END AS top_bigram_frac,
+             CASE WHEN coalesce(m2.n, 0) = 0 THEN 0.0
+               ELSE round(m2.dup * 1.0 / m2.n, 6) END AS dup_bigram_frac,
+             CASE WHEN coalesce(m5.n, 0) = 0 THEN 0.0
+               ELSE round(m5.dup * 1.0 / m5.n, 6) END AS dup_5gram_frac
+           FROM documents d LEFT JOIN m2 USING (doc_id)
+             LEFT JOIN m5 USING (doc_id))
+         SELECT doc_id, top_bigram_frac, dup_bigram_frac, dup_5gram_frac,
+           CAST(CASE WHEN top_bigram_frac <= 0.05
+             AND dup_bigram_frac <= 0.10 AND dup_5gram_frac <= 0.30
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM f ORDER BY doc_id""",
+    "q36_semdedup" ->
+      """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         a AS (SELECT e.vec_id, c.cell,
+             round(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS cs
+           FROM embeddings e, c),
+         cells AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, cell) AS rk
+             FROM a) t
+           WHERE rk = 1),
+         dropped AS (SELECT y.vec_id
+           FROM cells x JOIN cells y ON x.cell = y.cell
+             AND x.vec_id < y.vec_id
+           JOIN embeddings ex ON ex.vec_id = x.vec_id
+           JOIN embeddings ey ON ey.vec_id = y.vec_id
+           WHERE round(list_cosine_similarity(
+               CAST(ex.embedding AS DOUBLE[]),
+               CAST(ey.embedding AS DOUBLE[])), 6) >= 0.35
+           GROUP BY 1)
+         SELECT cl.vec_id, cl.cell,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS kept
+         FROM cells cl LEFT JOIN dropped d ON d.vec_id = cl.vec_id
+         ORDER BY cl.vec_id""",
     "q19_domain_coverage" ->
       """WITH d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS pages
            FROM events GROUP BY user_id)

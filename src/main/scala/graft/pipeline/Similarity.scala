@@ -152,4 +152,62 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** SemDedup-style within-cell semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid
+    * (cosine rounded to 6 dp, ties to the lowest cell id), then inside
+    * each cell drop any vector that has a strictly smaller-id cell-mate
+    * with cosine ≥ tau — the smallest id of each near-dup group
+    * survives as its representative.
+    *
+    * The SemDedup bargain, by design: pairwise work is confined to
+    * cells, so at 10^9+ vectors the quadratic term is bounded by
+    * Σ|cell|² (choose k accordingly), and a near-dup pair straddling a
+    * cell boundary is missed. Assignment is SHUFFLE-FREE — an
+    * `aggregate` over the broadcast-literal centroid array inside
+    * whole-stage codegen; the only shuffles are the cell self-join's.
+    * `centroids` is driver-bounded by construction (k rows), like the
+    * IVF centroid array.
+    *
+    * Returns (vec_id, cell, kept 0/1) — one row per input vector. */
+  def semDedup(df: DataFrame, id: Column, vec: Column,
+               centroids: Array[(Long, Seq[Float])],
+               tau: Double): DataFrame = {
+    val cells = semDedupCells(df, id, vec, centroids)
+    val dropped = cells.select(col("vec_id").as("id_a"), col("cell"),
+        col("v").as("va"))
+      .join(cells.select(col("vec_id").as("id_b"), col("cell"),
+        col("v").as("vb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    cells.join(dropped.withColumn("_dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(lit(1L) - col("_dup"), lit(1L)).as("kept"))
+  }
+
+  /** The assignment stage of [[semDedup]]: (vec_id, v, cell). Exposed
+    * so the shuffle-free property is pinnable — the cell column is an
+    * argmax `aggregate` over the broadcast-literal centroid array
+    * (ascending scan + strict > keeps the lowest cell id on rounded-
+    * cosine ties), entirely inside the scan's projection: ZERO
+    * exchanges. */
+  def semDedupCells(df: DataFrame, id: Column, vec: Column,
+                    centroids: Array[(Long, Seq[Float])]): DataFrame = {
+    require(centroids.nonEmpty, "semDedup needs at least one centroid")
+    val sorted = centroids.sortBy(_._1)
+    val cvecs = typedLit(sorted.map(_._2.map(_.toDouble)).toSeq)
+    val cids = typedLit(sorted.map(_._1).toSeq)
+    val cellCol = aggregate(
+      sequence(lit(1), lit(sorted.length)),
+      struct(lit(-2.0).as("c"), lit(Long.MaxValue).as("cell")),
+      (acc, i) => {
+        val cs = round(cosine(col("v"), element_at(cvecs, i)), 6)
+        when(cs > acc.getField("c"),
+          struct(cs.as("c"), element_at(cids, i).as("cell")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("cell"))
+    df.select(id.as("vec_id"), vec.as("v")).withColumn("cell", cellCol)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines over
@@ -69,6 +69,98 @@ object TextAnalysis {
     val tokenScore = when(mtl.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.5))
     round((lenScore * 0.4 + punctScore * 0.2 + stopScore * 0.2 +
       tokenScore * 0.2), 6)
+  }
+
+  // --- within-document n-gram repetition (Gopher-style rules) ------------------
+
+  /** Token n-gram array of a text column: whitespace tokens, one gram
+    * string per position (empty array when the document is shorter than
+    * n tokens). Pure built-ins, stays in whole-stage codegen. */
+  private def ngramArray(text: Column, n: Int): Column = {
+    val toks = filter(split(text, "\\s+"), t => length(t) > lit(0))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document token n-gram repetition profile — the raw statistics
+    * of the Gopher repetition rules (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1; token-mass variant of their character-mass fractions, which
+    * is deterministic under the whitespace tokenizer and has the same
+    * scale shape). For each document, over its whitespace-token
+    * n-grams:
+    *
+    *   - `n_grams`    — number of n-gram positions (len − n + 1; 0 when
+    *                    the document is shorter than n tokens);
+    *   - `top_count`  — multiplicity of the most frequent n-gram;
+    *   - `dup_count`  — n-gram positions whose gram occurs more than
+    *                    once in the document.
+    *
+    * Scale shape: one scan, explode, then two map-side-combinable
+    * aggregations keyed by (doc_id, gram) and (doc_id) — no UDF, no
+    * driver state; documents hash-partition independently. */
+  def ngramRepetition(docs: DataFrame, id: Column, text: Column,
+                      n: Int): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val counted = docs
+      .select(id.as("doc_id"), explode(ngramArray(text, n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        max(col("cnt")).as("top_count"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L)))
+          .as("dup_count"))
+    docs.select(id.as("doc_id")).join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        coalesce(col("dup_count"), lit(0L)).as("dup_count"))
+  }
+
+  /** Gopher-style repetition rule columns + keep flag: the top-bigram,
+    * duplicate-bigram and duplicate-5-gram token-mass fractions, each a
+    * position-mass ratio in [0, 1] (0 for documents too short to have
+    * grams), with `keep = 1` iff every fraction is within its
+    * threshold. Single pass over the corpus: both gram orders are
+    * tagged into one exploded stream so the scan and the two
+    * aggregations are shared. */
+  def repetitionRules(docs: DataFrame, id: Column, text: Column,
+                      topBigramMax: Double = 0.05,
+                      dupBigramMax: Double = 0.10,
+                      dupFiveGramMax: Double = 0.30): DataFrame = {
+    val tagged = concat(
+      transform(ngramArray(text, 2),
+        g => struct(lit(2).as("n"), g.as("gram"))),
+      transform(ngramArray(text, 5),
+        g => struct(lit(5).as("n"), g.as("gram"))))
+    val byDoc = docs
+      .select(id.as("doc_id"), explode(tagged).as("t"))
+      .select(col("doc_id"), col("t.n").as("n"), col("t.gram").as("gram"))
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("n") === 2, col("cnt"))).as("n2"),
+        max(when(col("n") === 2, col("cnt"))).as("top2"),
+        sum(when(col("n") === 2 && col("cnt") > 1, col("cnt"))
+          .otherwise(lit(0L))).as("dup2"),
+        sum(when(col("n") === 5, col("cnt"))).as("n5"),
+        sum(when(col("n") === 5 && col("cnt") > 1, col("cnt"))
+          .otherwise(lit(0L))).as("dup5"))
+    def frac(num: Column, den: Column): Column =
+      round(when(coalesce(den, lit(0L)) > 0,
+        num.cast("double") / den).otherwise(lit(0.0)), 6)
+    docs.select(id.as("doc_id")).join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        frac(col("top2"), col("n2")).as("top_bigram_frac"),
+        frac(col("dup2"), col("n2")).as("dup_bigram_frac"),
+        frac(col("dup5"), col("n5")).as("dup_5gram_frac"))
+      .withColumn("keep",
+        (col("top_bigram_frac") <= topBigramMax &&
+          col("dup_bigram_frac") <= dupBigramMax &&
+          col("dup_5gram_frac") <= dupFiveGramMax).cast("long"))
   }
 
   // --- language identification -----------------------------------------------

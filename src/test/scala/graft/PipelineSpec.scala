@@ -393,4 +393,178 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L, 6L))
   }
+
+  // --- Gopher-style repetition rules -----------------------------------------
+
+  test("ngramRepetition: known counts on constructed docs") {
+    val rows = Seq(
+      (1L, "a a a a"),          // 3 bigram positions, all "a a"
+      (2L, "a b c d"),          // 3 distinct bigrams, no repeats
+      (3L, "x"),                // too short for bigrams
+      (4L, "p q p q p q")       // "p q" ×3, "q p" ×2
+    ).toDF("doc_id", "text")
+    val got = TA.ngramRepetition(rows, $"doc_id", $"text", 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 3L, 3L)))   // n_grams, top, dup
+    assert(got(2L) == ((3L, 1L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+    assert(got(4L) == ((5L, 3L, 5L)))   // all 5 positions repeat
+  }
+
+  test("ngramRepetition: 5-gram dup mass on a repeated phrase") {
+    // "one two three four five" appears twice with a separator word, so
+    // exactly 2 of the 7 5-gram positions carry a duplicated gram
+    val rows = Seq(
+      (1L, "one two three four five sep one two three four five"))
+      .toDF("doc_id", "text")
+    val r = TA.ngramRepetition(rows, $"doc_id", $"text", 5)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((1L, 7L, 2L, 2L)))
+  }
+
+  test("repetitionRules: fracs match single-n stats; keep flags thresholds") {
+    val rows = Seq(
+      (1L, "a a a a"),                  // top2=1.0 -> rejected
+      (2L, "the quick brown fox jumps over the lazy dog"), // clean -> kept
+      (3L, "x"),                        // no grams -> fracs 0, kept
+      (4L, "one two three four five sep one two three four five"))
+      .toDF("doc_id", "text")
+    val got = TA.repetitionRules(rows, $"doc_id", $"text",
+        topBigramMax = 0.5, dupBigramMax = 0.5, dupFiveGramMax = 0.25)
+      .as[(Long, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // cross-check against the single-n operator on every doc
+    val g2 = TA.ngramRepetition(rows, $"doc_id", $"text", 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val g5 = TA.ngramRepetition(rows, $"doc_id", $"text", 5)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def frac(n: Long, x: Long): Double =
+      if (n == 0) 0.0 else BigDecimal(x.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (id, (_, topF, dupF, dup5F, _)) =>
+      assert(topF == frac(g2(id)._2, g2(id)._3), s"top frac doc $id")
+      assert(dupF == frac(g2(id)._2, g2(id)._4), s"dup frac doc $id")
+      assert(dup5F == frac(g5(id)._2, g5(id)._4), s"dup5 frac doc $id")
+    }
+    assert(got(1L)._5 == 0L)  // top-bigram 1.0 > 0.5
+    assert(got(2L)._5 == 1L)
+    assert(got(3L)._5 == 1L)  // short doc has nothing to reject on
+    assert(got(4L)._5 == 0L)  // dup-5-gram 2/7 > 0.25
+  }
+
+  test("repetitionRules on the documents table: nontrivial keep split") {
+    val out = TA.repetitionRules(docs, $"doc_id", $"text")
+    assert(out.count() == docs.count())
+    val kept = out.filter($"keep" === 1L).count()
+    assert(kept > 0 && kept < docs.count(),
+      s"thresholds should split the corpus, kept=$kept")
+  }
+
+  // --- SemDedup ---------------------------------------------------------------
+
+  private def centroidsFrom(df: org.apache.spark.sql.DataFrame,
+      lo: Long, hi: Long): Array[(Long, Seq[Float])] =
+    df.filter($"vec_id".between(lo, hi))
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+  test("semDedup: every vector assigned, one row each; tau>1 keeps all") {
+    val cents = centroidsFrom(embeddings, 1, 8)
+    val out = Similarity.semDedup(embeddings, $"vec_id", $"embedding",
+      cents, tau = 1.1).localCheckpoint(true)
+    assert(out.count() == embeddings.count())
+    assert(out.select("vec_id").distinct().count() == embeddings.count())
+    assert(out.filter($"kept" === 0L).count() == 0)
+    val cellIds = out.select("cell").distinct().as[Long].collect().toSet
+    assert(cellIds.subsetOf((1L to 8L).toSet))
+  }
+
+  test("semDedup: an exact duplicate drops the larger id, keeps the smaller") {
+    // two identical vectors land in the same cell with cosine 1.0
+    val base = embeddings.filter($"vec_id" < 20)
+    val dup = embeddings.filter($"vec_id" === 9L)
+      .select(lit(1000L).as("vec_id"), $"embedding", $"label")
+    val df = base.unionByName(dup).localCheckpoint(true)
+    val cents = centroidsFrom(embeddings, 1, 8)
+    val out = Similarity.semDedup(df, $"vec_id", $"embedding",
+        cents, tau = 0.999)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(9L)._3 == 1L, "representative (smaller id) survives")
+    assert(out(1000L)._3 == 0L, "exact duplicate (larger id) dropped")
+    assert(out(9L)._2 == out(1000L)._2, "identical vectors share a cell")
+  }
+
+  test("semDedup: within-cell drops match a local reference computation") {
+    val cents = centroidsFrom(embeddings, 1, 8)
+    val tau = 0.35
+    val out = Similarity.semDedup(embeddings, $"vec_id", $"embedding",
+        cents, tau)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // local reference: same assignment rule, same drop rule
+    val vecs = embeddings.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cs = cents.sortBy(_._1).map { case (i, v) => (i, v.toArray) }
+    val cellOf = vecs.map { case (id, v) =>
+      id -> cs.map { case (ci, cv) => (ci, r6(cos(v, cv))) }
+        .maxBy { case (ci, s) => (s, -ci) }._1
+    }.toMap
+    val dropped = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cellOf(ia) == cellOf(ib) && r6(cos(va, vb)) >= tau
+    } yield ib).toSet
+    vecs.foreach { case (id, _) =>
+      assert(out(id)._2 == cellOf(id), s"cell of $id")
+      assert(out(id)._3 == (if (dropped(id)) 0L else 1L), s"kept of $id")
+    }
+    assert(dropped.nonEmpty, "tau=0.35 should drop something at sf0.001")
+  }
+
+  test("semDedup assignment is shuffle-free; repetitionRules is UDF-free") {
+    // assignment = argmax aggregate over the broadcast-literal centroid
+    // array, entirely inside the scan's projection: ZERO exchanges
+    val cents = centroidsFrom(embeddings, 1, 8)
+    val assignPlan = Similarity.semDedupCells(embeddings, $"vec_id",
+        $"embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"),
+      s"assignment must not shuffle:\n$assignPlan")
+    // repetition rules: pure built-ins end to end (whole-stage codegen)
+    val repPlan = TA.repetitionRules(docs, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!repPlan.toLowerCase.contains("udf"),
+      "repetition rules must stay UDF-free")
+  }
+
+  test("semDedup: cross-cell near-dup pair is NOT dropped (the bargain)") {
+    // v1/v2 have cosine ≈ 0.783 ≥ tau, but each sits closer to a
+    // different centroid — they never meet in the cell self-join, so
+    // both survive. This is SemDedup's documented approximation; a
+    // brute-force pass would drop one.
+    val rows = Seq(
+      (10L, Seq(0.9f, 0.435f)), (11L, Seq(0.435f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val cents: Array[(Long, Seq[Float])] =
+      Array((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+    val out = Similarity.semDedup(rows, $"vec_id", $"embedding",
+        cents, tau = 0.7)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._2 != out(11L)._2, "pair straddles two cells")
+    assert(out(10L)._3 == 1L && out(11L)._3 == 1L,
+      "cosine >= tau but the pair never meets: both kept")
+    // same pair, same tau, one shared cell: the larger id IS dropped
+    val oneCell = Similarity.semDedup(rows, $"vec_id", $"embedding",
+        Array((1L, Seq(0.7071f, 0.7071f))), tau = 0.7)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(oneCell(10L)._3 == 1L && oneCell(11L)._3 == 0L)
+  }
 }
