@@ -33,6 +33,10 @@ object Bench {
     "q14_quality_stats", "q17_embedding_topk", "q22_crawl_epochs",
     "q23_minhash_pairs", "q25_media_meta", "q26_text_analysis")
 
+  /** Timed but reported separately (NOT in the headline total), so the
+    * headline stays comparable across rounds as operators are added. */
+  private val extras = Seq("q35_gopher_repetition", "q36_semdedup")
+
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -164,6 +168,52 @@ object Bench {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  /** Multi-worker variant of the 100×-shape rehearsal: the FUSED epoch
+    * pop (one distributed pop serving every worker shard — VERDICT r3
+    * #1) at nWorkers=32 over the same 10M-URL / 1M-domain frontier.
+    * What must hold: per-epoch job count FLAT and within a small
+    * constant of the single-worker Gumbel path (the old per-worker loop
+    * ran ~nWorkers× the pop jobs), one schedule decision per worker per
+    * epoch, and epoch time in the same band as nWorkers=1. */
+  def fusedRehearsal(spark: SparkSession, nUrls: Long, nDomains: Int,
+                     epochs: Int, nWorkers: Int): String = {
+    val cfg = CrawlConfig(selection = Selection.BatchSoftmax,
+      batchSize = 2000, seed = 42L,
+      driverSelectLimit = 1000,
+      adaptiveSaltTarget = 4096L,
+      nWorkers = nWorkers)
+    val engine = new FrontierEngine(spark, cfg)
+    engine.ingestBatch(candidates(spark, nUrls, nDomains), 0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val perEpoch = (1 to epochs).map { _ =>
+        engine.clock += 1
+        jobs.set(0)
+        val t0 = System.nanoTime()
+        val pr = engine.popEpochAll()
+        val secs = (System.nanoTime() - t0) / 1e9
+        var last = -1; var cur = jobs.get()
+        while (cur != last) { last = cur; Thread.sleep(120); cur = jobs.get() }
+        (cur, secs, pr.nPopped, pr.decisions.length)
+      }
+      val totalPopped = perEpoch.map(_._3).sum
+      val totalSec = perEpoch.map(_._2).sum
+      s"""{"urls":$nUrls,"domains":$nDomains,"epochs":$epochs,""" +
+        s""""workers":$nWorkers,""" +
+        s""""jobs_per_epoch":${perEpoch.map(_._1).mkString("[", ",", "]")},""" +
+        s""""epoch_sec":${perEpoch.map(e => fmt(e._2)).mkString("[", ",", "]")},""" +
+        s""""decisions_per_epoch":${perEpoch.map(_._4).mkString("[", ",", "]")},""" +
+        s""""popped":$totalPopped,""" +
+        s""""popped_per_sec":${fmt(totalPopped / totalSec)}}"""
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** All `reps` timings with block-manager cleanup between reps (old
     * localCheckpoint snapshots would otherwise accumulate and skew later
     * reps). The caller takes the min: noisy-neighbor interference on the
@@ -215,6 +265,13 @@ object Bench {
         name -> ((System.nanoTime() - t0) / 1e9, n)
       }
     }
+    val extraResults = extras.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        name -> ((System.nanoTime() - t0) / 1e9, n)
+      }
+    }
     // 100×-shape rehearsal on the same full-core session
     val gumbelUrls =
       sys.env.getOrElse("SPARK_GRAFT_GUMBEL_URLS", "10000000").toLong
@@ -224,6 +281,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_GUMBEL_EPOCHS", "5").toInt
     val gumbelJson =
       try gumbelRehearsal(spark, gumbelUrls, gumbelDomains, gumbelEpochs)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
+    // same shape, nWorkers=32 through the FUSED pop: jobs must stay
+    // flat and near the single-worker count (the r4 headline property)
+    val fusedJson =
+      try fusedRehearsal(spark, gumbelUrls, gumbelDomains, gumbelEpochs,
+        nWorkers = 32)
       catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     // the same rehearsal with BOTH persistent stores on (frontier on
     // disk with dbkt-pruned pops, fp-bucketed seen history) — the fully
@@ -286,6 +349,9 @@ object Bench {
 
     val qs = results.map { case (k, (sec, _)) => s""""$k":${fmt(sec)}""" }
       .mkString("{", ",", "}")
+    val extraQs = extraResults
+      .map { case (k, (sec, _)) => s""""$k":${fmt(sec)}""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     def arr(xs: Seq[Double]): String = xs.map(fmt).mkString("[", ",", "]")
     val frontier =
@@ -297,7 +363,9 @@ object Bench {
       s""""scaling_efficiency":${fmt(eff)}}"""
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","frontier":$frontier,"gumbel":$gumbelJson,""" +
+      s""""sf":"$sfDir","extra_queries":$extraQs,""" +
+      s""""frontier":$frontier,"gumbel":$gumbelJson,""" +
+      s""""gumbel_fused":$fusedJson,""" +
       s""""gumbel_store":$gumbelStoreJson}""")
   }
 }

@@ -169,7 +169,9 @@ object Similarity {
     * `centroids` is driver-bounded by construction (k rows), like the
     * IVF centroid array.
     *
-    * Returns (vec_id, cell, kept 0/1) — one row per input vector. */
+    * Returns (vec_id, cell, kept 0/1) — one row per input vector. The
+    * id column is the dedup identity and must be unique per row (like
+    * every id column in this package). */
   def semDedup(df: DataFrame, id: Column, vec: Column,
                centroids: Array[(Long, Seq[Float])],
                tau: Double): DataFrame = {

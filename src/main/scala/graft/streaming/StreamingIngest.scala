@@ -55,6 +55,26 @@ object StreamingIngest {
       .select(col("window.start").as("bucket_start"), col("n"),
         (col("n") * 60.0 / stepSec).as("rpm"))
 
+  /** Streaming exact document dedup with BOUNDED state: fingerprint
+    * each document, then `dropDuplicatesWithinWatermark` on the
+    * fingerprint — a duplicate arriving within the watermark window of
+    * its first copy is dropped, and fingerprint state older than the
+    * watermark is evicted, so state size tracks the event-time window,
+    * not the corpus. (Unbounded-history dedup is the batch operator
+    * `Dedup.exact` / the engine's persistent seen store; re-admitting a
+    * text after the window is this operator's CONTRACT, not a leak —
+    * the streaming-appropriate trade at 100 TB/day rates, where exact
+    * forever-state belongs in the fp-bucketed store, not an executor
+    * state map.)
+    *
+    * Input needs an event-time timestamp column; emits surviving rows
+    * plus their `fp` (append mode). */
+  def dedupDocStream(docs: DataFrame, textCol: String, tsCol: String,
+                     lateness: String = "10 minutes"): DataFrame =
+    docs.withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Per-domain fetch outcome event (the DomainStatusMiddleware input —
     * dd_crawler/middleware/domain_status.py:41-58). */
   final case class DomainEvent(domain: String, ok: Boolean)

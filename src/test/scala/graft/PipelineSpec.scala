@@ -401,7 +401,8 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       (1L, "a a a a"),          // 3 bigram positions, all "a a"
       (2L, "a b c d"),          // 3 distinct bigrams, no repeats
       (3L, "x"),                // too short for bigrams
-      (4L, "p q p q p q")       // "p q" ×3, "q p" ×2
+      (4L, "p q p q p q"),      // "p q" ×3, "q p" ×2
+      (5L, null: String)        // null text must degrade to zeros
     ).toDF("doc_id", "text")
     val got = TA.ngramRepetition(rows, $"doc_id", $"text", 2)
       .as[(Long, Long, Long, Long)].collect()
@@ -410,6 +411,12 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(got(2L) == ((3L, 1L, 0L)))
     assert(got(3L) == ((0L, 0L, 0L)))
     assert(got(4L) == ((5L, 3L, 5L)))   // all 5 positions repeat
+    assert(got(5L) == ((0L, 0L, 0L)))
+    // and the rule operator keeps a null-text row with zero fracs
+    val rr = TA.repetitionRules(rows, $"doc_id", $"text")
+      .as[(Long, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rr(5L) == ((5L, 0.0, 0.0, 0.0, 1L)))
   }
 
   test("ngramRepetition: 5-gram dup mass on a repeated phrase") {

@@ -112,4 +112,38 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       assert(rows(1).getAs[Long]("n") == 1)
     } finally q.stop()
   }
+
+  test("streaming doc dedup: duplicate dropped within the watermark " +
+       "window, state evicted after it (bounded-state contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val docs = stream.toDS().toDF("doc_id", "text", "ts")
+    val out = graft.streaming.StreamingIngest.dedupDocStream(
+      docs, "text", "ts", lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      stream.addData((1L, "alpha", new Timestamp(t0)),
+        (2L, "beta", new Timestamp(t0 + 1000)))
+      q.processAllAvailable()
+      // duplicate of "alpha" inside the window: dropped
+      stream.addData((3L, "alpha", new Timestamp(t0 + 2000)))
+      q.processAllAvailable()
+      val ids1 = spark.sql("SELECT doc_id FROM dedup_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids1 == Set(1L, 2L))
+      // advance event time 1 h (far past the 10 min lateness) so the
+      // old fingerprints are evicted from state…
+      stream.addData((4L, "gamma", new Timestamp(t0 + 3600000)))
+      q.processAllAvailable()
+      // …then the SAME text is admitted again: bounded state, not a
+      // forever-history (that contract lives in the seen store)
+      stream.addData((5L, "alpha", new Timestamp(t0 + 3601000)))
+      q.processAllAvailable()
+      val ids2 = spark.sql("SELECT doc_id FROM dedup_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids2 == Set(1L, 2L, 4L, 5L))
+    } finally q.stop()
+  }
 }
