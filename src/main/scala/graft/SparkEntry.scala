@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.frontier.{BloomSeen, CrawlConfig, CuckooSeen, FrontierEngine, QueueSelector, Selection}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TrainingMix, TextAnalysis => TA}
 import graft.urlops.{UrlFunctions => UF}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -268,6 +268,35 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
       Similarity.semDedup(emb, $"vec_id", $"embedding", cents, tau = 0.35)
         .orderBy($"vec_id")
+    }),
+
+    // corpus-level exact passage dedup: fixed 5-token chunks, first
+    // occurrence wins, docs reassembled from surviving chunks + tail
+    "q37_passage_dedup" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.passageDedup(t(s, dir, "documents"), $"doc_id", $"text", k = 5)
+        .orderBy($"doc_id")
+    }),
+
+    // deterministic stratified sampling for corpus mixing: md5-keyed
+    // per-language keep rates (en 50% / zh 30% / rest 15%) — the hash
+    // IS the draw, so any engine reproduces the sample row-for-row
+    "q38_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      TrainingMix.stratifiedSample(t(s, dir, "documents"),
+          $"doc_id", $"lang",
+          rates = Map("en" -> 0.5, "zh" -> 0.3), defaultRate = 0.15)
+        .select($"doc_id", $"lang", $"sample_key")
+        .orderBy($"doc_id")
+    }),
+
+    // token-budget shard packing: id-ordered layout, shard boundary
+    // every 2000 tokens, prefix sum via the distributed scan (A10)
+    "q39_shard_packing" -> ((s, dir) => {
+      import s.implicits._
+      TrainingMix.packShards(t(s, dir, "documents"), $"doc_id", $"text",
+          tokensPerShard = 2000L)
+        .orderBy($"doc_id")
     }),
 
     // --- A12 coverage: top-N cumulative share — distributed prefix scan
@@ -637,6 +666,62 @@ object SparkEntry {
              AS kept
          FROM cells cl LEFT JOIN dropped d ON d.vec_id = cl.vec_id
          ORDER BY cl.vec_id""",
+    // passage dedup: same 5-token non-overlapping chunks, first
+    // occurrence by (doc_id, chunk index) wins, reassembly = surviving
+    // chunks in order plus the <5-token tail.
+    "q37_passage_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         b AS (SELECT doc_id, ts,
+             CAST(floor(len(ts) * 1.0 / 5) AS BIGINT) AS n_chunks
+           FROM toks),
+         ch AS (SELECT doc_id, unnest(range(0, n_chunks)) AS ci, ts
+           FROM b),
+         chunks AS (SELECT doc_id, ci,
+             array_to_string(ts[ci*5+1 : ci*5+5], ' ') AS chunk
+           FROM ch),
+         keepers AS (SELECT doc_id, ci, chunk,
+             (row_number() OVER (PARTITION BY chunk
+                ORDER BY doc_id, ci)) = 1 AS keep
+           FROM chunks),
+         agg AS (SELECT doc_id,
+             CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY ci) FILTER (keep) AS kept_text
+           FROM keepers GROUP BY doc_id)
+         SELECT b.doc_id, b.n_chunks,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(array_to_string(list_filter([coalesce(a.kept_text, ''),
+             coalesce(array_to_string(
+               b.ts[b.n_chunks*5+1 : len(b.ts)], ' '), '')],
+             x -> x <> ''), ' '), '') AS new_text
+         FROM b LEFT JOIN agg a USING (doc_id)
+         ORDER BY b.doc_id""",
+    // stratified sample: keep iff substr(md5(id),1,8) < the stratum's
+    // 8-hex threshold = floor(rate * 2^32) (en 0.5 → 80000000,
+    // zh 0.3 → 4ccccccc, default 0.15 → 26666666).
+    "q38_stratified_sample" ->
+      """SELECT doc_id, lang,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           CASE lang WHEN 'en' THEN '80000000'
+                     WHEN 'zh' THEN '4ccccccc'
+                     ELSE '26666666' END
+         ORDER BY doc_id""",
+    // shard packing: shard_id = floor(exclusive prefix token count /
+    // 2000) in doc_id order, q13's whitespace tokenizer.
+    "q39_shard_packing" ->
+      """WITH b AS (SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(coalesce(text, ''),
+               '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+           FROM documents)
+         SELECT doc_id, n_tok,
+           CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tok) * 1.0 / 2000) AS BIGINT)
+             AS shard_id
+         FROM b ORDER BY doc_id""",
     "q19_domain_coverage" ->
       """WITH d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS pages
            FROM events GROUP BY user_id)

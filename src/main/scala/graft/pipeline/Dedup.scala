@@ -340,4 +340,63 @@ object Dedup {
       .select(col("node").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  // --- passage (fixed-k token chunk) dedup -------------------------------------
+
+  /** Corpus-level exact passage dedup, the sub-document unit exact
+    * dedup (suffix-array substring dedup's cheap fixed-boundary cousin):
+    * each doc's token stream is cut into ⌊n/k⌋ non-overlapping k-token
+    * chunks; a chunk whose text occurs anywhere else in the corpus
+    * survives only at its first occurrence (minimum (doc_id, chunk_idx)
+    * — a total order, so the winner is unique and deterministic), and
+    * each doc is reassembled from its surviving chunks plus the
+    * always-kept <k-token tail.
+    *
+    * Shape at 10^9 docs: the chunk stream is |tokens|/k rows; the
+    * winner is a hash groupBy on md5(chunk) with a map-side partial
+    * (min of a (doc_id, idx) struct), the keep decision joins back on
+    * the same key (the exchange is reused), and reassembly groups by
+    * doc_id — three key-partitioned shuffles, nothing all-pairs, no
+    * corpus-wide window sort. Chunk text rides the shuffles only until
+    * the md5 is computed; the winner table is (hash, winner-struct)
+    * rows only.
+    *
+    * Returns (doc_id, n_chunks, n_kept, new_text), one row per input
+    * doc; null text degrades to (0, 0, ""). */
+  def passageDedup(df: DataFrame, id: Column, text: Column,
+                   k: Int): DataFrame = {
+    require(k > 0, "chunk size k must be positive")
+    val base = df.select(id.as("doc_id"),
+        filter(split(coalesce(text, lit("")), "\\s+"),
+          t => length(t) > lit(0)).as("ts"))
+      .withColumn("n_chunks", floor(size(col("ts")) / lit(k)).cast("long"))
+    val chunks = base.filter(col("n_chunks") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("ci"),
+        col("ts"))
+      .select(col("doc_id"), col("ci"),
+        concat_ws(" ",
+          slice(col("ts"), (col("ci") * k + 1).cast("int"), lit(k)))
+          .as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+    val winners = chunks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("ci"))).as("win"))
+    val keptPerDoc = chunks.join(winners, Seq("h"))
+      .filter(struct(col("doc_id"), col("ci")) === col("win"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("ci"), col("chunk")))),
+          s => s.getField("chunk"))).as("kept_text"))
+    base.join(keptPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        concat_ws(" ", filter(array(
+            coalesce(col("kept_text"), lit("")),
+            concat_ws(" ", slice(col("ts"),
+              (col("n_chunks") * k + 1).cast("int"),
+              greatest(size(col("ts")) - (col("n_chunks") * k).cast("int"),
+                lit(0))))),
+          s => length(s) > lit(0))).as("new_text"))
+  }
 }

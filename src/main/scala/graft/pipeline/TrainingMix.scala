@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly operators: deterministic stratified sampling
+  * (corpus mixing) and token-budget shard packing — the two steps that
+  * turn a filtered/deduped document table into the corpus a training
+  * run actually reads.
+  *
+  * Both are deterministic functions of the input table (no RNG state):
+  * sampling keys off md5 of the row id, packing off a distributed
+  * prefix scan in id order — so re-runs, retries, and other engines
+  * (the DuckDB oracle) reproduce them row-for-row, and at 10^9 docs
+  * neither needs a corpus-wide sort or driver-side state.
+  */
+object TrainingMix {
+
+  /** Per-stratum keep threshold as an 8-hex-char string: a row whose
+    * `sample_key` (first 8 hex chars of md5(id), a uniform draw in
+    * [0, 2^32)) compares lexicographically below it is kept. Fixed-width
+    * lowercase hex compares identically to its numeric value in any
+    * engine. Rate ≥ 1.0 maps to "g", above every hex digit, so it keeps
+    * all rows. */
+  private def rateThreshold(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else f"${(math.max(0.0, rate) * 4294967296.0).toLong}%08x"
+
+  /** Deterministic stratified sampling for corpus mixing (e.g. keep 50%
+    * of `en`, 30% of `zh`, 15% of the rest): a row is kept iff
+    * substr(md5(id), 1, 8) < threshold(stratum). The hash IS the random
+    * draw — no seed plumbing, no sampleBy RNG that another engine can't
+    * reproduce — and the filter is a pure projection predicate, so it
+    * pushes into the scan and costs zero shuffles at any scale. Rows
+    * whose stratum has no configured rate use `defaultRate`; null
+    * strata also fall through to `defaultRate`.
+    *
+    * Returns the kept rows plus their `sample_key`. */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val thCol = rates.foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (s, r)) =>
+        when(stratum === lit(s), lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.withColumn("sample_key", substring(md5(id.cast("string")), 1, 8))
+      .filter(col("sample_key") < thCol)
+  }
+
+  /** Pack documents into fixed-token-budget training shards: documents
+    * are laid out in id order and shard_id =
+    * floor(exclusive-prefix-token-count / tokensPerShard), so each
+    * shard covers a contiguous ~tokensPerShard-token slice of the
+    * corpus. The prefix sum is [[graft.stats.Cumulative]]'s distributed
+    * scan (range partition + P driver scalars + per-partition scan, the
+    * A10 operator), NOT a single-partition `Window.orderBy` — the
+    * layout step that usually serializes shard assembly stays
+    * distributed at 10^9 docs. Token counts use the same whitespace
+    * tokenizer as q13 ([[TextAnalysis.token_count_ws]]).
+    *
+    * Returns (doc_id, n_tok, shard_id), one row per input doc. */
+  def packShards(df: DataFrame, id: Column, text: Column,
+                 tokensPerShard: Long): DataFrame = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val base = df.select(id.as("doc_id"),
+      TextAnalysis.token_count_ws(coalesce(text, lit("")))
+        .cast("long").as("n_tok"))
+    val (cum, _, _) = graft.stats.Cumulative.runningTotals(
+      base, Seq(col("doc_id")), col("n_tok"), "_cnt", "_cumtok")
+    cum.select(col("doc_id"), col("n_tok"),
+      floor((col("_cumtok") - col("n_tok")) / tokensPerShard)
+        .cast("long").as("shard_id"))
+  }
+}

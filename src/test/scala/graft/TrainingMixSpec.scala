@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, TrainingMix}
+
+/** Passage dedup + training-data assembly (stratified sampling, shard
+  * packing) — the q37/q38/q39 operators. */
+class TrainingMixSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // --- passage dedup (q37) ----------------------------------------------------
+
+  test("passageDedup: cross-doc duplicate chunks survive only at their " +
+       "first (doc_id, ci); tails and short docs always kept") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k"),   // chunks [a b c d e][f g h i j], tail k
+      (2L, "a b c d e x y z w v"),     // chunk0 dups doc 1 → dropped
+      (3L, "f g h i j"),               // whole doc dups doc 1's chunk1
+      (4L, null: String),              // null text degrades to (0, 0, "")
+      (5L, "p q r")                    // below k: tail only, kept verbatim
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(docs, $"doc_id", $"text", k = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 2L, "a b c d e f g h i j k")))
+    assert(got(2L) == ((2L, 1L, "x y z w v")))
+    assert(got(3L) == ((1L, 0L, "")))
+    assert(got(4L) == ((0L, 0L, "")))
+    assert(got(5L) == ((0L, 0L, "p q r")))
+  }
+
+  test("passageDedup: within-doc repeats keep only the first chunk, and " +
+       "the deduped corpus contains every distinct chunk exactly once") {
+    val docs = Seq(
+      (1L, "m m m m m m m m m m"),     // two identical chunks
+      (2L, "m m m m m n n n n n")      // chunk0 dups doc 1, chunk1 fresh
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(docs, $"doc_id", $"text", k = 5)
+    val got = out.as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, "m m m m m")))
+    assert(got(2L) == ((2L, 1L, "n n n n n")))
+    // global invariant: re-chunking the deduped texts yields no
+    // duplicate chunks anywhere
+    val rechunked = Dedup.passageDedup(
+      out.select($"doc_id", $"new_text".as("text")),
+      $"doc_id", $"text", k = 5)
+      .agg(sum($"n_chunks").as("c"), sum($"n_kept").as("k"))
+      .as[(Long, Long)].head()
+    assert(rechunked._1 == rechunked._2, "second pass must be a no-op")
+  }
+
+  test("passageDedup is idempotent on the sf0.001 documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val once = Dedup.passageDedup(docs, $"doc_id", $"text", k = 5)
+      .localCheckpoint(true)
+    val twice = Dedup.passageDedup(
+      once.select($"doc_id", $"new_text".as("text")), $"doc_id", $"text",
+      k = 5)
+    // pass 2 keeps everything pass 1 kept (chunk set already distinct)
+    assert(twice.filter($"n_kept" =!= $"n_chunks").count() == 0)
+    // and pass 1 dropped something (the fixture has real duplicates)
+    assert(once.filter($"n_kept" < $"n_chunks").count() > 0)
+  }
+
+  // --- stratified sampling (q38) ----------------------------------------------
+
+  private def md5hex8(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+
+  test("stratifiedSample matches a row-by-row reference of the " +
+       "md5-threshold rule (including null stratum → default)") {
+    val rows = (0L until 400L).map { i =>
+      (i, if (i % 7 == 0) null else Seq("en", "zh", "fr")((i % 3).toInt))
+    }
+    val df = rows.toDF("doc_id", "lang")
+    val rates = Map("en" -> 0.5, "zh" -> 0.3)
+    val got = TrainingMix.stratifiedSample(df, $"doc_id", $"lang",
+        rates, defaultRate = 0.15)
+      .select($"doc_id").as[Long].collect().toSet
+    def th(r: Double) = f"${(r * 4294967296.0).toLong}%08x"
+    val want = rows.filter { case (i, lang) =>
+      val t = lang match {
+        case "en" => th(0.5); case "zh" => th(0.3); case _ => th(0.15)
+      }
+      md5hex8(i.toString) < t
+    }.map(_._1).toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.size < rows.size)
+  }
+
+  test("stratifiedSample: rate 1.0 keeps every row, rate 0.0 keeps none, " +
+       "and the sample is deterministic across runs") {
+    val df = (0L until 500L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val all = TrainingMix.stratifiedSample(df, $"doc_id", $"lang",
+      Map("en" -> 1.0), defaultRate = 0.0)
+    assert(all.count() == 500L)
+    val none = TrainingMix.stratifiedSample(df, $"doc_id", $"lang",
+      Map("en" -> 0.0), defaultRate = 1.0)
+    assert(none.count() == 0L)
+    val a = TrainingMix.stratifiedSample(df, $"doc_id", $"lang",
+      Map("en" -> 0.25), defaultRate = 0.0).select($"doc_id")
+      .as[Long].collect().toSet
+    val b = TrainingMix.stratifiedSample(df, $"doc_id", $"lang",
+      Map("en" -> 0.25), defaultRate = 0.0).select($"doc_id")
+      .as[Long].collect().toSet
+    assert(a == b)
+    // empirical rate in a loose band (md5 is uniform)
+    assert(a.size > 500 * 0.15 && a.size < 500 * 0.35)
+  }
+
+  // --- shard packing (q39) ------------------------------------------------------
+
+  test("packShards equals the sequential prefix-scan reference and " +
+       "respects boundaries") {
+    val docs = Seq(
+      (1L, "a b c"),            // 3 tokens, excl-prefix 0  → shard 0
+      (2L, "d e f g"),          // 4,        excl-prefix 3  → shard 0
+      (3L, "h i"),              // 2,        excl-prefix 7  → shard 1
+      (4L, null: String),       // 0,        excl-prefix 9  → shard 1
+      (5L, "j k l m n o p q")   // 8,        excl-prefix 9  → shard 1
+    ).toDF("doc_id", "text")
+    val got = TrainingMix.packShards(docs, $"doc_id", $"text",
+        tokensPerShard = 5L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L, 0L), (2L, 4L, 0L), (3L, 2L, 1L),
+      (4L, 0L, 1L), (5L, 8L, 1L)))
+  }
+
+  test("packShards: shard ids are dense, non-decreasing in id order, and " +
+       "every shard's exclusive start sits inside its token span (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TrainingMix.packShards(docs, $"doc_id", $"text", 1000L)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    var cum = 0L
+    var prevShard = 0L
+    out.foreach { case (_, nTok, shard) =>
+      assert(shard == cum / 1000L)       // exact reference recurrence
+      assert(shard >= prevShard)
+      prevShard = shard
+      cum += nTok
+    }
+    assert(out.map(_._3).distinct.length >= 2, "fixture spans shards")
+  }
+}
