@@ -112,6 +112,26 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
     assert(a.size > 500 * 0.15 && a.size < 500 * 0.35)
   }
 
+  test("stratifiedSample plan is a pure scan predicate: zero exchanges, " +
+       "no UDF (the 100 TB contract — sampling is one pass)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TrainingMix.stratifiedSample(df, $"doc_id", $"lang",
+        Map("en" -> 0.5), defaultRate = 0.15)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "sampling must stay in codegen")
+  }
+
+  test("passageDedup winner aggregate runs a map-side partial before " +
+       "its exchange (no raw chunk stream crosses unreduced)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.passageDedup(df, $"doc_id", $"text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"winner min(struct) must have a map-side partial:\n$plan")
+  }
+
   // --- shard packing (q39) ------------------------------------------------------
 
   test("packShards equals the sequential prefix-scan reference and " +
