@@ -36,7 +36,8 @@ object Bench {
   /** Timed but reported separately (NOT in the headline total), so the
     * headline stays comparable across rounds as operators are added. */
   private val extras = Seq("q35_gopher_repetition", "q36_semdedup",
-    "q37_passage_dedup", "q38_stratified_sample", "q39_shard_packing")
+    "q37_passage_dedup", "q38_stratified_sample", "q39_shard_packing",
+    "q40_pii_redaction", "q41_decontamination", "q42_vocab_topk")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.frontier.{BloomSeen, CrawlConfig, CuckooSeen, FrontierEngine, QueueSelector, Selection}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TrainingMix, TextAnalysis => TA}
+import graft.pipeline.{Dedup, Multimodal, Privacy, Similarity, TrainingMix, TextAnalysis => TA}
 import graft.urlops.{UrlFunctions => UF}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -297,6 +297,46 @@ object SparkEntry {
       TrainingMix.packShards(t(s, dir, "documents"), $"doc_id", $"text",
           tokensPerShard = 2000L)
         .orderBy($"doc_id")
+    }),
+
+    // --- PII redaction: email/IPv4/phone scrub + per-doc hit counts.
+    // The synthetic corpus contains no PII, so every third doc is
+    // deterministically augmented with one of each (a function of
+    // doc_id the oracle reproduces) — the redaction itself is the
+    // operator under test. One codegen'd projection, zero shuffles. ------------
+    "q40_pii_redaction" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").withColumn("t0",
+        when($"doc_id" % 3 === 0,
+          concat($"text", lit(" mail user"), $"doc_id".cast("string"),
+            lit("@example.com ip 10.0."),
+            ($"doc_id" % 256).cast("string"),
+            lit(".7 tel 555-867-5309")))
+          .otherwise($"text"))
+      Privacy.redactPii(aug, $"doc_id", $"t0").orderBy($"doc_id")
+    }),
+
+    // --- benchmark decontamination: drop/flag training docs sharing any
+    // 5-token shingle with the eval slice (doc_id % 50 == 0) — the
+    // n-gram test-set-leak check. Eval grams are a slim distinct hash
+    // set; the train side streams through one ids-only join. -------------------
+    "q41_decontamination" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs, $"doc_id", $"text",
+          docs.filter($"doc_id" % 50 === 0), $"doc_id", $"text", k = 5)
+        .withColumn("keep", $"keep".cast("long")) // oracle flag convention
+        .orderBy($"doc_id")
+    }),
+
+    // --- tokenizer vocabulary: corpus top-25 tokens + cumulative
+    // coverage of total token mass. Map-side-combined hash agg (the
+    // exchange carries |vocab| rows, not |tokens|), TakeOrdered top-K,
+    // constant-size coverage window. -------------------------------------------
+    "q42_vocab_topk" -> ((s, dir) => {
+      import s.implicits._
+      TA.vocabTopK(t(s, dir, "documents"), $"text", k = 25)
+        .orderBy($"rank")
     }),
 
     // --- A12 coverage: top-N cumulative share — distributed prefix scan
@@ -722,6 +762,76 @@ object SparkEntry {
              ROWS UNBOUNDED PRECEDING) - n_tok) * 1.0 / 2000) AS BIGINT)
              AS shard_id
          FROM b ORDER BY doc_id""",
+    // PII redaction: identical RE2-compatible patterns, identical
+    // email → ip → phone application order; each count is taken on the
+    // text that pattern actually sees (post prior replacements).
+    "q40_pii_redaction" ->
+      """WITH aug AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' mail user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+               '.7 tel 555-867-5309'
+             ELSE text END AS t0
+           FROM documents),
+         r1 AS (SELECT doc_id, t0,
+             regexp_replace(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+',
+               '<EMAIL>', 'g') AS t1
+           FROM aug),
+         r2 AS (SELECT doc_id, t0, t1,
+             regexp_replace(t1, '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b',
+               '<IP>', 'g') AS t2
+           FROM r1)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+'))
+             AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t1,
+             '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2,
+             '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(t2, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b',
+             '<PHONE>', 'g') AS clean_text
+         FROM r2 ORDER BY doc_id""",
+    // decontamination: same sliding 5-token shingles (md5 of the
+    // space-joined gram), eval slice = doc_id % 50 == 0, n_hits =
+    // distinct contaminated grams per train doc.
+    "q41_decontamination" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         grams AS (SELECT doc_id,
+             md5(array_to_string(ts[i+1 : i+5], ' ')) AS gh
+           FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - 4)) AS i
+             FROM toks WHERE len(ts) >= 5)),
+         ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0),
+         hits AS (SELECT g.doc_id,
+             CAST(count(DISTINCT g.gh) AS BIGINT) AS n_hits
+           FROM grams g JOIN ev USING (gh) GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(CASE WHEN coalesce(h.n_hits, 0) = 0 THEN 1 ELSE 0 END
+             AS BIGINT) AS keep
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         ORDER BY d.doc_id""",
+    // vocab top-K: corpus token counts, top-25 by (cnt desc, token),
+    // cumulative share of TOTAL corpus token mass.
+    "q42_vocab_topk" ->
+      """WITH toks AS (SELECT unnest(list_filter(string_split_regex(
+             coalesce(text, ''), '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY 1),
+         top AS (SELECT token, cnt FROM counts
+           ORDER BY cnt DESC, token LIMIT 25)
+         SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token)
+             AS BIGINT) AS rank,
+           token, cnt,
+           round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+             (SELECT sum(cnt) FROM counts), 6) AS coverage
+         FROM top ORDER BY rank""",
     "q19_domain_coverage" ->
       """WITH d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS pages
            FROM events GROUP BY user_id)

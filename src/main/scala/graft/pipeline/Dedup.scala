@@ -399,4 +399,55 @@ object Dedup {
                 lit(0))))),
           s => length(s) > lit(0))).as("new_text"))
   }
+
+  // --- benchmark decontamination (eval-set k-gram overlap) --------------------
+
+  /** Sliding k-token shingle hashes of `text`, one row per shingle:
+    * (id, gh) where gh = md5 of the space-joined k-gram. Shared by the
+    * train and eval sides of [[decontaminate]] so their gram semantics
+    * cannot drift. */
+  private def gramHashes(df: DataFrame, id: Column, text: Column,
+                         k: Int): DataFrame =
+    df.select(id.as("_gid"),
+        filter(split(coalesce(text, lit("")), "\\s+"),
+          t => length(t) > lit(0)).as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("_gid"),
+        explode(sequence(lit(0), size(col("ts")) - k)).as("i"),
+        col("ts"))
+      .select(col("_gid"),
+        md5(concat_ws(" ", slice(col("ts"), col("i") + 1, lit(k))))
+          .as("gh"))
+
+  /** Benchmark decontamination: flag training documents that share any
+    * k-token shingle with an evaluation set (the standard n-gram-overlap
+    * test-set leak check, GPT-3 App. C / Gopher §A3 style — exact-match
+    * grams, k≈13 in practice).
+    *
+    * Shape at 10^9 train docs vs a benchmark of thousands: the eval
+    * gram set is distinct-ed ids-only hashes (small — Catalyst/AQE
+    * broadcasts it under the join threshold, or it shuffles as a slim
+    * two-column table), the train side streams its grams through ONE
+    * semi-join-shaped inner join and a doc-keyed count — no pairwise
+    * doc × doc work, gram text never leaves the map stage (only its
+    * md5 rides the shuffle).
+    *
+    * Returns one row per train doc: (doc_id, n_hits = distinct
+    * contaminated grams, keep = n_hits == 0). */
+  def decontaminate(train: DataFrame, id: Column, text: Column,
+                    evalDf: DataFrame, evalId: Column, evalText: Column,
+                    k: Int): DataFrame = {
+    require(k > 0, "gram size k must be positive")
+    val evalGrams = gramHashes(evalDf, evalId, evalText, k)
+      .select(col("gh")).distinct()
+    val hits = gramHashes(train, id, text, k)
+      .join(evalGrams, Seq("gh"))
+      .groupBy(col("_gid"))
+      .agg(count_distinct(col("gh")).as("n_hits"))
+    train.select(id.as("doc_id"))
+      .join(hits.withColumnRenamed("_gid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) === 0L).as("keep"))
+  }
 }

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII redaction for training-data pipelines: scrub emails, IPv4
+  * addresses, and phone numbers from document text, reporting per-doc
+  * hit counts (the audit trail a compliance pass needs).
+  *
+  * Everything is built-in `regexp_count`/`regexp_replace` — one
+  * whole-stage-codegen'd projection, zero shuffles, so the pass costs
+  * one corpus scan at any scale and the filters/counts push down with
+  * the rest of the plan. The patterns are deliberately RE2-compatible
+  * (no backreferences, no lookaround, ASCII word boundaries) so an
+  * external engine (the DuckDB oracle, a Presto audit job) reproduces
+  * the redaction byte-for-byte.
+  */
+object Privacy {
+
+  /** Email: local part of word chars/dots/plus/hyphen/percent, then a
+    * dotted domain. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+"
+
+  /** IPv4: four 1-3 digit octets (syntactic — no 0-255 range check,
+    * matching the cheap scrubbers used on web corpora). */
+  val ipv4Re = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  /** North-American-style phone: 3-3-4 digit groups separated by
+    * dash/dot/space. */
+  val phoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** Redact emails → `<EMAIL>`, IPv4s → `<IP>`, phones → `<PHONE>`,
+    * applied in that order (an IP inside an already-redacted email
+    * cannot double-count). Hit counts are taken against the text each
+    * pattern actually sees, so counts and replacements always agree.
+    *
+    * Returns (doc_id, n_emails, n_ips, n_phones, clean_text). */
+  def redactPii(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val t0 = coalesce(text, lit(""))
+    val t1 = regexp_replace(t0, emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, phoneRe, "<PHONE>")
+    df.select(
+      id.as("doc_id"),
+      regexp_count(t0, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(t1, lit(ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t2, lit(phoneRe)).cast("long").as("n_phones"),
+      t3.as("clean_text"))
+  }
+}

@@ -221,4 +221,44 @@ object TextAnalysis {
 
   val fingerprintUdf = udf((t: String) => fingerprint(t))
   def doc_fingerprint(text: Column): Column = fingerprintUdf(text)
+
+  // --- tokenizer vocabulary (corpus token top-K + coverage) --------------------
+
+  /** Corpus vocabulary builder: the top-K whitespace tokens by corpus
+    * frequency with each token's cumulative share of total token mass —
+    * the seed statistics a tokenizer-training run (BPE/unigram-LM) reads
+    * off a corpus before merging.
+    *
+    * Shape at 10^9 docs: explode → ONE hash aggregate with a map-side
+    * partial (the count per token combines locally before the shuffle,
+    * so the exchange carries |vocab| rows, not |tokens|), then the
+    * top-K is a `TakeOrderedAndProject` (per-partition heaps + driver
+    * merge — no global sort), and the cumulative-share window runs over
+    * K rows, a constant, not the corpus. Ties break on the token string
+    * so the ranking is total and deterministic.
+    *
+    * Returns (rank, token, cnt, coverage), rank 1..K. */
+  def vocabTopK(df: DataFrame, text: Column, k: Int): DataFrame = {
+    require(k > 0, "vocab size k must be positive")
+    val toks = df.select(explode(
+      filter(split(coalesce(text, lit("")), "\\s+"),
+        t => length(t) > lit(0))).as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    // one O(|vocab|) aggregate for the denominator (the same shape as
+    // q19's coverage total) — a driver scalar, not per-row state
+    val totalMass: Long = counts.agg(sum(col("cnt"))).head().get(0) match {
+      case null    => 1L
+      case l: Long => math.max(l, 1L)
+    }
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top.select(
+      row_number().over(w).cast("long").as("rank"),
+      col("token"), col("cnt"),
+      round(sum(col("cnt")).over(w).cast("double") / lit(totalMass), 6)
+        .as("coverage"))
+  }
 }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Privacy, TextAnalysis => TA}
+
+/** PII redaction (q40), benchmark decontamination (q41), and the
+  * tokenizer-vocabulary builder (q42). */
+class PrivacyDecontamSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // --- PII redaction -----------------------------------------------------------
+
+  test("redactPii: emails, IPv4s, phones replaced with exact counts; " +
+       "clean text untouched; null degrades to empty") {
+    val docs = Seq(
+      (1L, "write to alice.smith+x@mail.example.co.uk today"),
+      (2L, "server at 10.0.255.7 and 192.168.1.1 responded"),
+      (3L, "call 555-867-5309 or 555 123 4567 now"),
+      (4L, "bob@site.org from 8.8.8.8 dial 555.000.1111"),
+      (5L, "no pii here at all"),
+      (6L, null: String)
+    ).toDF("doc_id", "text")
+    val out = Privacy.redactPii(docs, $"doc_id", $"text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 1L, 0L, 0L, "write to <EMAIL> today")))
+    assert(out(1) == ((2L, 0L, 2L, 0L,
+      "server at <IP> and <IP> responded")))
+    assert(out(2) == ((3L, 0L, 0L, 2L, "call <PHONE> or <PHONE> now")))
+    assert(out(3) == ((4L, 1L, 1L, 1L,
+      "<EMAIL> from <IP> dial <PHONE>")))
+    assert(out(4) == ((5L, 0L, 0L, 0L, "no pii here at all")))
+    assert(out(5) == ((6L, 0L, 0L, 0L, "")))
+  }
+
+  test("redactPii: application order prevents double counting — an " +
+       "email's dotted domain is not also an IP, a redacted IP is not " +
+       "a phone") {
+    val docs = Seq((1L, "u@10.0.0.1.example.com then 10.20.30.40"))
+      .toDF("doc_id", "text")
+    val out = Privacy.redactPii(docs, $"doc_id", $"text")
+      .as[(Long, Long, Long, Long, String)].head()
+    // the email regex consumes the whole dotted host; only the
+    // standalone address remains for the IP pass
+    assert(out == ((1L, 1L, 1L, 0L, "<EMAIL> then <IP>")))
+  }
+
+  test("redactPii plan is one codegen'd projection: zero exchanges, " +
+       "no UDF (one corpus scan at any scale)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Privacy.redactPii(docs, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"redaction must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "redaction must stay in codegen built-ins")
+  }
+
+  // --- decontamination ---------------------------------------------------------
+
+  test("decontaminate: a train doc sharing any 5-gram with the eval set " +
+       "is flagged with the exact distinct-gram hit count") {
+    val train = Seq(
+      (1L, "a b c d e f g"),      // shares grams with eval doc 100
+      (2L, "x y z w v"),          // clean
+      (3L, "a b c d e"),          // one shared gram
+      (4L, "one two"),            // < 5 tokens: never flagged
+      (5L, null: String)
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, $"doc_id", $"text",
+        eval, $"doc_id", $"text", k = 5)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    // eval grams: "a b c d e", "b c d e f"
+    // doc 1 grams: "a b c d e","b c d e f","c d e f g" → 2 hits
+    assert(out.toSeq == Seq(
+      (1L, 2L, false), (2L, 0L, true), (3L, 1L, false),
+      (4L, 0L, true), (5L, 0L, true)))
+  }
+
+  test("decontaminate: an eval doc present in train is fully " +
+       "contaminated; duplicate grams within one doc count once") {
+    val txt = "p q r s t p q r s t"   // grams repeat across the two halves
+    val train = Seq((7L, txt)).toDF("doc_id", "text")
+    val eval = Seq((7L, txt)).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, $"doc_id", $"text",
+        eval, $"doc_id", $"text", k = 5)
+      .as[(Long, Long, Boolean)].head()
+    // 6 sliding positions but "p q r s t" appears twice → 5 DISTINCT grams
+    assert(out == ((7L, 5L, false)))
+  }
+
+  test("decontaminate plan joins ids-only gram hashes — no cartesian, " +
+       "no doc text on the join") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.decontaminate(docs, $"doc_id", $"text",
+        docs.filter($"doc_id" % 50 === 0), $"doc_id", $"text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must stay an equi-join:\n$plan")
+  }
+
+  // --- vocabulary top-K --------------------------------------------------------
+
+  test("vocabTopK: counts, deterministic tie-break, cumulative coverage " +
+       "of TOTAL corpus mass") {
+    val docs = Seq(
+      (1L, "b a a"), (2L, "a c b"), (3L, "d")
+    ).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1, d=1 (total 7); ties break on token asc
+    val out = TA.vocabTopK(docs, $"text", k = 3)
+      .orderBy($"rank")
+      .as[(Long, String, Long, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, "a", 3L, math.round(3.0 / 7 * 1e6) / 1e6),
+      (2L, "b", 2L, math.round(5.0 / 7 * 1e6) / 1e6),
+      (3L, "c", 1L, math.round(6.0 / 7 * 1e6) / 1e6)))
+    // k past the vocab returns everything, last coverage = 1.0
+    val all = TA.vocabTopK(docs, $"text", k = 100)
+      .orderBy($"rank").as[(Long, String, Long, Double)].collect()
+    assert(all.length == 4 && all.last._4 == 1.0)
+  }
+
+  test("vocabTopK plan: map-side partial count before the exchange and " +
+       "a TakeOrderedAndProject top-K (no global sort of the vocab)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TA.vocabTopK(docs, $"text", k = 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"token counting must combine map-side:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be a heap take, not a global sort:\n$plan")
+  }
+}
