@@ -52,35 +52,25 @@ object BloomSeen {
     new PartitionedBloom(Array.fill(k)(
       BloomFilter.create(math.max(expectedPerPartition, 64L), fpp)))
 
-  /** Build from a fingerprint column with one treeAggregate pass. */
+  /** Build from a fingerprint column with one treeAggregate pass
+    * (delegates to the kind-agnostic [[SeenFilters.build]]). */
   def build(seen: DataFrame, fpCol: String, k: Int = 16,
             expectedPerPartition: Long = 1 << 20,
-            fpp: Double = 0.01): PartitionedBloom = {
-    import seen.sparkSession.implicits._
-    seen.select(col(fpCol)).as[String].rdd.treeAggregate(
-      empty(k, expectedPerPartition, fpp))(
-      seqOp = (b, fp) => { b.put(fp); b },
-      combOp = (a, b) => a.merge(b))
-  }
+            fpp: Double = 0.01): PartitionedBloom =
+    SeenFilters.build(seen, fpCol, SeenFilters.Bloom, k,
+      expectedPerPartition, fpp).asInstanceOf[PartitionedBloom]
 
   /** Split candidates (must carry `fp`) into (maybeSeen, definitelyNew).
     * Exact usage: `maybeSeen.join(seen, "fp", "left_anti") ∪ definitelyNew`.
     */
   def prefilter(cand: DataFrame, bloom: PartitionedBloom)
-      : (DataFrame, DataFrame) = {
-    val spark = cand.sparkSession
-    val bc = spark.sparkContext.broadcast(bloom)
-    val hit = udf((fp: String) => bc.value.mightContain(fp))
-    (cand.filter(hit(col("fp"))), cand.filter(!hit(col("fp"))))
-  }
+      : (DataFrame, DataFrame) = SeenFilters.prefilter(cand, bloom)
 
   /** Exact dedup with the Bloom fast path: returns candidates whose fp
     * is certainly not in `seen`. */
   def dedupExact(cand: DataFrame, seen: DataFrame,
-                 bloom: PartitionedBloom): DataFrame = {
-    val (maybe, fresh) = prefilter(cand, bloom)
-    maybe.join(seen, Seq("fp"), "left_anti").unionByName(fresh)
-  }
+                 bloom: PartitionedBloom): DataFrame =
+    SeenFilters.dedupExact(cand, seen, bloom)
 
   // --- checkpoint form (table of partition bitsets) --------------------------
 

@@ -40,7 +40,14 @@ object CuckooSeen {
   private def nextPow2(n: Long): Int = {
     var p = 16L
     while (p < n) p <<= 1
-    require(p <= (1L << 30), s"cuckoo table too large: $n")
+    // the slot array is numBuckets × 4 Shorts in ONE JVM array, so the
+    // bucket count must keep numBuckets*4 <= Int.MaxValue: cap at 2^28
+    // buckets (= 2^30 slots, ~0.9e9 fps/partition at the target load).
+    // Larger per-partition capacities must raise bloomPartitions instead
+    // of the per-partition table (which is the scale-out story anyway).
+    require(p <= (1L << 28),
+      s"cuckoo table too large: $n fps/partition (max ~9e8); " +
+        "increase the partition count instead")
     p.toInt
   }
 
@@ -227,25 +234,19 @@ object CuckooSeen {
     new PartitionedCuckoo(Array.fill(k)(new CuckooTable(buckets)))
   }
 
-  /** Build from a fingerprint column with one treeAggregate pass. */
+  /** Build from a fingerprint column with one treeAggregate pass
+    * (delegates to the kind-agnostic [[SeenFilters.build]]). */
   def build(seen: DataFrame, fpCol: String, k: Int = 16,
-            expectedPerPartition: Long = 1 << 20): PartitionedCuckoo = {
-    import seen.sparkSession.implicits._
-    import org.apache.spark.sql.functions.col
-    seen.select(col(fpCol)).as[String].rdd.treeAggregate(
-      empty(k, expectedPerPartition))(
-      seqOp = (t, fp) => { t.put(fp); t },
-      combOp = (a, b) => a.mergeWith(b).asInstanceOf[PartitionedCuckoo])
-  }
+            expectedPerPartition: Long = 1 << 20): PartitionedCuckoo =
+    SeenFilters.build(seen, fpCol, SeenFilters.Cuckoo, k,
+      expectedPerPartition).asInstanceOf[PartitionedCuckoo]
 
   /** Exact dedup with the cuckoo fast path (mirror of
     * [[BloomSeen.dedupExact]]): candidates whose fp is certainly not in
     * `seen`. */
   def dedupExact(cand: DataFrame, seen: DataFrame,
-                 cuckoo: PartitionedCuckoo): DataFrame = {
-    val (maybe, fresh) = SeenFilters.prefilter(cand, cuckoo)
-    maybe.join(seen, Seq("fp"), "left_anti").unionByName(fresh)
-  }
+                 cuckoo: PartitionedCuckoo): DataFrame =
+    SeenFilters.dedupExact(cand, seen, cuckoo)
 
   // --- checkpoint byte form ----------------------------------------------------
 

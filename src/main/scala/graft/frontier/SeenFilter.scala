@@ -62,6 +62,15 @@ object SeenFilters {
     (cand.filter(hit(col("fp"))), cand.filter(!hit(col("fp"))))
   }
 
+  /** Exact dedup with the pre-filter fast path: candidates whose fp is
+    * certainly not in `seen`. Decisions are exact for ANY filter (no
+    * false negatives ⇒ every possibly-seen fp reaches the anti-join). */
+  def dedupExact(cand: DataFrame, seen: DataFrame,
+                 f: SeenFilter): DataFrame = {
+    val (maybe, fresh) = prefilter(cand, f)
+    maybe.join(seen, Seq("fp"), "left_anti").unionByName(fresh)
+  }
+
   // --- checkpoint form: (partition_id, kind, bits) parquet --------------------
 
   def save(spark: SparkSession, f: SeenFilter, path: String): Unit = {

@@ -175,7 +175,13 @@ object Similarity {
   def semDedup(df: DataFrame, id: Column, vec: Column,
                centroids: Array[(Long, Seq[Float])],
                tau: Double): DataFrame = {
-    val cells = semDedupCells(df, id, vec, centroids)
+    // materialize the assignment ONCE: it feeds three plan branches
+    // (both self-join sides + the final keep join), and without a
+    // common shuffle below it nothing guarantees exchange reuse — at
+    // 10^9 vectors the O(k·d) argmax would otherwise run up to 3×.
+    // The checkpoint holds (id, v, cell) — the same residency class as
+    // the input embeddings, which SemDedup touches whole by definition.
+    val cells = graft.util.Eager.ckpt(semDedupCells(df, id, vec, centroids))
     val dropped = cells.select(col("vec_id").as("id_a"), col("cell"),
         col("v").as("va"))
       .join(cells.select(col("vec_id").as("id_b"), col("cell"),

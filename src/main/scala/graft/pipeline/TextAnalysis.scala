@@ -245,20 +245,20 @@ object TextAnalysis {
         t => length(t) > lit(0))).as("token"))
     val counts = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
-    // one O(|vocab|) aggregate for the denominator (the same shape as
-    // q19's coverage total) — a driver scalar, not per-row state
-    val totalMass: Long = counts.agg(sum(col("cnt"))).head().get(0) match {
-      case null    => 1L
-      case l: Long => math.max(l, 1L)
-    }
+    // the total-mass denominator rides the SAME plan as the top-K (a
+    // 1-row aggregate broadcast-cross-joined onto the K rows) instead
+    // of a separate driver action: one action, and the token-count
+    // exchange under both branches canonicalizes identically so the
+    // corpus is scanned once, not re-exploded for the total
+    val total = counts.agg(sum(col("cnt")).cast("double").as("_tm"))
     val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("token").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    top.select(
+    top.crossJoin(broadcast(total)).select(
       row_number().over(w).cast("long").as("rank"),
       col("token"), col("cnt"),
-      round(sum(col("cnt")).over(w).cast("double") / lit(totalMass), 6)
+      round(sum(col("cnt")).over(w).cast("double") / col("_tm"), 6)
         .as("coverage"))
   }
 }

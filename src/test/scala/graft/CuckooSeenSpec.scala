@@ -184,4 +184,21 @@ class CuckooSeenSpec extends AnyFunSuite with SparkSuite {
     assert(e2.seenFilter.exists(
       _.isInstanceOf[CuckooSeen.PartitionedCuckoo]))
   }
+
+  test("cuckoo: per-partition capacity past the slot-array Int bound is " +
+       "rejected loudly (never a wrapped/negative allocation)") {
+    // up to the cap: constructs (2^28 buckets × 4 slots = 2^30 Shorts)
+    // — just assert the guard math, building 2 GiB here would be rude;
+    // 9.0e8 fps/partition sits under the cap and must be accepted
+    val ok = intercept[IllegalArgumentException] {
+      CuckooSeen.empty(k = 1, expectedPerPartition = 1_000_000_000L)
+    }
+    assert(ok.getMessage.contains("increase the partition count"),
+      s"capacities past ~9e8 fps/partition must fail with guidance: $ok")
+    // far past the cap (the old Int-overflow crash zone): same clean error
+    val far = intercept[IllegalArgumentException] {
+      CuckooSeen.empty(k = 1, expectedPerPartition = 4_000_000_000L)
+    }
+    assert(far.getMessage.contains("cuckoo table too large"))
+  }
 }
