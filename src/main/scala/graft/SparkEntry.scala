@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.frontier.{BloomSeen, CrawlConfig, CuckooSeen, FrontierEngine, QueueSelector, Selection}
-import graft.pipeline.{Dedup, Multimodal, Privacy, Similarity, TrainingMix, TextAnalysis => TA}
+import graft.pipeline.{Clean, Dedup, Multimodal, Privacy, Similarity, TrainingMix, TextAnalysis => TA}
 import graft.urlops.{UrlFunctions => UF}
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -29,6 +29,28 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Deterministic line synthesis for the line-level cleaning operators
+    * (q43/q45): the synthetic corpus has no newlines, so — like q40's
+    * PII augmentation — documents are recut into 10-token lines as a
+    * pure function of (doc_id, text) that the DuckDB oracle reproduces.
+    * With `suffixed`, lines end in '.' except when (doc_id + idx) % 4
+    * == 0, exercising the C4 terminal-punctuation rule both ways. */
+  private def synthLines(docId: Column, text: Column,
+                         suffixed: Boolean): Column = {
+    val toks = filter(split(coalesce(text, lit("")), "\\s+"),
+      t => length(t) > lit(0))
+    val nl = ceil(size(toks) / lit(10.0)).cast("int")
+    when(size(toks) > 0,
+      transform(sequence(lit(0), nl - 1), ci => {
+        val chunk = array_join(slice(toks, ci * 10 + 1, lit(10)), " ")
+        if (suffixed)
+          concat(chunk, when(pmod(docId + ci, lit(4)) === 0, lit(""))
+            .otherwise(lit(".")))
+        else chunk
+      }))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** Flagship: a two-epoch focused-crawl over the reference e2e site
     * graph — frontier scheduling, fetch join, parse, dedup, push.
@@ -337,6 +359,60 @@ object SparkEntry {
       import s.implicits._
       TA.vocabTopK(t(s, dir, "documents"), $"text", k = 25)
         .orderBy($"rank")
+    }),
+
+    // --- C4-style line/document cleaning (Raffel et al. 2020 §2.2):
+    // terminal-punctuation + min-words + javascript/lorem-ipsum/brace
+    // rules per line, keep docs with ≥3 surviving lines. Corpus recut
+    // into deterministic 10-token lines (see synthLines); every third
+    // doc gets the three classic junk lines, every fifth a too-short
+    // line — each rule fires both ways. ONE codegen'd projection. -------------
+    "q43_c4_filters" -> ((s, dir) => {
+      import s.implicits._
+      val junk = when($"doc_id" % 3 === 0, array(
+        lit("please enable javascript to continue."),
+        lit("{ cookie policy }"),
+        lit("lorem ipsum dolor sit amet consectetur adipiscing elit.")))
+        .otherwise(array().cast("array<string>"))
+      val shortL = when($"doc_id" % 5 === 0, array(lit("ok.")))
+        .otherwise(array().cast("array<string>"))
+      val aug = t(s, dir, "documents").withColumn("t0",
+        array_join(concat(
+          synthLines($"doc_id", $"text", suffixed = true), junk, shortL),
+          "\n"))
+      Clean.c4LineFilters(aug, $"doc_id", $"t0").orderBy($"doc_id")
+    }),
+
+    // --- temperature-scaled corpus mixing weights (XLM-R §3.1:
+    // p_s ∝ n_s^α): per source, count, weight, sampling probability,
+    // expected docs at a 10k budget. Exact decimal Σw (order-free). ------------
+    "q44_domain_mix" -> ((s, dir) => {
+      import s.implicits._
+      TrainingMix.mixWeights(t(s, dir, "documents"), $"source",
+          alpha = 0.5, budget = 10000L)
+        .orderBy($"stratum")
+    }),
+
+    // --- CCNet/RefinedWeb boilerplate-line removal: lines whose
+    // normalized form appears in ≥50 distinct docs are dropped
+    // everywhere. Every second doc carries a rights footer (case
+    // varies — normalization unifies it), every fourth a subscribe
+    // banner; content lines stay under the threshold. ---------------------------
+    "q45_boilerplate_lines" -> ((s, dir) => {
+      import s.implicits._
+      val footer = when($"doc_id" % 2 === 0, array(
+        when($"doc_id" % 8 === 0, lit("all rights reserved"))
+          .otherwise(lit("All Rights Reserved"))))
+        .otherwise(array().cast("array<string>"))
+      val banner = when($"doc_id" % 4 === 0,
+        array(lit("Subscribe to our newsletter!")))
+        .otherwise(array().cast("array<string>"))
+      val aug = t(s, dir, "documents").withColumn("t0",
+        array_join(concat(
+          synthLines($"doc_id", $"text", suffixed = false), footer, banner),
+          "\n"))
+      Clean.boilerplateLines(aug, $"doc_id", $"t0", minDocs = 50L)
+        .orderBy($"doc_id")
     }),
 
     // --- A12 coverage: top-N cumulative share — distributed prefix scan
@@ -832,6 +908,114 @@ object SparkEntry {
              ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
              (SELECT sum(cnt) FROM counts), 6) AS coverage
          FROM top ORDER BY rank""",
+    // C4 filters: identical 10-token line recut (tails keep their
+    // partial slice), '.' suffix except (doc_id+ci)%4==0, junk lines at
+    // ci = nl..nl+2 for doc_id%3==0 and 'ok.' at nl+3 for doc_id%5==0;
+    // keep rule = terminal punct AND ≥5 words AND no
+    // javascript/lorem-ipsum/brace marker.
+    "q43_c4_filters" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         b AS (SELECT doc_id, ts,
+             CAST(ceil(len(ts) / 10.0) AS BIGINT) AS nl
+           FROM toks),
+         content AS (SELECT doc_id,
+             array_to_string(ts[ci*10+1 : ci*10+10], ' ') ||
+               CASE WHEN (doc_id + ci) % 4 = 0 THEN '' ELSE '.' END AS line,
+             ci
+           FROM (SELECT doc_id, unnest(range(0, nl)) AS ci, ts FROM b)),
+         junk AS (SELECT doc_id,
+             CASE j WHEN 0 THEN 'please enable javascript to continue.'
+                    WHEN 1 THEN '{ cookie policy }'
+                    ELSE 'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+             END AS line, nl + j AS ci
+           FROM b CROSS JOIN range(0, 3) r(j) WHERE doc_id % 3 = 0),
+         shortl AS (SELECT doc_id, 'ok.' AS line, nl + 3 AS ci
+           FROM b WHERE doc_id % 5 = 0),
+         lines AS (SELECT * FROM content UNION ALL SELECT * FROM junk
+           UNION ALL SELECT * FROM shortl),
+         f AS (SELECT doc_id, ci, line,
+             (right(line, 1) IN ('.', '!', '?', '"', '''')
+              AND len(list_filter(string_split_regex(line, '\s+'),
+                x -> x <> '')) >= 5
+              AND NOT contains(lower(line), 'javascript')
+              AND NOT contains(lower(line), 'lorem ipsum')
+              AND NOT contains(line, '{')) AS k
+           FROM lines),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(*) FILTER (k) AS BIGINT) AS n_kept,
+             coalesce(string_agg(line, chr(10) ORDER BY ci) FILTER (k),
+               '') AS clean_text
+           FROM f GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(CASE WHEN coalesce(a.n_kept, 0) >= 3 THEN 1 ELSE 0 END
+             AS BIGINT) AS keep,
+           coalesce(a.clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
+    // domain mix: w = round(n^0.5, 6) summed EXACTLY as DECIMAL(18,6),
+    // then double divisions — bit-identical across engines.
+    "q44_domain_mix" ->
+      """WITH c AS (SELECT source AS stratum,
+             CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         w AS (SELECT stratum, n_docs,
+             CAST(round(pow(n_docs, 0.5), 6) AS DECIMAL(18,6)) AS w
+           FROM c),
+         t AS (SELECT sum(w) AS sw FROM w)
+         SELECT stratum, n_docs, CAST(w AS DOUBLE) AS weight,
+           round(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS p,
+           CAST(floor(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) * 10000.0)
+             AS BIGINT) AS expected_docs
+         FROM w, t ORDER BY stratum""",
+    // boilerplate lines: same 10-token recut (unsuffixed), rights
+    // footer on doc_id%2==0 (lowercase variant on %8==0 — the
+    // normalization must unify them), subscribe banner on %4==0;
+    // hot = normalized line in ≥50 distinct docs, removed everywhere.
+    "q45_boilerplate_lines" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         b AS (SELECT doc_id, ts,
+             CAST(ceil(len(ts) / 10.0) AS BIGINT) AS nl
+           FROM toks),
+         content AS (SELECT doc_id,
+             array_to_string(ts[ci*10+1 : ci*10+10], ' ') AS line, ci
+           FROM (SELECT doc_id, unnest(range(0, nl)) AS ci, ts FROM b)),
+         bp AS (SELECT doc_id,
+             CASE WHEN doc_id % 8 = 0 THEN 'all rights reserved'
+                  ELSE 'All Rights Reserved' END AS line, nl AS ci
+           FROM b WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, 'Subscribe to our newsletter!' AS line,
+             nl + 1 AS ci
+           FROM b WHERE doc_id % 4 = 0),
+         lines AS (SELECT doc_id, line, ci,
+             lower(trim(line)) AS norm
+           FROM (SELECT * FROM content UNION ALL SELECT * FROM bp)),
+         hot AS (SELECT norm FROM
+             (SELECT norm, count(DISTINCT doc_id) AS dfc
+              FROM lines GROUP BY 1)
+           WHERE dfc >= 50),
+         tagged AS (SELECT l.doc_id, l.line, l.ci,
+             (h.norm IS NOT NULL) AS is_hot
+           FROM lines l LEFT JOIN hot h USING (norm)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(*) FILTER (is_hot) AS BIGINT) AS n_removed,
+             coalesce(string_agg(line, chr(10) ORDER BY ci)
+               FILTER (NOT is_hot), '') AS clean_text
+           FROM tagged GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
     "q19_domain_coverage" ->
       """WITH d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS pages
            FROM events GROUP BY user_id)

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning operators over newline-delimited document text — the
+  * line-level hygiene passes every public web-text pipeline runs before
+  * dedup/mixing (C4, Raffel et al. 2020 arXiv:1910.10683 §2.2; CCNet,
+  * Wenzek et al. 2020 arXiv:1911.00359 §3.1; RefinedWeb, Penedo et al.
+  * 2023 arXiv:2306.01116 §G).
+  *
+  * Two operators with very different scale shapes:
+  *  - [[c4LineFilters]] is per-row only: every rule is a function of the
+  *    document itself, so the whole operator is ONE codegen'd projection
+  *    — zero shuffles at any corpus size.
+  *  - [[boilerplateLines]] needs corpus-wide line frequencies, so it is
+  *    explode → two map-side-combinable aggregates → a broadcast
+  *    anti-tag back onto the line stream → per-doc reassembly.
+  */
+object Clean {
+
+  /** Non-empty lines of a newline-delimited text column (empty docs →
+    * empty array, not `[""]`). */
+  private def splitLines(text: Column): Column =
+    filter(split(coalesce(text, lit("")), "\n"), l => length(l) > lit(0))
+
+  private def wordCount(l: Column): Column =
+    size(filter(split(l, "\\s+"), t => length(t) > lit(0)))
+
+  /** The C4 line-keep rule: ends in terminal punctuation, has at least
+    * `minWords` words, and carries none of the boilerplate markers
+    * ("javascript" enable-JS banners, "lorem ipsum" placeholder text,
+    * `{` code/CSS fragments). All case-insensitive on the markers. */
+  private def c4KeepLine(l: Column, minWords: Int): Column =
+    substring(l, -1, 1).isin(".", "!", "?", "\"", "'") &&
+      wordCount(l) >= lit(minWords) &&
+      !lower(l).contains(lit("javascript")) &&
+      !lower(l).contains(lit("lorem ipsum")) &&
+      !l.contains(lit("{"))
+
+  /** C4-style document cleaning: drop lines failing [[c4KeepLine]],
+    * keep the document iff at least `minKeptLines` lines survive.
+    *
+    * Returns (doc_id, n_lines, n_kept, keep, clean_text) — counts are
+    * over non-empty lines; `clean_text` is the surviving lines joined
+    * with '\n' ('' when none survive).
+    *
+    * Scale shape: the entire operator is array built-ins inside one
+    * whole-stage-codegen projection — no UDF, no explode, no shuffle;
+    * it composes with a parquet scan at 100 TB as a pure map. */
+  def c4LineFilters(df: DataFrame, id: Column, text: Column,
+                    minWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    require(minWords >= 1 && minKeptLines >= 1,
+      "minWords and minKeptLines must be positive")
+    val lines = splitLines(text)
+    val kept = filter(lines, l => c4KeepLine(l, minWords))
+    df.select(id.as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      (size(kept) >= lit(minKeptLines)).cast("long").as("keep"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
+  /** CCNet/RefinedWeb-style boilerplate-line removal: a line whose
+    * case-and-whitespace-normalized form appears in at least `minDocs`
+    * DISTINCT documents is boilerplate (nav bars, cookie banners,
+    * copyright footers) and is removed from every document; surviving
+    * lines are reassembled in original order.
+    *
+    * Returns (doc_id, n_lines, n_removed, clean_text), one row per
+    * input document (documents with no lines keep a 0/0/'' row).
+    *
+    * Scale shape: one explode of the line stream; the doc-frequency
+    * count is distinct(norm, doc) → count per norm (both hash
+    * aggregates with map-side partials, keyed on the line hash — no
+    * skew beyond the hot lines themselves, which combine map-side).
+    * The hot set is at most |corpus lines| / minDocs entries and in
+    * practice tiny, so tagging is a BROADCAST left join back onto the
+    * line stream — the only full-width shuffle is the per-doc
+    * reassembly groupBy, which partitions on doc_id like every other
+    * per-doc operator here. */
+  def boilerplateLines(df: DataFrame, id: Column, text: Column,
+                       minDocs: Long): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val base = df
+      .select(id.as("doc_id"), posexplode(splitLines(text)).as(Seq("pos", "line")))
+      .withColumn("norm", lower(trim(col("line"))))
+    val hot = base.select(col("norm"), col("doc_id")).distinct()
+      .groupBy(col("norm")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("norm"), lit(1L).as("_hot"))
+    val tagged = base.join(broadcast(hot), Seq("norm"), "left")
+    val agg = tagged.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("_hot").isNotNull, lit(1L)).otherwise(lit(0L)))
+        .as("n_removed"),
+      // collect_list skips nulls, so only kept lines enter; array_sort
+      // on (pos, line) structs restores original order
+      array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("_hot").isNull, struct(col("pos"), col("line"))))),
+          s => s.getField("line")),
+        "\n").as("clean_text"))
+    df.select(id.as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+}

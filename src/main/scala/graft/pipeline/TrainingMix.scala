@@ -47,6 +47,39 @@ object TrainingMix {
       .filter(col("sample_key") < thCol)
   }
 
+  /** Temperature-scaled corpus mixing weights (the multilingual /
+    * multi-domain sampling rule from the public literature — XLM-R,
+    * Conneau et al. 2020 arXiv:1911.02116 §3.1: p_s ∝ n_s^α): per
+    * stratum (domain / language / source), its document count n, weight
+    * w = n^alpha, normalized sampling probability p = w / Σw, and the
+    * expected document draw floor(p·budget) for a training budget.
+    *
+    * Determinism across engines: the only corpus-wide float reduction
+    * (Σw) would be partition-order-dependent as a double sum, so each w
+    * is rounded to 6 dp and summed as DECIMAL(18,6) — an EXACT,
+    * order-independent sum — before the final double divisions, which
+    * are single IEEE ops. Any engine reproduces every output bit.
+    *
+    * Scale shape: one map-side-combinable count per stratum (the
+    * exchange carries |strata| rows, not |docs|), then a 1-row exact
+    * decimal total broadcast-cross-joined back — the same
+    * one-action/shared-scan shape as [[TextAnalysis.vocabTopK]]. */
+  def mixWeights(df: DataFrame, stratum: Column, alpha: Double,
+                 budget: Long): DataFrame = {
+    require(alpha > 0.0 && budget > 0, "alpha and budget must be positive")
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("_w", round(pow(col("n_docs").cast("double"), lit(alpha)), 6)
+        .cast("decimal(18,6)"))
+    val total = counts.agg(sum(col("_w")).as("_sw"))
+    val p = col("_w").cast("double") / col("_sw").cast("double")
+    counts.crossJoin(broadcast(total)).select(
+      col("stratum"), col("n_docs"),
+      col("_w").cast("double").as("weight"),
+      round(p, 6).as("p"),
+      floor(p * lit(budget.toDouble)).cast("long").as("expected_docs"))
+  }
+
   /** Pack documents into fixed-token-budget training shards: documents
     * are laid out in id order and shard_id =
     * floor(exclusive-prefix-token-count / tokensPerShard), so each

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Clean, TrainingMix}
+
+/** Corpus-cleaning + mixing-weight operators (q43/q44/q45): C4 line
+  * filters, temperature-scaled domain mix, boilerplate-line removal. */
+class CleanSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // --- C4 line/document filters (q43) ------------------------------------------
+
+  test("c4LineFilters applies each rule: terminal punct, min words, " +
+       "javascript / lorem ipsum / brace markers; doc keep needs 3 lines") {
+    val docs = Seq(
+      (1L, Seq(
+        "Good line with five words.",            // keep
+        "short one.",                            // < 5 words
+        "please enable JavaScript now okay.",    // marker (case-insensitive)
+        "lorem ipsum dolor sit amet.",           // marker
+        "code { block } five words.",            // brace
+        "no terminal punctuation in this line",  // punct rule
+        "Another good sentence of six words!",   // keep
+        "Third keeper line ends with quote\""    // keep
+      ).mkString("\n")),
+      (2L, "Only one keeper line here.\nAnd a second keeper line." +
+        "\nbut this one has no stop"),           // 2 keepers → doc dropped
+      (3L, null: String),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = Clean.c4LineFilters(docs, $"doc_id", $"text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((8L, 3L, 1L,
+      Seq("Good line with five words.",
+        "Another good sentence of six words!",
+        "Third keeper line ends with quote\"").mkString("\n"))))
+    assert(got(2L) == ((3L, 2L, 0L,
+      "Only one keeper line here.\nAnd a second keeper line.")))
+    assert(got(3L) == ((0L, 0L, 0L, "")))
+    assert(got(4L) == ((0L, 0L, 0L, "")))
+  }
+
+  test("c4LineFilters plan is one codegen'd projection: zero exchanges, " +
+       "no UDF, no explode (the 100 TB contract — a pure map)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Clean.c4LineFilters(df, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"c4 filters must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Generate"),
+      s"c4 filters must stay a codegen projection:\n$plan")
+  }
+
+  // --- boilerplate-line removal (q45) -------------------------------------------
+
+  test("boilerplateLines removes every occurrence of lines hot across " +
+       "docs (normalized), keeps within-doc repeats that are cold, and " +
+       "preserves original line order") {
+    val docs = Seq(
+      (1L, "alpha beta\nAll Rights Reserved\ngamma delta"),
+      (2L, "all rights reserved\nepsilon zeta\nepsilon zeta"), // norm hits; cold dup stays twice
+      (3L, "  ALL RIGHTS RESERVED  \nunique text"),            // trim+case hits
+      (4L, "nothing shared here"),
+      (5L, null: String)
+    ).toDF("doc_id", "text")
+    val got = Clean.boilerplateLines(docs, $"doc_id", $"text", minDocs = 3L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 1L, "alpha beta\ngamma delta")))
+    assert(got(2L) == ((3L, 1L, "epsilon zeta\nepsilon zeta")))
+    assert(got(3L) == ((2L, 1L, "unique text")))
+    assert(got(4L) == ((1L, 0L, "nothing shared here")))
+    assert(got(5L) == ((0L, 0L, "")))
+  }
+
+  test("boilerplateLines: within-doc repetition does not fake corpus " +
+       "frequency (distinct-doc counting), and threshold is exact") {
+    val docs = Seq(
+      (1L, "spam\nspam\nspam\nspam"),  // 4 copies in ONE doc → df 1
+      (2L, "twice\nok line"),
+      (3L, "twice\nother line")        // df(twice) = 2 == minDocs → hot
+    ).toDF("doc_id", "text")
+    val got = Clean.boilerplateLines(docs, $"doc_id", $"text", minDocs = 2L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 0L, "spam\nspam\nspam\nspam")))
+    assert(got(2L) == ((2L, 1L, "ok line")))
+    assert(got(3L) == ((2L, 1L, "other line")))
+  }
+
+  test("boilerplateLines tags the line stream via a BROADCAST join on " +
+       "the hot set (never a shuffled full-width join)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("t0", concat_ws("\n", $"text", lit("All Rights Reserved")))
+    val plan = Clean.boilerplateLines(df, $"doc_id", $"t0", minDocs = 5L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-set tag must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  // --- temperature-scaled mix weights (q44) -------------------------------------
+
+  test("mixWeights matches the exact-decimal reference on a handcrafted " +
+       "mix (w = round(n^alpha, 6), exact sum, floor(p*budget))") {
+    val docs = (1 to 4).map(i => (i.toLong, "a")) ++
+      (1 to 9).map(i => (i.toLong, "b")) ++
+      (1 to 16).map(i => (i.toLong, "c"))
+    val df = docs.toDF("doc_id", "source")
+    val got = TrainingMix.mixWeights(df, $"source", alpha = 0.5,
+        budget = 900L)
+      .orderBy($"stratum")
+      .as[(String, Long, Double, Double, Long)].collect()
+    // w: sqrt(4)=2, sqrt(9)=3, sqrt(16)=4; exact sum 9.000000
+    val sw = 9.0
+    def ref(n: Long, w: Double) = {
+      val p = w / sw
+      (w, math.rint(p * 1e6) / 1e6, math.floor(p * 900.0).toLong)
+    }
+    assert(got.map(_._1).toSeq == Seq("a", "b", "c"))
+    assert(got.map(_._2).toSeq == Seq(4L, 9L, 16L))
+    Seq((0, 4L, 2.0), (1, 9L, 3.0), (2, 16L, 4.0)).foreach {
+      case (i, n, w) =>
+        val (rw, rp, re) = ref(n, w)
+        assert(got(i)._3 == rw, s"weight for ${got(i)._1}")
+        assert(math.abs(got(i)._4 - rp) < 1e-9, s"p for ${got(i)._1}")
+        assert(got(i)._5 == re, s"expected_docs for ${got(i)._1}")
+    }
+    // probabilities form a distribution (up to 6dp rounding per entry)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-5)
+  }
+
+  test("mixWeights: alpha=1 reduces to proportional sampling; alpha→0 " +
+       "flattens the mix (low-resource strata gain share)") {
+    val df = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (1 to 10).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val prop = TrainingMix.mixWeights(df, $"source", 1.0, 1000L)
+      .orderBy($"stratum").as[(String, Long, Double, Double, Long)].collect()
+    assert(prop.map(r => r._1 -> r._4).toMap == Map("big" -> 0.9, "small" -> 0.1))
+    val flat = TrainingMix.mixWeights(df, $"source", 0.2, 1000L)
+      .orderBy($"stratum").as[(String, Long, Double, Double, Long)].collect()
+    val fm = flat.map(r => r._1 -> r._4).toMap
+    assert(fm("small") > 0.1 && fm("big") < 0.9,
+      s"temperature must flatten: $fm")
+  }
+
+  test("mixWeights single action shape: stratum agg has a map-side " +
+       "partial and the total rides a broadcast (no second scan job)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TrainingMix.mixWeights(df, $"source", 0.5, 10000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"stratum count must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"1-row total must broadcast:\n$plan")
+  }
+}
