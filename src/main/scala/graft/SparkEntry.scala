@@ -415,6 +415,33 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // --- cleaning-pipeline survival funnel: 4 cumulative stages in ONE
+    // map-side-combined aggregation pass (each stage = one counter, the
+    // exchange carries a single row). Integer-arithmetic punct gate
+    // (5·n_punct < len) keeps the predicate FP-free on both engines. --------
+    "q46_filter_funnel" -> ((s, dir) => {
+      import s.implicits._
+      Clean.filterFunnel(t(s, dir, "documents"), Seq(
+        "min_chars" -> ($"n_chars" >= 200),
+        "token_range" ->
+          TA.token_count_ws(coalesce($"text", lit(""))).between(20, 5000),
+        "lang_en" -> ($"lang" === "en"),
+        "low_punct" ->
+          (regexp_count($"text", lit("[^\\p{L}\\p{N}\\s]")) * 5 <
+            length($"text"))))
+        .orderBy($"stage")
+    }),
+
+    // --- deterministic corpus shuffle: md5(id) permutation order,
+    // global rank via the A10 distributed prefix scan (no global sort),
+    // contiguous 100-doc output shards. ------------------------------------------
+    "q47_corpus_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      TrainingMix.corpusShuffle(t(s, dir, "documents"), $"doc_id",
+          docsPerShard = 100L)
+        .orderBy($"doc_id")
+    }),
+
     // --- A12 coverage: top-N cumulative share — distributed prefix scan
     // (no single-partition global window; Cumulative range-partitions on
     // the order key and offsets each partition) -----------------------------
@@ -1016,6 +1043,52 @@ object SparkEntry {
            coalesce(a.clean_text, '') AS clean_text
          FROM documents d LEFT JOIN agg a USING (doc_id)
          ORDER BY d.doc_id""",
+    // filter funnel: cumulative-AND survival counts, stage i's n_in is
+    // stage i-1's n_out; identical whitespace tokenizer and the same
+    // integer punct inequality (5·n_punct < len(text)).
+    "q46_filter_funnel" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS s0,
+             CAST(count(*) FILTER (n_chars >= 200) AS BIGINT) AS s1,
+             CAST(count(*) FILTER (n_chars >= 200
+               AND len(list_filter(string_split_regex(coalesce(text, ''),
+                 '\s+'), x -> x <> '')) BETWEEN 20 AND 5000)
+               AS BIGINT) AS s2,
+             CAST(count(*) FILTER (n_chars >= 200
+               AND len(list_filter(string_split_regex(coalesce(text, ''),
+                 '\s+'), x -> x <> '')) BETWEEN 20 AND 5000
+               AND lang = 'en') AS BIGINT) AS s3,
+             CAST(count(*) FILTER (n_chars >= 200
+               AND len(list_filter(string_split_regex(coalesce(text, ''),
+                 '\s+'), x -> x <> '')) BETWEEN 20 AND 5000
+               AND lang = 'en'
+               AND len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) * 5 <
+                 len(text)) AS BIGINT) AS s4
+           FROM documents),
+         f AS (
+           SELECT 1 AS stage, 'min_chars' AS name, s0 AS n_in, s1 AS n_out
+             FROM m
+           UNION ALL SELECT 2, 'token_range', s1, s2 FROM m
+           UNION ALL SELECT 3, 'lang_en', s2, s3 FROM m
+           UNION ALL SELECT 4, 'low_punct', s3, s4 FROM m)
+         SELECT CAST(stage AS BIGINT) AS stage, name, n_in, n_out,
+           n_in - n_out AS n_dropped,
+           CASE WHEN n_in > 0
+             THEN round((n_in - n_out) * 1.0 / n_in, 6) ELSE 0.0 END
+             AS drop_rate
+         FROM f ORDER BY stage""",
+    // corpus shuffle: md5(id) permutation, rank = row_number in
+    // (pos_key, doc_id) order, shard = floor((rank-1)/100).
+    "q47_corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS pos_key
+           FROM documents),
+         r AS (SELECT doc_id, pos_key,
+             CAST(row_number() OVER (ORDER BY pos_key, doc_id) AS BIGINT)
+               AS rank
+           FROM k)
+         SELECT doc_id, pos_key, rank,
+           CAST(floor((rank - 1) / 100.0) AS BIGINT) AS shard_id
+         FROM r ORDER BY doc_id""",
     "q19_domain_coverage" ->
       """WITH d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS pages
            FROM events GROUP BY user_id)

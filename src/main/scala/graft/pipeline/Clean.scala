@@ -61,6 +61,41 @@ object Clean {
       array_join(kept, "\n").as("clean_text"))
   }
 
+  /** One-pass filter funnel: given an ordered list of named keep
+    * predicates (the stages of a cleaning pipeline), report per stage
+    * how many documents entered, survived, and dropped — the survival
+    * funnel every published pipeline reports (RefinedWeb Fig. 2, C4
+    * Table 1) and the first thing an operator asks of a 100 TB sweep.
+    *
+    * Returns (stage 1..k, name, n_in, n_out, n_dropped, drop_rate),
+    * where stage i's population is the survivors of stages 1..i-1
+    * (cumulative AND — funnel, not marginal, semantics).
+    *
+    * Scale shape: ONE aggregation pass over the corpus — every stage is
+    * a conditional count in the same map-side-combined aggregate, so
+    * the corpus is scanned once and the exchange carries one row of k+1
+    * counters; the per-stage rows are inlined from that single row.
+    * Adding a stage costs one counter, never another scan. */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val cum = stages.scanLeft(lit(true))((acc, s) => acc && s._2).tail
+    val aggs = count(lit(1)).cast("long").as("_s0") +:
+      cum.zipWithIndex.map { case (p, i) =>
+        sum(when(p, lit(1L)).otherwise(lit(0L))).cast("long")
+          .as(s"_s${i + 1}")
+      }
+    val entries = stages.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit((i + 1).toLong).as("stage"), lit(name).as("name"),
+        col(s"_s$i").as("n_in"), col(s"_s${i + 1}").as("n_out"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(inline(array(entries: _*)))
+      .withColumn("n_dropped", col("n_in") - col("n_out"))
+      .withColumn("drop_rate", when(col("n_in") > 0,
+        round((col("n_in") - col("n_out")).cast("double") / col("n_in"), 6))
+        .otherwise(lit(0.0)))
+  }
+
   /** CCNet/RefinedWeb-style boilerplate-line removal: a line whose
     * case-and-whitespace-normalized form appears in at least `minDocs`
     * DISTINCT documents is boilerplate (nav bars, cookie banners,

@@ -80,6 +80,30 @@ object TrainingMix {
       floor(p * lit(budget.toDouble)).cast("long").as("expected_docs"))
   }
 
+  /** Deterministic corpus shuffle: lay documents out in md5(id) order —
+    * a seedless pseudo-random permutation any engine reproduces — with
+    * each document's global position (`rank`, 1-based, dense) and its
+    * contiguous output shard floor((rank-1) / docsPerShard). This is
+    * the "shuffle the corpus before training" step, done once at write
+    * time instead of at read time.
+    *
+    * Scale shape: NO global sort — the rank comes from
+    * [[graft.stats.Cumulative]]'s distributed prefix scan (range
+    * partition on the hash key + P driver scalars + per-partition
+    * scan), the same A10 operator behind shard packing; the hash key
+    * range-partitions uniformly by construction, so no skew. */
+  def corpusShuffle(df: DataFrame, id: Column,
+                    docsPerShard: Long): DataFrame = {
+    require(docsPerShard > 0, "docsPerShard must be positive")
+    val keyed = df.select(id.as("doc_id"),
+      md5(id.cast("string")).as("pos_key"))
+    val (ranked, _, _) = graft.stats.Cumulative.runningTotals(
+      keyed, Seq(col("pos_key"), col("doc_id")), lit(1.0), "rank", "_c")
+    ranked.select(col("doc_id"), col("pos_key"), col("rank"),
+      floor((col("rank") - 1) / lit(docsPerShard)).cast("long")
+        .as("shard_id"))
+  }
+
   /** Pack documents into fixed-token-budget training shards: documents
     * are laid out in id order and shard_id =
     * floor(exclusive-prefix-token-count / tokensPerShard), so each

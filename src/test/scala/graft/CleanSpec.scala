@@ -101,6 +101,57 @@ class CleanSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  // --- filter funnel (q46) ------------------------------------------------------
+
+  test("filterFunnel computes cumulative-AND survival: stage i's n_in " +
+       "is stage i-1's n_out, drops chain, rates are exact") {
+    val df = Seq(
+      (1L, 10L, "en"),  // passes all
+      (2L, 10L, "de"),  // fails lang
+      (3L, 1L, "en"),   // fails size (and would pass lang)
+      (4L, 10L, "en"),  // passes all
+      (5L, 2L, "de")    // fails size AND lang — must only count once
+    ).toDF("doc_id", "n", "lang")
+    val got = Clean.filterFunnel(df, Seq(
+        "min_size" -> (col("n") >= 5),
+        "lang_en" -> (col("lang") === "en")))
+      .orderBy($"stage")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "min_size", 5L, 3L, 2L, 0.4),
+      (2L, "lang_en", 3L, 2L, 1L, round3(1.0 / 3))))
+  }
+
+  private def round3(d: Double): Double = math.rint(d * 1e6) / 1e6
+
+  test("filterFunnel funnel invariants on the documents table: counts " +
+       "non-increasing, chained, and equal to direct filter counts") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stages = Seq(
+      "min_chars" -> (col("n_chars") >= 200),
+      "lang_en" -> (col("lang") === "en"))
+    val got = Clean.filterFunnel(df, stages).orderBy($"stage")
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+    assert(got(0)._3 == df.count())
+    assert(got(0)._4 == df.filter(stages(0)._2).count())
+    assert(got(1)._3 == got(0)._4, "funnel must chain")
+    assert(got(1)._4 == df.filter(stages(0)._2 && stages(1)._2).count())
+    assert(got.forall(r => r._4 <= r._3))
+  }
+
+  test("filterFunnel is ONE aggregation pass: a single exchange (the " +
+       "1-row final agg), map-side partials, no UDF, no second scan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Clean.filterFunnel(df, Seq(
+        "a" -> (col("n_chars") >= 200), "b" -> (col("lang") === "en")))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"funnel must shuffle exactly once (1 row):\n$plan")
+    assert(plan.contains("partial_count"), s"map-side partial:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"corpus must be scanned once:\n$plan")
+  }
+
   // --- temperature-scaled mix weights (q44) -------------------------------------
 
   test("mixWeights matches the exact-decimal reference on a handcrafted " +

@@ -132,6 +132,42 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
       s"winner min(struct) must have a map-side partial:\n$plan")
   }
 
+  // --- corpus shuffle (q47) -----------------------------------------------------
+
+  test("corpusShuffle equals the row_number-over-md5-order reference: " +
+       "dense 1..n ranks, deterministic permutation, contiguous shards") {
+    val df = (0L until 307L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val got = TrainingMix.corpusShuffle(df, $"doc_id", docsPerShard = 50L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val want = (0L until 307L)
+      .map(i => (i, md5hex(i.toString)))
+      .sortBy { case (i, k) => (k, i) }
+      .zipWithIndex
+      .map { case ((i, k), r) => (i, k, r + 1L, r / 50L) }
+      .sortBy(_._1)
+    assert(got.toSeq == want)
+    // shards are full except the last
+    val sizes = got.groupBy(_._4).map { case (s, rs) => s -> rs.length }
+    assert(sizes == Map(0L -> 50, 1L -> 50, 2L -> 50, 3L -> 50, 4L -> 50,
+      5L -> 50, 6L -> 7))
+  }
+
+  test("corpusShuffle actually permutes (id order and hash order " +
+       "disagree) and is stable across runs") {
+    val df = (0L until 200L).map(i => (i, "")).toDF("doc_id", "text")
+    val a = TrainingMix.corpusShuffle(df, $"doc_id", 64L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val b = TrainingMix.corpusShuffle(df, $"doc_id", 64L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(a.exists { case (id, _, rank, _) => rank != id + 1 },
+      "hash order must differ from id order")
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   // --- shard packing (q39) ------------------------------------------------------
 
   test("packShards equals the sequential prefix-scan reference and " +
