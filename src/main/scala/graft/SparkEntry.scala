@@ -30,6 +30,36 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
 
+  /** q48's DuckDB oracle: GraphOps.pageRankFixedPoint's integer
+    * recurrence unrolled to 5 chained CTEs over the bidirected
+    * supplier↔part graph. */
+  private def pagerankOracleSql: String = {
+    val iters = (1 to 5).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (SELECT nd.node,
+         |    CAST(150000000000 // p.n + coalesce(m.s, 0) AS BIGINT) AS r
+         |  FROM nodes nd CROSS JOIN p
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |      CAST(sum((r.r * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+         |    FROM edges e JOIN $prev r ON r.node = e.src
+         |    JOIN deg d ON d.src = e.src GROUP BY 1) m
+         |  ON m.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src,
+       |    l_partkey*2+1 AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY 1),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r
+       |  FROM nodes, p),
+       |$iters
+       |SELECT node, r AS rank_fp, round(r / 1000000000000.0, 6) AS rank
+       |FROM r5 ORDER BY node""".stripMargin
+  }
+
   /** Deterministic line synthesis for the line-level cleaning operators
     * (q43/q45): the synthetic corpus has no newlines, so — like q40's
     * PII augmentation — documents are recut into 10-token lines as a
@@ -430,6 +460,19 @@ object SparkEntry {
           (regexp_count($"text", lit("[^\\p{L}\\p{N}\\s]")) * 5 <
             length($"text"))))
         .orderBy($"stage")
+    }),
+
+    // --- fixed-point PageRank over the bidirected supplier↔part graph
+    // (BIGINT micro-unit arithmetic — bit-identical on any engine; see
+    // GraphOps.pageRankFixedPoint). 5 iterations, d = 0.85. ----------------------
+    "q48_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = t(s, dir, "lineitem")
+        .select(($"l_suppkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+      graft.pipeline.GraphOps.pageRankFixedPoint(edges, iters = 5)
+        .orderBy($"node")
     }),
 
     // --- deterministic corpus shuffle: md5(id) permutation order,
@@ -1076,6 +1119,11 @@ object SparkEntry {
              THEN round((n_in - n_out) * 1.0 / n_in, 6) ELSE 0.0 END
              AS drop_rate
          FROM f ORDER BY stage""",
+    // fixed-point PageRank: the same integer recurrence unrolled —
+    // r0 = unit//N; each iteration r = 150000000000//N (the (1−d)·unit
+    // base) + Σ (r_u·85)//(100·outdeg_u). `//` = BIGINT division; all
+    // values positive so floor == Spark's `div` truncation.
+    "q48_pagerank" -> pagerankOracleSql,
     // corpus shuffle: md5(id) permutation, rank = row_number in
     // (pos_key, doc_id) order, shard = floor((rank-1)/100).
     "q47_corpus_shuffle" ->

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.GraphOps
+
+/** Fixed-point PageRank (q48): bit-exact integer recurrence, graph
+  * properties, and the per-iteration plan shape. */
+class GraphOpsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val Unit12 = 1000000000000L
+
+  /** Sequential reference of the exact integer recurrence. */
+  private def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = (15L * Unit12) / 100L / n
+    var r = nodes.map(_ -> Unit12 / n).toMap
+    for (_ <- 1 to iters) {
+      val msgs = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => (r(s) * 85L) / (100L * outdeg(s)) }.sum
+      }
+      r = nodes.map(v => v -> (base + msgs.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  private def bidirect(e: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    e ++ e.map(_.swap)
+
+  test("pageRankFixedPoint equals the sequential integer reference " +
+       "bit-for-bit on an irregular graph") {
+    val e = bidirect(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      5L -> 1L, 2L -> 5L))
+    val got = GraphOps.pageRankFixedPoint(e.toDF("src", "dst"), iters = 5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got == ref(e, 5))
+  }
+
+  test("ring graph: perfect symmetry gives every node the identical " +
+       "rank, and total mass stays within truncation loss of unit") {
+    val ring = (0L until 12L).map(i => i -> ((i + 1) % 12))
+    val e = bidirect(ring)
+    val got = GraphOps.pageRankFixedPoint(e.toDF("src", "dst"), iters = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._2).distinct.length == 1, "ring must be uniform")
+    val total = got.map(_._2).sum
+    assert(total <= Unit12 && total > Unit12 * 99L / 100L,
+      s"mass conservation (got $total)")
+  }
+
+  test("star graph: the hub outranks every leaf strictly") {
+    val e = bidirect((1L to 9L).map(i => 0L -> i))
+    val got = GraphOps.pageRankFixedPoint(e.toDF("src", "dst"), iters = 5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val leaves = (1L to 9L).map(got)
+    assert(leaves.distinct.length == 1, "leaves are symmetric")
+    assert(got(0L) > leaves.head * 3, "hub dominates")
+  }
+
+  test("deterministic across runs and under repartitioning (integer " +
+       "arithmetic has no aggregation-order sensitivity)") {
+    val e = bidirect(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L))
+    val a = GraphOps.pageRankFixedPoint(e.toDF("src", "dst"), 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = GraphOps.pageRankFixedPoint(
+        e.toDF("src", "dst").repartition(7), 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("per-iteration message aggregate combines map-side before the " +
+       "dst exchange (hub in-links must not skew the shuffle)") {
+    val e = bidirect((1L to 50L).map(i => 0L -> i))
+    val plan = GraphOps.pageRankFixedPoint(e.toDF("src", "dst"), 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"message sum needs a map-side partial:\n$plan")
+  }
+}
