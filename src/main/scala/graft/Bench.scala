@@ -37,7 +37,10 @@ object Bench {
     * headline stays comparable across rounds as operators are added. */
   private val extras = Seq("q35_gopher_repetition", "q36_semdedup",
     "q37_passage_dedup", "q38_stratified_sample", "q39_shard_packing",
-    "q40_pii_redaction", "q41_decontamination", "q42_vocab_topk")
+    "q40_pii_redaction", "q41_decontamination", "q42_vocab_topk",
+    "q43_c4_filters", "q44_domain_mix", "q45_boilerplate_lines",
+    "q46_filter_funnel", "q47_corpus_shuffle", "q48_pagerank",
+    "q49_tfidf_topterms")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

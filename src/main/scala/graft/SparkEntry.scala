@@ -462,6 +462,15 @@ object SparkEntry {
         .orderBy($"stage")
     }),
 
+    // --- per-doc top-3 characteristic terms by fixed-point TF-IDF
+    // (integer rarity weight (N·10^6) div df — no log, no float, any
+    // engine reproduces every bit). ----------------------------------------------
+    "q49_tfidf_topterms" -> ((s, dir) => {
+      import s.implicits._
+      TA.tfidfTopTerms(t(s, dir, "documents"), $"doc_id", $"text", k = 3)
+        .orderBy($"doc_id", $"rank")
+    }),
+
     // --- fixed-point PageRank over the bidirected supplier↔part graph
     // (BIGINT micro-unit arithmetic — bit-identical on any engine; see
     // GraphOps.pageRankFixedPoint). 5 iterations, d = 0.85. ----------------------
@@ -1124,6 +1133,28 @@ object SparkEntry {
     // base) + Σ (r_u·85)//(100·outdeg_u). `//` = BIGINT division; all
     // values positive so floor == Spark's `div` truncation.
     "q48_pagerank" -> pagerankOracleSql,
+    // fixed-point TF-IDF: same tokenizer, tf per (doc, token), df =
+    // docs containing the token, score = tf·((N·10^6) // df), top-3
+    // per doc with token tie-break.
+    "q49_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(coalesce(text, ''),
+               '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1),
+         p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         scored AS (SELECT t.doc_id, t.token, t.tf, d.df,
+             CAST(t.tf * ((p.n * 1000000) // d.df) AS BIGINT) AS score_fp
+           FROM tf t JOIN dfreq d USING (token) CROSS JOIN p),
+         r AS (SELECT doc_id, token, tf, df, score_fp,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_fp DESC, token) AS BIGINT) AS rank
+           FROM scored)
+         SELECT doc_id, rank, token, tf, df, score_fp
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
     // corpus shuffle: md5(id) permutation, rank = row_number in
     // (pos_key, doc_id) order, shard = floor((rank-1)/100).
     "q47_corpus_shuffle" ->

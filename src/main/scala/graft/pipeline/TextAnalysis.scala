@@ -222,6 +222,55 @@ object TextAnalysis {
   val fingerprintUdf = udf((t: String) => fingerprint(t))
   def doc_fingerprint(text: Column): Column = fingerprintUdf(text)
 
+  // --- per-document top terms (fixed-point TF-IDF) -----------------------------
+
+  /** Top-k characteristic terms per document by fixed-point TF-IDF:
+    * score_fp = tf · ((N · idfUnit) div df) — the rarity weight is the
+    * INTEGER reciprocal document frequency scaled by `idfUnit`, so the
+    * score involves no logarithm or float and is bit-identical on any
+    * engine (same determinism trick as the fixed-point PageRank; the
+    * log-idf variant orders ties between (tf, df) pairs the same way
+    * for fixed N). Ties break on the token string.
+    *
+    * Returns (doc_id, rank 1..k, token, tf, df, score_fp); documents
+    * with no tokens yield no rows.
+    *
+    * Scale shape: the corpus is exploded and shuffled on (doc, token)
+    * exactly ONCE — df is aggregated FROM the tf table, and the df
+    * aggregate references tf's count so Catalyst cannot prune the
+    * inner aggregate into a distinct (pruning would specialize the
+    * subplan and defeat ReuseExchange; with identical subplans the
+    * second branch reads the first's shuffle instead of re-scanning
+    * 100 TB of text). N rides a broadcast 1-row column-pruned count
+    * (parquet metadata only, no separate driver action); the top-k is
+    * a rank window with WindowGroupLimit pushdown, so each map task
+    * emits ≤ k rows per doc before the doc_id exchange. No driver
+    * state, no collect, no float. */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column, k: Int,
+                    idfUnit: Long = 1000000L): DataFrame = {
+    require(k > 0 && idfUnit > 0, "k and idfUnit must be positive")
+    val toks = df.select(id.as("doc_id"), explode(
+      filter(split(coalesce(text, lit("")), "\\s+"),
+        t => length(t) > lit(0))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // count(tf >= 1) == count(*) per token, but KEEPS the tf column
+    // referenced so the shared (doc_id, token) exchange is reused
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(when(col("tf") >= 1, 1)).as("df"))
+    val total = df.agg(count(lit(1)).cast("long").as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("token").asc)
+    tf.join(dfreq, "token").crossJoin(broadcast(total))
+      .withColumn("score_fp",
+        expr(s"tf * ((_n * ${idfUnit}L) div df)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score_fp"))
+  }
+
   // --- tokenizer vocabulary (corpus token top-K + coverage) --------------------
 
   /** Corpus vocabulary builder: the top-K whitespace tokens by corpus

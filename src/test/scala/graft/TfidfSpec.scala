@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{TextAnalysis => TA}
+
+/** Fixed-point TF-IDF top terms (q49). */
+class TfidfSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("tfidfTopTerms matches the hand-computed integer reference, " +
+       "including score ties broken on the token string") {
+    val docs = Seq(
+      (1L, "apple apple banana common common common"),
+      (2L, "banana cherry common common"),
+      (3L, "common cherry cherry date")
+    ).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 2, common 3, date 1
+    // idf_fp: apple/date 3000000, banana/cherry 1500000, common 1000000
+    val got = TA.tfidfTopTerms(docs, $"doc_id", $"text", k = 3)
+      .orderBy($"doc_id", $"rank")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "apple", 2L, 1L, 6000000L),
+      (1L, 2L, "common", 3L, 3L, 3000000L),
+      (1L, 3L, "banana", 1L, 2L, 1500000L),
+      (2L, 1L, "common", 2L, 3L, 2000000L),
+      (2L, 2L, "banana", 1L, 2L, 1500000L),   // tie with cherry:
+      (2L, 3L, "cherry", 1L, 2L, 1500000L),   // token asc breaks it
+      (3L, 1L, "cherry", 2L, 2L, 3000000L),   // tie with date at 3e6
+      (3L, 2L, "date", 1L, 1L, 3000000L),
+      (3L, 3L, "common", 1L, 3L, 1000000L)))
+  }
+
+  test("k caps per-doc rows; empty and null docs yield no rows") {
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+    val got = TA.tfidfTopTerms(docs, $"doc_id", $"text", k = 1)
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == Set(1L))
+    assert(got.length == 1 && got.head._2 == 1L)
+  }
+
+  test("rarer terms outrank commoner ones at equal tf (the idf " +
+       "property survives the integer fixed point)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TA.tfidfTopTerms(docs, $"doc_id", $"text", k = 3)
+    // within any doc, rank order implies (score desc, token asc) order
+    val bad = out.as[(Long, Long, String, Long, Long, Long)].collect()
+      .groupBy(_._1).values.flatMap { rows =>
+        val s = rows.sortBy(_._2)
+        s.zip(s.drop(1)).filter { case (a, b) =>
+          b._6 > a._6 || (b._6 == a._6 && b._3 < a._3)
+        }
+      }
+    assert(bad.isEmpty, s"rank order violated: ${bad.take(3)}")
+    assert(out.count() > 0)
+  }
+
+  test("plan shape: the corpus is exploded+shuffled ONCE (df reuses " +
+       "tf's exchange), map-side partials, broadcast 1-row total") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TA.tfidfTopTerms(docs, $"doc_id", $"text", k = 3)
+    out.collect() // materialize so AQE's final plan (incl. stage reuse) prints
+    val plan = out.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_count"), s"map-side partials:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"N must broadcast:\n$plan")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"df must reuse tf's (doc_id,token) shuffle:\n$finalPlan")
+    val textScans = "ReadSchema: struct<doc_id:bigint,text:string>".r
+      .findAllIn(finalPlan).length
+    assert(textScans == 1,
+      s"text column must be scanned exactly once, got $textScans:\n$finalPlan")
+  }
+}

@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the executed physical plan of one SparkEntry query.
+  * Usage: sbt "Test/runMain graft.tools.PlanDump <query> [sfDir]"
+  * (test scope so it never ships in the library jar). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // materialize so AQE's final plan (incl. stage reuse) prints
+    println(s"=====PLAN $name=====")
+    println(df.queryExecution.executedPlan.toString)
+    println("=====END=====")
+    spark.stop()
+  }
+}
