@@ -471,6 +471,16 @@ object SparkEntry {
         .orderBy($"doc_id", $"rank")
     }),
 
+    // --- CCNet-style LM quality filter: per-doc mean bigram surprise
+    // under a Laplace-smoothed bigram LM self-trained on the corpus —
+    // all BIGINT fixed point, so the score is bit-identical anywhere. ------------
+    "q50_lm_surprise" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      TA.lmSurprise(docs, $"text", docs, $"doc_id", $"text")
+        .orderBy($"doc_id")
+    }),
+
     // --- fixed-point PageRank over the bidirected supplier↔part graph
     // (BIGINT micro-unit arithmetic — bit-identical on any engine; see
     // GraphOps.pageRankFixedPoint). 5 iterations, d = 0.85. ----------------------
@@ -1155,6 +1165,33 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, rank, token, tf, df, score_fp
          FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // Laplace bigram-LM surprise, self-trained: c(prev,next) and
+    // c(prev) over adjacent whitespace-token pairs, V = distinct prev,
+    // surprise = ((c(prev)+V)·10^6) // (c(prev,next)+1), per-doc count/
+    // sum/integer-mean. Self-train ⇒ every scored bigram is in the
+    // model ⇒ the left joins degenerate to the inner joins here.
+    "q50_lm_surprise" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS l
+           FROM documents),
+         bg AS (SELECT doc_id, unnest(l[1:len(l)-1]) AS prev,
+             unnest(l[2:len(l)]) AS next
+           FROM toks WHERE len(l) >= 2),
+         cb AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY 1, 2),
+         cp AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cp
+           FROM cb GROUP BY 1),
+         v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cp),
+         s AS (SELECT b.doc_id,
+             CAST(((p.cp + v.v) * 1000000) // (m.c + 1) AS BIGINT)
+               AS surprise
+           FROM bg b JOIN cb m USING (prev, next) JOIN cp p USING (prev)
+           CROSS JOIN v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(surprise) AS BIGINT) AS surprise_sum_fp,
+             CAST(sum(surprise) // count(*) AS BIGINT) AS surprise_avg_fp
+         FROM s GROUP BY 1 ORDER BY doc_id""",
     // corpus shuffle: md5(id) permutation, rank = row_number in
     // (pos_key, doc_id) order, shard = floor((rank-1)/100).
     "q47_corpus_shuffle" ->

@@ -271,6 +271,83 @@ object TextAnalysis {
         col("df"), col("score_fp"))
   }
 
+  // --- bigram-LM quality scoring (perplexity-proxy corpus filter) --------------
+
+  /** Tokenized bigram stream (doc_id, prev, next) for `lmSurprise` —
+    * same whitespace tokenizer as every other text operator, adjacent
+    * pairs via two shifted slices zipped positionally. Docs with < 2
+    * tokens produce no bigrams. */
+  private def bigramStream(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val arr = filter(split(coalesce(text, lit("")), "\\s+"),
+      t => length(t) > lit(0))
+    df.select(id.as("doc_id"), arr.as("l"))
+      .where(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("l"), lit(1), size(col("l")) - 1).as("p"),
+        slice(col("l"), lit(2), size(col("l")) - 1).as("n"))).as("bg"))
+      .select(col("doc_id"), col("bg.p").as("prev"), col("bg.n").as("next"))
+  }
+
+  /** Per-document LM quality score — the CCNet-style "train a small LM
+    * on a reference corpus, keep the low-perplexity documents" filter,
+    * with the model a Laplace-smoothed token-bigram LM and the score in
+    * BIGINT fixed point so any engine reproduces every bit.
+    *
+    * Per scored bigram (prev, next):
+    *   surprise_fp = ((c(prev) + V) · unit) div (c(prev,next) + 1)
+    * — the integer reciprocal of the add-one conditional probability
+    * (c(prev,next)+1)/(c(prev)+V), V = distinct prev tokens in the
+    * model. Unseen bigrams (c=0) and unseen prev tokens (c(prev)=0)
+    * are covered by the same formula via the left joins, so a model
+    * trained on one corpus scores any other. A doc's score is the mean
+    * bigram surprise (integer div); low = fluent under the model.
+    *
+    * Returns (doc_id, n_bigrams, surprise_sum_fp, surprise_avg_fp);
+    * docs with < 2 tokens yield no rows.
+    *
+    * Scale shape: TRAINING is one corpus pass — a hash aggregate on
+    * (prev, next) with map-side partials — whose result (the model) is
+    * materialized via eager localCheckpoint, exactly as a trained LM
+    * is persisted as an artifact in a real pipeline; c(prev) and V are
+    * then |model|-sized aggregates over the materialized counts, and
+    * SCORING is one pass over the scored corpus (the three consumers
+    * would otherwise each re-tokenize the train corpus: Catalyst
+    * cannot reuse the exchange here because relation deduplication
+    * re-aliases the lambda-bearing tokenizer differently per branch).
+    * `minCount` prunes the model table (rare bigrams fall back to the
+    * unseen path), which is what bounds model size on a 100 TB train
+    * corpus and is what makes the scoring join broadcast-able;
+    * unpruned, the scoring stream sort-merges on (prev, next) where
+    * AQE's skew handling covers Zipf-hot bigrams. `sum_fp` needs
+    * (c(prev)+V)·unit < 2^63: at the default micro unit that caps the
+    * train corpus at ~9×10^12 bigrams — past that, lower `unit`. */
+  def lmSurprise(train: DataFrame, trainText: Column,
+                 score: DataFrame, id: Column, text: Column,
+                 minCount: Long = 1L, unit: Long = 1000000L): DataFrame = {
+    require(minCount >= 1 && unit > 0, "minCount and unit must be positive")
+    // the train step: one corpus pass, materialized (the model IS an
+    // artifact — its three consumers read it, never the corpus)
+    val cbFull = bigramStream(train, lit(0L), trainText)
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val cp = cbFull.groupBy(col("prev")).agg(sum(col("c")).as("cp"))
+    val v = cp.agg(count(col("cp")).cast("long").as("_v"))
+    val cb = if (minCount > 1L) cbFull.filter(col("c") >= minCount) else cbFull
+    bigramStream(score, id, text)
+      .join(cb, Seq("prev", "next"), "left")
+      .join(cp, Seq("prev"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("surprise_fp", expr(
+        s"((coalesce(cp, 0L) + _v) * ${unit}L) div (coalesce(c, 0L) + 1L)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("surprise_fp")).as("surprise_sum_fp"))
+      .withColumn("surprise_avg_fp",
+        expr("surprise_sum_fp div n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprise_sum_fp"),
+        col("surprise_avg_fp"))
+  }
+
   // --- tokenizer vocabulary (corpus token top-K + coverage) --------------------
 
   /** Corpus vocabulary builder: the top-K whitespace tokens by corpus

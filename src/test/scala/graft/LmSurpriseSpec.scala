@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{TextAnalysis => TA}
+
+/** Laplace bigram-LM surprise quality scoring (q50). */
+class LmSurpriseSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  /** Sequential reference: the exact integer recurrence on Scala maps. */
+  private def reference(train: Seq[(Long, String)], score: Seq[(Long, String)],
+                        minCount: Long = 1L,
+                        unit: Long = 1000000L): Map[Long, (Long, Long, Long)] = {
+    def bigrams(t: String): Seq[(String, String)] = {
+      val l = Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty).toSeq
+      if (l.length < 2) Seq.empty else l.zip(l.tail)
+    }
+    val cbFull = train.flatMap(d => bigrams(d._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cp = cbFull.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val v = cp.size.toLong
+    val cb = cbFull.filter(_._2 >= minCount)
+    score.map { case (id, t) =>
+      val ss = bigrams(t).map { bg =>
+        val c = cb.getOrElse(bg, 0L)
+        val cpv = cp.getOrElse(bg._1, 0L)
+        ((cpv + v) * unit) / (c + 1)
+      }
+      id -> ((ss.size.toLong, ss.sum, if (ss.isEmpty) 0L else ss.sum / ss.size))
+    }.filter(_._2._1 > 0).toMap
+  }
+
+  private def collectOut(df: DataFrame): Map[Long, (Long, Long, Long)] =
+    df.as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("matches the hand-computed Laplace bigram model on a tiny corpus") {
+    // train == score: "a b", "a b a c"
+    // bigrams: d1: (a,b); d2: (a,b),(b,a),(a,c)
+    // cb: (a,b)=2 (b,a)=1 (a,c)=1 ; cp: a=3, b=1 ; V=2
+    // surprise: (a,b) = (3+2)*1e6 // 3 = 1666666
+    //           (b,a) = (1+2)*1e6 // 2 = 1500000
+    //           (a,c) = (3+2)*1e6 // 2 = 2500000
+    val docs = Seq((1L, "a b"), (2L, "a b a c")).toDF("doc_id", "text")
+    val got = collectOut(
+      TA.lmSurprise(docs, $"text", docs, $"doc_id", $"text"))
+    assert(got == Map(
+      1L -> ((1L, 1666666L, 1666666L)),
+      2L -> ((3L, 5666666L, 5666666L / 3))))
+  }
+
+  test("equals the sequential reference on sf0.001 documents (self-train)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq
+    val got = collectOut(
+      TA.lmSurprise(docs, $"text", docs, $"doc_id", $"text"))
+    assert(got.nonEmpty && got == reference(rows, rows))
+  }
+
+  test("cross-corpus scoring: unseen bigrams and unseen prev tokens " +
+       "fall back through the same smoothing, and gibberish scores " +
+       "strictly higher than in-distribution text") {
+    val train = Seq((0L, "the cat sat on the mat the cat sat again"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "the cat sat"),          // all bigrams in-model
+      (2L, "the cat zzz"),          // unseen bigram, seen prev
+      (3L, "qqq zzz qqq")           // nothing in the model at all
+    ).toDF("doc_id", "text")
+    val trainRows = Seq((0L, "the cat sat on the mat the cat sat again"))
+    val scoreRows = Seq((1L, "the cat sat"), (2L, "the cat zzz"),
+      (3L, "qqq zzz qqq"))
+    val got = collectOut(
+      TA.lmSurprise(train, $"text", score, $"doc_id", $"text"))
+    assert(got == reference(trainRows, scoreRows))
+    assert(got(1L)._3 < got(2L)._3 && got(2L)._3 < got(3L)._3)
+  }
+
+  test("minCount prunes rare bigrams into the unseen path (model " +
+       "boundedness knob) without touching the c(prev) mass") {
+    val train = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    // cb: (a,b)=2 (b,a)=2 (a,c)=1 ; minCount=2 prunes (a,c) only.
+    // cp stays {a=3, b=2} (the UNPRUNED mass), V=2.
+    val score = Seq((1L, "a c")).toDF("doc_id", "text")
+    val got = collectOut(TA.lmSurprise(train, $"text", score, $"doc_id",
+      $"text", minCount = 2L))
+    // (a,c): cp(a)=3, V=2, c pruned to 0 → (5·1e6) // 1 = 5000000
+    assert(got == Map(1L -> ((1L, 5000000L, 5000000L))))
+    assert(got == reference(Seq((0L, "a b a b a c")), Seq((1L, "a c")),
+      minCount = 2L))
+  }
+
+  test("docs with < 2 tokens, empty, and null text yield no rows") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, null: String),
+      (4L, "two tokens")).toDF("doc_id", "text")
+    val got = collectOut(
+      TA.lmSurprise(docs, $"text", docs, $"doc_id", $"text"))
+    assert(got.keySet == Set(4L))
+  }
+
+  test("plan shape: the model is materialized once and every consumer " +
+       "reads it — the scoring job tokenizes only the scored corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TA.lmSurprise(docs, $"text", docs, $"doc_id", $"text")
+    out.collect() // materialize so AQE's final plan prints
+    val plan = out.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(plan.contains("partial_count"), s"map-side partials:\n$plan")
+    // the model's three consumers (pruned cb, cp, V) read the
+    // checkpointed counts, never the train corpus
+    assert(finalPlan.contains("ExistingRDD"),
+      s"consumers must read the materialized model:\n$finalPlan")
+    val scans = "ReadSchema: struct<doc_id:bigint,text:string>".r
+      .findAllIn(finalPlan).length +
+      "ReadSchema: struct<text:string>".r.findAllIn(finalPlan).length
+    assert(scans == 1,
+      s"the scoring job must tokenize text exactly once, got $scans:\n" +
+        finalPlan)
+  }
+}
