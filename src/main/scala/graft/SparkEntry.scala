@@ -68,8 +68,7 @@ object SparkEntry {
     * == 0, exercising the C4 terminal-punctuation rule both ways. */
   private def synthLines(docId: Column, text: Column,
                          suffixed: Boolean): Column = {
-    val toks = filter(split(coalesce(text, lit("")), "\\s+"),
-      t => length(t) > lit(0))
+    val toks = graft.pipeline.TextAnalysis.tokensWs(text)
     val nl = ceil(size(toks) / lit(10.0)).cast("int")
     when(size(toks) > 0,
       transform(sequence(lit(0), nl - 1), ci => {

@@ -79,10 +79,11 @@ object Clean {
   def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "filterFunnel needs at least one stage")
     val cum = stages.scanLeft(lit(true))((acc, s) => acc && s._2).tail
+    // count(when(p, 1)) never returns NULL (sum over zero rows does),
+    // so an EMPTY corpus yields 0-counters like the SQL FILTER oracle
     val aggs = count(lit(1)).cast("long").as("_s0") +:
       cum.zipWithIndex.map { case (p, i) =>
-        sum(when(p, lit(1L)).otherwise(lit(0L))).cast("long")
-          .as(s"_s${i + 1}")
+        count(when(p, lit(1))).cast("long").as(s"_s${i + 1}")
       }
     val entries = stages.zipWithIndex.map { case ((name, _), i) =>
       struct(lit((i + 1).toLong).as("stage"), lit(name).as("name"),
@@ -105,42 +106,48 @@ object Clean {
     * Returns (doc_id, n_lines, n_removed, clean_text), one row per
     * input document (documents with no lines keep a 0/0/'' row).
     *
-    * Scale shape: one explode of the line stream; the doc-frequency
-    * count is distinct(norm, doc) → count per norm (both hash
-    * aggregates with map-side partials, keyed on the line hash — no
-    * skew beyond the hot lines themselves, which combine map-side).
-    * The hot set is at most |corpus lines| / minDocs entries and in
-    * practice tiny, so tagging is a BROADCAST left join back onto the
-    * line stream — the only full-width shuffle is the per-doc
-    * reassembly groupBy, which partitions on doc_id like every other
-    * per-doc operator here. */
+    * Scale shape: TWO passes over the corpus, deliberately. Pass one
+    * builds the hot set: distinct(norm, doc) → count per norm (both
+    * hash aggregates with map-side partials — a footer in 10^8 docs
+    * combines locally, no skewed shuffle). Pass two re-scans and tags
+    * the line stream via a BROADCAST left join (the hot set is at most
+    * |corpus lines| / minDocs entries — tiny by construction). The
+    * alternatives are strictly worse at 100 TB: materializing the
+    * exploded line stream between passes writes the whole corpus to
+    * executor storage, and a count-over-norm window shuffles every
+    * line of every document on the line text — the hottest line IS the
+    * skew. A second column-pruned parquet scan is the cheap leg. The
+    * only full-width shuffle is the per-doc reassembly groupBy;
+    * posexplode_outer keeps a null-line row for empty docs, so the
+    * 0/0/'' rows fall out of the same aggregate (no third scan). */
   def boilerplateLines(df: DataFrame, id: Column, text: Column,
                        minDocs: Long): DataFrame = {
     require(minDocs >= 2, "minDocs must be at least 2")
     val base = df
-      .select(id.as("doc_id"), posexplode(splitLines(text)).as(Seq("pos", "line")))
+      .select(id.as("doc_id"),
+        posexplode_outer(splitLines(text)).as(Seq("pos", "line")))
       .withColumn("norm", lower(trim(col("line"))))
-    val hot = base.select(col("norm"), col("doc_id")).distinct()
+    val hot = base.select(col("norm"), col("doc_id"))
+      .where(col("norm").isNotNull).distinct()
       .groupBy(col("norm")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDocs)
       .select(col("norm"), lit(1L).as("_hot"))
     val tagged = base.join(broadcast(hot), Seq("norm"), "left")
-    val agg = tagged.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_lines"),
+    tagged.groupBy(col("doc_id")).agg(
+      count(col("line")).as("n_lines"),
       sum(when(col("_hot").isNotNull, lit(1L)).otherwise(lit(0L)))
         .as("n_removed"),
-      // collect_list skips nulls, so only kept lines enter; array_sort
+      // collect_list skips nulls, so only kept real lines enter (the
+      // empty-doc null-line row fails the isNotNull arm); array_sort
       // on (pos, line) structs restores original order
       array_join(
         transform(
-          array_sort(collect_list(
-            when(col("_hot").isNull, struct(col("pos"), col("line"))))),
+          array_sort(collect_list(when(
+            col("_hot").isNull && col("line").isNotNull,
+            struct(col("pos"), col("line"))))),
           s => s.getField("line")),
         "\n").as("clean_text"))
-    df.select(id.as("doc_id")).join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        col("clean_text"))
   }
 }

@@ -367,8 +367,7 @@ object Dedup {
                    k: Int): DataFrame = {
     require(k > 0, "chunk size k must be positive")
     val base = df.select(id.as("doc_id"),
-        filter(split(coalesce(text, lit("")), "\\s+"),
-          t => length(t) > lit(0)).as("ts"))
+        TextAnalysis.tokensWs(text).as("ts"))
       .withColumn("n_chunks", floor(size(col("ts")) / lit(k)).cast("long"))
     val chunks = base.filter(col("n_chunks") > 0)
       .select(col("doc_id"),
@@ -408,9 +407,7 @@ object Dedup {
     * cannot drift. */
   private def gramHashes(df: DataFrame, id: Column, text: Column,
                          k: Int): DataFrame =
-    df.select(id.as("_gid"),
-        filter(split(coalesce(text, lit("")), "\\s+"),
-          t => length(t) > lit(0)).as("ts"))
+    df.select(id.as("_gid"), TextAnalysis.tokensWs(text).as("ts"))
       .filter(size(col("ts")) >= k)
       .select(col("_gid"),
         explode(sequence(lit(0), size(col("ts")) - k)).as("i"),

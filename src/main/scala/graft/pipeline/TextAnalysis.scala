@@ -14,6 +14,15 @@ object TextAnalysis {
 
   // --- token counting ---------------------------------------------------------
 
+  /** THE whitespace tokenizer (null-safe, empties dropped). This exact
+    * expression is the cross-engine contract every DuckDB oracle
+    * replays (`string_split_regex(coalesce(text,''), '\s+')` +
+    * non-empty filter) — tokenizing operators must share it, never
+    * re-spell it, so a tokenizer change cannot silently diverge
+    * Spark from the oracles on some operators only. */
+  def tokensWs(text: Column): Column =
+    filter(split(coalesce(text, lit("")), "\\s+"), t => length(t) > lit(0))
+
   /** Whitespace token count. */
   def token_count_ws(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > lit(0)))
@@ -245,13 +254,19 @@ object TextAnalysis {
     * (parquet metadata only, no separate driver action); the top-k is
     * a rank window with WindowGroupLimit pushdown, so each map task
     * emits ≤ k rows per doc before the doc_id exchange. No driver
-    * state, no collect, no float. */
+    * state, no collect, no float.
+    *
+    * Overflow cap (same caveat as [[lmSurprise]]): score_fp needs
+    * N·idfUnit·tf_max < 2^63 — at the default micro unit, N = 10^9
+    * docs leaves headroom only to tf ≈ 9·10^3; for larger corpora or
+    * extreme in-doc repetition lower `idfUnit` (the ordering is
+    * preserved as long as idfUnit ≫ max df), or Spark wraps silently
+    * where the oracle widens. */
   def tfidfTopTerms(df: DataFrame, id: Column, text: Column, k: Int,
                     idfUnit: Long = 1000000L): DataFrame = {
     require(k > 0 && idfUnit > 0, "k and idfUnit must be positive")
-    val toks = df.select(id.as("doc_id"), explode(
-      filter(split(coalesce(text, lit("")), "\\s+"),
-        t => length(t) > lit(0))).as("token"))
+    val toks = df.select(id.as("doc_id"),
+      explode(tokensWs(text)).as("token"))
     val tf = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     // count(tf >= 1) == count(*) per token, but KEEPS the tf column
@@ -278,9 +293,7 @@ object TextAnalysis {
     * pairs via two shifted slices zipped positionally. Docs with < 2
     * tokens produce no bigrams. */
   private def bigramStream(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val arr = filter(split(coalesce(text, lit("")), "\\s+"),
-      t => length(t) > lit(0))
-    df.select(id.as("doc_id"), arr.as("l"))
+    df.select(id.as("doc_id"), tokensWs(text).as("l"))
       .where(size(col("l")) >= 2)
       .select(col("doc_id"), explode(arrays_zip(
         slice(col("l"), lit(1), size(col("l")) - 1).as("p"),
@@ -366,9 +379,7 @@ object TextAnalysis {
     * Returns (rank, token, cnt, coverage), rank 1..K. */
   def vocabTopK(df: DataFrame, text: Column, k: Int): DataFrame = {
     require(k > 0, "vocab size k must be positive")
-    val toks = df.select(explode(
-      filter(split(coalesce(text, lit("")), "\\s+"),
-        t => length(t) > lit(0))).as("token"))
+    val toks = df.select(explode(tokensWs(text)).as("token"))
     val counts = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
     // the total-mass denominator rides the SAME plan as the top-K (a

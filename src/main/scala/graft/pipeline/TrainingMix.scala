@@ -91,7 +91,14 @@ object TrainingMix {
     * [[graft.stats.Cumulative]]'s distributed prefix scan (range
     * partition on the hash key + P driver scalars + per-partition
     * scan), the same A10 operator behind shard packing; the hash key
-    * range-partitions uniformly by construction, so no skew. */
+    * range-partitions uniformly by construction, so no skew.
+    *
+    * PRECONDITION: `id` must be unique per row (it is the document
+    * key). The scan inherits [[graft.stats.Cumulative.runningTotals]]'s
+    * total-order contract — (md5(id), id) is total exactly when ids
+    * are; duplicate ids make the tied rows' rank/shard assignment
+    * partitioner-dependent, forfeiting the determinism this operator
+    * exists for. Dedup (`Dedup.exact`) before shuffling. */
   def corpusShuffle(df: DataFrame, id: Column,
                     docsPerShard: Long): DataFrame = {
     require(docsPerShard > 0, "docsPerShard must be positive")

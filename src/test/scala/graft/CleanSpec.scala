@@ -91,14 +91,29 @@ class CleanSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("boilerplateLines tags the line stream via a BROADCAST join on " +
-       "the hot set (never a shuffled full-width join)") {
+       "the hot set, scans the corpus exactly TWICE (hot build + tag — " +
+       "never materializes the line stream), and never shuffles on the " +
+       "line text") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("t0", concat_ws("\n", $"text", lit("All Rights Reserved")))
-    val plan = Clean.boilerplateLines(df, $"doc_id", $"t0", minDocs = 5L)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"hot-set tag must broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct"))
+    val out = Clean.boilerplateLines(df, $"doc_id", $"t0", minDocs = 5L)
+    out.collect() // materialize so AQE's final plan prints
+    val plan = out.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"hot-set tag must broadcast:\n$finalPlan")
+    assert(!finalPlan.contains("CartesianProduct"))
+    assert("FileScan".r.findAllIn(finalPlan).size == 2,
+      s"exactly two corpus passes (hot build + tag):\n$finalPlan")
+    // the raw line stream (the join's probe side) reaches the broadcast
+    // join straight from its Generate — no exchange carries raw lines;
+    // the hot-build side's norm exchanges sit above map-side partials
+    val lines = finalPlan.linesIterator.toSeq
+    val joinIx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val genIx = lines.indexWhere(_.contains("Generate posexplode"), joinIx)
+    assert(joinIx >= 0 && genIx > joinIx)
+    assert(!lines.slice(joinIx + 1, genIx).exists(_.contains("Exchange")),
+      s"the probe-side line stream must not shuffle:\n$finalPlan")
   }
 
   // --- filter funnel (q46) ------------------------------------------------------
@@ -137,6 +152,16 @@ class CleanSpec extends AnyFunSuite with SparkSuite {
     assert(got(1)._3 == got(0)._4, "funnel must chain")
     assert(got(1)._4 == df.filter(stages(0)._2 && stages(1)._2).count())
     assert(got.forall(r => r._4 <= r._3))
+  }
+
+  test("filterFunnel on an EMPTY corpus yields 0 counters, never NULL " +
+       "(count-based stage counters, matching the SQL FILTER oracle)") {
+    val df = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    val got = Clean.filterFunnel(df, Seq(
+        "a" -> (col("lang") === "en"), "b" -> (col("doc_id") > 0)))
+      .orderBy($"stage")
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 0L, 0L, 0L, 0.0), (2L, "b", 0L, 0L, 0L, 0.0)))
   }
 
   test("filterFunnel is ONE aggregation pass: a single exchange (the " +
