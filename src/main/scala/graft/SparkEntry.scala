@@ -668,6 +668,24 @@ object SparkEntry {
         k = 10, nProbe = 4)
     }),
 
+    // --- IVF-PQ's PQ leg: ADC top-k over 8×16 product-quantization
+    // codes (pinned codebooks = subspace slices of embeddings 1..16,
+    // q27's pinned-centroid pattern; query = embedding 0), exact-cosine
+    // re-rank of the top-40 ADC candidates. Every float fold is in
+    // pinned index order so DuckDB replays the whole path. ------------------------
+    "q51_pq_ann_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).select($"embedding")
+        .head().getAs[scala.collection.Seq[Float]](0).toSeq
+      val samples = emb.filter($"vec_id".between(1, 16))
+        .orderBy($"vec_id")
+        .select($"embedding").as[Seq[Float]].collect()
+      val cbs = Similarity.pqCodebooksFromVectors(samples, m = 8)
+      val enc = Similarity.pqEncode(emb, $"vec_id", $"embedding", cbs)
+      Similarity.pqTopK(enc, cbs, qv, k = 10, refine = 4)
+    }),
+
     // embedding-cosine near-dup pairs via hyperplane LSH. Threshold 0.35
     // sits inside the synthetic embeddings' actual similarity range (max
     // pairwise cosine at sf0.01 is 0.513) so the query exercises real
@@ -1266,6 +1284,58 @@ object SparkEntry {
          FROM assign a, q
          WHERE a.cell IN (SELECT cid FROM probe)
          ORDER BY cos DESC, vec_id LIMIT 10""",
+    // PQ ADC search path with pinned codebooks (the 8 subspace slices
+    // of embeddings 1..16, 0-based entry ids; query = embedding 0):
+    // per-subspace L2² argmin encode (rounded 6dp, ties to lowest id),
+    // dot/norm LUTs, adc = Σdot/(|q|·√Σnorm) with every float fold
+    // replayed in pinned index order via list_reduce, top-40 ADC
+    // candidates, exact-cosine re-rank to top-10.
+    "q51_pq_ann_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         ss AS (SELECT unnest(range(8)) AS s),
+         cb AS (SELECT ss.s, CAST(c.vec_id - 1 AS INT) AS cid,
+             c.embedding[ss.s*8+1 : ss.s*8+8] AS cv
+           FROM embeddings c CROSS JOIN ss
+           WHERE c.vec_id BETWEEN 1 AND 16),
+         enc AS (SELECT vec_id, s, cid AS code FROM (
+             SELECT e.vec_id, cb.s, cb.cid,
+               row_number() OVER (PARTITION BY e.vec_id, cb.s ORDER BY
+                 round(list_reduce(list_transform(range(1, 9), i ->
+                   (CAST(e.embedding[cb.s*8 + i] AS DOUBLE)
+                     - CAST(cb.cv[i] AS DOUBLE))
+                   * (CAST(e.embedding[cb.s*8 + i] AS DOUBLE)
+                     - CAST(cb.cv[i] AS DOUBLE))),
+                   (a, b) -> a + b), 6) ASC, cb.cid ASC) AS rn
+             FROM embeddings e CROSS JOIN cb) t WHERE rn = 1),
+         lut AS (SELECT cb.s, cb.cid,
+             list_reduce(list_transform(range(1, 9), i ->
+               q.qv[cb.s*8 + i] * CAST(cb.cv[i] AS DOUBLE)),
+               (a, b) -> a + b) AS dp,
+             list_reduce(list_transform(range(1, 9), i ->
+               CAST(cb.cv[i] AS DOUBLE) * CAST(cb.cv[i] AS DOUBLE)),
+               (a, b) -> a + b) AS nrm
+           FROM cb CROSS JOIN q),
+         qn AS (SELECT sqrt(list_reduce(list_transform(range(1, 65), i ->
+               q.qv[i] * q.qv[i]), (a, b) -> a + b)) AS qnorm FROM q),
+         adc AS (SELECT e.vec_id,
+             list_reduce(list(l.dp ORDER BY l.s), (a, b) -> a + b) AS dsum,
+             list_reduce(list(l.nrm ORDER BY l.s), (a, b) -> a + b) AS nsum
+           FROM enc e JOIN lut l ON l.s = e.s AND l.cid = e.code
+           GROUP BY e.vec_id),
+         cand AS (SELECT a.vec_id,
+             round(a.dsum / (qn.qnorm * sqrt(a.nsum)), 6) AS adc
+           FROM adc a CROSS JOIN qn
+           ORDER BY adc DESC, vec_id ASC LIMIT 40),
+         rer AS (SELECT c.vec_id, c.adc,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               q.qv), 6) AS cos
+           FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q)
+         SELECT rank, vec_id, cos, adc FROM (
+           SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC)
+               AS BIGINT) AS rank, vec_id, cos, adc
+           FROM rer) t
+         WHERE rank <= 10 ORDER BY rank""",
     "q30_median_value" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 6) AS median_value,

@@ -153,6 +153,136 @@ object Similarity {
       .limit(k)
   }
 
+  // --- product quantization (the PQ leg of IVF-PQ, Jégou et al. 2011,
+  // "Product Quantization for Nearest Neighbor Search", TPAMI) ----------------
+
+  /** PQ codebooks sliced from pinned sample vectors — the
+    * oracle-checkable path (q27's pinned-centroid pattern): codebook s
+    * holds the s-th dsub-dim slice of each sample vector, so both
+    * engines derive identical codebooks from table rows, no float
+    * literals shipped. */
+  def pqCodebooksFromVectors(samples: Array[Seq[Float]],
+                             m: Int): Array[Array[Seq[Float]]] = {
+    require(samples.nonEmpty && samples.head.length % m == 0,
+      "vector dim must divide evenly into m subspaces")
+    val dsub = samples.head.length / m
+    Array.tabulate(m)(s =>
+      samples.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** Trained PQ codebooks: per-subspace deterministic Lloyd's k-means
+    * over the dsub-dim slices (spherical, like the IVF coarse
+    * quantizer — pinned by recall invariants, the search path by the
+    * q51 oracle). */
+  def pqTrainCodebooks(df: DataFrame, id: Column, vec: Column, m: Int,
+                       kCode: Int, iters: Int): Array[Array[Seq[Float]]] = {
+    val dim = df.select(size(vec)).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m)(s =>
+      kmeansCentroids(df, id, slice(vec, lit(s * dsub + 1), lit(dsub)),
+        kCode, iters).map(_._2))
+  }
+
+  /** PQ sum-fold: sequential left fold in index order — the op order
+    * the DuckDB oracle replays with list_reduce, so every double is
+    * bit-identical across engines. */
+  private def seqFold(n: Int)(f: Int => Double): Double = {
+    var a = 0.0; var i = 0
+    while (i < n) { a += f(i); i += 1 }
+    a
+  }
+
+  /** Shuffle-free PQ encode: (vec_id, v, code), code[s] = the codebook
+    * entry minimizing the 6-dp-rounded L2² against the s-th vector
+    * slice (ties to the lowest entry — ascending scan, strict <). The
+    * whole encode is `aggregate` built-ins over the broadcast-literal
+    * codebooks inside the scan's projection: ZERO exchanges, no UDF —
+    * at 10^9 vectors this is the one full pass PQ indexing costs, and
+    * its output is m small ints per vector (the point of PQ: the
+    * searchable index is ~m bytes/vector, not dim floats). */
+  def pqEncode(df: DataFrame, id: Column, vec: Column,
+               codebooks: Array[Array[Seq[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val kCode = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    require(codebooks.forall(cb => cb.length == kCode &&
+      cb.forall(_.length == dsub)), "ragged codebooks")
+    // flat [s*kCode + c] -> centroid slice, as doubles
+    val cbLit = typedLit(codebooks.flatten.map(_.map(_.toDouble).toSeq).toSeq)
+    val codeCols = (0 until m).map { s =>
+      val sl = slice(col("v"), lit(s * dsub + 1), lit(dsub))
+      aggregate(
+        sequence(lit(1), lit(kCode)),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, ci) => {
+          val cb = element_at(cbLit, lit(s * kCode) + ci)
+          val d2 = round(aggregate(sequence(lit(1), lit(dsub)), lit(0.0),
+            (a, i) => a + pow(
+              element_at(sl, i).cast("double") - element_at(cb, i),
+              2.0)), 6)
+          when(d2 < acc.getField("d"),
+            struct(d2.as("d"), (ci - 1).as("c"))).otherwise(acc)
+        },
+        acc => acc.getField("c"))
+    }
+    df.select(id.as("vec_id"), vec.as("v"))
+      .withColumn("code", array(codeCols: _*))
+  }
+
+  /** PQ ADC (asymmetric distance computation) top-k with exact
+    * re-rank. The query is expanded ONCE on the driver into two
+    * m×kCode lookup tables (dot(q_s, cb) and |cb|², sequential folds
+    * in index order); the scan then scores each vector as
+    *   adc = Σ_s dot_lut[code_s] / (|q| · sqrt(Σ_s nrm_lut[code_s]))
+    * — an approximate cosine against the RECONSTRUCTED vector, reading
+    * only the m-int code column, never the raw floats. The top
+    * k·refine candidates by (adc desc, id) then get an exact-cosine
+    * re-rank (the only rows whose raw vectors are touched).
+    *
+    * Scale shape: the ADC scan is a codegen'd projection over the
+    * codes table + TakeOrderedAndProject (per-partition heaps, no
+    * global sort); the re-rank touches k·refine rows. At 10^9 vectors
+    * the scan reads ~m bytes per vector instead of 4·dim — with IVF
+    * cell pruning on top (compose with [[ivfIndexWithCentroids]]'s
+    * `cell` column), this is the standard IVF-PQ billion-scale
+    * layout. All ranking keys are rounded to 6 dp with id
+    * tie-breaks, and every float fold is in pinned index order, so
+    * the DuckDB oracle replays the whole path bit-for-bit. */
+  def pqTopK(encoded: DataFrame, codebooks: Array[Array[Seq[Float]]],
+             query: Seq[Float], k: Int, refine: Int): DataFrame = {
+    val m = codebooks.length
+    val kCode = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    require(query.length == m * dsub, "query dim mismatch")
+    require(k > 0 && refine >= 1, "k and refine must be positive")
+    val lutDot = (for (s <- 0 until m; c <- 0 until kCode) yield
+      seqFold(dsub)(i =>
+        query(s * dsub + i).toDouble * codebooks(s)(c)(i).toDouble)).toSeq
+    val lutNrm = (for (s <- 0 until m; c <- 0 until kCode) yield
+      seqFold(dsub)(i =>
+        codebooks(s)(c)(i).toDouble * codebooks(s)(c)(i).toDouble)).toSeq
+    val qNorm = math.sqrt(
+      seqFold(query.length)(i => query(i).toDouble * query(i).toDouble))
+    val dotLit = typedLit(lutDot)
+    val nrmLit = typedLit(lutNrm)
+    def lutSum(lut: Column): Column =
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (a, s) => a + element_at(lut,
+          s * kCode + element_at(col("code"), s + 1) + 1))
+    val adcCol = round(lutSum(dotLit) / (lit(qNorm) * sqrt(lutSum(nrmLit))), 6)
+    val cand = encoded.withColumn("adc", adcCol)
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(k * refine)
+    val q = typedLit(query)
+    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("cos", round(cosine(col("v"), q), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("vec_id"), col("cos"), col("adc"))
+      .orderBy(col("rank"))
+  }
+
   /** SemDedup-style within-cell semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): assign every vector to its nearest centroid
     * (cosine rounded to 6 dp, ties to the lowest cell id), then inside
