@@ -40,7 +40,8 @@ object Bench {
     "q40_pii_redaction", "q41_decontamination", "q42_vocab_topk",
     "q43_c4_filters", "q44_domain_mix", "q45_boilerplate_lines",
     "q46_filter_funnel", "q47_corpus_shuffle", "q48_pagerank",
-    "q49_tfidf_topterms", "q50_lm_surprise", "q51_pq_ann_topk")
+    "q49_tfidf_topterms", "q50_lm_surprise", "q51_pq_ann_topk",
+    "q52_ivfpq_topk")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -686,6 +686,26 @@ object SparkEntry {
       Similarity.pqTopK(enc, cbs, qv, k = 10, refine = 4)
     }),
 
+    // --- the COMPOSED IVF-PQ search: q27's coarse cells (embeddings
+    // 1..8) prune to the 4 probed cells, q51's PQ codebooks (slices of
+    // embeddings 1..16) ADC-score only the probed subset, exact-cosine
+    // re-rank of the top-40 to top-10. -------------------------------------------
+    "q52_ivfpq_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).select($"embedding")
+        .head().getAs[scala.collection.Seq[Float]](0).toSeq
+      val coarse = emb.filter($"vec_id".between(1, 8)).orderBy($"vec_id")
+        .select($"embedding").as[Seq[Float]].collect()
+        .zipWithIndex.map { case (v, i) => (i, v) }
+      val samples = emb.filter($"vec_id".between(1, 16))
+        .orderBy($"vec_id")
+        .select($"embedding").as[Seq[Float]].collect()
+      val cbs = Similarity.pqCodebooksFromVectors(samples, m = 8)
+      Similarity.ivfPqTopK(emb, $"vec_id", $"embedding", coarse, cbs, qv,
+        k = 10, nProbe = 4, refine = 4)
+    }),
+
     // embedding-cosine near-dup pairs via hyperplane LSH. Threshold 0.35
     // sits inside the synthetic embeddings' actual similarity range (max
     // pairwise cosine at sf0.01 is 0.513) so the query exercises real
@@ -1308,6 +1328,71 @@ object SparkEntry {
                      - CAST(cb.cv[i] AS DOUBLE))),
                    (a, b) -> a + b), 6) ASC, cb.cid ASC) AS rn
              FROM embeddings e CROSS JOIN cb) t WHERE rn = 1),
+         lut AS (SELECT cb.s, cb.cid,
+             list_reduce(list_transform(range(1, 9), i ->
+               q.qv[cb.s*8 + i] * CAST(cb.cv[i] AS DOUBLE)),
+               (a, b) -> a + b) AS dp,
+             list_reduce(list_transform(range(1, 9), i ->
+               CAST(cb.cv[i] AS DOUBLE) * CAST(cb.cv[i] AS DOUBLE)),
+               (a, b) -> a + b) AS nrm
+           FROM cb CROSS JOIN q),
+         qn AS (SELECT sqrt(list_reduce(list_transform(range(1, 65), i ->
+               q.qv[i] * q.qv[i]), (a, b) -> a + b)) AS qnorm FROM q),
+         adc AS (SELECT e.vec_id,
+             list_reduce(list(l.dp ORDER BY l.s), (a, b) -> a + b) AS dsum,
+             list_reduce(list(l.nrm ORDER BY l.s), (a, b) -> a + b) AS nsum
+           FROM enc e JOIN lut l ON l.s = e.s AND l.cid = e.code
+           GROUP BY e.vec_id),
+         cand AS (SELECT a.vec_id,
+             round(a.dsum / (qn.qnorm * sqrt(a.nsum)), 6) AS adc
+           FROM adc a CROSS JOIN qn
+           ORDER BY adc DESC, vec_id ASC LIMIT 40),
+         rer AS (SELECT c.vec_id, c.adc,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               q.qv), 6) AS cos
+           FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q)
+         SELECT rank, vec_id, cos, adc FROM (
+           SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC)
+               AS BIGINT) AS rank, vec_id, cos, adc
+           FROM rer) t
+         WHERE rank <= 10 ORDER BY rank""",
+    // composed IVF-PQ: q27's coarse assignment + 4-cell probe restricts
+    // the corpus, then q51's PQ encode/ADC/re-rank runs on the probed
+    // subset only.
+    "q52_ivfpq_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         co AS (SELECT CAST(vec_id - 1 AS INT) AS cid,
+             CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         assign AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, co.cid AS cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                   co.cv) DESC, co.cid) AS rn
+             FROM embeddings e CROSS JOIN co) t WHERE rn = 1),
+         probe AS (SELECT cid FROM (
+             SELECT co.cid, row_number() OVER (ORDER BY
+               list_cosine_similarity(q.qv, co.cv) DESC, co.cid) AS rn
+             FROM co, q) t WHERE rn <= 4),
+         sub AS (SELECT e.* FROM embeddings e JOIN assign a
+             ON a.vec_id = e.vec_id
+           WHERE a.cell IN (SELECT cid FROM probe)),
+         ss AS (SELECT unnest(range(8)) AS s),
+         cb AS (SELECT ss.s, CAST(c.vec_id - 1 AS INT) AS cid,
+             c.embedding[ss.s*8+1 : ss.s*8+8] AS cv
+           FROM embeddings c CROSS JOIN ss
+           WHERE c.vec_id BETWEEN 1 AND 16),
+         enc AS (SELECT vec_id, s, cid AS code FROM (
+             SELECT e.vec_id, cb.s, cb.cid,
+               row_number() OVER (PARTITION BY e.vec_id, cb.s ORDER BY
+                 round(list_reduce(list_transform(range(1, 9), i ->
+                   (CAST(e.embedding[cb.s*8 + i] AS DOUBLE)
+                     - CAST(cb.cv[i] AS DOUBLE))
+                   * (CAST(e.embedding[cb.s*8 + i] AS DOUBLE)
+                     - CAST(cb.cv[i] AS DOUBLE))),
+                   (a, b) -> a + b), 6) ASC, cb.cid ASC) AS rn
+             FROM sub e CROSS JOIN cb) t WHERE rn = 1),
          lut AS (SELECT cb.s, cb.cid,
              list_reduce(list_transform(range(1, 9), i ->
                q.qv[cb.s*8 + i] * CAST(cb.cv[i] AS DOUBLE)),

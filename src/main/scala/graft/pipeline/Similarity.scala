@@ -283,6 +283,37 @@ object Similarity {
       .orderBy(col("rank"))
   }
 
+  /** The composed IVF-PQ search: assign vectors to coarse cells
+    * ([[ivfIndexWithCentroids]]), probe only the nProbe cells nearest
+    * the query, PQ-encode the probed subset, ADC-score it, and
+    * exact-re-rank the top k·refine ([[pqTopK]]). This is the standard
+    * billion-scale ANN layout: the coarse quantizer prunes
+    * ~nCells/nProbe of the corpus before a byte-sized ADC scan, and
+    * raw floats are touched only for k·refine rows. In a deployed
+    * index the assignment and codes are precomputed table columns (a
+    * `(cell) PARTITIONED` codes table makes the probe a partition-
+    * pruned scan); this function computes them inline so the whole
+    * search path stays one oracle-checkable expression. */
+  def ivfPqTopK(df: DataFrame, id: Column, vec: Column,
+                coarse: Array[(Int, Seq[Float])],
+                codebooks: Array[Array[Seq[Float]]], query: Seq[Float],
+                k: Int, nProbe: Int, refine: Int): DataFrame = {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) {
+        dot += a(j).toDouble * b(j); na += a(j).toDouble * a(j)
+        nb += b(j).toDouble * b(j); j += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = coarse.map { case (i, c) => (i, cos(query, c)) }
+      .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1).toSeq
+    val indexed = ivfIndexWithCentroids(df, id, vec, coarse)
+      .filter(col("cell").isin(probeCells: _*))
+    pqTopK(pqEncode(indexed, col("vec_id"), col("v"), codebooks),
+      codebooks, query, k, refine)
+  }
+
   /** SemDedup-style within-cell semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): assign every vector to its nearest centroid
     * (cosine rounded to 6 dp, ties to the lowest cell id), then inside

@@ -130,6 +130,39 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.5, s"recall@10 $recall < 0.5")
   }
 
+  test("composed IVF-PQ equals PQ restricted to the probed coarse " +
+       "cells, prunes real work, and degenerates to plain PQ at " +
+       "nProbe = nCells") {
+    val vs = vecsById
+    val (cbs, q) = pinned
+    val coarse = (1L to 8L).map(vs).zipWithIndex
+      .map { case (v, i) => (i, v) }.toArray
+    val full = Sim.pqTopK(Sim.pqEncode(emb, $"vec_id", $"embedding", cbs),
+        cbs, q, k = 10, refine = 4)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val allCells = Sim.ivfPqTopK(emb, $"vec_id", $"embedding", coarse,
+        cbs, q, k = 10, nProbe = 8, refine = 4)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(allCells == full,
+      "nProbe = nCells must equal unpruned PQ search")
+    // pruned: every result must come from a probed cell, and the
+    // probed subset must be a strict subset of the corpus
+    val indexed = Sim.ivfIndexWithCentroids(emb, $"vec_id", $"embedding",
+      coarse)
+    val pruned = Sim.ivfPqTopK(emb, $"vec_id", $"embedding", coarse,
+        cbs, q, k = 10, nProbe = 2, refine = 4)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val cellsOf = indexed.select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toMap
+    val probed = pruned.map(r => cellsOf(r._2)).toSet
+    assert(probed.size <= 2, s"results must come from probed cells: $probed")
+    val subsetSize = cellsOf.values.count(probed.contains)
+    assert(subsetSize < cellsOf.size,
+      "nProbe = 2 must actually prune the scanned subset")
+    assert(pruned.nonEmpty && pruned.head._2 == 0L,
+      "the self-query still finds vec 0 in its own cell")
+  }
+
   test("plan shape: the encode is shuffle-free (a projection over the " +
        "scan) and the ADC candidate cut is TakeOrdered, not a global " +
        "sort") {
