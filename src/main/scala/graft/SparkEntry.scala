@@ -695,12 +695,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter($"vec_id" === 0).select($"embedding")
         .head().getAs[scala.collection.Seq[Float]](0).toSeq
-      val coarse = emb.filter($"vec_id".between(1, 8)).orderBy($"vec_id")
-        .select($"embedding").as[Seq[Float]].collect()
-        .zipWithIndex.map { case (v, i) => (i, v) }
       val samples = emb.filter($"vec_id".between(1, 16))
         .orderBy($"vec_id")
         .select($"embedding").as[Seq[Float]].collect()
+      // the coarse centroids are a prefix of the codebook samples —
+      // one collect serves both
+      val coarse = samples.take(8).zipWithIndex.map { case (v, i) => (i, v) }
       val cbs = Similarity.pqCodebooksFromVectors(samples, m = 8)
       Similarity.ivfPqTopK(emb, $"vec_id", $"embedding", coarse, cbs, qv,
         k = 10, nProbe = 4, refine = 4)

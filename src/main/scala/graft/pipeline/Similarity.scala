@@ -45,26 +45,49 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("_rk").as("rank"))
   }
 
-  /** Nearest-centroid assignment UDF over a broadcast centroid array
-    * (cosine; the shared primitive of indexing and k-means). */
-  private def assignUdfFor(df: DataFrame,
-      centroids: Array[(Int, Seq[Float])]) = {
-    val bc = df.sparkSession.sparkContext.broadcast(centroids)
-    udf((v: Seq[Float]) => {
-      var best = 0; var bestSim = Double.MinValue
-      bc.value.foreach { case (i, c) =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var j = 0
-        while (j < v.length) {
-          dot += v(j).toDouble * c(j); na += v(j).toDouble * v(j)
-          nb += c(j).toDouble * c(j); j += 1
-        }
-        val s = dot / (math.sqrt(na) * math.sqrt(nb))
-        if (s > bestSim) { bestSim = s; best = i }
-      }
-      best
-    })
+  /** Nearest-centroid assignment as a codegen'd BUILT-IN (no UDF):
+    * argmax of the unrounded cosine over the broadcast-literal centroid
+    * array — ascending id scan + strict > keeps the lowest cell id on
+    * exact ties, the shared primitive of indexing and k-means
+    * (semDedupCells is the rounded variant of the same shape). */
+  private def assignCol(vec: Column,
+                        centroids: Array[(Int, Seq[Float])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    val cvecs = typedLit(sorted.map(_._2.map(_.toDouble).toSeq).toSeq)
+    val cids = typedLit(sorted.map(_._1).toSeq)
+    aggregate(
+      sequence(lit(1), lit(sorted.length)),
+      struct(lit(Double.MinValue).as("c"), lit(Int.MaxValue).as("cell")),
+      (acc, i) => {
+        // coalesce: the branch structs must agree on nullability for
+        // casewhen; a null cosine (null vector) can never win anyway
+        val cs = coalesce(cosine(vec, element_at(cvecs, i)),
+          lit(Double.MinValue))
+        when(cs > acc.getField("c"),
+          struct(cs.as("c"), element_at(cids, i).as("cell")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("cell"))
   }
+
+  /** Driver-side cosine (the probe-selection primitive — runs over the
+    * k-row centroid array only, never the corpus). */
+  private def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+    while (j < a.length) {
+      dot += a(j).toDouble * b(j); na += a(j).toDouble * a(j)
+      nb += b(j).toDouble * b(j); j += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The nProbe cells nearest the query (cosine desc, id asc) — shared
+    * by [[ivfTopK]] and [[ivfPqTopK]] so the two entry points cannot
+    * drift. */
+  private def probeCellsFor(centroids: Array[(Int, Seq[Float])],
+                            query: Seq[Float], nProbe: Int): Seq[Int] =
+    centroids.map { case (i, c) => (i, cosLocal(query, c)) }
+      .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1).toSeq
 
   /** Deterministic distributed Lloyd's k-means over `array<float>`
     * vectors. Init = the k vectors with the smallest xxhash64(id) (a
@@ -84,10 +107,12 @@ object Similarity {
       .select(col("v")).as[Seq[Float]].collect()
       .zipWithIndex.map { case (v, i) => (i, v) }
     for (_ <- 1 to iters) {
-      val assign = assignUdfFor(base, centroids)
+      // assignment in its own projection: a generator (posexplode) in
+      // the same select strips the aggregate's struct-field aliases
+      // during generator resolution and the casewhen fails to type
       val stats = base
-        .select(assign(col("v")).as("cell"),
-          posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("cell", assignCol(col("v"), centroids))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -126,26 +151,15 @@ object Similarity {
     * its own invariants). */
   def ivfIndexWithCentroids(df: DataFrame, id: Column, vec: Column,
       centroids: Array[(Int, Seq[Float])]): DataFrame = {
-    val assign = assignUdfFor(df, centroids)
     df.select(id.as("vec_id"), vec.as("v"))
-      .withColumn("cell", assign(col("v")))
+      .withColumn("cell", assignCol(col("v"), centroids))
   }
 
   /** IVF query: probe the nProbe cells nearest to the query, exact
     * cosine inside them. */
   def ivfTopK(indexed: DataFrame, centroids: Array[(Int, Seq[Float])],
               query: Seq[Float], k: Int, nProbe: Int): DataFrame = {
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var j = 0
-      while (j < a.length) {
-        dot += a(j).toDouble * b(j); na += a(j).toDouble * a(j)
-        nb += b(j).toDouble * b(j); j += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probeCells = centroids.map { case (i, c) => (i, cos(query, c)) }
-      .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1).toSeq
+    val probeCells = probeCellsFor(centroids, query, nProbe)
     val q = typedLit(query)
     indexed.filter(col("cell").isin(probeCells: _*))
       .select(col("vec_id"), round(cosine(col("v"), q), 6).as("cos"))
@@ -172,16 +186,54 @@ object Similarity {
 
   /** Trained PQ codebooks: per-subspace deterministic Lloyd's k-means
     * over the dsub-dim slices (spherical, like the IVF coarse
-    * quantizer — pinned by recall invariants, the search path by the
-    * q51 oracle). */
+    * quantizer — pinned by recall + reproducibility invariants, the
+    * search path by the q51 oracle). All m subspaces train FUSED: one
+    * init scan seeds every subspace (the kCode smallest-hash vectors'
+    * slices — identical seeds to m independent k-means runs), and each
+    * Lloyd round is ONE corpus scan assigning all m subspaces (the
+    * same codegen'd argmax column as the search-path encode) plus ONE
+    * groupBy(s, cell, sdim) mean shuffle — m× fewer corpus passes than
+    * training each subspace separately. */
   def pqTrainCodebooks(df: DataFrame, id: Column, vec: Column, m: Int,
                        kCode: Int, iters: Int): Array[Array[Seq[Float]]] = {
+    import df.sparkSession.implicits._
     val dim = df.select(size(vec)).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
-    Array.tabulate(m)(s =>
-      kmeansCentroids(df, id, slice(vec, lit(s * dsub + 1), lit(dsub)),
-        kCode, iters).map(_._2))
+    val base = df.select(id.as("vid"), vec.as("v"))
+    val seeds = base.withColumn("h", xxhash64(col("vid")))
+      .orderBy(col("h"), col("vid")).limit(kCode)
+      .select(col("v")).as[Seq[Float]].collect()
+    var books: Array[Array[Seq[Float]]] = Array.tabulate(m)(s =>
+      seeds.map(v => v.slice(s * dsub, (s + 1) * dsub).toSeq))
+    for (_ <- 1 to iters) {
+      val codeCols = (0 until m).map { s =>
+        assignCol(slice(col("v"), lit(s * dsub + 1), lit(dsub)),
+          books(s).zipWithIndex.map { case (c, i) => (i, c) })
+      }
+      val sCol = (col("dim") / lit(dsub)).cast("int")
+      val stats = base.withColumn("codes", array(codeCols: _*))
+        .select(col("codes"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(sCol.as("s"),
+          element_at(col("codes"), sCol + 1).as("cell"),
+          pmod(col("dim"), lit(dsub)).cast("int").as("sdim"), col("x"))
+        .groupBy(col("s"), col("cell"), col("sdim"))
+        .agg(sum(col("x").cast("double")).as("sm"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = stats.groupBy(r =>
+        (r.getAs[Int]("s"), r.getAs[Int]("cell")))
+      books = Array.tabulate(m)(s => Array.tabulate(kCode) { c =>
+        byKey.get((s, c)) match {
+          case Some(rows) =>
+            val mean = new Array[Float](dsub)
+            rows.foreach(r => mean(r.getAs[Int]("sdim")) =
+              (r.getAs[Double]("sm") / r.getAs[Long]("n")).toFloat)
+            mean.toSeq
+          case None => books(s)(c) // empty cell keeps its centroid
+        }
+      })
+    }
+    books
   }
 
   /** PQ sum-fold: sequential left fold in index order — the op order
@@ -217,10 +269,12 @@ object Similarity {
         struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
         (acc, ci) => {
           val cb = element_at(cbLit, lit(s * kCode) + ci)
+          // (a-b)*(a-b), never pow(a-b, 2): Math.pow is only 1-ulp
+          // accurate, and the oracle/reference both self-multiply
+          val diff = (i: Column) =>
+            element_at(sl, i).cast("double") - element_at(cb, i)
           val d2 = round(aggregate(sequence(lit(1), lit(dsub)), lit(0.0),
-            (a, i) => a + pow(
-              element_at(sl, i).cast("double") - element_at(cb, i),
-              2.0)), 6)
+            (a, i) => a + diff(i) * diff(i)), 6)
           when(d2 < acc.getField("d"),
             struct(d2.as("d"), (ci - 1).as("c"))).otherwise(acc)
         },
@@ -298,16 +352,7 @@ object Similarity {
                 coarse: Array[(Int, Seq[Float])],
                 codebooks: Array[Array[Seq[Float]]], query: Seq[Float],
                 k: Int, nProbe: Int, refine: Int): DataFrame = {
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
-      while (j < a.length) {
-        dot += a(j).toDouble * b(j); na += a(j).toDouble * a(j)
-        nb += b(j).toDouble * b(j); j += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probeCells = coarse.map { case (i, c) => (i, cos(query, c)) }
-      .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1).toSeq
+    val probeCells = probeCellsFor(coarse, query, nProbe)
     val indexed = ivfIndexWithCentroids(df, id, vec, coarse)
       .filter(col("cell").isin(probeCells: _*))
     pqTopK(pqEncode(indexed, col("vec_id"), col("v"), codebooks),

@@ -145,8 +145,12 @@ class PqSpec extends AnyFunSuite with SparkSuite {
       .as[(Long, Long, Double, Double)].collect().toSeq
     assert(allCells == full,
       "nProbe = nCells must equal unpruned PQ search")
-    // pruned: every result must come from a probed cell, and the
-    // probed subset must be a strict subset of the corpus
+    // pruned: every result must come from one of the 2 cells NEAREST
+    // the query (computed independently here), and that probe set must
+    // be a strict subset of the corpus
+    val expectedProbe = coarse
+      .map { case (i, c) => (i, cosRef(q, c)) }
+      .sortBy { case (i, s) => (-s, i) }.take(2).map(_._1).toSet
     val indexed = Sim.ivfIndexWithCentroids(emb, $"vec_id", $"embedding",
       coarse)
     val pruned = Sim.ivfPqTopK(emb, $"vec_id", $"embedding", coarse,
@@ -154,9 +158,11 @@ class PqSpec extends AnyFunSuite with SparkSuite {
       .as[(Long, Long, Double, Double)].collect().toSeq
     val cellsOf = indexed.select($"vec_id", $"cell")
       .as[(Long, Int)].collect().toMap
-    val probed = pruned.map(r => cellsOf(r._2)).toSet
-    assert(probed.size <= 2, s"results must come from probed cells: $probed")
-    val subsetSize = cellsOf.values.count(probed.contains)
+    val resultCells = pruned.map(r => cellsOf(r._2)).toSet
+    assert(resultCells.subsetOf(expectedProbe),
+      s"results must come from the 2 NEAREST cells $expectedProbe, " +
+        s"got $resultCells")
+    val subsetSize = cellsOf.values.count(expectedProbe.contains)
     assert(subsetSize < cellsOf.size,
       "nProbe = 2 must actually prune the scanned subset")
     assert(pruned.nonEmpty && pruned.head._2 == 0L,
@@ -179,5 +185,16 @@ class PqSpec extends AnyFunSuite with SparkSuite {
       .queryExecution.executedPlan.toString
     assert(topPlan.contains("TakeOrderedAndProject"),
       s"candidate cut must be TakeOrdered (per-partition heaps):\n$topPlan")
+    // the COMPOSED path (coarse assign + probe + encode + ADC) is also
+    // UDF-free end to end: the cell argmax is a codegen'd built-in
+    val vs = vecsById
+    val coarse = (1L to 8L).map(vs).zipWithIndex
+      .map { case (v, i) => (i, v) }.toArray
+    val fullPlan = Sim.ivfPqTopK(emb, $"vec_id", $"embedding", coarse,
+        cbs, q, k = 10, nProbe = 4, refine = 4)
+      .queryExecution.executedPlan.toString
+    assert(!fullPlan.contains("UDF") && !fullPlan.contains("Exchange"),
+      s"composed IVF-PQ must be UDF-free and exchange-free before the " +
+        s"TakeOrdered cuts:\n$fullPlan")
   }
 }
