@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftColumnBridge.{column => ncol, expression => nexpr}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,29 +46,19 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("_rk").as("rank"))
   }
 
-  /** Nearest-centroid assignment as a codegen'd BUILT-IN (no UDF):
-    * argmax of the unrounded cosine over the broadcast-literal centroid
-    * array — ascending id scan + strict > keeps the lowest cell id on
-    * exact ties, the shared primitive of indexing and k-means
-    * (semDedupCells is the rounded variant of the same shape). */
+  /** Nearest-centroid assignment as a NATIVE expression ([[CosArgmaxExpr]]
+    * — a compiled loop called once per row from inside whole-stage
+    * codegen): argmax of the unrounded cosine (Dedup.cosine's exact
+    * fold order) over the broadcast centroid table, ascending id scan
+    * + strict > keeps the lowest cell id on exact ties. The HOF
+    * (`aggregate`) form this replaces is CodegenFallback — interpreted
+    * and boxed per element, ~1000× slower per row at dim 64. */
   private def assignCol(vec: Column,
                         centroids: Array[(Int, Seq[Float])]): Column = {
     val sorted = centroids.sortBy(_._1)
-    val cvecs = typedLit(sorted.map(_._2.map(_.toDouble).toSeq).toSeq)
-    val cids = typedLit(sorted.map(_._1).toSeq)
-    aggregate(
-      sequence(lit(1), lit(sorted.length)),
-      struct(lit(Double.MinValue).as("c"), lit(Int.MaxValue).as("cell")),
-      (acc, i) => {
-        // coalesce: the branch structs must agree on nullability for
-        // casewhen; a null cosine (null vector) can never win anyway
-        val cs = coalesce(cosine(vec, element_at(cvecs, i)),
-          lit(Double.MinValue))
-        when(cs > acc.getField("c"),
-          struct(cs.as("c"), element_at(cids, i).as("cell")))
-          .otherwise(acc)
-      },
-      acc => acc.getField("cell"))
+    ncol(CosArgmaxExpr(nexpr(vec),
+      sorted.map(_._2.map(_.toDouble).toArray),
+      sorted.map(_._1), Int.MaxValue))
   }
 
   /** Driver-side cosine (the probe-selection primitive — runs over the
@@ -260,28 +251,14 @@ object Similarity {
     val dsub = codebooks(0)(0).length
     require(codebooks.forall(cb => cb.length == kCode &&
       cb.forall(_.length == dsub)), "ragged codebooks")
-    // flat [s*kCode + c] -> centroid slice, as doubles
-    val cbLit = typedLit(codebooks.flatten.map(_.map(_.toDouble).toSeq).toSeq)
-    val codeCols = (0 until m).map { s =>
-      val sl = slice(col("v"), lit(s * dsub + 1), lit(dsub))
-      aggregate(
-        sequence(lit(1), lit(kCode)),
-        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
-        (acc, ci) => {
-          val cb = element_at(cbLit, lit(s * kCode) + ci)
-          // (a-b)*(a-b), never pow(a-b, 2): Math.pow is only 1-ulp
-          // accurate, and the oracle/reference both self-multiply
-          val diff = (i: Column) =>
-            element_at(sl, i).cast("double") - element_at(cb, i)
-          val d2 = round(aggregate(sequence(lit(1), lit(dsub)), lit(0.0),
-            (a, i) => a + diff(i) * diff(i)), 6)
-          when(d2 < acc.getField("d"),
-            struct(d2.as("d"), (ci - 1).as("c"))).otherwise(acc)
-        },
-        acc => acc.getField("c"))
-    }
+    // flat [s*kCode + c] -> centroid slice, as doubles; the encode is
+    // the native PqEncodeExpr — a compiled per-row loop inside
+    // whole-stage codegen (the HOF form was CodegenFallback:
+    // interpreted + boxed, measured ~2.5 ms/vector — not a scale path)
+    val flat = codebooks.flatten.map(_.map(_.toDouble).toArray)
     df.select(id.as("vec_id"), vec.as("v"))
-      .withColumn("code", array(codeCols: _*))
+      .withColumn("code",
+        ncol(PqEncodeExpr(nexpr(col("v")), flat, m, kCode, dsub)))
   }
 
   /** PQ ADC (asymmetric distance computation) top-k with exact
@@ -318,13 +295,8 @@ object Similarity {
         codebooks(s)(c)(i).toDouble * codebooks(s)(c)(i).toDouble)).toSeq
     val qNorm = math.sqrt(
       seqFold(query.length)(i => query(i).toDouble * query(i).toDouble))
-    val dotLit = typedLit(lutDot)
-    val nrmLit = typedLit(lutNrm)
-    def lutSum(lut: Column): Column =
-      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (a, s) => a + element_at(lut,
-          s * kCode + element_at(col("code"), s + 1) + 1))
-    val adcCol = round(lutSum(dotLit) / (lit(qNorm) * sqrt(lutSum(nrmLit))), 6)
+    val adcCol = ncol(PqAdcExpr(nexpr(col("code")), lutDot.toArray,
+      lutNrm.toArray, qNorm, kCode))
     val cand = encoded.withColumn("adc", adcCol)
       .orderBy(col("adc").desc, col("vec_id").asc)
       .limit(k * refine)

@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Native (codegen-callable) forms of the per-row vector kernels.
+  *
+  * Spark's higher-order functions (`aggregate`/`transform`) are
+  * CodegenFallback — every element access is an interpreted, boxed
+  * expression-tree walk. For a scalar URL that is noise; for a kernel
+  * that does O(m·k·dsub) float ops per ROW it is the difference
+  * between ~µs and ~ms per vector (measured: the HOF PQ encode cost
+  * ~2.5 ms/vector at dim 64 — 1000× a compiled loop, i.e. the "scale
+  * path" wouldn't scale). These expressions keep the projection inside
+  * whole-stage codegen with ONE compiled call per row (the
+  * `UrlStatics` pattern, SURVEY.md §2.8), and their float op order is
+  * pinned to the exact sequential folds the DuckDB oracles replay.
+  *
+  * All arithmetic contracts mirror the HOF forms they replace
+  * bit-for-bit: L2² / dot / norm are 0.0-initialized ascending-index
+  * folds in doubles; rounding is Spark `round(_, 6)` (BigDecimal
+  * HALF_UP); argmin/argmax scan candidates ascending with strict
+  * comparison, so ties keep the lowest id and NaN never wins. */
+object VectorKernels {
+
+  /** Spark's round(x, 6) for doubles: BigDecimal HALF_UP. */
+  def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** PQ encode: per subspace, the codebook entry minimizing the
+    * 6dp-rounded L2² (ties lowest). `books` is flat [s*kCode + c]. */
+  def pqEncode(arr: ArrayData, books: Array[Array[Double]], m: Int,
+               kCode: Int, dsub: Int): ArrayData = {
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var bestD = Double.MaxValue
+      var bestC = -1
+      var c = 0
+      while (c < kCode) {
+        val cb = books(s * kCode + c)
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = arr.getFloat(s * dsub + i).toDouble - cb(i)
+          d2 += d * d
+          i += 1
+        }
+        val r = round6(d2)
+        if (r < bestD) { bestD = r; bestC = c }
+        c += 1
+      }
+      codes(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** ADC score from a code row: round6(Σdot / (qNorm · √Σnrm)), both
+    * sums 0.0-init ascending-s folds. */
+  def pqAdc(code: ArrayData, dotLut: Array[Double], nrmLut: Array[Double],
+            qNorm: Double, kCode: Int): Double = {
+    val m = code.numElements()
+    var dsum = 0.0
+    var nsum = 0.0
+    var s = 0
+    while (s < m) {
+      val idx = s * kCode + code.getInt(s)
+      dsum += dotLut(idx)
+      nsum += nrmLut(idx)
+      s += 1
+    }
+    round6(dsum / (qNorm * math.sqrt(nsum)))
+  }
+
+  /** Cosine argmax over a centroid table: Dedup.cosine's exact op
+    * order (three independent 0.0-init ascending folds, then
+    * dot/(√na·√nb)); strict > ascending keeps the lowest id on ties
+    * and the init id when every cosine is NaN. */
+  def cosArgmax(arr: ArrayData, cvecs: Array[Array[Double]],
+                cids: Array[Int], initCell: Int): Int = {
+    val n = arr.numElements()
+    var best = Double.MinValue
+    var bestCell = initCell
+    var c = 0
+    while (c < cvecs.length) {
+      val cv = cvecs(c)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val a = arr.getFloat(i).toDouble
+        dot += a * cv(i); na += a * a; nb += cv(i) * cv(i)
+        i += 1
+      }
+      val cs = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (cs > best) { best = cs; bestCell = cids(c) }
+      c += 1
+    }
+    bestCell
+  }
+}
+
+sealed trait FloatArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $t")
+  }
+}
+
+/** PQ encode as a native expression: array<float> → array<int>. */
+case class PqEncodeExpr(child: Expression, books: Array[Array[Double]],
+                        m: Int, kCode: Int, dsub: Int)
+    extends UnaryExpression with FloatArrayInput with Serializable {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.pqEncode(input.asInstanceOf[ArrayData], books, m, kCode, dsub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEnc", this, classOf[PqEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+  def encode(arr: ArrayData): ArrayData =
+    VectorKernels.pqEncode(arr, books, m, kCode, dsub)
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** ADC score as a native expression: array<int> code → double. */
+case class PqAdcExpr(child: Expression, dotLut: Array[Double],
+                     nrmLut: Array[Double], qNorm: Double, kCode: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got $t")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.pqAdc(input.asInstanceOf[ArrayData], dotLut, nrmLut,
+      qNorm, kCode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.adc($c);")
+  }
+  def adc(code: ArrayData): Double =
+    VectorKernels.pqAdc(code, dotLut, nrmLut, qNorm, kCode)
+  override protected def withNewChildInternal(newChild: Expression): PqAdcExpr =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid (cosine argmax) as a native expression:
+  * array<float> → int cell id. */
+case class CosArgmaxExpr(child: Expression, cvecs: Array[Array[Double]],
+                         cids: Array[Int], initCell: Int)
+    extends UnaryExpression with FloatArrayInput with Serializable {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.cosArgmax(input.asInstanceOf[ArrayData], cvecs, cids,
+      initCell)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosAm", this, classOf[CosArgmaxExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.argmax($c);")
+  }
+  def argmax(arr: ArrayData): Int =
+    VectorKernels.cosArgmax(arr, cvecs, cids, initCell)
+  override protected def withNewChildInternal(newChild: Expression): CosArgmaxExpr =
+    copy(child = newChild)
+}

@@ -179,6 +179,9 @@ class PqSpec extends AnyFunSuite with SparkSuite {
       s"encode must be shuffle-free:\n$encPlan")
     assert(!encPlan.contains("BatchEvalPython") && !encPlan.contains("udf"),
       s"encode must be built-ins only:\n$encPlan")
+    assert(encPlan.contains("pqencodeexpr"),
+      s"encode must be the native compiled kernel (HOFs are " +
+        s"CodegenFallback — interpreted, ~1000x/row):\n$encPlan")
     val enc = Sim.pqEncode(emb, $"vec_id", $"embedding", cbs)
       .localCheckpoint(true)
     val topPlan = Sim.pqTopK(enc, cbs, q, k = 10, refine = 4)
@@ -196,5 +199,8 @@ class PqSpec extends AnyFunSuite with SparkSuite {
     assert(!fullPlan.contains("UDF") && !fullPlan.contains("Exchange"),
       s"composed IVF-PQ must be UDF-free and exchange-free before the " +
         s"TakeOrdered cuts:\n$fullPlan")
+    assert(fullPlan.contains("cosargmaxexpr") &&
+      fullPlan.contains("pqadcexpr"),
+      s"assignment and ADC must be the native kernels:\n$fullPlan")
   }
 }
