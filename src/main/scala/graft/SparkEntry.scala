@@ -706,6 +706,36 @@ object SparkEntry {
         k = 10, nProbe = 4, refine = 4)
     }),
 
+    // --- URL filtering (RefinedWeb §G.1): registered-domain blocklist +
+    // bad-word rules. The synthetic corpus has no URL column, so one is
+    // synthesized deterministically from doc_id (subdomain / site /
+    // tld / path all doc_id-modular — the oracle reproduces the string).
+    // The Spark side parses the registered domain out of the URL with
+    // the REAL public-suffix implementation (P1's native expression);
+    // the oracle derives it from the synthesis variables — so the hash
+    // only matches if PSL parsing gets e.g. cdn.news.siteN.co.uk →
+    // siteN.co.uk right. ----------------------------------------------------------
+    "q53_url_filters" -> ((s, dir) => {
+      import s.implicits._
+      val sub = when($"doc_id" % 3 === 0, lit("www."))
+        .when($"doc_id" % 3 === 1, lit("cdn.news.")).otherwise(lit(""))
+      val tld = when($"doc_id" % 4 === 0, lit(".com"))
+        .when($"doc_id" % 4 === 1, lit(".org"))
+        .when($"doc_id" % 4 === 2, lit(".co.uk")).otherwise(lit(".net"))
+      val path = when($"doc_id" % 11 === 0, lit("/casino/promo"))
+        .when($"doc_id" % 11 === 5,
+          concat(lit("/forum/poker-night-"), $"doc_id".cast("string")))
+        .otherwise(concat(lit("/article/"), $"doc_id".cast("string")))
+      val urls = t(s, dir, "documents").select($"doc_id",
+        concat(lit("https://"), sub, lit("site"),
+          ($"doc_id" % 97).cast("string"), tld, path).as("url"))
+      Clean.urlFilters(urls, $"doc_id", $"url",
+          blockedDomains = Seq("site13.com", "site42.co.uk",
+            "site7.org", "site0.net"),
+          badWords = Seq("casino", "poker"))
+        .orderBy($"doc_id")
+    }),
+
     // embedding-cosine near-dup pairs via hyperplane LSH. Threshold 0.35
     // sits inside the synthetic embeddings' actual similarity range (max
     // pairwise cosine at sf0.01 is 0.513) so the query exercises real
@@ -1421,6 +1451,40 @@ object SparkEntry {
                AS BIGINT) AS rank, vec_id, cos, adc
            FROM rer) t
          WHERE rank <= 10 ORDER BY rank""",
+    // URL filtering: identical deterministic URL synthesis on both
+    // sides; the ORACLE's registered domain is derived from the
+    // synthesis variables ('site'||n||tld — one label + public suffix
+    // by construction, including the multi-label .co.uk), while the
+    // Spark side re-parses it out of the URL STRING with the real
+    // public-suffix implementation — equality proves the PSL path.
+    "q53_url_filters" ->
+      """WITH u AS (SELECT doc_id,
+             'https://' ||
+             CASE doc_id % 3 WHEN 0 THEN 'www.'
+               WHEN 1 THEN 'cdn.news.' ELSE '' END ||
+             'site' || CAST(doc_id % 97 AS VARCHAR) ||
+             CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+               WHEN 2 THEN '.co.uk' ELSE '.net' END ||
+             CASE WHEN doc_id % 11 = 0 THEN '/casino/promo'
+               WHEN doc_id % 11 = 5 THEN
+                 '/forum/poker-night-' || CAST(doc_id AS VARCHAR)
+               ELSE '/article/' || CAST(doc_id AS VARCHAR) END AS url,
+             'site' || CAST(doc_id % 97 AS VARCHAR) ||
+             CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+               WHEN 2 THEN '.co.uk' ELSE '.net' END AS reg_domain
+           FROM documents),
+         f AS (SELECT doc_id, url, reg_domain,
+             CASE WHEN reg_domain IN ('site13.com', 'site42.co.uk',
+               'site7.org', 'site0.net') THEN 1 ELSE 0 END AS b,
+             CASE WHEN lower(url) LIKE '%casino%'
+               OR lower(url) LIKE '%poker%' THEN 1 ELSE 0 END AS w
+           FROM u)
+         SELECT doc_id, url, reg_domain,
+           CAST(b AS BIGINT) AS flag_blocked,
+           CAST(w AS BIGINT) AS flag_badword,
+           CAST(CASE WHEN b = 0 AND w = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+         FROM f ORDER BY doc_id""",
     "q30_median_value" ->
       """SELECT event_type,
          round(quantile_cont(value, 0.5), 6) AS median_value,

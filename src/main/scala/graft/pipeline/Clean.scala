@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.urlops.UrlFunctions
+
 /** Corpus-cleaning operators over newline-delimited document text — the
   * line-level hygiene passes every public web-text pipeline runs before
   * dedup/mixing (C4, Raffel et al. 2020 arXiv:1910.10683 §2.2; CCNet,
@@ -149,5 +151,45 @@ object Clean {
         "\n").as("clean_text"))
       .select(col("doc_id"), col("n_lines"), col("n_removed"),
         col("clean_text"))
+  }
+
+  /** RefinedWeb-style URL filtering (Penedo et al. 2023 §G.1; the same
+    * gate C4 and CCNet apply before any content rule): drop a document
+    * when (a) its URL's REGISTERED domain — real public-suffix-list
+    * semantics via the crawl side's native `registered_domain`
+    * expression, so `cdn.news.x.co.uk` blocks on `x.co.uk`, not
+    * `news.x.co.uk` — is on a blocklist (UT1-style), or (b) the
+    * lowercased URL contains any bad word.
+    *
+    * Returns (doc_id, url, reg_domain, flag_blocked, flag_badword,
+    * keep), flags as 0/1 longs, one row per input document.
+    *
+    * Scale shape: the bad-word test and the PSL parse are one codegen'd
+    * projection; the blocklist check is a BROADCAST left join keyed on
+    * registered domain — a real UT1 list is a few million short strings
+    * (tens of MB), exactly broadcast-sized, and never an `isin` literal
+    * (a million-branch predicate) nor a shuffle of the corpus side. One
+    * corpus scan, zero exchanges on the document stream. */
+  def urlFilters(df: DataFrame, id: Column, url: Column,
+                 blockedDomains: Seq[String],
+                 badWords: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty || badWords.nonEmpty,
+      "urlFilters needs a blocklist or bad words (or both)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val block = broadcast(
+      blockedDomains.distinct.toDF("_bdom"))
+    val lowered = lower(url)
+    val bad = badWords.map(w => lowered.contains(lit(w.toLowerCase)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.select(id.as("doc_id"), url.as("url"),
+        UrlFunctions.registered_domain(url).as("reg_domain"),
+        bad.cast("long").as("flag_badword"))
+      .join(block, col("reg_domain") === col("_bdom"), "left")
+      .select(col("doc_id"), col("url"), col("reg_domain"),
+        col("_bdom").isNotNull.cast("long").as("flag_blocked"),
+        col("flag_badword"),
+        (col("_bdom").isNull && col("flag_badword") === 0)
+          .cast("long").as("keep"))
   }
 }

@@ -233,4 +233,77 @@ class CleanSpec extends AnyFunSuite with SparkSuite {
       plan.contains("BroadcastExchange"),
       s"1-row total must broadcast:\n$plan")
   }
+
+  // --- URL filtering (q53) -------------------------------------------------------
+
+  test("urlFilters: PSL registered domain (multi-label co.uk from a " +
+       "subdomained URL), blocklist + bad-word flags, keep semantics") {
+    val df = Seq(
+      (1L, "https://cdn.news.site42.co.uk/article/1"),   // blocked (PSL)
+      (2L, "https://www.site13.com/article/2"),          // blocked
+      (3L, "https://site9.net/casino/promo"),            // bad word
+      (4L, "https://www.site13.com/forum/POKER-night"),  // both
+      (5L, "https://blog.site8.org/article/5"),          // clean
+      (6L, "https://news.site42.org/article/6")          // co.uk sibling: clean
+    ).toDF("doc_id", "url")
+    val got = Clean.urlFilters(df, $"doc_id", $"url",
+        blockedDomains = Seq("site13.com", "site42.co.uk"),
+        badWords = Seq("casino", "poker"))
+      .orderBy($"doc_id")
+      .as[(Long, String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == (("site42.co.uk", 1L, 0L, 0L)),
+      "cdn.news.site42.co.uk must resolve to site42.co.uk (PSL), " +
+        s"got ${got(1L)}")
+    assert(got(2L) == (("site13.com", 1L, 0L, 0L)))
+    assert(got(3L) == (("site9.net", 0L, 1L, 0L)))
+    assert(got(4L) == (("site13.com", 1L, 1L, 0L)),
+      "a doc can fail both rules; both flags must report")
+    assert(got(5L) == (("site8.org", 0L, 0L, 1L)))
+    assert(got(6L) == (("site42.org", 0L, 0L, 1L)),
+      "site42.org is NOT site42.co.uk — the block is on the " +
+        "registered domain, not the site label")
+  }
+
+  test("urlFilters: keep == (no flag set) over the q53 synthetic corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val urls = docs.select($"doc_id",
+      concat(lit("https://"),
+        when($"doc_id" % 3 === 0, lit("www."))
+          .when($"doc_id" % 3 === 1, lit("cdn.news.")).otherwise(lit("")),
+        lit("site"), ($"doc_id" % 97).cast("string"),
+        when($"doc_id" % 4 === 0, lit(".com"))
+          .when($"doc_id" % 4 === 1, lit(".org"))
+          .when($"doc_id" % 4 === 2, lit(".co.uk")).otherwise(lit(".net")),
+        concat(lit("/article/"), $"doc_id".cast("string"))).as("url"))
+    val out = Clean.urlFilters(urls, $"doc_id", $"url",
+      Seq("site13.com", "site42.co.uk", "site7.org", "site0.net"),
+      Seq("casino", "poker"))
+    assert(out.filter($"keep" =!= (($"flag_blocked" === 0) &&
+      ($"flag_badword" === 0)).cast("long")).count() == 0)
+    assert(out.filter($"flag_blocked" === 1).count() > 0,
+      "fixture must exercise the blocklist at sf0.001")
+    assert(out.count() == docs.count(), "one row per document, always")
+  }
+
+  test("urlFilters plan: the blocklist is a BROADCAST join (never a " +
+       "corpus-side shuffle, never a giant isin literal), PSL parse is " +
+       "the native expression, one corpus scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val urls = docs.select($"doc_id",
+      concat(lit("https://site"), ($"doc_id" % 97).cast("string"),
+        lit(".com/article/"), $"doc_id".cast("string")).as("url"))
+    val plan = Clean.urlFilters(urls, $"doc_id", $"url",
+        Seq("site13.com"), Seq("casino"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"blocklist must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the corpus side must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF on the URL path:\n$plan")
+    assert(plan.toLowerCase.contains("registereddomain"),
+      s"PSL parse must be the native expression:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"corpus must be scanned once:\n$plan")
+  }
 }
