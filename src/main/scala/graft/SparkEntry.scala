@@ -480,6 +480,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // --- CCNet head/middle/tail split: per-language LM-surprise
+    // terciles (Wenzek et al. 2020 §4.3), cutoffs from the integer
+    // histogram — composes q50's LM score with the percentile bucketer.
+    // The lang join keys two corpus-sized tables on doc_id (co-bucketed
+    // in a deployed layout); the split itself never sorts the corpus. ------------
+    "q54_ccnet_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val scores = TA.lmSurprise(docs, $"text", docs, $"doc_id", $"text")
+        .select($"doc_id", $"surprise_avg_fp")
+      val withLang = scores
+        .join(docs.select($"doc_id", $"lang"), "doc_id")
+      TrainingMix.percentileBuckets(withLang, $"doc_id", $"lang",
+          $"surprise_avg_fp")
+        .withColumnRenamed("grp", "lang")
+        .orderBy($"doc_id")
+    }),
+
     // --- fixed-point PageRank over the bidirected supplier↔part graph
     // (BIGINT micro-unit arithmetic — bit-identical on any engine; see
     // GraphOps.pageRankFixedPoint). 5 iterations, d = 0.85. ----------------------
@@ -1259,6 +1277,50 @@ object SparkEntry {
              CAST(sum(surprise) AS BIGINT) AS surprise_sum_fp,
              CAST(sum(surprise) // count(*) AS BIGINT) AS surprise_avg_fp
          FROM s GROUP BY 1 ORDER BY doc_id""",
+    // CCNet buckets: q50's LM-surprise chain verbatim, then the
+    // integer-exact tercile: per lang, cutoff b = smallest score whose
+    // cumulative histogram count × 3 ≥ b × n; ties share a bucket.
+    "q54_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS l
+           FROM documents),
+         bg AS (SELECT doc_id, unnest(l[1:len(l)-1]) AS prev,
+             unnest(l[2:len(l)]) AS next
+           FROM toks WHERE len(l) >= 2),
+         cb AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY 1, 2),
+         cp AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cp
+           FROM cb GROUP BY 1),
+         v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cp),
+         s AS (SELECT b.doc_id,
+             CAST(((p.cp + v.v) * 1000000) // (m.c + 1) AS BIGINT)
+               AS surprise
+           FROM bg b JOIN cb m USING (prev, next) JOIN cp p USING (prev)
+           CROSS JOIN v),
+         sc AS (SELECT doc_id,
+             CAST(sum(surprise) // count(*) AS BIGINT) AS score_fp
+           FROM s GROUP BY 1),
+         j AS (SELECT sc.doc_id, d.lang, sc.score_fp
+           FROM sc JOIN documents d USING (doc_id)),
+         h AS (SELECT lang, score_fp, CAST(count(*) AS BIGINT) AS cnt
+           FROM j GROUP BY 1, 2),
+         c AS (SELECT lang, score_fp,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY score_fp) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS tot
+           FROM h),
+         cut AS (SELECT lang,
+             min(CASE WHEN cum * 3 >= tot * 1 THEN score_fp END) AS c1,
+             min(CASE WHEN cum * 3 >= tot * 2 THEN score_fp END) AS c2
+           FROM c GROUP BY lang)
+         SELECT j.doc_id, j.lang, j.score_fp,
+           CAST(1 + (CASE WHEN j.score_fp > cut.c1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN j.score_fp > cut.c2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS bucket,
+           CASE WHEN j.score_fp <= cut.c1 THEN 'head'
+                WHEN j.score_fp <= cut.c2 THEN 'middle'
+                ELSE 'tail' END AS label
+         FROM j JOIN cut USING (lang) ORDER BY doc_id""",
     // corpus shuffle: md5(id) permutation, rank = row_number in
     // (pos_key, doc_id) order, shard = floor((rank-1)/100).
     "q47_corpus_shuffle" ->

@@ -111,6 +111,74 @@ object TrainingMix {
         .as("shard_id"))
   }
 
+  /** CCNet-style per-stratum percentile split (Wenzek et al. 2020
+    * arXiv:1911.00359 §4.3: per language, cut the corpus into
+    * head/middle/tail by LM-perplexity terciles). Generic over the
+    * bucket count k: each row lands in bucket b ∈ 1..k by comparing its
+    * score against k-1 per-group cutoffs, where cutoff b is the
+    * SMALLEST score s in the group with `|{score' ≤ s}| · k ≥ b · n` —
+    * the exact discrete b/k-quantile, pure integer arithmetic, no
+    * interpolation. Ties sit wholly in one bucket (equal scores can
+    * never straddle a cutoff), which is both the CCNet semantic and
+    * what makes the split engine-reproducible: with an integer
+    * fixed-point score (e.g. [[TextAnalysis.lmSurprise]]'s
+    * `surprise_avg_fp`) every output bit is deterministic — no float
+    * percentile whose interpolation order another engine could round
+    * differently.
+    *
+    * Returns (doc_id, grp, score_fp, bucket, label), one row per input
+    * row with a non-null group and score (null groups/scores are not
+    * assignable to a stratum quantile and are dropped). `labels` names
+    * the buckets (default head/middle/tail for k=3); pass Nil to label
+    * with the bucket number.
+    *
+    * Scale shape: the naive split is `ntile(k) OVER (PARTITION BY grp
+    * ORDER BY score)` — a full per-group SORT of the corpus. This
+    * instead aggregates the corpus into a (grp, score) HISTOGRAM first
+    * (map-side-combinable hash aggregate; the exchange carries
+    * |distinct scores| rows, not |docs|), runs the cumulative window
+    * over that histogram (tiny: the fixed-point scores collide
+    * heavily), reduces it to k-1 cutoffs per group, and BROADCASTS the
+    * cutoff table back onto the unsorted corpus stream — the labeling
+    * pass is a pure projection, zero corpus-side exchanges or sorts at
+    * any scale. This histogram-then-cutoff shape is exactly how CCNet
+    * itself computes its percentile bins at Common-Crawl scale. */
+  def percentileBuckets(df: DataFrame, id: Column, group: Column,
+                        score: Column, k: Int = 3,
+                        labels: Seq[String] = Seq("head", "middle", "tail"))
+      : DataFrame = {
+    require(k >= 2, "need at least 2 buckets")
+    require(labels.isEmpty || labels.length == k,
+      s"got ${labels.length} labels for $k buckets")
+    val base = df.select(id.as("doc_id"), group.as("grp"),
+        score.as("score_fp"))
+      .where(col("grp").isNotNull && col("score_fp").isNotNull)
+    val hist = base.groupBy(col("grp"), col("score_fp"))
+      .agg(count(lit(1)).as("_cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("score_fp"))
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    val withCum = hist
+      .withColumn("_cum", sum(col("_cnt")).over(wCum))
+      .withColumn("_tot", sum(col("_cnt")).over(wTot))
+    val cutCols = (1 until k).map(b =>
+      min(when(col("_cum") * k >= col("_tot") * b, col("score_fp")))
+        .as(s"_c$b"))
+    val cuts = withCum.groupBy(col("grp"))
+      .agg(cutCols.head, cutCols.tail: _*)
+    val bucket = (1 until k).map(b =>
+        when(col("score_fp") > col(s"_c$b"), 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    val label =
+      if (labels.isEmpty) col("bucket").cast("string")
+      else element_at(array(labels.map(lit): _*), col("bucket").cast("int"))
+    base.join(broadcast(cuts), Seq("grp"))
+      .withColumn("bucket", bucket.cast("long"))
+      .select(col("doc_id"), col("grp"), col("score_fp"), col("bucket"),
+        label.as("label"))
+  }
+
   /** Pack documents into fixed-token-budget training shards: documents
     * are laid out in id order and shard_id =
     * floor(exclusive-prefix-token-count / tokensPerShard), so each

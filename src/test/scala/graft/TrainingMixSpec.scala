@@ -203,4 +203,94 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
     }
     assert(out.map(_._3).distinct.length >= 2, "fixture spans shards")
   }
+
+  // --- CCNet percentile buckets (q54) -----------------------------------------
+
+  test("percentileBuckets: exact terciles when n divides evenly; tied " +
+       "scores straddling a cutoff collapse into one bucket") {
+    // group A: scores 1..9 → cutoffs 3/6, three docs per bucket
+    val a = (1L to 9L).map(i => (i, "A", i * 10L))
+    // group B: 4×1, 5, 5, 6, 7, 8, 9 (n=10) — the four tied 1s all land
+    // in head (cum(1)=4, 4·3 ≥ 10); c2=6 (cum(6)=7, 21 ≥ 20)
+    val b = Seq((101L, "B", 1L), (102L, "B", 1L), (103L, "B", 1L),
+      (104L, "B", 1L), (105L, "B", 5L), (106L, "B", 5L), (107L, "B", 6L),
+      (108L, "B", 7L), (109L, "B", 8L), (110L, "B", 9L))
+    val df = (a ++ b).toDF("doc_id", "grp", "score")
+    val got = TrainingMix.percentileBuckets(df, $"doc_id", $"grp",
+        $"score")
+      .as[(Long, String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    (1L to 3L).foreach(i => assert(got(i) == ((1L, "head"))))
+    (4L to 6L).foreach(i => assert(got(i) == ((2L, "middle"))))
+    (7L to 9L).foreach(i => assert(got(i) == ((3L, "tail"))))
+    (101L to 104L).foreach(i => assert(got(i) == ((1L, "head")),
+      s"tied boundary scores share the head bucket, got ${got(i)}"))
+    Seq(105L, 106L, 107L).foreach(i => assert(got(i) == ((2L, "middle"))))
+    Seq(108L, 109L, 110L).foreach(i => assert(got(i) == ((3L, "tail"))))
+  }
+
+  test("percentileBuckets: generic k, numeric labels when labels=Nil, " +
+       "null group/score dropped, bad label count rejected") {
+    val df = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L),
+      (4L, "A", 40L), (5L, null: String, 50L),
+      (6L, "A", -1L)).toDF("doc_id", "grp", "score")
+      .withColumn("score",
+        when($"doc_id" === 6L, lit(null: java.lang.Long))
+          .otherwise($"score"))
+    val got = TrainingMix.percentileBuckets(df, $"doc_id", $"grp",
+        $"score", k = 4, labels = Nil)
+      .as[(Long, String, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L),
+      "null group and null score rows are dropped")
+    assert(got.map(_._4).toSeq == Seq(1L, 2L, 3L, 4L),
+      "k=4 over 4 distinct scores is one doc per bucket")
+    assert(got.map(_._5).toSeq == Seq("1", "2", "3", "4"))
+    intercept[IllegalArgumentException] {
+      TrainingMix.percentileBuckets(df, $"doc_id", $"grp", $"score", k = 4)
+    }
+  }
+
+  test("percentileBuckets equals the sequential quantile reference on " +
+       "the sf0.001 documents (per-lang n_chars terciles)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TrainingMix.percentileBuckets(docs, $"doc_id", $"lang",
+        $"n_chars")
+      .as[(Long, String, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    // reference: per group, cutoff b = smallest score with
+    // |{score' <= s}|·3 >= b·n, computed on sorted local arrays
+    val byGrp = got.groupBy(_._2)
+    assert(byGrp.size > 1, "fixture must span several languages")
+    byGrp.foreach { case (grp, rows) =>
+      val scores = rows.map(_._3).sorted
+      val n = scores.length.toLong
+      def cut(b: Int): Long =
+        scores.find(s => scores.count(_ <= s) * 3 >= b * n).get
+      val (c1, c2) = (cut(1), cut(2))
+      rows.foreach { case (id, _, s, bucket, label) =>
+        val expect = if (s <= c1) (1L, "head")
+          else if (s <= c2) (2L, "middle") else (3L, "tail")
+        assert((bucket, label) == expect,
+          s"doc $id grp $grp score $s: got ($bucket,$label), want $expect")
+      }
+    }
+  }
+
+  test("percentileBuckets plan: cutoffs ride a broadcast back onto the " +
+       "unsorted corpus — no range partitioning (no global/per-group " +
+       "corpus sort), window runs over the aggregated histogram, no UDF") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TrainingMix.percentileBuckets(docs, $"doc_id", $"lang",
+        $"n_chars")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cutoff table must broadcast:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"the corpus must never be range-partitioned/sorted:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"the window must consume the histogram aggregate, not raw rows:\n$plan")
+  }
 }
