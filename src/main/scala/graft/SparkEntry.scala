@@ -638,6 +638,22 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // --- the MinHash pairs APPLIED as corpus dedup: cluster the q23
+    // pair graph (distributed min-label CC) and keep one representative
+    // (the min doc_id) per cluster — the step a real pipeline runs
+    // after pair generation. Oracle: q23's chain + a recursive-CTE
+    // reachability closure, so the driver value-checks the WHOLE
+    // pipeline from raw text to the surviving document set. ---------------------
+    "q55_minhash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, $"doc_id", $"text",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.7)
+      Dedup.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
+        .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
     // SimHash near-dup pairs
     "q24_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
@@ -781,6 +797,103 @@ object SparkEntry {
         .orderBy($"bucket")
     })
   )
+
+  /** The q23 MinHash-LSH CTE chain (shingle → signature → bands →
+    * candidate join → exact-Jaccard verify), shared by q23 (the pairs)
+    * and q55 (the pairs applied as corpus dedup). No WITH prefix: q23
+    * uses plain WITH, q55 WITH RECURSIVE (for the component closure). */
+  private val minhashCtes: String = 
+    """consts AS (
+           SELECT CAST(11400714819323198485 AS HUGEINT) AS h0,
+                  CAST(13787848793156543929 AS HUGEINT) AS c1,
+                  CAST(10723151780598845931 AS HUGEINT) AS c2,
+                  CAST(18446744073709551616 AS HUGEINT) AS p64,
+                  CAST(4294967296 AS HUGEINT) AS p32),
+         docs AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(CASE
+             WHEN len(toks) = 0 THEN []
+             WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(generate_series(1, len(toks) - 2),
+               i -> array_to_string(toks[i:i+2], ' ')) END) AS gram
+           FROM docs),
+         jh AS (
+           SELECT doc_id, gram,
+             list_reduce(list_prepend(CAST(0 AS HUGEINT),
+               list_transform(generate_series(1, length(gram)),
+                 i -> CAST(unicode(substr(gram, i, 1)) AS HUGEINT))),
+               (acc, c) -> (acc * 31 + c) % 4294967296) AS h32u
+           FROM grams),
+         ph AS (
+           SELECT doc_id, c.*, CASE WHEN h32u >= 2147483648
+             THEN h32u - 4294967296 + p64 ELSE h32u END AS p
+           FROM jh, consts c),
+         s1 AS (SELECT *, xor(h0, ((21785 % p32) * c1 +
+             ((((21785 // p32) * c1) % p32) * p32)) % p64) AS z0 FROM ph),
+         s1b AS (SELECT *, ((xor(z0, z0 // 1073741824) % p32) * c1 +
+             ((((xor(z0, z0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS z1 FROM s1),
+         s1c AS (SELECT *, ((xor(z1, z1 // 134217728) % p32) * c2 +
+             ((((xor(z1, z1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS z2 FROM s1b),
+         s1d AS (SELECT *, xor(z2, z2 // 2147483648) AS h1 FROM s1c),
+         s2 AS (SELECT *, xor(h1, ((p % p32) * c1 +
+             ((((p // p32) * c1) % p32) * p32)) % p64) AS y0 FROM s1d),
+         s2b AS (SELECT *, ((xor(y0, y0 // 1073741824) % p32) * c1 +
+             ((((xor(y0, y0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS y1 FROM s2),
+         s2c AS (SELECT *, ((xor(y1, y1 // 134217728) % p32) * c2 +
+             ((((xor(y1, y1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS y2 FROM s2b),
+         shing AS (SELECT DISTINCT doc_id, xor(y2, y2 // 2147483648) AS sh
+           FROM s2c),
+         perm AS (
+           SELECT doc_id, sh, i.i, c.*
+           FROM shing, (SELECT unnest(generate_series(0, 31)) AS i) i,
+             consts c),
+         p1 AS (SELECT *, xor(h0, (((659918 + i) % p32) * c1 +
+             (((((659918 + i) // p32) * c1) % p32) * p32)) % p64) AS z0
+             FROM perm),
+         p1b AS (SELECT *, ((xor(z0, z0 // 1073741824) % p32) * c1 +
+             ((((xor(z0, z0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS z1 FROM p1),
+         p1c AS (SELECT *, ((xor(z1, z1 // 134217728) % p32) * c2 +
+             ((((xor(z1, z1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS z2 FROM p1b),
+         p1d AS (SELECT *, xor(z2, z2 // 2147483648) AS h1m FROM p1c),
+         p2 AS (SELECT *, xor(h1m, ((sh % p32) * c1 +
+             ((((sh // p32) * c1) % p32) * p32)) % p64) AS y0 FROM p1d),
+         p2b AS (SELECT *, ((xor(y0, y0 // 1073741824) % p32) * c1 +
+             ((((xor(y0, y0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS y1 FROM p2),
+         p2c AS (SELECT *, ((xor(y1, y1 // 134217728) % p32) * c2 +
+             ((((xor(y1, y1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS y2 FROM p2b),
+         p2d AS (SELECT doc_id, i,
+             CASE WHEN xor(y2, y2 // 2147483648) >= 9223372036854775808
+               THEN xor(y2, y2 // 2147483648) - 18446744073709551616
+               ELSE xor(y2, y2 // 2147483648) END AS hs
+           FROM p2c),
+         sig AS (SELECT doc_id, i, min(hs) AS m FROM p2d GROUP BY doc_id, i),
+         bandk AS (
+           SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+           FROM sig GROUP BY doc_id, i // 4),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bandk a JOIN bandk b ON a.band = b.band AND a.bkey = b.bkey
+            AND a.doc_id < b.doc_id),
+         shs AS (SELECT doc_id, list(sh) AS shl FROM shing GROUP BY doc_id),
+         veri AS (
+           SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE) /
+               (len(sa.shl) + len(sb.shl) -
+                 len(list_intersect(sa.shl, sb.shl))) AS j
+           FROM cand JOIN shs sa ON sa.doc_id = id_a
+             JOIN shs sb ON sb.doc_id = id_b)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1702,99 +1815,28 @@ object SparkEntry {
     // literal signature slice (band-hash equality on the Spark side is
     // slice equality), exact-Jaccard verify at the unrounded threshold.
     "q23_minhash_pairs" ->
-      """WITH consts AS (
-           SELECT CAST(11400714819323198485 AS HUGEINT) AS h0,
-                  CAST(13787848793156543929 AS HUGEINT) AS c1,
-                  CAST(10723151780598845931 AS HUGEINT) AS c2,
-                  CAST(18446744073709551616 AS HUGEINT) AS p64,
-                  CAST(4294967296 AS HUGEINT) AS p32),
-         docs AS (
-           SELECT doc_id, list_filter(
-             regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
-           FROM documents),
-         grams AS (
-           SELECT doc_id, unnest(CASE
-             WHEN len(toks) = 0 THEN []
-             WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-             ELSE list_transform(generate_series(1, len(toks) - 2),
-               i -> array_to_string(toks[i:i+2], ' ')) END) AS gram
-           FROM docs),
-         jh AS (
-           SELECT doc_id, gram,
-             list_reduce(list_prepend(CAST(0 AS HUGEINT),
-               list_transform(generate_series(1, length(gram)),
-                 i -> CAST(unicode(substr(gram, i, 1)) AS HUGEINT))),
-               (acc, c) -> (acc * 31 + c) % 4294967296) AS h32u
-           FROM grams),
-         ph AS (
-           SELECT doc_id, c.*, CASE WHEN h32u >= 2147483648
-             THEN h32u - 4294967296 + p64 ELSE h32u END AS p
-           FROM jh, consts c),
-         s1 AS (SELECT *, xor(h0, ((21785 % p32) * c1 +
-             ((((21785 // p32) * c1) % p32) * p32)) % p64) AS z0 FROM ph),
-         s1b AS (SELECT *, ((xor(z0, z0 // 1073741824) % p32) * c1 +
-             ((((xor(z0, z0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
-             AS z1 FROM s1),
-         s1c AS (SELECT *, ((xor(z1, z1 // 134217728) % p32) * c2 +
-             ((((xor(z1, z1 // 134217728) // p32) * c2) % p32) * p32)) % p64
-             AS z2 FROM s1b),
-         s1d AS (SELECT *, xor(z2, z2 // 2147483648) AS h1 FROM s1c),
-         s2 AS (SELECT *, xor(h1, ((p % p32) * c1 +
-             ((((p // p32) * c1) % p32) * p32)) % p64) AS y0 FROM s1d),
-         s2b AS (SELECT *, ((xor(y0, y0 // 1073741824) % p32) * c1 +
-             ((((xor(y0, y0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
-             AS y1 FROM s2),
-         s2c AS (SELECT *, ((xor(y1, y1 // 134217728) % p32) * c2 +
-             ((((xor(y1, y1 // 134217728) // p32) * c2) % p32) * p32)) % p64
-             AS y2 FROM s2b),
-         shing AS (SELECT DISTINCT doc_id, xor(y2, y2 // 2147483648) AS sh
-           FROM s2c),
-         perm AS (
-           SELECT doc_id, sh, i.i, c.*
-           FROM shing, (SELECT unnest(generate_series(0, 31)) AS i) i,
-             consts c),
-         p1 AS (SELECT *, xor(h0, (((659918 + i) % p32) * c1 +
-             (((((659918 + i) // p32) * c1) % p32) * p32)) % p64) AS z0
-             FROM perm),
-         p1b AS (SELECT *, ((xor(z0, z0 // 1073741824) % p32) * c1 +
-             ((((xor(z0, z0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
-             AS z1 FROM p1),
-         p1c AS (SELECT *, ((xor(z1, z1 // 134217728) % p32) * c2 +
-             ((((xor(z1, z1 // 134217728) // p32) * c2) % p32) * p32)) % p64
-             AS z2 FROM p1b),
-         p1d AS (SELECT *, xor(z2, z2 // 2147483648) AS h1m FROM p1c),
-         p2 AS (SELECT *, xor(h1m, ((sh % p32) * c1 +
-             ((((sh // p32) * c1) % p32) * p32)) % p64) AS y0 FROM p1d),
-         p2b AS (SELECT *, ((xor(y0, y0 // 1073741824) % p32) * c1 +
-             ((((xor(y0, y0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
-             AS y1 FROM p2),
-         p2c AS (SELECT *, ((xor(y1, y1 // 134217728) % p32) * c2 +
-             ((((xor(y1, y1 // 134217728) // p32) * c2) % p32) * p32)) % p64
-             AS y2 FROM p2b),
-         p2d AS (SELECT doc_id, i,
-             CASE WHEN xor(y2, y2 // 2147483648) >= 9223372036854775808
-               THEN xor(y2, y2 // 2147483648) - 18446744073709551616
-               ELSE xor(y2, y2 // 2147483648) END AS hs
-           FROM p2c),
-         sig AS (SELECT doc_id, i, min(hs) AS m FROM p2d GROUP BY doc_id, i),
-         bandk AS (
-           SELECT doc_id, i // 4 AS band,
-             string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
-           FROM sig GROUP BY doc_id, i // 4),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bandk a JOIN bandk b ON a.band = b.band AND a.bkey = b.bkey
-            AND a.doc_id < b.doc_id),
-         shs AS (SELECT doc_id, list(sh) AS shl FROM shing GROUP BY doc_id),
-         veri AS (
-           SELECT id_a, id_b,
-             CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE) /
-               (len(sa.shl) + len(sb.shl) -
-                 len(list_intersect(sa.shl, sb.shl))) AS j
-           FROM cand JOIN shs sa ON sa.doc_id = id_a
-             JOIN shs sb ON sb.doc_id = id_b)
+      ("WITH " + minhashCtes + """
          SELECT id_a, id_b, round(j, 6) AS jaccard FROM veri WHERE j >= 0.7
-         ORDER BY id_a, id_b""",
+         ORDER BY id_a, id_b"""),
+    // MinHash dedup applied: q23's chain, then losers = docs with a
+    // SMALLER doc_id transitively reachable through the pair graph —
+    // a recursive-CTE closure (reach(n) accumulates every reachable
+    // label < n; the component minimum always propagates because it is
+    // smaller than every node on any path). Survivors = NOT IN losers,
+    // which is exactly keep-the-min-id-per-cluster.
+    "q55_minhash_dedup" ->
+      ("WITH RECURSIVE " + minhashCtes + """,
+         prs AS (SELECT id_a, id_b FROM veri WHERE j >= 0.7),
+         ed AS (SELECT id_a AS a, id_b AS b FROM prs
+                UNION SELECT id_b, id_a FROM prs),
+         reach AS (
+           SELECT a AS node, b AS lbl FROM ed WHERE b < a
+           UNION
+           SELECT e.a AS node, r.lbl FROM ed e
+             JOIN reach r ON r.node = e.b WHERE r.lbl < e.a)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT DISTINCT node FROM reach)
+         ORDER BY doc_id"""),
     // SimHash end to end in SQL: per-token Java String.hashCode via
     // list_reduce over codepoints, the splitmix64-style mix in HUGEINT
     // arithmetic mod 2^64, per-bit majority vote, then brute-force
