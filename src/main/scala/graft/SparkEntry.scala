@@ -498,6 +498,18 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // --- GPT-3/CCNet-style reference-corpus quality classifier: hashed
+    // Naive Bayes trained in-pipeline (positives = the `en` stratum),
+    // scored as an exact-decimal sum of 6dp LLRs. The hashCode-based
+    // bucket shares q23/q26's BMP-only codepoint caveat in the oracle. --------
+    "q56_nb_quality" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      TA.nbQualityScore(docs, $"text", $"lang" === "en",
+          docs, $"doc_id", $"text", buckets = 4096)
+        .orderBy($"doc_id")
+    }),
+
     // --- fixed-point PageRank over the bidirected supplier↔part graph
     // (BIGINT micro-unit arithmetic — bit-identical on any engine; see
     // GraphOps.pageRankFixedPoint). 5 iterations, d = 0.85. ----------------------
@@ -1390,6 +1402,49 @@ object SparkEntry {
              CAST(sum(surprise) AS BIGINT) AS surprise_sum_fp,
              CAST(sum(surprise) // count(*) AS BIGINT) AS surprise_avg_fp
          FROM s GROUP BY 1 ORDER BY doc_id""",
+    // NB quality classifier: Java-hashCode feature buckets (the q23
+    // codepoint fold), Laplace per-bucket counts over a full
+    // 4096-bucket frame, llr = round(ln(exact-double factors), 6) as
+    // DECIMAL, per-doc exact decimal sum — every float op is a single
+    // IEEE op in pinned order, so the hash compare holds bit for bit.
+    "q56_nb_quality" ->
+      """WITH toks AS (SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(coalesce(text, ''),
+               '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         hb AS (SELECT doc_id, lang,
+             CAST((((CASE WHEN h32u >= 2147483648
+                 THEN h32u - 4294967296 ELSE h32u END) % 4096) + 4096)
+               % 4096 AS INTEGER) AS bucket
+           FROM (SELECT doc_id, lang,
+               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(generate_series(1, length(tok)),
+                   i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
+                 (acc, c) -> (acc * 31 + c) % 4294967296) AS h32u
+             FROM toks) t),
+         cnts AS (SELECT bucket,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS cpos,
+             CAST(count(*) FILTER (WHERE NOT (lang = 'en')) AS BIGINT)
+               AS cneg
+           FROM hb GROUP BY 1),
+         fb AS (SELECT b.bucket, COALESCE(c.cpos, 0) AS cpos,
+             COALESCE(c.cneg, 0) AS cneg
+           FROM (SELECT unnest(generate_series(0, 4095)) AS bucket) b
+           LEFT JOIN cnts c USING (bucket)),
+         tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS tp,
+             CAST(sum(cneg) AS BIGINT) AS tn FROM fb),
+         model AS (SELECT bucket,
+             CAST(round(ln(
+               (CAST(cpos + 1 AS DOUBLE) * CAST(tn + 4096 AS DOUBLE)) /
+               (CAST(cneg + 1 AS DOUBLE) * CAST(tp + 4096 AS DOUBLE))), 6)
+               AS DECIMAL(18,6)) AS llr
+           FROM fb CROSS JOIN tot),
+         sc AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             sum(m.llr) AS s
+           FROM hb h JOIN model m USING (bucket) GROUP BY 1)
+         SELECT doc_id, n_toks, CAST(s AS DOUBLE) AS nb_llr,
+           CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM sc ORDER BY doc_id""",
     // CCNet buckets: q50's LM-surprise chain verbatim, then the
     // integer-exact tercile: per lang, cutoff b = smallest score whose
     // cumulative histogram count × 3 ≥ b × n; ties share a bucket.

@@ -398,4 +398,117 @@ object TextAnalysis {
       round(sum(col("cnt")).over(w).cast("double") / col("_tm"), 6)
         .as("coverage"))
   }
+
+  // --- hashed Naive-Bayes quality classifier ------------------------------------
+
+  /** Token → feature bucket: floorMod(Java String.hashCode, buckets),
+    * as a NATIVE codegen expression (see [[JavaHashBucketExpr]]).
+    * Same cross-engine caveat as every hashCode-based oracle here
+    * (q23/q24/q26): the SQL replay folds Unicode CODEPOINTS, which
+    * equals Java's UTF-16 hashCode for BMP text only. */
+  def hash_bucket(tok: Column, buckets: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => ncol, expression => nexpr}
+    ncol(JavaHashBucketExpr(nexpr(tok), buckets))
+  }
+
+  /** "Does this look like the reference corpus?" quality classifier —
+    * the GPT-3 / CCNet-style filter (Brown et al. 2020 arXiv:2005.14165
+    * §A; Wenzek et al. 2020 §4.3), with the model a hashed-unigram
+    * Naive Bayes trained IN the pipeline: label a reference stratum of
+    * `train` positive, everything else negative, and score any corpus
+    * by the summed per-token log-likelihood ratio.
+    *
+    * Per feature bucket b (Laplace add-one over `buckets` buckets):
+    *   llr(b) = round(ln( (cpos(b)+1)·(Tneg+B) /
+    *                      ((cneg(b)+1)·(Tpos+B)) ), 6) as DECIMAL(18,6)
+    * — each factor is exact in a double below 2^53 token occurrences,
+    * the quotient and ln are single IEEE ops in a pinned order, and the
+    * one corpus-wide reduction (the per-doc sum) is an exact DECIMAL
+    * sum of the 6dp-rounded values, so partial-aggregation order can
+    * never change a bit (the [[TrainingMix.mixWeights]] determinism
+    * pattern). Class priors are a per-corpus constant and deliberately
+    * excluded — thresholding on 0 compares likelihoods, and including
+    * them would only shift every score equally.
+    *
+    * Returns (doc_id, n_toks, nb_llr, keep): token-occurrence count,
+    * the summed LLR as a double, keep = 1 iff nb_llr > 0 (reads as
+    * reference-like). Docs with zero tokens yield no rows (nothing to
+    * classify — the [[lmSurprise]] convention).
+    *
+    * Scale shape: TRAINING is one corpus pass — explode + the native
+    * hash, then a map-side-combinable aggregate whose exchange carries
+    * ≤ `buckets` rows; the model is a FIXED-WIDTH table of `buckets`
+    * rows (that width bound is the entire point of feature hashing)
+    * materialized as an artifact. SCORING is one pass: explode + hash,
+    * a BROADCAST join against the model (buckets ≪ broadcast budget by
+    * construction), and a per-doc sum whose map-side partial collapses
+    * each document's tokens inside its own input partition — the
+    * exchange carries |docs| rows, not |tokens|. No collect, no UDF,
+    * no corpus-side sort. */
+  def nbQualityScore(train: DataFrame, trainText: Column,
+                     trainLabel: Column, score: DataFrame, id: Column,
+                     text: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = train.sparkSession
+    val counts = train
+      .select(trainLabel.cast("boolean").as("_lab"),
+        explode(tokensWs(trainText)).as("tok"))
+      .select(col("_lab"), hash_bucket(col("tok"), buckets).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("_lab"), 1)).as("cpos"),
+        count(when(!col("_lab"), 1)).as("cneg"))
+    val full = spark.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cpos"), lit(0L)).as("cpos"),
+        coalesce(col("cneg"), lit(0L)).as("cneg"))
+    val tot = full.agg(sum(col("cpos")).as("_tp"), sum(col("cneg")).as("_tn"))
+    val b = lit(buckets.toLong)
+    val model = full.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(
+          ((col("cpos") + 1L).cast("double") * (col("_tn") + b).cast("double")) /
+          ((col("cneg") + 1L).cast("double") * (col("_tp") + b).cast("double"))), 6)
+          .cast("decimal(18,6)").as("llr"))
+      .localCheckpoint(true)
+    score.select(id.as("doc_id"), explode(tokensWs(text)).as("tok"))
+      .select(col("doc_id"), hash_bucket(col("tok"), buckets).as("bucket"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("llr")).as("_s"))
+      .select(col("doc_id"), col("n_toks"),
+        col("_s").cast("double").as("nb_llr"),
+        (col("_s") > 0).cast("long").as("keep"))
+  }
+}
+
+/** floorMod(Java String.hashCode, buckets) as a native codegen
+  * expression — the feature-hash bucket of [[TextAnalysis.hash_bucket]].
+  * A one-line compiled call per token keeps the explode→hash→join
+  * scoring path inside whole-stage codegen (a Scala UDF here would put
+  * an encoder boundary on every token occurrence of a 100 TB corpus). */
+case class JavaHashBucketExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    buckets: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got $t")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Math.floorMod(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.hashCode, buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = java.lang.Math.floorMod($c.toString().hashCode(), $buckets);")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : JavaHashBucketExpr = copy(child = newChild)
 }
