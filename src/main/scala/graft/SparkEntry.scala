@@ -498,6 +498,17 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // --- DSIR data selection: hashed unigram+bigram importance
+    // weights (target = the `en` stratum, raw = the whole corpus) with
+    // a deterministic md5-Gumbel top-k resample. -----------------------------
+    "q57_dsir_select" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      TrainingMix.dsirSelect(docs.filter($"lang" === "en"), $"text",
+          docs, $"doc_id", $"text", k = 100, buckets = 4096, seed = 42L)
+        .orderBy($"rank")
+    }),
+
     // --- GPT-3/CCNet-style reference-corpus quality classifier: hashed
     // Naive Bayes trained in-pipeline (positives = the `en` stratum),
     // scored as an exact-decimal sum of 6dp LLRs. The hashCode-based
@@ -1402,6 +1413,68 @@ object SparkEntry {
              CAST(sum(surprise) AS BIGINT) AS surprise_sum_fp,
              CAST(sum(surprise) // count(*) AS BIGINT) AS surprise_avg_fp
          FROM s GROUP BY 1 ORDER BY doc_id""",
+    // DSIR: unigram∪bigram features hashed through the same hashCode
+    // fold, target(en)-vs-raw(all) Laplace LLR model, exact-decimal
+    // per-doc log weights, then the Gumbel-top-k resample with the
+    // uniform = 13 exact md5 hex chars (52 bits) — every float op a
+    // single IEEE op in pinned order, the sums exact decimals.
+    "q57_dsir_select" ->
+      """WITH lt AS (SELECT doc_id, lang,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS l
+           FROM documents),
+         fs AS (SELECT doc_id, lang,
+             unnest(l || list_transform(generate_series(1, len(l) - 1),
+               i -> l[i] || '_' || l[i+1])) AS f
+           FROM lt),
+         hb AS (SELECT doc_id, lang,
+             CAST((((CASE WHEN h32u >= 2147483648
+                 THEN h32u - 4294967296 ELSE h32u END) % 4096) + 4096)
+               % 4096 AS INTEGER) AS bucket
+           FROM (SELECT doc_id, lang,
+               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(generate_series(1, length(f)),
+                   i -> CAST(unicode(substr(f, i, 1)) AS HUGEINT))),
+                 (acc, c) -> (acc * 31 + c) % 4294967296) AS h32u
+             FROM fs) t),
+         cnts AS (SELECT bucket,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct,
+             CAST(count(*) AS BIGINT) AS cr
+           FROM hb GROUP BY 1),
+         fb AS (SELECT b.bucket, COALESCE(c.ct, 0) AS ct,
+             COALESCE(c.cr, 0) AS cr
+           FROM (SELECT unnest(generate_series(0, 4095)) AS bucket) b
+           LEFT JOIN cnts c USING (bucket)),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+             CAST(sum(cr) AS BIGINT) AS tr FROM fb),
+         model AS (SELECT bucket,
+             CAST(round(ln(
+               (CAST(ct + 1 AS DOUBLE) * CAST(tr + 4096 AS DOUBLE)) /
+               (CAST(cr + 1 AS DOUBLE) * CAST(tt + 4096 AS DOUBLE))), 6)
+               AS DECIMAL(18,6)) AS llr
+           FROM fb CROSS JOIN tot),
+         sc AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             sum(m.llr) AS lw
+           FROM hb h JOIN model m USING (bucket) GROUP BY 1),
+         g AS (SELECT doc_id, n_feats, lw,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, 13),
+                 i -> CAST(strpos('0123456789abcdef', substr(
+                   md5('42_' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                   AS BIGINT))),
+               (a, c) -> a * 16 + c) AS hv
+           FROM sc),
+         gg AS (SELECT doc_id, n_feats, lw,
+             lw + CAST(round(-ln(-ln((CAST(hv AS DOUBLE) + 0.5) /
+               4503599627370496.0)), 6) AS DECIMAL(18,6)) AS total
+           FROM g),
+         topk AS (SELECT * FROM gg
+           ORDER BY total DESC, doc_id LIMIT 100)
+         SELECT CAST(row_number() OVER (ORDER BY total DESC, doc_id)
+             AS BIGINT) AS rank,
+           doc_id, n_feats, CAST(lw AS DOUBLE) AS log_w,
+           CAST(total AS DOUBLE) AS score
+         FROM topk ORDER BY rank""",
     // NB quality classifier: Java-hashCode feature buckets (the q23
     // codepoint fold), Laplace per-bucket counts over a full
     // 4096-bucket frame, llr = round(ln(exact-double factors), 6) as

@@ -179,6 +179,90 @@ object TrainingMix {
         label.as("label"))
   }
 
+  /** Whitespace unigrams ∪ adjacent bigrams ("a_b") — DSIR's hashed
+    * n-gram feature stream (Xie et al. 2023 §3.2), built on THE shared
+    * tokenizer contract. Empty/1-token docs yield just their unigrams. */
+  private def unigramBigramFeats(text: Column): Column = {
+    val l = TextAnalysis.tokensWs(text)
+    val bigr = when(size(l) >= 2,
+      zip_with(slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+        (p, n) => concat(p, lit("_"), n)))
+      .otherwise(array().cast("array<string>"))
+    concat(l, bigr)
+  }
+
+  /** DSIR data selection (Xie et al. 2023 arXiv:2302.03169): pick the
+    * `k` raw documents that look most like a target corpus, by hashed
+    * n-gram importance resampling. Per feature bucket b (unigrams +
+    * bigrams hashed to `buckets` via the native Java-hashCode bucket),
+    * the log importance ratio is the same Laplace LLR as
+    * [[TextAnalysis.nbQualityScore]] with (target, raw) as the two
+    * "classes"; a document's log weight is the exact DECIMAL sum of
+    * its features' 6dp LLRs, and the RESAMPLE is the Gumbel-top-k
+    * trick: score = log_w + Gumbel(md5-derived uniform), take the k
+    * largest. Everything is a deterministic function of (input, seed)
+    * — the Gumbel uniform is the first 13 hex chars of
+    * md5(seed‖doc_id) (52 exact bits), so any engine reproduces the
+    * draw — while still being a FAITHFUL Gumbel resample of the DSIR
+    * importance distribution.
+    *
+    * Returns the selected docs only: (rank 1..k, doc_id, n_feats,
+    * log_w, score). Docs with no tokens cannot be scored and never
+    * rank.
+    *
+    * Scale shape: the model side is [[TextAnalysis.nbQualityScore]]'s
+    * — one pass over target∪raw into a fixed `buckets`-row artifact,
+    * broadcast back; scoring is one raw-corpus pass whose per-doc sum
+    * collapses map-side. The top-k is TakeOrderedAndProject
+    * (per-partition heaps + driver merge of k rows), NEVER a global
+    * sort; the rank window orders k rows. */
+  def dsirSelect(target: DataFrame, targetText: Column,
+                 raw: DataFrame, id: Column, text: Column, k: Int,
+                 buckets: Int = 4096, seed: Long = 42L): DataFrame = {
+    require(k > 0 && buckets > 0, "k and buckets must be positive")
+    val spark = raw.sparkSession
+    val feats = (df: DataFrame, idc: Column, t: Column) =>
+      df.select(idc.as("doc_id"), explode(unigramBigramFeats(t)).as("f"))
+        .select(col("doc_id"),
+          TextAnalysis.hash_bucket(col("f"), buckets).as("bucket"))
+    // model: target occurrences vs raw occurrences per bucket (the raw
+    // side deliberately includes any docs also in target — DSIR's raw
+    // distribution is the full candidate pool)
+    val tCnt = feats(target, lit(0L), targetText)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val rawFeats = feats(raw, id, text).localCheckpoint(true)
+    val rCnt = rawFeats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val fb = spark.range(buckets).select(col("id").cast("int").as("bucket"))
+      .join(tCnt, Seq("bucket"), "left").join(rCnt, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val tot = fb.agg(sum(col("ct")).as("_tt"), sum(col("cr")).as("_tr"))
+    val b = lit(buckets.toLong)
+    val model = fb.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(
+          ((col("ct") + 1L).cast("double") * (col("_tr") + b).cast("double")) /
+          ((col("cr") + 1L).cast("double") * (col("_tt") + b).cast("double"))), 6)
+          .cast("decimal(18,6)").as("llr"))
+      .localCheckpoint(true)
+    // per-doc log weight (exact decimal sum), then the Gumbel draw
+    val hv = conv(substring(md5(concat(lit(s"${seed}_"),
+      col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+    val u = (hv.cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val scored = rawFeats.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("llr")).as("_lw"))
+      .withColumn("_g", round(-log(-log(u)), 6).cast("decimal(18,6)"))
+      .withColumn("_total", col("_lw") + col("_g"))
+    val top = scored.orderBy(col("_total").desc, col("doc_id")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_total").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_feats"),
+        col("_lw").cast("double").as("log_w"),
+        col("_total").cast("double").as("score"))
+  }
+
   /** Pack documents into fixed-token-budget training shards: documents
     * are laid out in id order and shard_id =
     * floor(exclusive-prefix-token-count / tokensPerShard), so each

@@ -204,6 +204,103 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
     assert(out.map(_._3).distinct.length >= 2, "fixture spans shards")
   }
 
+  // --- DSIR importance resampling (q57) ----------------------------------------
+
+  /** Sequential DSIR reference: Scala maps + BigDecimal, md5 Gumbel. */
+  private def dsirReference(target: Seq[String], raw: Seq[(Long, String)],
+                            k: Int, b: Int, seed: Long)
+      : Seq[(Long, Long, Long, Double, Double)] = {
+    def feats(t: String): Seq[Int] = {
+      val toks = Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty).toSeq
+      (toks ++ toks.zip(toks.drop(1)).map { case (p, n) => s"${p}_$n" })
+        .map(s => java.lang.Math.floorMod(s.hashCode, b))
+    }
+    val ct = new Array[Long](b); val cr = new Array[Long](b)
+    target.foreach(t => feats(t).foreach(ct(_) += 1))
+    raw.foreach(d => feats(d._2).foreach(cr(_) += 1))
+    val (tt, tr) = (ct.sum, cr.sum)
+    val llr = Array.tabulate(b) { i =>
+      BigDecimal(math.log(((ct(i) + 1).toDouble * (tr + b).toDouble) /
+          ((cr(i) + 1).toDouble * (tt + b).toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val scored = raw.flatMap { case (id, t) =>
+      val fs = feats(t)
+      if (fs.isEmpty) None
+      else {
+        val lw = fs.map(llr).sum
+        val hex = md.digest(s"${seed}_$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(13)
+        val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+          4503599627370496.0
+        val g = BigDecimal(-math.log(-math.log(u)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        Some((id, fs.size.toLong, lw, lw + g))
+      }
+    }
+    scored.sortBy { case (id, _, _, tot) => (-tot, id) }.take(k)
+      .zipWithIndex.map { case ((id, nf, lw, tot), i) =>
+        ((i + 1).toLong, id, nf, lw.toDouble, tot.toDouble) }
+  }
+
+  test("dsirSelect: target-like docs win the resample when the " +
+       "importance gap dominates the Gumbel noise") {
+    val ref = "the quick brown fox jumps over lazy dogs " * 20
+    val spam = "casino poker jackpot free bonus spins win " * 20
+    val raw = (1L to 10L).map(i => (i, ref + i)) ++
+      (11L to 20L).map(i => (i, spam + i))
+    val got = TrainingMix.dsirSelect(
+        Seq(Tuple1(ref)).toDF("text"), $"text",
+        raw.toDF("doc_id", "text"), $"doc_id", $"text",
+        k = 5, buckets = 512, seed = 7L)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got.length == 5)
+    assert(got.forall(_._2 <= 10L),
+      s"all winners must be reference-like, got ${got.map(_._2).toSeq}")
+  }
+
+  test("dsirSelect equals the sequential BigDecimal reference on " +
+       "sf0.001 (en target, full raw pool) — ranks, weights, scores") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TrainingMix.dsirSelect(docs.filter($"lang" === "en"),
+        $"text", docs, $"doc_id", $"text", k = 50,
+        buckets = 4096, seed = 42L)
+      .orderBy($"rank")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    val target = docs.filter($"lang" === "en").select($"text")
+      .as[String].collect().toSeq
+    val raw = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val want = dsirReference(target, raw, 50, 4096, 42L)
+    assert(got == want)
+  }
+
+  test("dsirSelect plan: top-k is TakeOrderedAndProject (no global " +
+       "sort), model rides a broadcast join, native hash, no UDF") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TrainingMix.dsirSelect(docs.filter($"lang" === "en"),
+      $"text", docs, $"doc_id", $"text", k = 10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps + driver merge:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the model join must broadcast:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no global sort of the corpus:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+    // the feature pass is materialized (ExistingRDD in the final plan),
+    // so pin its hash on the featurization projection directly
+    val featPlan = docs.select(explode(
+        graft.pipeline.TextAnalysis.tokensWs($"text")).as("f"))
+      .select(graft.pipeline.TextAnalysis.hash_bucket($"f", 4096))
+      .queryExecution.executedPlan.toString
+    assert(featPlan.toLowerCase.contains("javahashbucket") &&
+      !featPlan.contains("ScalaUDF"),
+      s"feature hashing must be the native expression:\n$featPlan")
+  }
+
   // --- CCNet percentile buckets (q54) -----------------------------------------
 
   test("percentileBuckets: exact terciles when n divides evenly; tied " +
