@@ -1416,8 +1416,10 @@ object SparkEntry {
     // DSIR: unigram∪bigram features hashed through the same hashCode
     // fold, target(en)-vs-raw(all) Laplace LLR model, exact-decimal
     // per-doc log weights, then the Gumbel-top-k resample with the
-    // uniform = 13 exact md5 hex chars (52 bits) — every float op a
-    // single IEEE op in pinned order, the sums exact decimals.
+    // uniform = 13 exact md5 hex chars (52 bits). Non-transcendental
+    // float ops are single IEEE ops in pinned order and the sums exact
+    // decimals; ln() itself is libm (not correctly rounded), so parity
+    // carries q33/q44's accepted ~1e-10-per-value boundary caveat.
     "q57_dsir_select" ->
       """WITH lt AS (SELECT doc_id, lang,
              list_filter(string_split_regex(coalesce(text, ''), '\s+'),
@@ -1478,8 +1480,10 @@ object SparkEntry {
     // NB quality classifier: Java-hashCode feature buckets (the q23
     // codepoint fold), Laplace per-bucket counts over a full
     // 4096-bucket frame, llr = round(ln(exact-double factors), 6) as
-    // DECIMAL, per-doc exact decimal sum — every float op is a single
-    // IEEE op in pinned order, so the hash compare holds bit for bit.
+    // DECIMAL, per-doc exact decimal sum. The factor products/quotient
+    // are single IEEE ops in pinned order; ln() is libm (not correctly
+    // rounded), so the 6dp round carries q33/q44's accepted
+    // ~1e-10-per-value boundary caveat.
     "q56_nb_quality" ->
       """WITH toks AS (SELECT doc_id, lang,
              unnest(list_filter(string_split_regex(coalesce(text, ''),

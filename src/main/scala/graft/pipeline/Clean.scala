@@ -177,9 +177,13 @@ object Clean {
       "urlFilters needs a blocklist or bad words (or both)")
     val spark = df.sparkSession
     import spark.implicits._
+    // normalize the list like the bad words: registered_domain emits
+    // lowercase, so a mixed-case blocklist entry would silently never
+    // match
     val block = broadcast(
-      blockedDomains.distinct.toDF("_bdom"))
-    val lowered = lower(url)
+      blockedDomains.map(_.toLowerCase).distinct.toDF("_bdom"))
+    // null URL → nothing to flag (flags stay 0/1, never null)
+    val lowered = lower(coalesce(url, lit("")))
     val bad = badWords.map(w => lowered.contains(lit(w.toLowerCase)))
       .reduceOption(_ || _).getOrElse(lit(false))
     df.select(id.as("doc_id"), url.as("url"),

@@ -445,18 +445,23 @@ object TextAnalysis {
     * each document's tokens inside its own input partition — the
     * exchange carries |docs| rows, not |tokens|. No collect, no UDF,
     * no corpus-side sort. */
-  def nbQualityScore(train: DataFrame, trainText: Column,
-                     trainLabel: Column, score: DataFrame, id: Column,
-                     text: Column, buckets: Int = 4096): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
-    val spark = train.sparkSession
-    val counts = train
-      .select(trainLabel.cast("boolean").as("_lab"),
-        explode(tokensWs(trainText)).as("tok"))
-      .select(col("_lab"), hash_bucket(col("tok"), buckets).as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(count(when(col("_lab"), 1)).as("cpos"),
-        count(when(!col("_lab"), 1)).as("cneg"))
+  /** Shared Laplace-LLR model builder (used by [[nbQualityScore]] and
+    * [[TrainingMix.dsirSelect]] — ONE copy so the round/cast/op order
+    * the oracles replay can never desynchronize between the two):
+    * `counts` is (bucket, cpos, cneg) for whatever buckets occurred;
+    * returns the full `buckets`-row artifact (bucket, llr) with
+    *   llr = round(ln( (cpos+1)·(Tneg+B) / ((cneg+1)·(Tpos+B)) ), 6)
+    * as DECIMAL(18,6), materialized via eager localCheckpoint.
+    *
+    * Cross-engine caveat (q56/q57): the divisions and products are
+    * single correctly-rounded IEEE ops, but ln() is a libm
+    * transcendental — NOT correctly rounded — so a ratio whose true
+    * log sits within an ulp of an x.xxxxxx5 boundary could round to a
+    * different 6dp value in another engine. Accepted like q33/q44's
+    * ewm/pow parity: the window is ~1e-10 per value. */
+  private[pipeline] def laplaceLlrModel(counts: DataFrame,
+                                        buckets: Int): DataFrame = {
+    val spark = counts.sparkSession
     val full = spark.range(buckets)
       .select(col("id").cast("int").as("bucket"))
       .join(counts, Seq("bucket"), "left")
@@ -464,13 +469,27 @@ object TextAnalysis {
         coalesce(col("cneg"), lit(0L)).as("cneg"))
     val tot = full.agg(sum(col("cpos")).as("_tp"), sum(col("cneg")).as("_tn"))
     val b = lit(buckets.toLong)
-    val model = full.crossJoin(broadcast(tot))
+    full.crossJoin(broadcast(tot))
       .select(col("bucket"),
         round(log(
           ((col("cpos") + 1L).cast("double") * (col("_tn") + b).cast("double")) /
           ((col("cneg") + 1L).cast("double") * (col("_tp") + b).cast("double"))), 6)
           .cast("decimal(18,6)").as("llr"))
       .localCheckpoint(true)
+  }
+
+  def nbQualityScore(train: DataFrame, trainText: Column,
+                     trainLabel: Column, score: DataFrame, id: Column,
+                     text: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val counts = train
+      .select(trainLabel.cast("boolean").as("_lab"),
+        explode(tokensWs(trainText)).as("tok"))
+      .select(col("_lab"), hash_bucket(col("tok"), buckets).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("_lab"), 1)).as("cpos"),
+        count(when(!col("_lab"), 1)).as("cneg"))
+    val model = laplaceLlrModel(counts, buckets)
     score.select(id.as("doc_id"), explode(tokensWs(text)).as("tok"))
       .select(col("doc_id"), hash_bucket(col("tok"), buckets).as("bucket"))
       .join(broadcast(model), Seq("bucket"))

@@ -220,7 +220,6 @@ object TrainingMix {
                  raw: DataFrame, id: Column, text: Column, k: Int,
                  buckets: Int = 4096, seed: Long = 42L): DataFrame = {
     require(k > 0 && buckets > 0, "k and buckets must be positive")
-    val spark = raw.sparkSession
     val feats = (df: DataFrame, idc: Column, t: Column) =>
       df.select(idc.as("doc_id"), explode(unigramBigramFeats(t)).as("f"))
         .select(col("doc_id"),
@@ -229,22 +228,16 @@ object TrainingMix {
     // side deliberately includes any docs also in target — DSIR's raw
     // distribution is the full candidate pool)
     val tCnt = feats(target, lit(0L), targetText)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cpos"))
     val rawFeats = feats(raw, id, text).localCheckpoint(true)
-    val rCnt = rawFeats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-    val fb = spark.range(buckets).select(col("id").cast("int").as("bucket"))
-      .join(tCnt, Seq("bucket"), "left").join(rCnt, Seq("bucket"), "left")
-      .select(col("bucket"), coalesce(col("ct"), lit(0L)).as("ct"),
-        coalesce(col("cr"), lit(0L)).as("cr"))
-    val tot = fb.agg(sum(col("ct")).as("_tt"), sum(col("cr")).as("_tr"))
-    val b = lit(buckets.toLong)
-    val model = fb.crossJoin(broadcast(tot))
-      .select(col("bucket"),
-        round(log(
-          ((col("ct") + 1L).cast("double") * (col("_tr") + b).cast("double")) /
-          ((col("cr") + 1L).cast("double") * (col("_tt") + b).cast("double"))), 6)
-          .cast("decimal(18,6)").as("llr"))
-      .localCheckpoint(true)
+    val rCnt = rawFeats.groupBy(col("bucket")).agg(count(lit(1)).as("cneg"))
+    val counts = tCnt.join(rCnt, Seq("bucket"), "full")
+      .select(col("bucket"), coalesce(col("cpos"), lit(0L)).as("cpos"),
+        coalesce(col("cneg"), lit(0L)).as("cneg"))
+    // target counts as "pos", raw as "neg": the importance log-ratio IS
+    // the shared Laplace LLR (ONE builder — TextAnalysis.laplaceLlrModel
+    // — so the op order the oracles replay cannot desynchronize)
+    val model = TextAnalysis.laplaceLlrModel(counts, buckets)
     // per-doc log weight (exact decimal sum), then the Gumbel draw
     val hv = conv(substring(md5(concat(lit(s"${seed}_"),
       col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")

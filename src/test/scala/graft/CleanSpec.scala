@@ -244,10 +244,11 @@ class CleanSpec extends AnyFunSuite with SparkSuite {
       (3L, "https://site9.net/casino/promo"),            // bad word
       (4L, "https://www.site13.com/forum/POKER-night"),  // both
       (5L, "https://blog.site8.org/article/5"),          // clean
-      (6L, "https://news.site42.org/article/6")          // co.uk sibling: clean
+      (6L, "https://news.site42.org/article/6"),         // co.uk sibling: clean
+      (7L, null: String)                                 // null URL: nothing to flag
     ).toDF("doc_id", "url")
     val got = Clean.urlFilters(df, $"doc_id", $"url",
-        blockedDomains = Seq("site13.com", "site42.co.uk"),
+        blockedDomains = Seq("Site13.COM", "site42.co.uk"),  // mixed case normalizes
         badWords = Seq("casino", "poker"))
       .orderBy($"doc_id")
       .as[(Long, String, String, Long, Long, Long)].collect()
@@ -263,6 +264,10 @@ class CleanSpec extends AnyFunSuite with SparkSuite {
     assert(got(6L) == (("site42.org", 0L, 0L, 1L)),
       "site42.org is NOT site42.co.uk — the block is on the " +
         "registered domain, not the site label")
+    assert(got(2L)._2 == 1L,
+      "a mixed-case blocklist entry must still block (normalized)")
+    assert(got(7L) == ((null, 0L, 0L, 1L)),
+      "null URL: flags stay 0/1 (never null), row kept")
   }
 
   test("urlFilters: keep == (no flag set) over the q53 synthetic corpus") {
