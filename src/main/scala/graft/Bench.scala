@@ -42,7 +42,9 @@ object Bench {
     "q46_filter_funnel", "q47_corpus_shuffle", "q48_pagerank",
     "q49_tfidf_topterms", "q50_lm_surprise", "q51_pq_ann_topk",
     "q52_ivfpq_topk", "q53_url_filters", "q54_ccnet_buckets",
-    "q55_minhash_dedup", "q56_nb_quality", "q57_dsir_select")
+    "q55_minhash_dedup", "q56_nb_quality", "q57_dsir_select",
+    "q58_gopher_quality", "q59_span_dedup", "q60_sequence_pack",
+    "q61_domain_cap")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -329,6 +329,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // --- ExactSubstr span dedup (Lee et al. 2021): overlapping 10-token
+    // duplicate windows, corpus-first site survives, covered positions
+    // removed and docs reassembled. A shared 11-token boilerplate
+    // sentence is appended to doc_id%4==0 on both sides so real
+    // cross-doc duplicate runs exist; doc 0 (the corpus-first site)
+    // keeps its copy, every other %4 doc loses the whole run. ----------------
+    "q59_span_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").withColumn("t0",
+        concat(coalesce($"text", lit("")),
+          when($"doc_id" % 4 === 0, lit(" subscribe to our newsletter" +
+            " for the latest updates and offers today"))
+            .otherwise(lit(""))))
+      Dedup.spanDedup(aug, $"doc_id", $"t0", k = 10)
+        .orderBy($"doc_id")
+    }),
+
     // deterministic stratified sampling for corpus mixing: md5-keyed
     // per-language keep rates (en 50% / zh 30% / rest 15%) — the hash
     // IS the draw, so any engine reproduces the sample row-for-row
@@ -348,6 +365,28 @@ object SparkEntry {
       TrainingMix.packShards(t(s, dir, "documents"), $"doc_id", $"text",
           tokensPerShard = 2000L)
         .orderBy($"doc_id")
+    }),
+
+    // --- per-source document cap: keep the md5-least 10 docs per
+    // source (RefinedWeb-style domain cap; the hash is the draw). The
+    // rank<=n filter compiles to a WindowGroupLimit — map-side top-n
+    // per group before the one exchange. -------------------------------------
+    "q61_domain_cap" -> ((s, dir) => {
+      import s.implicits._
+      TrainingMix.capPerGroup(t(s, dir, "documents"), $"doc_id",
+          $"source", n = 10)
+        .orderBy($"doc_id")
+    }),
+
+    // --- GPT-style sequence packing: the id-ordered token stream cut
+    // into 256-token training sequences, docs split across boundaries
+    // (one row per doc×sequence slice). Global offsets via the A10
+    // distributed prefix scan — no global sort. ------------------------------
+    "q60_sequence_pack" -> ((s, dir) => {
+      import s.implicits._
+      TrainingMix.packSequences(t(s, dir, "documents"), $"doc_id",
+          $"text", seqLen = 256L)
+        .orderBy($"doc_id", $"seq_id")
     }),
 
     // --- PII redaction: email/IPv4/phone scrub + per-doc hit counts.
@@ -518,6 +557,26 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       TA.nbQualityScore(docs, $"text", $"lang" === "en",
           docs, $"doc_id", $"text", buckets = 4096)
+        .orderBy($"doc_id")
+    }),
+
+    // --- Gopher document-level quality rules (Rae et al. 2021 §A1.1):
+    // word-count / mean-word-length / symbol-ratio / bullet / ellipsis /
+    // alpha-word / stop-word gates, all in ONE codegen'd projection.
+    // Deterministic augmentation so every rule fires both ways: a
+    // symbol run on doc_id%5, two bullet lines on %7, an ellipsis line
+    // on %11 — mirrored verbatim in the oracle. -------------------------------
+    "q58_gopher_quality" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").withColumn("t0",
+        concat(coalesce($"text", lit("")),
+          when($"doc_id" % 5 === 0, lit(" ## # ###")).otherwise(lit("")),
+          when($"doc_id" % 7 === 0,
+            lit("\n- buy one now\n- second item here")).otherwise(lit("")),
+          when($"doc_id" % 11 === 0,
+            lit("\nthe story continues...")).otherwise(lit(""))))
+      TA.qualityRules(aug, $"doc_id", $"t0",
+          maxBulletFrac = 0.5, minStopWords = 1)
         .orderBy($"doc_id")
     }),
 
@@ -1124,6 +1183,43 @@ object SparkEntry {
              x -> x <> ''), ' '), '') AS new_text
          FROM b LEFT JOIN agg a USING (doc_id)
          ORDER BY b.doc_id""",
+    // ExactSubstr span dedup: the %4 boilerplate augmentation mirrored,
+    // then the full chain recomputed — overlapping 10-token windows
+    // (md5 of the space-joined slice), keeper = row_number 1 over
+    // (doc_id, p) per window content, covered positions = distinct
+    // union of [p, p+10) over removed sites, survivors reassembled by
+    // position filter.
+    "q59_span_dedup" ->
+      """WITH aug AS (SELECT doc_id, coalesce(text, '') ||
+             CASE WHEN doc_id % 4 = 0 THEN ' subscribe to our newsletter' ||
+               ' for the latest updates and offers today' ELSE '' END AS t
+           FROM documents),
+         base AS (SELECT doc_id,
+             list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS ts
+           FROM aug),
+         wins AS (SELECT doc_id, p,
+             md5(array_to_string(ts[p+1 : p+10], ' ')) AS h
+           FROM (SELECT doc_id, unnest(range(0, len(ts) - 9)) AS p, ts
+                 FROM base WHERE len(ts) >= 10)),
+         sites AS (SELECT doc_id, p,
+             (row_number() OVER (PARTITION BY h ORDER BY doc_id, p)) = 1
+               AS keep,
+             (count(*) OVER (PARTITION BY h)) AS n
+           FROM wins),
+         cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS pos
+           FROM sites WHERE n >= 2 AND NOT keep),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+             list(pos) AS cover
+           FROM cov GROUP BY doc_id)
+         SELECT b.doc_id, CAST(len(b.ts) AS BIGINT) AS n_tokens,
+           coalesce(a.n_removed, 0) AS n_removed,
+           coalesce(array_to_string(list_transform(
+             list_filter(range(0, len(b.ts)),
+               i -> a.cover IS NULL OR NOT list_contains(a.cover, i)),
+             i -> b.ts[i+1]), ' '), '') AS clean_text
+         FROM base b LEFT JOIN agg a USING (doc_id)
+         ORDER BY b.doc_id""",
+
     // stratified sample: keep iff substr(md5(id),1,8) < the stratum's
     // 8-hex threshold = floor(rate * 2^32) (en 0.5 → 80000000,
     // zh 0.3 → 4ccccccc, default 0.15 → 26666666).
@@ -1148,6 +1244,35 @@ object SparkEntry {
              ROWS UNBOUNDED PRECEDING) - n_tok) * 1.0 / 2000) AS BIGINT)
              AS shard_id
          FROM b ORDER BY doc_id""",
+    // domain cap: identical md5 draw + doc_id tiebreak replayed as a
+    // row_number window, survivors rk <= 10.
+    "q61_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source AS grp,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, grp, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 10 ORDER BY doc_id""",
+    // sequence packing: exclusive prefix sum over doc_id order, then
+    // each doc expands to the [s//L, (s+n-1)//L] sequence range with
+    // slice offsets/lengths from pure integer min/max arithmetic.
+    "q60_sequence_pack" ->
+      """WITH b AS (SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(coalesce(text, ''),
+               '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS s
+           FROM b),
+         sl AS (SELECT doc_id, n_tok, s,
+             unnest(range(s // 256, (s + n_tok - 1) // 256 + 1)) AS seq_id
+           FROM c WHERE n_tok > 0)
+         SELECT doc_id, n_tok, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(seq_id * 256 - s, 0) AS BIGINT) AS tok_start,
+           CAST(least((seq_id + 1) * 256, s + n_tok)
+             - greatest(seq_id * 256, s) AS BIGINT) AS tok_len
+         FROM sl ORDER BY doc_id, seq_id""",
     // PII redaction: identical RE2-compatible patterns, identical
     // email → ip → phone application order; each count is taken on the
     // text that pattern actually sees (post prior replacements).
@@ -1413,6 +1538,65 @@ object SparkEntry {
              CAST(sum(surprise) AS BIGINT) AS surprise_sum_fp,
              CAST(sum(surprise) // count(*) AS BIGINT) AS surprise_avg_fp
          FROM s GROUP BY 1 ORDER BY doc_id""",
+    // Gopher quality rules: the %5/%7/%11 augmentation mirrored, then
+    // every statistic recomputed — ws tokens, char-sum mean, the
+    // replace-length trick for non-overlapping '#'/'...' counts,
+    // trimmed-prefix bullet lines, regexp alpha words, stop-word list
+    // intersection; fractions rounded to 6dp BEFORE the exact-decimal
+    // threshold compares so keep replays bit-identically.
+    "q58_gopher_quality" ->
+      """WITH aug AS (SELECT doc_id,
+             coalesce(text, '') ||
+             CASE WHEN doc_id % 5 = 0 THEN ' ## # ###' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- buy one now' ||
+               chr(10) || '- second item here' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+               'the story continues...' ELSE '' END AS t
+           FROM documents),
+         feat AS (SELECT doc_id,
+             list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS ts,
+             list_filter(string_split(t, chr(10)), x -> x <> '') AS ls,
+             CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) +
+               CAST((length(t) - length(replace(t, '...', ''))) // 3
+                 AS BIGINT) AS n_sym
+           FROM aug),
+         m AS (SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_words,
+             round(CASE WHEN len(ts) > 0 THEN
+                 CAST(list_sum(list_transform(ts, x -> length(x)))
+                   AS DOUBLE) / len(ts)
+               ELSE 0.0 END, 6) AS mean_word_len,
+             round(CASE WHEN len(ts) > 0 THEN
+                 CAST(n_sym AS DOUBLE) / len(ts)
+               ELSE 0.0 END, 6) AS symbol_ratio,
+             round(CASE WHEN len(ls) > 0 THEN
+                 CAST(len(list_filter(ls, l ->
+                   starts_with(trim(l), '•') OR starts_with(trim(l), '‣')
+                   OR starts_with(trim(l), '-')
+                   OR starts_with(trim(l), '*'))) AS DOUBLE) / len(ls)
+               ELSE 0.0 END, 6) AS bullet_frac,
+             round(CASE WHEN len(ls) > 0 THEN
+                 CAST(len(list_filter(ls, l -> ends_with(trim(l), '...')))
+                   AS DOUBLE) / len(ls)
+               ELSE 0.0 END, 6) AS ellipsis_frac,
+             round(CASE WHEN len(ts) > 0 THEN
+                 CAST(len(list_filter(ts, x ->
+                   regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ts)
+               ELSE 0.0 END, 6) AS alpha_frac,
+             CAST(len(list_filter(
+                 ['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(list_transform(ts, x -> lower(x)), s)))
+               AS BIGINT) AS n_stop
+           FROM feat)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+             ellipsis_frac, alpha_frac, n_stop,
+             CAST(n_words >= 50 AND n_words <= 100000
+               AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+               AND symbol_ratio <= 0.1 AND bullet_frac <= 0.5
+               AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+               AND n_stop >= 1 AS BIGINT) AS keep
+         FROM m ORDER BY doc_id""",
+
     // DSIR: unigram∪bigram features hashed through the same hashCode
     // fold, target(en)-vs-raw(all) Laplace LLR model, exact-decimal
     // per-doc log weights, then the Gumbel-top-k resample with the

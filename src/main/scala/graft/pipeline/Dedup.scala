@@ -399,6 +399,64 @@ object Dedup {
           s => length(s) > lit(0))).as("new_text"))
   }
 
+  /** ExactSubstr-style duplicate-SPAN removal (Lee et al. 2021,
+    * arXiv:2107.06499 §4.1): any k-token window whose content occurs at
+    * >= 2 sites across the corpus (within-doc repeats count) is a
+    * duplicate span; every site except the corpus-first (minimal
+    * (doc_id, pos)) is removed — token positions covered by ANY removed
+    * window are dropped and the survivors reassembled in order, so one
+    * copy of each duplicated run always survives.
+    *
+    * Differs from [[passageDedup]] (fixed non-overlapping chunks): the
+    * windows OVERLAP (stride 1), so a duplicated run of m >= k tokens
+    * is caught at every alignment and removed wholesale, not only when
+    * it happens to line up with a chunk boundary.
+    *
+    * Returns (doc_id, n_tokens, n_removed, clean_text), one row per
+    * input doc; docs shorter than k tokens (and null text) pass through
+    * untouched. `clean_text` is the surviving whitespace-token stream
+    * re-joined with single spaces ([[TextAnalysis.tokensWs]] is the
+    * tokenizer contract).
+    *
+    * Scale shape: one tokenize+explode pass builds the window stream,
+    * md5-keyed so the groupBy shuffle carries 32-hex hashes + (doc,pos)
+    * sites, never gram text; dup winners are a map-side-combinable
+    * (count, min(struct)) aggregate; the tag-back is an ids-only join;
+    * the per-doc cover set is array arithmetic inside one aggregate
+    * (flatten + array_distinct over [p, p+k) ranges) — covered
+    * positions never explode into a row stream. */
+  def spanDedup(df: DataFrame, id: Column, text: Column,
+                k: Int): DataFrame = {
+    require(k > 0, "window size k must be positive")
+    val base = df.select(id.as("doc_id"),
+      TextAnalysis.tokensWs(text).as("ts"))
+    val wins = base.filter(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ts")) - k)).as("p"),
+        col("ts"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ", slice(col("ts"), col("p") + 1, lit(k))))
+          .as("h"))
+    val dups = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("p"))).as("first"))
+      .filter(col("n") >= 2)
+      .select(col("h"), col("first"))
+    val covered = wins.join(dups, Seq("h"))
+      .filter(struct(col("doc_id"), col("p")) =!= col("first"))
+      .groupBy(col("doc_id"))
+      .agg(array_distinct(flatten(
+        collect_list(sequence(col("p"), col("p") + (k - 1))))).as("cover"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        coalesce(size(col("cover")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("ts"), (_, i) =>
+          !array_contains(
+            coalesce(col("cover"), array().cast("array<int>")), i)))
+          .as("clean_text"))
+  }
+
   // --- benchmark decontamination (eval-set k-gram overlap) --------------------
 
   /** Sliding k-token shingle hashes of `text`, one row per shingle:

@@ -172,6 +172,91 @@ object TextAnalysis {
           col("dup_5gram_frac") <= dupFiveGramMax).cast("long"))
   }
 
+  /** Bullet glyphs and the stop-word list of the Gopher quality rules
+    * (Rae et al. 2021 §A1.1). Fixed internals, not parameters: the
+    * DuckDB oracle replays them literally. */
+  private val bulletPrefixes = Seq("•", "‣", "-", "*")
+  private val gopherStopWords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document-level quality rules (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) — the doc-shape complement of the
+    * within-document [[repetitionRules]]: per document
+    *
+    *   - `n_words`        — whitespace token count ([[tokensWs]]);
+    *   - `mean_word_len`  — mean token length in characters;
+    *   - `symbol_ratio`   — ('#' + '...') occurrences per word
+    *                        (non-overlapping, greedy left-to-right);
+    *   - `bullet_frac`    — fraction of non-empty lines whose trimmed
+    *                        form starts with a bullet glyph (• ‣ - *);
+    *   - `ellipsis_frac`  — fraction ending in "...";
+    *   - `alpha_frac`     — fraction of words with >= 1 [A-Za-z] char;
+    *   - `n_stop`         — DISTINCT Gopher stop words present
+    *                        (the/be/to/of/and/that/have/with);
+    *   - `keep`           — 1 iff every rule is inside its threshold.
+    *
+    * Fractions are rounded to 6 dp BEFORE the threshold compare, and
+    * thresholds are exact decimal literals, so keep flags replay
+    * bit-identically in the DuckDB oracle. Empty documents report
+    * zero fractions and fail the word-count rule.
+    *
+    * Scale shape: like [[Clean.c4LineFilters]] the whole operator is
+    * array built-ins inside ONE whole-stage-codegen projection — no
+    * UDF, no explode, no shuffle; a pure map over the corpus scan. */
+  def qualityRules(docs: DataFrame, id: Column, text: Column,
+                   minWords: Long = 50, maxWords: Long = 100000,
+                   minMeanWordLen: Double = 3.0,
+                   maxMeanWordLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1,
+                   maxBulletFrac: Double = 0.9,
+                   maxEllipsisFrac: Double = 0.3,
+                   minAlphaFrac: Double = 0.8,
+                   minStopWords: Int = 2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      "word-count bounds must satisfy 1 <= min <= max")
+    val t = coalesce(text, lit(""))
+    val toks = tokensWs(text)
+    val nWords = size(toks).cast("long")
+    // integer char sum -> exact double division (order-free)
+    val charSum = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    def frac(num: Column, den: Column): Column =
+      round(when(den > 0, num.cast("double") / den).otherwise(lit(0.0)), 6)
+    // non-overlapping occurrence count via the replace-length trick —
+    // the same greedy scan DuckDB's replace() performs
+    def occ(s: String): Column =
+      ((length(t) - length(replace(t, lit(s), lit("")))) / s.length)
+        .cast("long")
+    val symCount = occ("#") + occ("...")
+    val lines = filter(split(t, "\n"), l => length(l) > lit(0))
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l =>
+      bulletPrefixes.map(p => startswith(trim(l), lit(p))).reduce(_ || _)))
+    val ellipsisLines =
+      size(filter(lines, l => endswith(trim(l), lit("..."))))
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
+    val stopsArr = array(gopherStopWords.map(lit): _*)
+    val nStop = size(array_intersect(
+      array_distinct(transform(toks, w => lower(w))), stopsArr))
+      .cast("long")
+    docs.select(id.as("doc_id"),
+        nWords.as("n_words"),
+        frac(charSum, nWords).as("mean_word_len"),
+        frac(symCount, nWords).as("symbol_ratio"),
+        frac(bulletLines, nLines).as("bullet_frac"),
+        frac(ellipsisLines, nLines).as("ellipsis_frac"),
+        frac(alphaWords, nWords).as("alpha_frac"),
+        nStop.as("n_stop"))
+      .withColumn("keep",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stop") >= minStopWords).cast("long"))
+  }
+
   // --- language identification -----------------------------------------------
 
   private val langMarkers: Map[String, Set[String]] = Map(

@@ -280,4 +280,72 @@ object TrainingMix {
       floor((col("_cumtok") - col("n_tok")) / tokensPerShard)
         .cast("long").as("shard_id"))
   }
+
+  /** Per-domain/source document cap (RefinedWeb caps pages per domain,
+    * C4 bounds host domination the same way): keep at most `n`
+    * documents per group, chosen DETERMINISTICALLY by md5(doc_id) —
+    * the same hash-is-the-draw device as [[stratifiedSample]] — with
+    * doc_id as the total-order tiebreak, so retries and other engines
+    * reproduce the survivors row-for-row.
+    *
+    * Returns the survivors only: (doc_id, grp, rk), rk in 1..n.
+    *
+    * Scale shape: ONE shuffle keyed on the group; the rank-<= n filter
+    * is recognized as a WindowGroupLimit, so each map partition keeps
+    * only its local top-n per group BEFORE the exchange — a hot domain
+    * with 10^8 pages ships n rows per map partition, never its whole
+    * page set, and is never sorted wholesale in one task. */
+  def capPerGroup(df: DataFrame, id: Column, grp: Column,
+                  n: Int): DataFrame = {
+    require(n > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("_draw"), col("doc_id"))
+    df.select(id.as("doc_id"), grp.as("grp"),
+        md5(id.cast("string")).as("_draw"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("doc_id"), col("grp"), col("rk").cast("long").as("rk"))
+  }
+
+  /** GPT-style sequence packing (concat-and-chunk): the id-ordered
+    * token stream is cut into fixed `seqLen`-token training sequences,
+    * and documents SPLIT across sequence boundaries — the final
+    * assembly step of every LM training pipeline (contrast
+    * [[packShards]], which is doc-granular and never splits).
+    *
+    * Returns one row per (document, sequence) slice:
+    * (doc_id, n_tok, seq_id, tok_start, tok_len) where `tok_start` is
+    * the 0-based offset of the slice within the document and slices of
+    * one doc cover it exactly (Σ tok_len = n_tok); every sequence
+    * except the last has exactly seqLen tokens across its slices.
+    * Empty docs occupy no tokens and emit no row.
+    *
+    * Scale shape: token counting is a pure projection; the global
+    * offset is the A10 distributed prefix scan (range partition +
+    * per-partition offsets — no global sort, no single-partition
+    * window); the slice fan-out is a per-row explode of
+    * ceil(n_tok / seqLen) + 1 elements at most — output-proportional,
+    * never corpus-squared. */
+  def packSequences(df: DataFrame, id: Column, text: Column,
+                    seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val base = df.select(id.as("doc_id"),
+      TextAnalysis.token_count_ws(coalesce(text, lit("")))
+        .cast("long").as("n_tok"))
+    val (cum, _, _) = graft.stats.Cumulative.runningTotals(
+      base, Seq(col("doc_id")), col("n_tok"), "_cnt", "_cumtok")
+    cum.filter(col("n_tok") > 0)
+      .withColumn("_end", col("_cumtok").cast("long"))
+      .withColumn("_s", col("_end") - col("n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("_s"),
+        explode(sequence(
+          floor(col("_s") / seqLen).cast("long"),
+          floor((col("_end") - 1) / seqLen).cast("long"))).as("seq_id"),
+        col("_end"))
+      .select(col("doc_id"), col("n_tok"), col("seq_id"),
+        greatest(col("seq_id") * seqLen - col("_s"), lit(0L))
+          .as("tok_start"),
+        (least((col("seq_id") + 1) * seqLen, col("_end")) -
+          greatest(col("seq_id") * seqLen, col("_s"))).as("tok_len"))
+  }
 }

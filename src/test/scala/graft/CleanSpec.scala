@@ -311,4 +311,63 @@ class CleanSpec extends AnyFunSuite with SparkSuite {
     assert("FileScan".r.findAllIn(plan).size == 1,
       s"corpus must be scanned once:\n$plan")
   }
+
+  // --- Gopher document-level quality rules (q58) --------------------------------
+
+  test("qualityRules applies each Gopher gate: word count, mean word " +
+       "length, symbol ratio (greedy non-overlapping '...'), bullet " +
+       "and ellipsis line fractions, alpha words, stop words") {
+    val docs = Seq(
+      // all gates pass
+      (1L, "the cat sat with the dog and that was fine."),
+      // word-count floor (2 < 3)
+      (2L, "tiny doc"),
+      // bullet lines: 3 of 4 lines bulleted -> 0.75 > 0.5; all else ok
+      (3L, "the dog and that\n- one two three\n- four five six" +
+        "\n- seven eight nine"),
+      // ellipsis lines: 1 of 2 -> 0.5 > 0.3; symbol ratio 1/11 just ok
+      (4L, "the dog and that went on...\nmore of the same here"),
+      // symbols: 5 '#' in 10 words -> 0.5; alpha 5/10; mean 2.1 < 3
+      (5L, "the # dog # and # that # cat #"),
+      // mean word length 70/5 = 14.0 > 10
+      (6L, "extraordinarily sesquipedalian vocabularies " +
+        "notwithstanding circumlocution"),
+      // '.....' counts ONE non-overlapping '...' -> ratio 1/5 = 0.2
+      (7L, "the dog ..... and that"),
+      (8L, ""),
+      (9L, null: String)
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis.qualityRules(
+        docs, $"doc_id", $"text",
+        minWords = 3, maxBulletFrac = 0.5, minStopWords = 2)
+      .as[(Long, Long, Double, Double, Double, Double, Double, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9)))
+      .toMap
+    assert(got(1L) == ((10L, 3.4, 0.0, 0.0, 0.0, 1.0, 4L, 1L)))
+    assert(got(2L)._1 == 2L && got(2L)._8 == 0L)
+    assert(got(3L)._4 == 0.75 && got(3L)._8 == 0L &&
+      got(3L)._6 == 0.8125, // the three '-' tokens count as non-alpha
+      s"doc 3: ${got(3L)}")
+    assert(got(4L) == ((11L, 3.545455, 0.090909, 0.0, 0.5,
+      1.0, 4L, 0L)))
+    assert(got(5L)._3 == 0.5 && got(5L)._6 == 0.5 &&
+      got(5L)._2 == 2.1 && got(5L)._8 == 0L)
+    assert(got(6L)._2 == 14.0 && got(6L)._8 == 0L)
+    assert(got(7L)._3 == 0.2 && got(7L)._8 == 0L)
+    assert(got(8L) == ((0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0L, 0L)))
+    assert(got(9L) == ((0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0L, 0L)))
+  }
+
+  test("qualityRules plan is one codegen'd projection: zero exchanges, " +
+       "no UDF, no explode (the 100 TB contract — a pure map, like c4)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.TextAnalysis.qualityRules(
+        df, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"quality rules must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Generate"),
+      s"quality rules must stay a codegen projection:\n$plan")
+  }
 }

@@ -591,4 +591,47 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(oneCell(10L)._3 == 1L && oneCell(11L)._3 == 0L)
   }
+
+  // --- ExactSubstr span dedup (q59) ---------------------------------------------
+
+  test("spanDedup removes every site of a duplicated k-token run except " +
+       "the corpus-first, merges overlapping dup windows, catches " +
+       "within-doc repeats, and leaves short docs untouched") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta one two"),
+      // shares A's first 5 tokens at pos 2 -> loses them (A is first)
+      (2L, "x y alpha beta gamma delta epsilon tail1 tail2"),
+      // within-doc repeat of a 5-run: second occurrence removed
+      (3L, "r1 r2 r3 r4 r5 mid r1 r2 r3 r4 r5"),
+      // 6-token shared run -> two overlapping dup windows merge to one
+      // 6-position cover in the losing doc
+      (4L, "s1 s2 s3 s4 s5 s6 end4"),
+      (5L, "pre s1 s2 s3 s4 s5 s6 end5"),
+      (6L, "tiny doc here"),
+      (7L, null: String)
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, $"doc_id", $"text", k = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((8L, 0L, "alpha beta gamma delta epsilon zeta one two")))
+    assert(got(2L) == ((9L, 5L, "x y tail1 tail2")))
+    assert(got(3L) == ((11L, 5L, "r1 r2 r3 r4 r5 mid")))
+    assert(got(4L) == ((7L, 0L, "s1 s2 s3 s4 s5 s6 end4")))
+    assert(got(5L) == ((8L, 6L, "pre end5")))
+    assert(got(6L) == ((3L, 0L, "tiny doc here")))
+    assert(got(7L) == ((0L, 0L, "")))
+  }
+
+  test("spanDedup plan: the window groupBy reduces map-side and is " +
+       "keyed on md5 hashes (the shuffle never carries gram text), " +
+       "no UDF, no cartesian") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.spanDedup(df, $"doc_id", $"text", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"dup counting must combine map-side:\n$plan")
+    assert(plan.contains("md5"), s"windows must shuffle as hashes:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs work:\n$plan")
+  }
 }

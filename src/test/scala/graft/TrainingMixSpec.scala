@@ -204,6 +204,99 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
     assert(out.map(_._3).distinct.length >= 2, "fixture spans shards")
   }
 
+  // --- per-group document cap (q61) -----------------------------------------------
+
+  test("capPerGroup keeps exactly the md5-least n per group: sequential " +
+       "reference equality, cap respected, deterministic (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TrainingMix.capPerGroup(docs, $"doc_id", $"source", n = 5)
+      .as[(Long, String, Long)].collect()
+    val ref = docs.select($"doc_id", $"source").as[(Long, String)]
+      .collect().groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+        rows.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(5)
+          .zipWithIndex.map { case (id, i) => (id, g, i + 1L) }
+      }.toSet
+    assert(out.toSet == ref, "survivors must be the md5-least 5 per group")
+    assert(out.groupBy(_._2).values.forall(_.length <= 5))
+    val again = TrainingMix.capPerGroup(docs, $"doc_id", $"source", n = 5)
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == out.toSet, "the draw is the hash: re-runs identical")
+  }
+
+  test("capPerGroup plan: the rank filter compiles to a WindowGroupLimit " +
+       "(map-side top-n per group) and the corpus shuffles exactly once") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TrainingMix.capPerGroup(docs, $"doc_id", $"source", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=n must prune map-side:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size <= 2, // hash + the Partial/Final pair shares one
+      s"one group shuffle only:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+  }
+
+  // --- GPT-style sequence packing (q60) -----------------------------------------
+
+  test("packSequences splits docs across fixed-length sequence " +
+       "boundaries: slices cover each doc exactly and every sequence " +
+       "but the last carries exactly seqLen tokens") {
+    val docs = Seq(
+      (1L, "a b c d"),                                  // 4 tok, s=0
+      (2L, "e f g h i j k"),                            // 7 tok, s=4
+      (3L, (1 to 12).map(i => s"t$i").mkString(" ")),   // 12 tok, s=11
+      (4L, null: String),                               // 0 tok — no rows
+      (5L, (1 to 25).map(i => s"u$i").mkString(" "))    // 25 tok, s=23
+    ).toDF("doc_id", "text")
+    val got = TrainingMix.packSequences(docs, $"doc_id", $"text",
+        seqLen = 10L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L, 0L, 4L),
+      (2L, 7L, 0L, 0L, 6L), (2L, 7L, 1L, 6L, 1L),
+      (3L, 12L, 1L, 0L, 9L), (3L, 12L, 2L, 9L, 3L),
+      (5L, 25L, 2L, 0L, 7L), (5L, 25L, 3L, 7L, 10L),
+      (5L, 25L, 4L, 17L, 8L)))
+    // per-sequence totals: 10 everywhere except the trailing sequence
+    val perSeq = got.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    assert(perSeq == Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 10L,
+      4L -> 8L))
+  }
+
+  test("packSequences on the documents table: slices reassemble every " +
+       "doc, sequences are dense and full, offsets follow the exact " +
+       "sequential prefix recurrence (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val L = 64L
+    val out = TrainingMix.packSequences(docs, $"doc_id", $"text", L)
+      .orderBy($"doc_id", $"seq_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    var cum = 0L
+    out.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, slices) =>
+      val n = slices.head._2
+      assert(slices.map(_._5).sum == n, "slices must cover the doc")
+      assert(slices.head._4 == 0L && slices.map(_._4).max +
+        slices.sortBy(_._3).last._5 == n, "contiguous coverage")
+    }
+    val perSeq = out.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    val last = perSeq.keys.max
+    assert(perSeq.keys.toSeq.sorted == (0L to last),
+      "sequence ids are dense")
+    perSeq.foreach { case (q, tot) =>
+      if (q < last) assert(tot == L, s"sequence $q must be full")
+    }
+    // exact recurrence: each doc's first slice lands at its exclusive
+    // prefix offset
+    out.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, slices) =>
+      val first = slices.minBy(_._3)
+      assert(first._3 == cum / L && (cum % L == 0) ==
+        (first._4 == 0L && first._3 * L == cum),
+        "first slice sits at the doc's global offset")
+      cum += first._2
+    }
+  }
+
   // --- DSIR importance resampling (q57) ----------------------------------------
 
   /** Sequential DSIR reference: Scala maps + BigDecimal, md5 Gumbel. */
