@@ -378,6 +378,29 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // --- the composed corpus pipeline, end to end: Gopher quality gate
+    // (raw text, true defaults, minStopWords=1) → exact dedup (corpus-
+    // min doc_id per text survives) → per-source cap (md5-least 10) →
+    // 256-token sequence packing. One Dataset chain of the library's
+    // own operators; the oracle replays every stage in SQL, so the
+    // STAGE ORDERING is value-checked, not just each stage. ------------------
+    "q62_corpus_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val q = TA.qualityRules(docs, $"doc_id", $"text", minStopWords = 1)
+        .filter($"keep" === 1).select($"doc_id")
+      val kept = docs.join(q, "doc_id")
+      val keepers = Dedup.exact(kept, $"doc_id", $"text")
+        .select($"keeper_id".as("doc_id"))
+      val deduped = kept.join(keepers, "doc_id")
+      val capped = TrainingMix.capPerGroup(deduped, $"doc_id",
+        $"source", n = 10)
+      TrainingMix.packSequences(
+          deduped.join(capped.select($"doc_id"), "doc_id"),
+          $"doc_id", $"text", seqLen = 256L)
+        .orderBy($"doc_id", $"seq_id")
+    }),
+
     // --- GPT-style sequence packing: the id-ordered token stream cut
     // into 256-token training sequences, docs split across boundaries
     // (one row per doc×sequence slice). Global offsets via the A10
@@ -1244,6 +1267,77 @@ object SparkEntry {
              ROWS UNBOUNDED PRECEDING) - n_tok) * 1.0 / 2000) AS BIGINT)
              AS shard_id
          FROM b ORDER BY doc_id""",
+    // composed pipeline: the q58 quality chain on RAW text (Gopher
+    // defaults, n_stop >= 1), QUALIFY-based dedup and cap, then the
+    // q60 pack arithmetic over the survivors — stage order mirrored.
+    "q62_corpus_pipeline" ->
+      """WITH feat AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts,
+             list_filter(string_split(coalesce(text, ''), chr(10)),
+               x -> x <> '') AS ls,
+             CAST(length(coalesce(text, '')) -
+                 length(replace(coalesce(text, ''), '#', '')) AS BIGINT) +
+               CAST((length(coalesce(text, '')) -
+                 length(replace(coalesce(text, ''), '...', ''))) // 3
+                 AS BIGINT) AS n_sym
+           FROM documents),
+         m AS (SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_words,
+             round(CASE WHEN len(ts) > 0 THEN
+                 CAST(list_sum(list_transform(ts, x -> length(x)))
+                   AS DOUBLE) / len(ts) ELSE 0.0 END, 6) AS mean_word_len,
+             round(CASE WHEN len(ts) > 0 THEN
+                 CAST(n_sym AS DOUBLE) / len(ts)
+               ELSE 0.0 END, 6) AS symbol_ratio,
+             round(CASE WHEN len(ls) > 0 THEN
+                 CAST(len(list_filter(ls, l ->
+                   starts_with(trim(l), '•') OR starts_with(trim(l), '‣')
+                   OR starts_with(trim(l), '-')
+                   OR starts_with(trim(l), '*'))) AS DOUBLE) / len(ls)
+               ELSE 0.0 END, 6) AS bullet_frac,
+             round(CASE WHEN len(ls) > 0 THEN
+                 CAST(len(list_filter(ls, l -> ends_with(trim(l), '...')))
+                   AS DOUBLE) / len(ls) ELSE 0.0 END, 6) AS ellipsis_frac,
+             round(CASE WHEN len(ts) > 0 THEN
+                 CAST(len(list_filter(ts, x ->
+                   regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ts)
+               ELSE 0.0 END, 6) AS alpha_frac,
+             CAST(len(list_filter(
+                 ['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(list_transform(ts, x -> lower(x)), s)))
+               AS BIGINT) AS n_stop
+           FROM feat),
+         q AS (SELECT doc_id FROM m
+           WHERE n_words >= 50 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+             AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+             AND n_stop >= 1),
+         kept AS (SELECT d.doc_id, d.source, d.text
+           FROM documents d JOIN q USING (doc_id)),
+         ded AS (SELECT doc_id, source, text FROM kept
+           QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+         cap AS (SELECT doc_id, text FROM ded
+           QUALIFY row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10),
+         b AS (SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(coalesce(text, ''),
+               '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+           FROM cap),
+         c AS (SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok AS s
+           FROM b),
+         sl AS (SELECT doc_id, n_tok, s,
+             unnest(range(s // 256, (s + n_tok - 1) // 256 + 1)) AS seq_id
+           FROM c WHERE n_tok > 0)
+         SELECT doc_id, n_tok, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(seq_id * 256 - s, 0) AS BIGINT) AS tok_start,
+           CAST(least((seq_id + 1) * 256, s + n_tok)
+             - greatest(seq_id * 256, s) AS BIGINT) AS tok_len
+         FROM sl ORDER BY doc_id, seq_id""",
+
     // domain cap: identical md5 draw + doc_id tiebreak replayed as a
     // row_number window, survivors rk <= 10.
     "q61_domain_cap" ->

@@ -418,13 +418,17 @@ object Dedup {
     * re-joined with single spaces ([[TextAnalysis.tokensWs]] is the
     * tokenizer contract).
     *
-    * Scale shape: one tokenize+explode pass builds the window stream,
-    * md5-keyed so the groupBy shuffle carries 32-hex hashes + (doc,pos)
-    * sites, never gram text; dup winners are a map-side-combinable
-    * (count, min(struct)) aggregate; the tag-back is an ids-only join;
-    * the per-doc cover set is array arithmetic inside one aggregate
-    * (flatten + array_distinct over [p, p+k) ranges) — covered
-    * positions never explode into a row stream. */
+    * Scale shape: the window stream is md5-keyed so the groupBy
+    * shuffle carries 32-hex hashes + (doc,pos) sites, never gram text;
+    * dup winners are a map-side-combinable (count, min(struct))
+    * aggregate; the tag-back is an ids-only join; the per-doc cover
+    * set is array arithmetic inside one aggregate (flatten +
+    * array_distinct over [p, p+k) ranges) — covered positions never
+    * explode into a row stream. The window stream is computed twice
+    * (dup aggregate + tag-back probe) on purpose: rebuilding it is a
+    * column-pruned scan + codegen projection, while materializing it
+    * between uses writes k× the corpus to executor storage (the
+    * [[graft.pipeline.Clean.boilerplateLines]] tradeoff). */
   def spanDedup(df: DataFrame, id: Column, text: Column,
                 k: Int): DataFrame = {
     require(k > 0, "window size k must be positive")

@@ -235,6 +235,51 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
   }
 
+  // --- composed corpus pipeline (q62) ---------------------------------------------
+
+  test("q62 composition: quality gate, exact dedup, per-source cap and " +
+       "sequence packing each gate the next stage — survivors match a " +
+       "hand-applied stage chain") {
+    // quality-passing text: 60 words, mean len ~4, stop words present
+    def good(tag: String): String =
+      (s"the quick brown $tag fox jumps over the lazy dog again and " +
+        "again with that same old story told here ") * 3
+    val docs = (Seq(
+      (1L, "s0", good("a")),   // kept; dup winner (min id)
+      (2L, "s0", good("a")),   // exact dup of 1 → dropped at dedup
+      (3L, "s0", "tiny doc")   // fails quality (word count)
+    ) ++ (4L to 16L).map(i => (i, "s1", good(s"v$i"))))
+      .toDF("doc_id", "source", "text")
+    val q = graft.pipeline.TextAnalysis.qualityRules(
+        docs, $"doc_id", $"text", minStopWords = 1)
+      .filter($"keep" === 1).select($"doc_id")
+    val kept = docs.join(q, "doc_id")
+    val keepers = Dedup.exact(kept, $"doc_id", $"text")
+      .select($"keeper_id".as("doc_id"))
+    val deduped = kept.join(keepers, "doc_id")
+    val capped = TrainingMix.capPerGroup(deduped, $"doc_id", $"source",
+      n = 2)
+    val packed = TrainingMix.packSequences(
+        deduped.join(capped.select($"doc_id"), "doc_id"),
+        $"doc_id", $"text", seqLen = 20L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val survivors = packed.map(_._1).distinct.sorted.toSeq
+    // hand-applied chain: 3 fails quality, 2 loses dedup, s1 capped to
+    // the md5-least 2 of ids 4..16
+    val s1Cap = (4L to 16L).sortBy(i => (md5hex(i.toString), i)).take(2)
+    assert(survivors == (Seq(1L) ++ s1Cap).sorted)
+    // packing invariants on the survivors: 57 tokens each, L=20
+    packed.groupBy(_._1).foreach { case (_, slices) =>
+      assert(slices.map(_._5).sum == 60L)
+      assert(slices.head._2 == 60L)
+    }
+    val perSeq = packed.groupBy(_._3).view.mapValues(_.map(_._5).sum)
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (sq, tot) =>
+      if (sq < lastSeq) assert(tot == 20L, s"sequence $sq full")
+    }
+  }
+
   // --- GPT-style sequence packing (q60) -----------------------------------------
 
   test("packSequences splits docs across fixed-length sequence " +
