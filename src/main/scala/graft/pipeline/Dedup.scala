@@ -404,8 +404,16 @@ object Dedup {
     * >= 2 sites across the corpus (within-doc repeats count) is a
     * duplicate span; every site except the corpus-first (minimal
     * (doc_id, pos)) is removed — token positions covered by ANY removed
-    * window are dropped and the survivors reassembled in order, so one
-    * copy of each duplicated run always survives.
+    * window are dropped and the survivors reassembled in order.
+    *
+    * The keep-one guarantee is PER WINDOW, not per run: the corpus-first
+    * site of window g is never removed *as g's site*, but its tokens can
+    * still be covered when a DIFFERENT duplicated window overlapping it
+    * is removed from the same doc — two interleaved duplicated runs can
+    * therefore leave no intact copy of one of them (pinned as a negative
+    * test: "spanDedup keep-one is per window…"). Lee et al.'s greedy
+    * span remover has the same property; exact keep-one-per-run needs
+    * interval reconciliation that no published pipeline performs.
     *
     * Differs from [[passageDedup]] (fixed non-overlapping chunks): the
     * windows OVERLAP (stride 1), so a duplicated run of m >= k tokens

@@ -325,7 +325,13 @@ object TrainingMix {
     * per-partition offsets — no global sort, no single-partition
     * window); the slice fan-out is a per-row explode of
     * ceil(n_tok / seqLen) + 1 elements at most — output-proportional,
-    * never corpus-squared. */
+    * never corpus-squared.
+    *
+    * Exactness bound: the slice arithmetic itself is pure integer
+    * (SQL `div`, min/max on longs), but the global offset rides the
+    * A10 scan's double accumulator — exact while total corpus tokens
+    * stay under 2^53 (~9×10^15; a 100 TB text corpus is ~2×10^13,
+    * a 450× margin). Past that, swap the scan's accumulator to long. */
   def packSequences(df: DataFrame, id: Column, text: Column,
                     seqLen: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
@@ -338,9 +344,11 @@ object TrainingMix {
       .withColumn("_end", col("_cumtok").cast("long"))
       .withColumn("_s", col("_end") - col("n_tok"))
       .select(col("doc_id"), col("n_tok"), col("_s"),
+        // SQL `div`: true integer division on longs, matching the
+        // oracle's `//` bit for bit (never floor of a double quotient)
         explode(sequence(
-          floor(col("_s") / seqLen).cast("long"),
-          floor((col("_end") - 1) / seqLen).cast("long"))).as("seq_id"),
+          expr(s"_s div $seqLen"),
+          expr(s"(_end - 1) div $seqLen"))).as("seq_id"),
         col("_end"))
       .select(col("doc_id"), col("n_tok"), col("seq_id"),
         greatest(col("seq_id") * seqLen - col("_s"), lit(0L))

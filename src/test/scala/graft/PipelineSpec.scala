@@ -622,6 +622,26 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(got(7L) == ((0L, 0L, "")))
   }
 
+  test("spanDedup keep-one is per WINDOW, not per run: the corpus-first " +
+       "site of one duplicated window can lose tokens to a different " +
+       "overlapping duplicated window (pinned negative semantics)") {
+    // 'a b' is first in doc 1 -> doc 2 loses {0,1}; 'b c' is first in
+    // doc 2 -> doc 3 loses {1,2}. Doc 2's KEPT 'b c' site already lost
+    // its 'b' to the 'a b' removal, so no intact 'b c' copy survives —
+    // the same greedy property as Lee et al.'s span remover.
+    val docs = Seq(
+      (1L, "a b x"), (2L, "a b c"), (3L, "q b c")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, $"doc_id", $"text", k = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 0L, "a b x")))
+    assert(got(2L) == ((3L, 2L, "c")))
+    assert(got(3L) == ((3L, 2L, "q")))
+    assert(!got.values.exists(_._3.contains("b c")),
+      "documents the greedy property: no intact 'b c' copy remains")
+  }
+
   test("spanDedup plan: the window groupBy reduces map-side and is " +
        "keyed on md5 hashes (the shuffle never carries gram text), " +
        "no UDF, no cartesian") {

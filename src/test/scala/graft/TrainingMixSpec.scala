@@ -268,7 +268,7 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
     // the md5-least 2 of ids 4..16
     val s1Cap = (4L to 16L).sortBy(i => (md5hex(i.toString), i)).take(2)
     assert(survivors == (Seq(1L) ++ s1Cap).sorted)
-    // packing invariants on the survivors: 57 tokens each, L=20
+    // packing invariants on the survivors: 60 tokens each, L=20
     packed.groupBy(_._1).foreach { case (_, slices) =>
       assert(slices.map(_._5).sum == 60L)
       assert(slices.head._2 == 60L)
