@@ -113,6 +113,39 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("stateless pipeline gates are streaming-composable: qualityRules " +
+       "over a MemoryStream equals the batch result row-for-row (a pure " +
+       "projection needs no state, watermark, or output-mode caveats)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and that " +
+        "was fine today with more of the usual words here again " * 3),
+      (2L, "tiny doc"),
+      (3L, "- a\n- b\n- c\nthe end and that with more of the usual " +
+        "words appended here today"))
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDS().toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.qualityRules(
+      docs, docs("doc_id"), docs("text"), minStopWords = 1)
+    val q = out.writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.take(2))
+      q.processAllAvailable()
+      stream.addData(rows.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM quality_stream")
+        .collect().map(_.toSeq).toSet
+      val batchDf = rows.toDF("doc_id", "text")
+      val batch = graft.pipeline.TextAnalysis.qualityRules(
+          batchDf, batchDf("doc_id"), batchDf("text"), minStopWords = 1)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        "micro-batched and batch evaluation must agree bit for bit")
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming doc dedup: duplicate dropped within the watermark " +
        "window, state evicted after it (bounded-state contract)") {
     implicit val sqlCtx = spark.sqlContext
