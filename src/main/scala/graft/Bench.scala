@@ -23,6 +23,12 @@ import graft.frontier.{CrawlConfig, FrontierEngine, Selection}
   *     deliver proportional resources) on the same input with the same
   *     64-way decomposition — the sandbox stand-in for N vs 4N
   *     executors — plus the scaling efficiency thr_4N / (4 × thr_N).
+  *
+  * Plus the 100×-shape rehearsals: the gumbel/fused/store frontier
+  * sections (10M URLs / 1M domains, per-epoch job counts must stay
+  * flat) and `pipeline_scale` — the corpus-side analogue (1M synthetic
+  * docs through the quality gate, sequence packing, domain cap, and
+  * span dedup).
   */
 object Bench {
 
@@ -227,6 +233,61 @@ object Bench {
     * localCheckpoint snapshots would otherwise accumulate and skew later
     * reps). The caller takes the min: noisy-neighbor interference on the
     * shared VM inflates, never deflates, a sample. */
+  /** Pipeline-operator scale probe: the corpus operators timed on a
+    * deterministic synthetic corpus ~200× the sf0.1 fixture (default
+    * 1M docs, ~40 tokens each ≈ 40M tokens) so the published plan
+    * shapes are exercised well past toy row counts — the corpus-side
+    * analogue of the gumbel frontier rehearsal. Every 4th doc carries
+    * a shared boilerplate run (the span-dedup target) and docs draw
+    * from a stop-word-bearing vocabulary (the quality-gate target).
+    * Correctness is the oracle/suite's job; THIS section is evidence
+    * the shapes hold at volume. */
+  def pipelineScale(spark: SparkSession, nDocs: Long): String = {
+    import spark.implicits._
+    import graft.pipeline.{Dedup, TextAnalysis, TrainingMix}
+    val words = ("the of and to in data spark table scan merge query " +
+      "row batch stream filter join sort hash key value fast slow big " +
+      "small part group agg window order line word text page site link " +
+      "crawl fetch store queue score rank token model train corpus " +
+      "shard pack dedup clean mix").split(" ")
+    val vocab = array(words.map(lit).toIndexedSeq: _*)
+    val docs = spark.range(0, nDocs, 1, 64).select(
+      $"id".as("doc_id"),
+      concat(
+        concat_ws(" ", transform(
+          sequence(lit(1), (pmod(hash($"id"), lit(20)) + lit(30)).cast("int")),
+          i => element_at(vocab,
+            (pmod(hash($"id" * 131 + i), lit(words.length)) + 1).cast("int")))),
+        when($"id" % 4 === 0, lit(" subscribe to our newsletter for" +
+          " the latest updates and offers today")).otherwise(lit("")))
+        .as("text"),
+      concat(lit("src"), pmod($"id", lit(64)).cast("string")).as("source"))
+      .localCheckpoint(true) // synth cost excluded from stage timings
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (tq, kept) = time(
+      TextAnalysis.qualityRules(docs, $"doc_id", $"text",
+          minWords = 10, minStopWords = 1)
+        .filter($"keep" === 1).count())
+    val (tp, slices) = time(
+      TrainingMix.packSequences(docs, $"doc_id", $"text",
+        seqLen = 2048L).count())
+    val (tc, capped) = time(
+      TrainingMix.capPerGroup(docs, $"doc_id", $"source",
+        n = 1000).count())
+    val (ts, removed) = time(
+      Dedup.spanDedup(docs, $"doc_id", $"text", k = 10)
+        .agg(coalesce(sum($"n_removed"), lit(0L))).as[Long].head())
+    s"""{"docs":$nDocs,"quality_sec":${fmt(tq)},"quality_kept":$kept,""" +
+      s""""pack_sec":${fmt(tp)},"pack_slices":$slices,""" +
+      s""""cap_sec":${fmt(tc)},"cap_rows":$capped,""" +
+      s""""span_sec":${fmt(ts)},"span_removed_tokens":$removed,""" +
+      s""""docs_per_sec_quality":${fmt(nDocs / tq)},""" +
+      s""""docs_per_sec_span":${fmt(nDocs / ts)}}"""
+  }
+
   private def repTimes(spark: SparkSession, reps: Int, nUrls: Long,
                        nDomains: Int): Seq[Double] =
     (1 to reps).map { _ =>
@@ -315,6 +376,14 @@ object Bench {
         out
       }
       catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
+    // corpus-side scale probe (the pipeline analogue of the gumbel
+    // frontier rehearsal): 1M synthetic docs through the quality gate,
+    // sequence packing, domain cap, and span dedup
+    val pipeDocs =
+      sys.env.getOrElse("SPARK_GRAFT_PIPE_DOCS", "1000000").toLong
+    val pipelineJson =
+      try pipelineScale(spark, pipeDocs)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     spark.stop()
 
     // scaling protocol (north rule): identical input + identical 64-way
@@ -375,6 +444,7 @@ object Bench {
       s""""sf":"$sfDir","extra_queries":$extraQs,""" +
       s""""frontier":$frontier,"gumbel":$gumbelJson,""" +
       s""""gumbel_fused":$fusedJson,""" +
-      s""""gumbel_store":$gumbelStoreJson}""")
+      s""""gumbel_store":$gumbelStoreJson,""" +
+      s""""pipeline_scale":$pipelineJson}""")
   }
 }
