@@ -447,7 +447,10 @@ object Dedup {
         explode(sequence(lit(0), size(col("ts")) - k)).as("p"),
         col("ts"))
       .select(col("doc_id"), col("p"),
-        md5(concat_ws(" ", slice(col("ts"), col("p") + 1, lit(k))))
+        // unhex: the 16-byte binary digest, not the 32-char hex string —
+        // the window-hash shuffle is this operator's dominant cost and
+        // the key is internal (the oracle replays semantics, not bytes)
+        unhex(md5(concat_ws(" ", slice(col("ts"), col("p") + 1, lit(k)))))
           .as("h"))
     val dups = wins.groupBy(col("h"))
       .agg(count(lit(1)).as("n"),
