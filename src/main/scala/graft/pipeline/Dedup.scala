@@ -377,7 +377,9 @@ object Dedup {
         concat_ws(" ",
           slice(col("ts"), (col("ci") * k + 1).cast("int"), lit(k)))
           .as("chunk"))
-      .withColumn("h", md5(col("chunk")))
+      // 16-byte binary digest (not hex): halves the winner-aggregate
+      // key bytes; internal only, the output never exposes it
+      .withColumn("h", unhex(md5(col("chunk"))))
     val winners = chunks.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("ci"))).as("win"))
     val keptPerDoc = chunks.join(winners, Seq("h"))
@@ -475,8 +477,10 @@ object Dedup {
   // --- benchmark decontamination (eval-set k-gram overlap) --------------------
 
   /** Sliding k-token shingle hashes of `text`, one row per shingle:
-    * (id, gh) where gh = md5 of the space-joined k-gram. Shared by the
-    * train and eval sides of [[decontaminate]] so their gram semantics
+    * (id, gh) where gh = the 16-byte binary md5 of the space-joined
+    * k-gram (binary, not hex: the gram-hash join/distinct is the
+    * operator's shuffle and the key is internal). Shared by the train
+    * and eval sides of [[decontaminate]] so their gram semantics
     * cannot drift. */
   private def gramHashes(df: DataFrame, id: Column, text: Column,
                          k: Int): DataFrame =
@@ -486,7 +490,7 @@ object Dedup {
         explode(sequence(lit(0), size(col("ts")) - k)).as("i"),
         col("ts"))
       .select(col("_gid"),
-        md5(concat_ws(" ", slice(col("ts"), col("i") + 1, lit(k))))
+        unhex(md5(concat_ws(" ", slice(col("ts"), col("i") + 1, lit(k)))))
           .as("gh"))
 
   /** Benchmark decontamination: flag training documents that share any
