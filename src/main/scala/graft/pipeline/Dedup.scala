@@ -429,7 +429,8 @@ object Dedup {
     * tokenizer contract).
     *
     * Scale shape: the window stream is md5-keyed so the groupBy
-    * shuffle carries 32-hex hashes + (doc,pos) sites, never gram text;
+    * shuffle carries 16-byte binary digests + (doc,pos) sites, never
+    * gram text;
     * dup winners are a map-side-combinable (count, min(struct))
     * aggregate; the tag-back is an ids-only join; the per-doc cover
     * set is array arithmetic inside one aggregate (flatten +
