@@ -506,6 +506,28 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // --- CCNet exact paragraph dedup: the q45 recut + the same
+    // case-varied footer/banner injections, but CCNet semantics — the
+    // corpus-FIRST occurrence of every normalized paragraph survives
+    // (q45's boilerplate removal keeps none). Within-corpus duplicate
+    // texts make whole runs of content lines dedup too. ----------------------
+    "q63_paragraph_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val footer = when($"doc_id" % 2 === 0, array(
+        when($"doc_id" % 8 === 0, lit("all rights reserved"))
+          .otherwise(lit("All Rights Reserved"))))
+        .otherwise(array().cast("array<string>"))
+      val banner = when($"doc_id" % 4 === 0,
+        array(lit("Subscribe to our newsletter!")))
+        .otherwise(array().cast("array<string>"))
+      val aug = t(s, dir, "documents").withColumn("t0",
+        array_join(concat(
+          synthLines($"doc_id", $"text", suffixed = false), footer, banner),
+          "\n"))
+      Dedup.paragraphDedup(aug, $"doc_id", $"t0")
+        .orderBy($"doc_id")
+    }),
+
     // --- cleaning-pipeline survival funnel: 4 cumulative stages in ONE
     // map-side-combined aggregation pass (each stage = one counter, the
     // exchange carries a single row). Integer-arithmetic punct gate
@@ -1542,6 +1564,45 @@ object SparkEntry {
          SELECT d.doc_id,
            CAST(coalesce(a.n_lines, 0) AS BIGINT) AS n_lines,
            CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
+    // paragraph dedup: q45's recut + injections, CCNet keep-first —
+    // keeper = row_number 1 over (doc_id, ci) per normalized line.
+    "q63_paragraph_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         b AS (SELECT doc_id, ts,
+             CAST(ceil(len(ts) / 10.0) AS BIGINT) AS nl
+           FROM toks),
+         content AS (SELECT doc_id,
+             array_to_string(ts[ci*10+1 : ci*10+10], ' ') AS line, ci
+           FROM (SELECT doc_id, unnest(range(0, nl)) AS ci, ts FROM b)),
+         bp AS (SELECT doc_id,
+             CASE WHEN doc_id % 8 = 0 THEN 'all rights reserved'
+                  ELSE 'All Rights Reserved' END AS line, nl AS ci
+           FROM b WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, 'Subscribe to our newsletter!' AS line,
+             nl + 1 AS ci
+           FROM b WHERE doc_id % 4 = 0),
+         lines AS (SELECT doc_id, line, ci,
+             lower(trim(line)) AS norm
+           FROM (SELECT * FROM content UNION ALL SELECT * FROM bp)),
+         keepers AS (SELECT doc_id, line, ci,
+             (row_number() OVER (PARTITION BY norm
+                ORDER BY doc_id, ci)) = 1 AS keep
+           FROM lines),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+             CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+             coalesce(string_agg(line, chr(10) ORDER BY ci)
+               FILTER (keep), '') AS clean_text
+           FROM keepers GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(a.n_paras, 0) AS BIGINT) AS n_paras,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
            coalesce(a.clean_text, '') AS clean_text
          FROM documents d LEFT JOIN agg a USING (doc_id)
          ORDER BY d.doc_id""",

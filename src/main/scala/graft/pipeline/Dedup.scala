@@ -401,6 +401,46 @@ object Dedup {
           s => length(s) > lit(0))).as("new_text"))
   }
 
+  /** CCNet-style exact paragraph dedup (Wenzek et al. 2020,
+    * arXiv:1911.00359 §3.2 — the CCNet pipeline's main dedup step):
+    * paragraphs (non-empty lines), compared by their normalized form
+    * (lowercase, trimmed), are deduped CORPUS-WIDE keep-first — the
+    * (doc_id, pos)-minimal occurrence survives, every other occurrence
+    * (cross-doc or within-doc) is removed — and documents reassemble
+    * from their surviving paragraphs in original order. Contrast
+    * [[graft.pipeline.Clean.boilerplateLines]], which removes a hot
+    * line EVERYWHERE (df >= N, no copy survives): CCNet keeps exactly
+    * one copy of every distinct paragraph.
+    *
+    * Returns (doc_id, n_paras, n_kept, clean_text), one row per input
+    * doc; empty/null text degrades to (0, 0, "").
+    *
+    * Scale shape: one explode pass; the winner aggregate groups by the
+    * 16-byte binary digest of the normalized paragraph with a map-side
+    * partial (the hottest footer combines locally before the exchange)
+    * and its table carries (digest, winner-site) rows only; the
+    * tag-back is a digest-keyed join; reassembly is the per-doc
+    * sort-in-aggregate every reassembling operator here uses. Raw
+    * paragraph text never shuffles on its own value. */
+  def paragraphDedup(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"),
+        posexplode_outer(filter(split(coalesce(text, lit("")), "\n"),
+          l => length(l) > lit(0))).as(Seq("pos", "line")))
+      .withColumn("h", unhex(md5(lower(trim(col("line"))))))
+    val winners = base.where(col("h").isNotNull)
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("win"))
+    val site = struct(col("doc_id"), col("pos"))
+    base.join(winners, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("line")).as("n_paras"),
+        count(when(site === col("win"), lit(1))).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(site === col("win"), struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
+
   /** ExactSubstr-style duplicate-SPAN removal (Lee et al. 2021,
     * arXiv:2107.06499 §4.1): any k-token window whose content occurs at
     * >= 2 sites across the corpus (within-doc repeats count) is a

@@ -312,6 +312,46 @@ class CleanSpec extends AnyFunSuite with SparkSuite {
       s"corpus must be scanned once:\n$plan")
   }
 
+  // --- CCNet exact paragraph dedup (q63) ------------------------------------------
+
+  test("paragraphDedup keeps exactly the corpus-first occurrence of " +
+       "every normalized paragraph (case/whitespace unified), removes " +
+       "within-doc repeats, and preserves the keeper's original text") {
+    val docs = Seq(
+      (1L, "Alpha one.\nshared footer.\nbeta two."),
+      (2L, "gamma.\n  Shared Footer.  \ndelta."), // normalized dup of 1@1
+      (3L, "repeat me\nrepeat me\nunique line"),  // within-doc repeat
+      (4L, null: String),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup.paragraphDedup(docs, $"doc_id", $"text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 3L, "Alpha one.\nshared footer.\nbeta two.")))
+    assert(got(2L) == ((3L, 2L, "gamma.\ndelta.")))
+    assert(got(3L) == ((3L, 2L, "repeat me\nunique line")))
+    assert(got(4L) == ((0L, 0L, "")))
+    assert(got(5L) == ((0L, 0L, "")))
+    // the CCNet contrast with boilerplateLines: exactly ONE copy of the
+    // shared paragraph survives corpus-wide (keep-first, not remove-all)
+    val survivors = got.values.flatMap(_._3.split("\n"))
+      .count(_.trim.toLowerCase == "shared footer.")
+    assert(survivors == 1)
+  }
+
+  test("paragraphDedup plan: winner aggregate is digest-keyed with a " +
+       "map-side partial_min (raw paragraph text never shuffles on its " +
+       "own value), no UDF") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.Dedup.paragraphDedup(df, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"winner min(struct) must combine map-side:\n$plan")
+    assert(plan.contains("unhex(md5"),
+      s"the winner group key must be the binary digest:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+  }
+
   // --- Gopher document-level quality rules (q58) --------------------------------
 
   test("qualityRules applies each Gopher gate: word count, mean word " +
