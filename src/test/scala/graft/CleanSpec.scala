@@ -339,6 +339,33 @@ class CleanSpec extends AnyFunSuite with SparkSuite {
     assert(survivors == 1)
   }
 
+  test("paragraphDedup global property (seeded random corpus): every " +
+       "distinct normalized paragraph survives EXACTLY once, counts " +
+       "reconcile, and per-doc line totals are preserved") {
+    val rnd = new scala.util.Random(4242)
+    val pool = (1 to 40).map(i => s"line $i of the shared pool")
+    val docs = (1L to 200L).map { i =>
+      val n = rnd.nextInt(6) // 0..5 lines; 0-line docs exercise empties
+      (i, if (n == 0) "" else
+        Seq.fill(n)(pool(rnd.nextInt(pool.length))).mkString("\n"))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.paragraphDedup(df, $"doc_id", $"text")
+      .as[(Long, Long, Long, String)].collect()
+    val inputLines = docs.map { case (_, t) =>
+      t.split("\n").count(_.nonEmpty) }.sum
+    assert(out.map(_._2).sum == inputLines, "n_paras preserves input")
+    val survivors = out.flatMap(r =>
+      if (r._4.isEmpty) Nil else r._4.split("\n").toSeq)
+    val distinctNorms = docs.flatMap(_._2.split("\n")).filter(_.nonEmpty)
+      .map(_.trim.toLowerCase).distinct.size
+    assert(survivors.length == distinctNorms,
+      "exactly one copy of every distinct paragraph survives")
+    assert(survivors.map(_.trim.toLowerCase).distinct.length ==
+      survivors.length, "no surviving duplicates")
+    assert(out.map(_._3).sum == distinctNorms, "n_kept reconciles")
+  }
+
   test("paragraphDedup plan: winner aggregate is digest-keyed with a " +
        "map-side partial_min (raw paragraph text never shuffles on its " +
        "own value), no UDF") {

@@ -642,6 +642,42 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       "documents the greedy property: no intact 'b c' copy remains")
   }
 
+  test("spanDedup invariants on a seeded random high-duplication " +
+       "corpus: clean text is the uncovered-token subsequence, counts " +
+       "reconcile, and kept window-content never vanishes entirely " +
+       "unless overlapped (subset check against a local reference)") {
+    val rnd = new scala.util.Random(777)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = (1L to 120L).map { i =>
+      val n = rnd.nextInt(15) // 0..14 tokens of a 5-word vocab: dup-heavy
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val k = 3
+    val got = Dedup.spanDedup(df, $"doc_id", $"text", k)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // local reference: same keep-first cover computation
+    val sites = scala.collection.mutable.Map[String, List[(Long, Int)]]()
+    val toks = docs.map { case (i, t) =>
+      i -> t.split(" ").filter(_.nonEmpty) }.toMap
+    for ((i, ts) <- toks.toSeq.sortBy(_._1); p <- 0 to ts.length - k)
+      sites.updateWith(ts.slice(p, p + k).mkString(" "))(
+        o => Some(o.getOrElse(Nil) :+ ((i, p))))
+    val cover = scala.collection.mutable.Map[Long, Set[Int]]()
+    for ((_, ss) <- sites if ss.length >= 2; s <- ss if s != ss.min)
+      cover.updateWith(s._1)(o =>
+        Some(o.getOrElse(Set.empty) ++ (s._2 until s._2 + k)))
+    for ((i, ts) <- toks) {
+      val c = cover.getOrElse(i, Set.empty)
+      val expected = ts.zipWithIndex.collect {
+        case (t, ix) if !c.contains(ix) => t }.mkString(" ")
+      val (_, nTok, nRem, clean) = got(i)
+      assert(nTok == ts.length && nRem == c.size && clean == expected,
+        s"doc $i: got ${got(i)}, want (${ts.length}, ${c.size}, $expected)")
+    }
+  }
+
   test("spanDedup plan: the window groupBy reduces map-side and is " +
        "keyed on md5 hashes (the shuffle never carries gram text), " +
        "no UDF, no cartesian") {
