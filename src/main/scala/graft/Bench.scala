@@ -50,7 +50,8 @@ object Bench {
     "q52_ivfpq_topk", "q53_url_filters", "q54_ccnet_buckets",
     "q55_minhash_dedup", "q56_nb_quality", "q57_dsir_select",
     "q58_gopher_quality", "q59_span_dedup", "q60_sequence_pack",
-    "q61_domain_cap", "q62_corpus_pipeline", "q63_paragraph_dedup")
+    "q61_domain_cap", "q62_corpus_pipeline", "q63_paragraph_dedup",
+    "q64_dup_lines")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

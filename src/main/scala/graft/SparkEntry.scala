@@ -506,6 +506,27 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // --- Gopher repetition rules 1-4: within-doc duplicate-line and
+    // duplicate-char fractions over the q45 recut; doc_id%3==0 docs
+    // get their junk line twice (both rules fire), %9==0 once more
+    // (char-mass dominated). ONE codegen'd projection. ----------------------
+    "q64_dup_lines" -> ((s, dir) => {
+      import s.implicits._
+      val junk = when($"doc_id" % 3 === 0, array(
+        lit("nothing to see here move along"),
+        lit("nothing to see here move along")))
+        .otherwise(array().cast("array<string>"))
+      val extra = when($"doc_id" % 9 === 0,
+        array(lit("nothing to see here move along")))
+        .otherwise(array().cast("array<string>"))
+      val aug = t(s, dir, "documents").withColumn("t0",
+        array_join(concat(
+          synthLines($"doc_id", $"text", suffixed = false), junk, extra),
+          "\n"))
+      TA.dupLineRules(aug, $"doc_id", $"t0")
+        .orderBy($"doc_id")
+    }),
+
     // --- CCNet exact paragraph dedup: the q45 recut + the same
     // case-varied footer/banner injections, but CCNet semantics — the
     // corpus-FIRST occurrence of every normalized paragraph survives
@@ -1567,6 +1588,52 @@ object SparkEntry {
            coalesce(a.clean_text, '') AS clean_text
          FROM documents d LEFT JOIN agg a USING (doc_id)
          ORDER BY d.doc_id""",
+    // dup-line rules: same recut + the doubled junk line; fractions
+    // from count/distinct-count and char sums (Σall − Σdistinct),
+    // rounded before the exact-decimal threshold compare.
+    "q64_dup_lines" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         b AS (SELECT doc_id, ts,
+             CAST(ceil(len(ts) / 10.0) AS BIGINT) AS nl
+           FROM toks),
+         content AS (SELECT doc_id,
+             array_to_string(ts[ci*10+1 : ci*10+10], ' ') AS line
+           FROM (SELECT doc_id, unnest(range(0, nl)) AS ci, ts FROM b)),
+         junk AS (SELECT doc_id,
+             'nothing to see here move along' AS line
+           FROM b CROSS JOIN range(0, 2) r(j) WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id, 'nothing to see here move along' AS line
+           FROM b WHERE doc_id % 9 = 0),
+         lines AS (SELECT doc_id, line FROM content
+           UNION ALL SELECT doc_id, line FROM junk),
+         m AS (SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(DISTINCT line) AS BIGINT) AS n_distinct,
+             CAST(sum(length(line)) AS BIGINT) AS tc
+           FROM lines GROUP BY 1),
+         md AS (SELECT doc_id, CAST(sum(length(line)) AS BIGINT) AS dc
+           FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY 1),
+         f AS (SELECT d.doc_id,
+             CAST(coalesce(m.n_lines, 0) AS BIGINT) AS n_lines,
+             CAST(coalesce(m.n_distinct, 0) AS BIGINT) AS n_distinct,
+             round(CASE WHEN coalesce(m.n_lines, 0) > 0 THEN
+                 CAST(m.n_lines - m.n_distinct AS DOUBLE) / m.n_lines
+               ELSE 0.0 END, 6) AS dup_line_frac,
+             round(CASE WHEN coalesce(m.tc, 0) > 0 THEN
+                 CAST(m.tc - md.dc AS DOUBLE) / m.tc
+               ELSE 0.0 END, 6) AS dup_line_char_frac
+           FROM documents d LEFT JOIN m USING (doc_id)
+             LEFT JOIN md USING (doc_id))
+         SELECT doc_id, n_lines, n_distinct, dup_line_frac,
+           dup_line_char_frac,
+           CAST(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+             AS BIGINT) AS keep
+         FROM f ORDER BY doc_id""",
+
     // paragraph dedup: q45's recut + injections, CCNet keep-first —
     // keeper = row_number 1 over (doc_id, ci) per normalized line.
     "q63_paragraph_dedup" ->

@@ -172,6 +172,52 @@ object TextAnalysis {
           col("dup_5gram_frac") <= dupFiveGramMax).cast("long"))
   }
 
+  /** Gopher repetition rules 1-4 (Rae et al. 2021 §A1.1): within-doc
+    * duplicate LINE statistics — the line/paragraph-granular
+    * complement of [[repetitionRules]]' n-gram rules. Per document,
+    * over its non-empty lines:
+    *
+    *   - `dup_line_frac`      — (lines − distinct lines) / lines;
+    *   - `dup_line_char_frac` — characters in beyond-first occurrences
+    *                            of a repeated line / total line chars
+    *                            (Σchars(all) − Σchars(distinct), exact
+    *                            for exact-duplicate lines);
+    *   - `keep` — 1 iff dup_line_frac <= maxDupLineFrac AND
+    *              dup_line_char_frac <= maxDupCharFrac (Gopher's 0.30 /
+    *              0.20 defaults).
+    *
+    * Fractions are rounded to 6 dp BEFORE the exact-decimal threshold
+    * compare (the [[qualityRules]] convention), so keep replays
+    * bit-identically in the DuckDB oracle. Documents with no lines
+    * report zero fractions and keep = 1 (nothing repeats).
+    *
+    * Scale shape: array built-ins (array_distinct + char-sum folds)
+    * inside ONE whole-stage-codegen projection — no UDF, no explode,
+    * no shuffle; composes with [[qualityRules]]/[[Clean.c4LineFilters]]
+    * in the same corpus scan. */
+  def dupLineRules(docs: DataFrame, id: Column, text: Column,
+                   maxDupLineFrac: Double = 0.30,
+                   maxDupCharFrac: Double = 0.20): DataFrame = {
+    val lines = filter(split(coalesce(text, lit("")), "\n"),
+      l => length(l) > lit(0))
+    val distinctLines = array_distinct(lines)
+    def chars(a: Column): Column =
+      aggregate(a, lit(0L), (acc, l) => acc + length(l))
+    val nl = size(lines).cast("long")
+    val dl = size(distinctLines).cast("long")
+    val tc = chars(lines)
+    val dc = chars(distinctLines)
+    def frac(num: Column, den: Column): Column =
+      round(when(den > 0, num.cast("double") / den).otherwise(lit(0.0)), 6)
+    docs.select(id.as("doc_id"),
+        nl.as("n_lines"), dl.as("n_distinct"),
+        frac(nl - dl, nl).as("dup_line_frac"),
+        frac(tc - dc, tc).as("dup_line_char_frac"))
+      .withColumn("keep",
+        (col("dup_line_frac") <= maxDupLineFrac &&
+          col("dup_line_char_frac") <= maxDupCharFrac).cast("long"))
+  }
+
   /** Bullet glyphs and the stop-word list of the Gopher quality rules
     * (Rae et al. 2021 §A1.1). Fixed internals, not parameters: the
     * DuckDB oracle replays them literally. */

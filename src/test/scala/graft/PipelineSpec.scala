@@ -592,6 +592,41 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(oneCell(10L)._3 == 1L && oneCell(11L)._3 == 0L)
   }
 
+  // --- Gopher dup-line rules (q64) ------------------------------------------------
+
+  test("dupLineRules: duplicate-line and duplicate-char fractions fire " +
+       "independently (char-heavy dup vs count-heavy dup), empty and " +
+       "null docs keep") {
+    val docs = Seq(
+      (1L, "a\nb\nc"),                          // all distinct → keep
+      // 1 dup of 4 lines (0.25 <= 0.3) but 4 of 12 chars (0.333 > 0.2)
+      (2L, "aaaa\nbb\naaaa\ncc"),
+      // 2 dups of 4 lines (0.5 > 0.3) but only 2 of 24 chars (0.083)
+      (3L, "x\nx\nx\nlong unique line here"),
+      (4L, ""),
+      (5L, null: String)
+    ).toDF("doc_id", "text")
+    val got = TA.dupLineRules(docs, $"doc_id", $"text")
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 3L, 0.0, 0.0, 1L)))
+    assert(got(2L) == ((2L, 4L, 3L, 0.25, 0.333333, 0L)))
+    assert(got(3L) == ((3L, 4L, 2L, 0.5, 0.083333, 0L)))
+    assert(got(4L) == ((4L, 0L, 0L, 0.0, 0.0, 1L)))
+    assert(got(5L) == ((5L, 0L, 0L, 0.0, 0.0, 1L)))
+  }
+
+  test("dupLineRules plan is one codegen'd projection: zero exchanges, " +
+       "no UDF, no explode (composes into the same scan as the other " +
+       "per-doc gates)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TA.dupLineRules(df, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Generate"),
+      s"must stay a codegen projection:\n$plan")
+  }
+
   // --- ExactSubstr span dedup (q59) ---------------------------------------------
 
   test("spanDedup removes every site of a duplicated k-token run except " +
