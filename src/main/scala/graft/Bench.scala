@@ -51,7 +51,8 @@ object Bench {
     "q55_minhash_dedup", "q56_nb_quality", "q57_dsir_select",
     "q58_gopher_quality", "q59_span_dedup", "q60_sequence_pack",
     "q61_domain_cap", "q62_corpus_pipeline", "q63_paragraph_dedup",
-    "q64_dup_lines")
+    "q64_dup_lines", "q65_text_normalize", "q66_simhash_dedup",
+    "q67_source_divergence", "q68_fix_mojibake")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -527,6 +527,60 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // --- ftfy/CCNet-style text normalization: NFC + control/zero-width
+    // strip + whitespace collapse, ONE codegen'd projection (the native
+    // NfcNormalize expression). The synthetic corpus is clean ASCII, so
+    // deterministic mess is injected from doc_id on both sides:
+    // combining accents (%3), control + zero-width chars (%4), doubled
+    // spaces/tabs (%5) — each normalization step fires both ways. ------------
+    "q65_text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").withColumn("t0",
+        concat($"text",
+          when($"doc_id" % 3 === 0, lit(" cafe\u0301 nai\u0308ve"))
+            .otherwise(lit("")),
+          when($"doc_id" % 4 === 0, lit("\u0007bad\u200Bctl\u000B"))
+            .otherwise(lit("")),
+          when($"doc_id" % 5 === 0, lit("  double  spaced\t\ttabs "))
+            .otherwise(lit(""))))
+      Clean.normalizeText(aug, $"doc_id", $"t0").orderBy($"doc_id")
+    }),
+
+    // --- per-source unigram divergence vs the corpus blend (KL + total
+    // variation): the drift diagnostic next to q44's mixing weights.
+    // One corpus scan; every post-explode exchange is vocab-sized;
+    // 12dp-rounded DECIMAL(38,18) term sums keep both engines bit-equal
+    // under any aggregation order (q44/q56 pattern). -------------------------
+    "q67_source_divergence" -> ((s, dir) => {
+      import s.implicits._
+      TA.sourceDivergence(t(s, dir, "documents"), $"source", $"text")
+        .orderBy($"source")
+    }),
+
+    // --- ftfy-style mojibake repair: CP1252 mis-decoded UTF-8
+    // punctuation/accents restored via the chained literal-replace
+    // table, ONE codegen'd projection. Deterministic mojibake injected
+    // from doc_id on both sides (%3 quotes/ellipsis, %4 accents,
+    // %5 dashes + nbsp, %7 the chained case where one fix forms the
+    // next source) — so the driver value-checks the table AND its
+    // ordering. -----------------------------------------------------------------
+    "q68_fix_mojibake" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").withColumn("t0",
+        concat($"text",
+          when($"doc_id" % 3 === 0, lit(
+            " it\u00E2\u20AC\u2122s \u00E2\u20AC\u0153quoted" +
+            " here\u00E2\u20AC\u00A6")).otherwise(lit("")),
+          when($"doc_id" % 4 === 0, lit(
+            " caf\u00C3\u00A9 m\u00C3\u00BCnchen")).otherwise(lit("")),
+          when($"doc_id" % 5 === 0, lit(
+            " dash\u00E2\u20AC\u201Chere\u00E2\u20AC\u201Dand" +
+            " \u00C2\u00A0end")).otherwise(lit("")),
+          when($"doc_id" % 7 === 0, lit(
+            " x\u00E2\u20AC\u00E2\u20AC\u0153y")).otherwise(lit(""))))
+      Clean.fixMojibake(aug, $"doc_id", $"t0").orderBy($"doc_id")
+    }),
+
     // --- CCNet exact paragraph dedup: the q45 recut + the same
     // case-varied footer/banner injections, but CCNet semantics — the
     // corpus-FIRST occurrence of every normalized paragraph survives
@@ -810,6 +864,20 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // --- the SimHash pairs APPLIED as corpus dedup (q55's shape for the
+    // q24 pair family): cluster the hamming≤3 graph with the same
+    // distributed min-label CC and keep the min doc_id per cluster, so
+    // the driver value-checks simhash → banding → clustering → survivor
+    // set end to end. ----------------------------------------------------------
+    "q66_simhash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashPairs(docs, $"doc_id", $"text", maxDist = 3)
+      Dedup.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
+        .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
     // multimodal: binary media columns + stub decode metadata
     "q25_media_meta" -> ((s, dir) => {
       import s.implicits._
@@ -1042,6 +1110,69 @@ object SparkEntry {
                  len(list_intersect(sa.shl, sb.shl))) AS j
            FROM cand JOIN shs sa ON sa.doc_id = id_a
              JOIN shs sb ON sb.doc_id = id_b)"""
+
+  /** The q24 SimHash CTE chain (Java-hashCode token hashes -> splitmix
+    * mix -> bit-majority signature -> brute-force hamming pairs), shared
+    * by q24 (the pairs) and q66 (the pairs applied as corpus dedup).
+    * No WITH prefix: q24 uses plain WITH, q66 WITH RECURSIVE. */
+  private val simhashCtes: String =
+      """consts AS (
+           SELECT CAST(11400714819323198485 AS HUGEINT) AS h0,
+                  CAST(13787848793156543929 AS HUGEINT) AS c1,
+                  CAST(10723151780598845931 AS HUGEINT) AS c2,
+                  CAST(18446744073709551616 AS HUGEINT) AS p64,
+                  CAST(4294967296 AS HUGEINT) AS p32),
+         toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS tok
+           FROM documents),
+         jh AS (
+           SELECT doc_id, tok,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(generate_series(1, length(tok)),
+                   i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
+               (acc, c) -> (acc * 31 + c) % 4294967296) AS h32u
+           FROM toks),
+         ph AS (
+           SELECT doc_id, tok, c.*,
+             CASE WHEN h32u >= 2147483648 THEN h32u - 4294967296 + p64
+                  ELSE h32u END AS p
+           FROM jh, consts c),
+         r1 AS (SELECT *, xor(h0, ((20906 % p32) * c1 +
+             ((((20906 // p32) * c1) % p32) * p32)) % p64) AS z0 FROM ph),
+         r1b AS (SELECT *, ((xor(z0, z0 // 1073741824) % p32) * c1 +
+             ((((xor(z0, z0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS z1 FROM r1),
+         r1c AS (SELECT *, ((xor(z1, z1 // 134217728) % p32) * c2 +
+             ((((xor(z1, z1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS z2 FROM r1b),
+         r1d AS (SELECT *, xor(z2, z2 // 2147483648) AS h1 FROM r1c),
+         r2 AS (SELECT *, xor(h1, ((p % p32) * c1 +
+             ((((p // p32) * c1) % p32) * p32)) % p64) AS y0 FROM r1d),
+         r2b AS (SELECT *, ((xor(y0, y0 // 1073741824) % p32) * c1 +
+             ((((xor(y0, y0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS y1 FROM r2),
+         r2c AS (SELECT *, ((xor(y1, y1 // 134217728) % p32) * c2 +
+             ((((xor(y1, y1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS y2 FROM r2b),
+         tokh AS (SELECT doc_id, xor(y2, y2 // 2147483648) AS th FROM r2c),
+         bits AS (
+           SELECT doc_id, b.b,
+             SUM(CASE WHEN th // power(2, b.b)::HUGEINT % 2 = 1
+                 THEN 1 ELSE -1 END) AS acc
+           FROM tokh, (SELECT unnest(generate_series(0, 63)) AS b) b
+           GROUP BY doc_id, b.b),
+         sims AS (
+           SELECT doc_id,
+             SUM(CASE WHEN acc > 0 THEN power(2, b)::HUGEINT ELSE 0 END)
+               AS simu
+           FROM bits GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(CAST(xor(a.simu, b.simu) AS UBIGINT))
+               AS INTEGER) AS dist
+           FROM sims a JOIN sims b ON a.doc_id < b.doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1633,6 +1764,134 @@ object SparkEntry {
            CAST(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
              AS BIGINT) AS keep
          FROM f ORDER BY doc_id""",
+
+    // text normalization: identical doc_id-keyed injections built from
+    // chr() (decomposed accents, control/zero-width chars, doubled
+    // whitespace), then the exact Spark chain — nfc_normalize, CRLF→LF,
+    // control strip, zero-width strip, collapse+trim — with 'g' flags.
+    "q65_text_normalize" ->
+      """WITH aug AS (SELECT doc_id,
+             coalesce(text, '') ||
+             CASE WHEN doc_id % 3 = 0 THEN
+               ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+               ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0 THEN
+               chr(7) || 'bad' || chr(8203) || 'ctl' || chr(11)
+               ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN
+               '  double  spaced' || chr(9) || chr(9) || 'tabs '
+               ELSE '' END AS t0
+           FROM documents),
+         n1 AS (SELECT doc_id, t0,
+             regexp_replace(nfc_normalize(t0), '\r\n', chr(10), 'g') AS s1
+           FROM aug),
+         n2 AS (SELECT *, regexp_replace(s1,
+             '[\x00-\x08\x0B-\x1F\x7F]', '', 'g') AS s2 FROM n1),
+         n3 AS (SELECT *, regexp_replace(s2,
+             '[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]', '', 'g') AS s3 FROM n2),
+         n4 AS (SELECT *, trim(regexp_replace(s3, '[ \t]+', ' ', 'g'))
+             AS s4 FROM n3)
+         SELECT doc_id, s4 AS text_norm,
+           CAST(length(t0) AS BIGINT) AS n_chars_before,
+           CAST(length(s4) AS BIGINT) AS n_chars_after,
+           CAST(length(s1) - length(s2) AS BIGINT) AS n_ctl_removed,
+           CAST(length(s2) - length(s3) AS BIGINT) AS n_zw_removed,
+           CAST(CASE WHEN t0 <> s4 THEN 1 ELSE 0 END AS BIGINT) AS changed
+         FROM n4 ORDER BY doc_id""",
+
+    // per-source divergence: identical token marginals, each per-token
+    // term the same pinned chain of single IEEE ops (divide, divide,
+    // divide, ln, multiply / subtract-abs), rounded to 12dp and summed
+    // as DECIMAL(38,18) — order-free on both engines. The absent-token
+    // half of tvd is the 1 − Σ_present p_c correction, no outer join.
+    "q67_source_divergence" ->
+      """WITH toks AS (SELECT coalesce(source, '') AS source,
+             unnest(list_filter(string_split_regex(coalesce(text, ''),
+               '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY 1, 2),
+         ct AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS ccnt
+           FROM st GROUP BY 1),
+         tots AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot_s,
+             CAST(count(*) AS BIGINT) AS n_vocab
+           FROM st GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot_c FROM st),
+         terms AS (SELECT s.source,
+             CAST(round((s.cnt::DOUBLE / t.tot_s::DOUBLE) *
+               ln((s.cnt::DOUBLE / t.tot_s::DOUBLE) /
+                  (c.ccnt::DOUBLE / x.tot_c::DOUBLE)), 12)
+               AS DECIMAL(38,18)) AS kl_t,
+             CAST(round(abs(s.cnt::DOUBLE / t.tot_s::DOUBLE -
+                  c.ccnt::DOUBLE / x.tot_c::DOUBLE), 12)
+               AS DECIMAL(38,18)) AS abs_t,
+             CAST(round(c.ccnt::DOUBLE / x.tot_c::DOUBLE, 12)
+               AS DECIMAL(38,18)) AS pc_t
+           FROM st s JOIN ct c USING (token) JOIN tots t USING (source)
+             CROSS JOIN tot x),
+         sums AS (SELECT source, sum(kl_t) AS sk, sum(abs_t) AS sa,
+             sum(pc_t) AS sp
+           FROM terms GROUP BY 1)
+         SELECT s.source, t.tot_s AS n_tokens, t.n_vocab,
+           round(CAST(s.sk AS DOUBLE), 6) AS kl,
+           round(0.5 * (CAST(s.sa AS DOUBLE) +
+             (1.0 - CAST(s.sp AS DOUBLE))), 6) AS tvd
+         FROM sums s JOIN tots t USING (source) ORDER BY s.source""",
+
+    // mojibake repair: identical chr()-built injections, then the same
+    // 8-stage literal-replace chain with per-stage counts from length
+    // deltas (3-char fixes save 2 chars/hit, 2-char fixes save 1).
+    // Stage order matters and is value-checked: the %7 injection's
+    // ldquo fix forms the ndash source that stage 3 then repairs.
+    "q68_fix_mojibake" ->
+      """WITH aug AS (SELECT doc_id,
+             coalesce(text, '') ||
+             CASE WHEN doc_id % 3 = 0 THEN
+               ' it' || chr(226)||chr(8364)||chr(8482) || 's ' ||
+               chr(226)||chr(8364)||chr(339) || 'quoted here' ||
+               chr(226)||chr(8364)||chr(166)
+               ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0 THEN
+               ' caf' || chr(195)||chr(169) || ' m' ||
+               chr(195)||chr(188) || 'nchen'
+               ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN
+               ' dash' || chr(226)||chr(8364)||chr(8220) || 'here' ||
+               chr(226)||chr(8364)||chr(8221) || 'and ' ||
+               chr(194)||chr(160) || 'end'
+               ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN
+               ' x' || chr(226)||chr(8364) ||
+               chr(226)||chr(8364)||chr(339) || 'y'
+               ELSE '' END AS s0
+           FROM documents),
+         m1 AS (SELECT doc_id, s0, replace(s0,
+             chr(226)||chr(8364)||chr(8482), chr(8217)) AS s1 FROM aug),
+         m2 AS (SELECT *, replace(s1,
+             chr(226)||chr(8364)||chr(339), chr(8220)) AS s2 FROM m1),
+         m3 AS (SELECT *, replace(s2,
+             chr(226)||chr(8364)||chr(8220), chr(8211)) AS s3 FROM m2),
+         m4 AS (SELECT *, replace(s3,
+             chr(226)||chr(8364)||chr(8221), chr(8212)) AS s4 FROM m3),
+         m5 AS (SELECT *, replace(s4,
+             chr(226)||chr(8364)||chr(166), chr(8230)) AS s5 FROM m4),
+         m6 AS (SELECT *, replace(s5,
+             chr(195)||chr(169), chr(233)) AS s6 FROM m5),
+         m7 AS (SELECT *, replace(s6,
+             chr(195)||chr(188), chr(252)) AS s7 FROM m6),
+         m8 AS (SELECT *, replace(s7,
+             chr(194)||chr(160), ' ') AS s8 FROM m7)
+         SELECT doc_id, s8 AS text_fixed,
+           CAST((length(s0) - length(s1)) / 2 AS BIGINT) +
+           CAST((length(s1) - length(s2)) / 2 AS BIGINT) +
+           CAST((length(s2) - length(s3)) / 2 AS BIGINT) +
+           CAST((length(s3) - length(s4)) / 2 AS BIGINT) +
+           CAST((length(s4) - length(s5)) / 2 AS BIGINT) +
+           CAST((length(s5) - length(s6)) / 1 AS BIGINT) +
+           CAST((length(s6) - length(s7)) / 1 AS BIGINT) +
+           CAST((length(s7) - length(s8)) / 1 AS BIGINT) AS n_fixed,
+           CAST(CASE WHEN s0 <> s8 THEN 1 ELSE 0 END AS BIGINT) AS changed
+         FROM m8 ORDER BY doc_id""",
 
     // paragraph dedup: q45's recut + injections, CCNet keep-first —
     // keeper = row_number 1 over (doc_id, ci) per normalized line.
@@ -2381,65 +2640,26 @@ object SparkEntry {
     // hamming<=3 pairs (the banded Spark path equals brute force —
     // pinned by PipelineSpec — so the oracle checks the VALUES).
     "q24_simhash_pairs" ->
-      """WITH consts AS (
-           SELECT CAST(11400714819323198485 AS HUGEINT) AS h0,
-                  CAST(13787848793156543929 AS HUGEINT) AS c1,
-                  CAST(10723151780598845931 AS HUGEINT) AS c2,
-                  CAST(18446744073709551616 AS HUGEINT) AS p64,
-                  CAST(4294967296 AS HUGEINT) AS p32),
-         toks AS (
-           SELECT doc_id, unnest(list_filter(
-             regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS tok
-           FROM documents),
-         jh AS (
-           SELECT doc_id, tok,
-             list_reduce(
-               list_prepend(CAST(0 AS HUGEINT),
-                 list_transform(generate_series(1, length(tok)),
-                   i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
-               (acc, c) -> (acc * 31 + c) % 4294967296) AS h32u
-           FROM toks),
-         ph AS (
-           SELECT doc_id, tok, c.*,
-             CASE WHEN h32u >= 2147483648 THEN h32u - 4294967296 + p64
-                  ELSE h32u END AS p
-           FROM jh, consts c),
-         r1 AS (SELECT *, xor(h0, ((20906 % p32) * c1 +
-             ((((20906 // p32) * c1) % p32) * p32)) % p64) AS z0 FROM ph),
-         r1b AS (SELECT *, ((xor(z0, z0 // 1073741824) % p32) * c1 +
-             ((((xor(z0, z0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
-             AS z1 FROM r1),
-         r1c AS (SELECT *, ((xor(z1, z1 // 134217728) % p32) * c2 +
-             ((((xor(z1, z1 // 134217728) // p32) * c2) % p32) * p32)) % p64
-             AS z2 FROM r1b),
-         r1d AS (SELECT *, xor(z2, z2 // 2147483648) AS h1 FROM r1c),
-         r2 AS (SELECT *, xor(h1, ((p % p32) * c1 +
-             ((((p // p32) * c1) % p32) * p32)) % p64) AS y0 FROM r1d),
-         r2b AS (SELECT *, ((xor(y0, y0 // 1073741824) % p32) * c1 +
-             ((((xor(y0, y0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
-             AS y1 FROM r2),
-         r2c AS (SELECT *, ((xor(y1, y1 // 134217728) % p32) * c2 +
-             ((((xor(y1, y1 // 134217728) // p32) * c2) % p32) * p32)) % p64
-             AS y2 FROM r2b),
-         tokh AS (SELECT doc_id, xor(y2, y2 // 2147483648) AS th FROM r2c),
-         bits AS (
-           SELECT doc_id, b.b,
-             SUM(CASE WHEN th // power(2, b.b)::HUGEINT % 2 = 1
-                 THEN 1 ELSE -1 END) AS acc
-           FROM tokh, (SELECT unnest(generate_series(0, 63)) AS b) b
-           GROUP BY doc_id, b.b),
-         sims AS (
-           SELECT doc_id,
-             SUM(CASE WHEN acc > 0 THEN power(2, b)::HUGEINT ELSE 0 END)
-               AS simu
-           FROM bits GROUP BY doc_id),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(bit_count(CAST(xor(a.simu, b.simu) AS UBIGINT))
-               AS INTEGER) AS dist
-           FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
+      ("WITH " + simhashCtes + """
          SELECT id_a, id_b, dist FROM pairs WHERE dist <= 3
-         ORDER BY id_a, id_b""",
+         ORDER BY id_a, id_b"""),
+    // the simhash pairs applied as corpus dedup -- q55's recursive
+    // reachability closure over the hamming<=3 pair graph: every doc
+    // transitively connected to a smaller doc_id is a loser, survivors
+    // are NOT IN losers (= keep the min id per cluster).
+    "q66_simhash_dedup" ->
+      ("WITH RECURSIVE " + simhashCtes + """,
+         prs AS (SELECT id_a, id_b FROM pairs WHERE dist <= 3),
+         ed AS (SELECT id_a AS a, id_b AS b FROM prs
+                UNION SELECT id_b, id_a FROM prs),
+         reach AS (
+           SELECT a AS node, b AS lbl FROM ed WHERE b < a
+           UNION
+           SELECT e.a AS node, r.lbl FROM ed e
+             JOIN reach r ON r.node = e.b WHERE r.lbl < e.a)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT DISTINCT node FROM reach)
+         ORDER BY doc_id"""),
     // The ewm recurrence replicated with IDENTICAL floating-point op
     // order: list_reduce over each ordered prefix runs the exact
     // x + (1-α)·acc sequence the Scala UDF runs (explicit ::DOUBLE casts

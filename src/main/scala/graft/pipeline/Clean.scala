@@ -196,4 +196,96 @@ object Clean {
         (col("_bdom").isNull && col("flag_badword") === 0)
           .cast("long").as("keep"))
   }
+
+  /** ftfy/CCNet-style text normalization — the projection every raw
+    * web-text document passes through before any other gate:
+    *
+    *   1. Unicode NFC (combining sequences → precomposed; native
+    *      codegen'd expression, [[graft.urlops.NfcNormalize]]),
+    *   2. CRLF → LF,
+    *   3. strip C0 control chars except `\n`/`\t` (and DEL 0x7F),
+    *   4. strip zero-width/format chars (ZWSP..ZWJ, BOM/ZWNBSP,
+    *      soft hyphen),
+    *   5. collapse horizontal-whitespace runs to one space and trim
+    *      outer spaces.
+    *
+    * Returns (doc_id, text_norm, n_chars_before, n_chars_after,
+    * n_ctl_removed, n_zw_removed, changed) — counts as longs, `changed`
+    * a 0/1 long. Every step is an RE2-compatible regex or a native
+    * expression, so a DuckDB oracle replays the chain verbatim
+    * (`nfc_normalize` + `regexp_replace(..., 'g')`).
+    *
+    * Scale shape: ONE codegen'd projection — no shuffle, no UDF, no
+    * explode; at 100 TB this is scan-bound like c4LineFilters. */
+  def normalizeText(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val ctlPat = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
+    val zwPat = "[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]"
+    val t0 = coalesce(text, lit(""))
+    val nfc = graft.urlops.UrlFunctions.nfc_normalize(t0)
+    val s1 = regexp_replace(nfc, "\\r\\n", "\n")
+    val s2 = regexp_replace(s1, ctlPat, "")
+    val s3 = regexp_replace(s2, zwPat, "")
+    val s4 = trim(regexp_replace(s3, "[ \\t]+", " "))
+    df.select(
+      id.as("doc_id"),
+      s4.as("text_norm"),
+      length(t0).cast("long").as("n_chars_before"),
+      length(s4).cast("long").as("n_chars_after"),
+      (length(s1) - length(s2)).cast("long").as("n_ctl_removed"),
+      (length(s2) - length(s3)).cast("long").as("n_zw_removed"),
+      (t0 =!= s4).cast("long").as("changed"))
+  }
+
+  /** The mojibake repair table: UTF-8 byte sequences of common
+    * punctuation/accents mis-decoded as CP1252 (the classic "â€™"
+    * family — ftfy's highest-frequency fixes), each mapped back to the
+    * intended character. Extensible; entries are literal replaces, so a
+    * DuckDB oracle replays them with chr()-built `replace` chains.
+    *
+    * Ordering matters once per pass: the ldquo fix ("â€œ"
+    * -> U+201C) can butt a preceding "â€" against its output
+    * and form the ndash source "â€“" — which the LATER
+    * ndash entry then repairs in the same pass. With that order, and
+    * with the nbsp mojibake mapped to a plain space (never U+00A0,
+    * which would let a preceding "Â" re-form its own source), one
+    * pass is a fixpoint: no fix output ever starts a remaining source
+    * sequence. Pinned by the idempotence spec. */
+  val mojibakeFixes: Seq[(String, String)] = Seq(
+    "\u00E2\u20AC\u2122" -> "\u2019", // -> right single quote
+    "\u00E2\u20AC\u0153" -> "\u201C", // -> left double quote
+    "\u00E2\u20AC\u201C" -> "\u2013", // -> en dash
+    "\u00E2\u20AC\u201D" -> "\u2014", // -> em dash
+    "\u00E2\u20AC\u00A6" -> "\u2026", // -> ellipsis
+    "\u00C3\u00A9" -> "\u00E9",       // -> e acute
+    "\u00C3\u00BC" -> "\u00FC",       // -> u umlaut
+    "\u00C2\u00A0" -> " ")            // nbsp mojibake -> plain space
+
+  /** Encoding repair (ftfy-style): undo the CP1252 mis-decode of UTF-8
+    * punctuation and accents — the other half of [[normalizeText]]'s
+    * cleanup, run on every raw web document before quality gates.
+    *
+    * Returns (doc_id, text_fixed, n_fixed, changed): n_fixed counts
+    * replacement events (per-stage length delta over the chars each
+    * fix saves — literal replaces never overlap), changed a 0/1 long.
+    *
+    * Scale shape: ONE codegen'd projection of chained literal
+    * `replace`s — no regex, no UDF, no shuffle; scan-bound at 100 TB
+    * like the rest of the per-document gate family. */
+  def fixMojibake(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val t0 = coalesce(text, lit(""))
+    val (fixed, nFixed) = mojibakeFixes.foldLeft((t0, lit(0L))) {
+      case ((cur, n), (bad, good)) =>
+        val next = replace(cur, lit(bad), lit(good))
+        val saved = bad.length - good.length
+        // the delta is an exact multiple of `saved`; double division of
+        // exact small ints is exact, the cast back is lossless
+        (next, n + ((length(cur) - length(next)).cast("double") /
+          lit(saved.toDouble)).cast("long"))
+    }
+    df.select(
+      id.as("doc_id"),
+      fixed.as("text_fixed"),
+      nFixed.as("n_fixed"),
+      (t0 =!= fixed).cast("long").as("changed"))
+  }
 }

@@ -630,6 +630,65 @@ object TextAnalysis {
         col("_s").cast("double").as("nb_llr"),
         (col("_s") > 0).cast("long").as("keep"))
   }
+
+  // --- per-source distribution divergence ---------------------------------------
+
+  /** Per-source unigram-distribution divergence vs the whole corpus —
+    * the drift diagnostic a mixing run (q44) reads to see which source
+    * is lexically far from the blend it's entering:
+    *
+    *   kl  = Σ_t p_s(t) · ln(p_s(t)/p_c(t))        (over tokens in s)
+    *   tvd = ½ Σ_t |p_s(t) − p_c(t)|               (over ALL tokens)
+    *
+    * The absent-token half of tvd needs no outer join: for tokens the
+    * source lacks, |0 − p_c| sums to 1 − Σ_present p_c.
+    *
+    * Cross-engine determinism (the q44/q56 pattern): every per-token
+    * term is a pinned chain of single IEEE double ops on exact-integer
+    * inputs (counts < 2^53), rounded to 12 dp and summed as
+    * DECIMAL(38,18) — exact and order-free, so Spark's partial-agg
+    * order can never change a bit vs the oracle's window sum. ln rides
+    * the same 1-ulp-tolerant rounding contract as q56's llr.
+    *
+    * Shape at 10^9 docs: explode → per-(source,token) hash agg with
+    * map-side partials; the corpus marginal, per-source totals, and the
+    * grand total all re-aggregate THAT vocab-sized result (its exchange
+    * canonicalizes identically under every branch → one corpus scan,
+    * ReusedExchange for the rest); totals join back broadcast. No
+    * corpus-sized shuffle anywhere — every exchange after the first
+    * carries |vocab| rows.
+    *
+    * Returns (source, n_tokens, n_vocab, kl, tvd) rounded to 6 dp. */
+  def sourceDivergence(df: DataFrame, source: Column, text: Column)
+      : DataFrame = {
+    val st = df
+      .select(coalesce(source, lit("")).as("source"),
+        explode(tokensWs(text)).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val ct = st.groupBy(col("token")).agg(sum(col("cnt")).as("ccnt"))
+    val tots = st.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("tot_s"), count(lit(1)).as("n_vocab"))
+    val tot = st.agg(sum(col("cnt")).as("tot_c"))
+    val ps = col("cnt").cast("double") / col("tot_s").cast("double")
+    val pc = col("ccnt").cast("double") / col("tot_c").cast("double")
+    def term(c: Column): Column =
+      round(c, 12).cast("decimal(38,18)")
+    val sums = st
+      .join(ct, Seq("token"))
+      .join(broadcast(tots), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(
+        sum(term(ps * log(ps / pc))).as("_kl"),
+        sum(term(abs(ps - pc))).as("_abs"),
+        sum(term(pc)).as("_pc"))
+    sums.join(broadcast(tots), Seq("source"))
+      .select(col("source"), col("tot_s").as("n_tokens"), col("n_vocab"),
+        round(col("_kl").cast("double"), 6).as("kl"),
+        round(lit(0.5) * (col("_abs").cast("double") +
+          (lit(1.0) - col("_pc").cast("double"))), 6).as("tvd"))
+  }
 }
 
 /** floorMod(Java String.hashCode, buckets) as a native codegen

@@ -31,6 +31,14 @@ object UrlStatics {
     UTF8String.fromString(UrlOps.urlQuery(u.toString))
   def urlHost(u: UTF8String): UTF8String =
     UTF8String.fromString(UrlOps.host(u.toString))
+  /** Unicode NFC normalization (UAX #15, java.text.Normalizer). Not a
+    * URL op, but it rides the same codegen plumbing: Spark has no
+    * built-in unicode-normalize, and a Scala UDF here would put a
+    * ScalaUDF boundary in the corpus-cleaning hot path (every document
+    * flows through text normalization before any other gate). */
+  def nfcNormalize(u: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      u.toString, java.text.Normalizer.Form.NFC))
 }
 
 abstract class UrlStringExpression extends UnaryExpression
@@ -111,6 +119,16 @@ case class UrlHost(child: Expression) extends UrlStringExpression {
       : UrlHost = copy(child = newChild)
 }
 
+/** Unicode NFC normalization as a native expression (the cleaning
+  * pipeline's first projection; see UrlStatics.nfcNormalize). */
+case class NfcNormalize(child: Expression) extends UrlStringExpression {
+  override def staticMethod: String = "nfcNormalize"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlStatics.nfcNormalize(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression)
+      : NfcNormalize = copy(child = newChild)
+}
+
 /** Registration: either per-session (registerNative) or globally via
   * `spark.sql.extensions=graft.urlops.GraftExtensions`.
   */
@@ -131,7 +149,9 @@ object NativeExpressions {
       ("url_query_native", "query component of a url",
         es => UrlQuery(es.head)),
       ("url_host_native", "host of a url",
-        es => UrlHost(es.head)))
+        es => UrlHost(es.head)),
+      ("nfc_normalize_native", "unicode NFC normalization of a string",
+        es => NfcNormalize(es.head)))
 
   def registerNative(spark: SparkSession): Unit =
     functions.foreach { case (name, usage, builder) =>

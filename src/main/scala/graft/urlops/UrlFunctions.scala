@@ -45,6 +45,10 @@ object UrlFunctions {
   def url_path(c: Column): Column = ncol(UrlPath(nexpr(c)))
   def url_query(c: Column): Column = ncol(UrlQuery(nexpr(c)))
 
+  /** Unicode NFC normalization (native codegen'd expression — Spark has
+    * no built-in; DuckDB oracles replay it via `nfc_normalize`). */
+  def nfc_normalize(c: Column): Column = ncol(NfcNormalize(nexpr(c)))
+
   /** sha1 hex fingerprint of a GET request with no body and no login state
     * (dd_crawler/dupefilter.py:14-21). Built on the UDF canonicalizer but
     * hashing with Spark's codegen'd sha1.

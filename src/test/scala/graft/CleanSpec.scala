@@ -437,4 +437,213 @@ class CleanSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("ScalaUDF") && !plan.contains("Generate"),
       s"quality rules must stay a codegen projection:\n$plan")
   }
+
+  // --- text normalization (q65) -------------------------------------------------
+
+  test("normalizeText: NFC composes combining sequences, controls and " +
+       "zero-width chars strip, CRLF folds to LF, whitespace collapses") {
+    val docs = Seq(
+      (1L, "cafe\u0301 and nai\u0308ve"), // NFC: e+comb -> one cp
+      (2L, "a\u0001b\u0002c"),          // C0 controls
+      (3L, "zero\u200Bwidth\u200D joiner\uFEFF soft\u00ADhyphen"),
+      (4L, "line one\r\nline two\rstray"), // CRLF->LF, lone CR strips
+      (5L, "  lots   of\t\t spaces \t"),   // collapse + trim
+      (6L, "already clean"),
+      (7L, null: String)
+    ).toDF("doc_id", "text")
+    val got = Clean.normalizeText(docs, $"doc_id", $"text")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // NFC shrinks the 2 combining sequences by one codepoint each
+    assert(got(1L)._2 == "caf\u00E9 and na\u00EFve")
+    assert(got(1L)._3 == 16L && got(1L)._4 == 14L && got(1L)._7 == 1L)
+    assert(got(2L)._2 == "abc" && got(2L)._5 == 2L)
+    assert(got(3L)._2 == "zerowidth joiner softhyphen" && got(3L)._6 == 4L)
+    assert(got(4L)._2 == "line one\nline twostray" && got(4L)._5 == 1L)
+    assert(got(5L)._2 == "lots of spaces")
+    assert(got(6L)._2 == "already clean" && got(6L)._7 == 0L)
+    assert(got(7L)._2 == "" && got(7L)._3 == 0L && got(7L)._7 == 0L)
+    // count columns never overlap: ctl counts exclude zw and vice versa
+    assert(got(2L)._6 == 0L && got(3L)._5 == 0L)
+  }
+
+  test("normalizeText matches java.text.Normalizer row-wise on the " +
+       "documents table with q65's injections (native expr == library)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("t0", concat($"text",
+        when($"doc_id" % 3 === 0, lit(" cafe\u0301 nai\u0308ve"))
+          .otherwise(lit("")),
+        when($"doc_id" % 4 === 0, lit("\u0007bad\u200Bctl\u000B"))
+          .otherwise(lit(""))))
+    val got = Clean.normalizeText(docs, $"doc_id", $"t0")
+      .select($"doc_id", $"text_norm").as[(Long, String)].collect().toMap
+    val raw = docs.select($"doc_id", $"t0").as[(Long, String)]
+      .collect().toMap
+    raw.foreach { case (id, t0) =>
+      val s1 = java.text.Normalizer.normalize(t0,
+        java.text.Normalizer.Form.NFC).replace("\r\n", "\n")
+      val s2 = s1.replaceAll("[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+      val s3 = s2.replaceAll("[\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]", "")
+      val s4 = s3.replaceAll("[ \\t]+", " ")
+        .replaceAll("^ +| +$", "")
+      assert(got(id) == s4, s"doc $id")
+    }
+    assert(raw.nonEmpty)
+  }
+
+  test("normalizeText plan is one codegen'd projection: zero exchanges, " +
+       "no UDF (NfcNormalize is a native expression), no explode") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Clean.normalizeText(df, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"normalizeText must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Generate"),
+      s"normalizeText must stay a codegen projection:\n$plan")
+    assert(plan.toLowerCase.contains("nfcnormalize"),
+      s"the native NFC expression must be in the plan:\n$plan")
+  }
+
+  // --- per-source divergence (q67) ----------------------------------------------
+
+  test("sourceDivergence hand fixture: KL and TVD match the exact " +
+       "closed-form values; a source that IS the corpus scores 0") {
+    val docs = Seq(
+      ("a", "x x x y"),      // a: x=3 y=1 (tot 4)
+      ("b", "x y y y")       // b: x=1 y=3 (tot 4); corpus: x=4 y=4
+    ).toDF("source", "text")
+    val got = graft.pipeline.TextAnalysis
+      .sourceDivergence(docs, $"source", $"text")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // p_a = (.75,.25), p_b = (.25,.75), p_c = (.5,.5)
+    val kl = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+    val tvd = 0.5 * (math.abs(0.75 - 0.5) + math.abs(0.25 - 0.5))
+    assert(got("a")._2 == 4L && got("a")._3 == 2L)
+    assert(math.abs(got("a")._4 - kl) < 1e-6)
+    assert(math.abs(got("a")._5 - tvd) < 1e-6)
+    // symmetric counts -> identical divergence for b
+    assert(got("b")._4 == got("a")._4 && got("b")._5 == got("a")._5)
+    val same = Seq(("a", "x y"), ("b", "x y"), ("b", "y x"))
+      .toDF("source", "text")
+    val z = graft.pipeline.TextAnalysis
+      .sourceDivergence(same, $"source", $"text")
+      .as[(String, Long, Long, Double, Double)].collect()
+    z.foreach { r => assert(r._4 == 0.0 && r._5 == 0.0, r) }
+  }
+
+  test("sourceDivergence: absent-token TVD correction equals the " +
+       "explicit full-grid reference on the documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = graft.pipeline.TextAnalysis
+      .sourceDivergence(docs, $"source", $"text")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    // reference: the full source x vocab grid, |p_s - p_c| summed over
+    // EVERY corpus token, absent ones included
+    val toks = docs.select($"source", explode(
+        graft.pipeline.TextAnalysis.tokensWs($"text")).as("token"))
+    val st = toks.groupBy("source", "token").count()
+      .as[(String, String, Long)].collect()
+    val bySrc = st.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(r => r._2 -> r._3).toMap }
+    val corpus = st.groupBy(_._2).map { case (t, rows) =>
+      t -> rows.map(_._3).sum }
+    val totC = corpus.values.sum.toDouble
+    bySrc.foreach { case (s, m) =>
+      val totS = m.values.sum.toDouble
+      // .iterator: corpus.keys is a Set — mapping a Set would collapse
+      // equal |ps-pc| values before the sum
+      val full = corpus.keys.iterator.map { t =>
+        math.abs(m.getOrElse(t, 0L) / totS - corpus(t) / totC)
+      }.sum * 0.5
+      assert(math.abs(got(s) - full) < 1e-5, s"source $s")
+    }
+    // the correction path must really run: some source misses a token
+    assert(bySrc.exists { case (_, m) => corpus.size > m.size },
+      "fixture must exercise absent tokens in at least one source")
+  }
+
+  test("sourceDivergence plan: ONE corpus scan — the corpus marginal, " +
+       "per-source totals and grand total all reuse the (source,token) " +
+       "aggregate's exchange; totals join back broadcast") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.pipeline.TextAnalysis
+      .sourceDivergence(df, $"source", $"text")
+    out.collect() // materialize so AQE's final plan (incl. stage reuse) prints
+    val plan = out.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"),
+      s"the vocab-sized aggregate must be shared via ReusedExchange:\n$finalPlan")
+    val textScans = "ReadSchema: struct<text:string,source:string>".r
+      .findAllIn(finalPlan).length
+    assert(textScans == 1,
+      s"the corpus text must be scanned exactly once, got $textScans:\n$finalPlan")
+    assert(finalPlan.contains("BroadcastExchange"),
+      s"totals must broadcast, never shuffle the term stream:\n$finalPlan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+  }
+
+  // --- mojibake repair (q68) ----------------------------------------------------
+
+  test("fixMojibake repairs each table entry, counts fixes, and applies " +
+       "the chain in order (a fix can form the next source)") {
+    val docs = Seq(
+      (1L, "it\u00E2\u20AC\u2122s fine"),
+      (2L, "\u00E2\u20AC\u0153q\u00E2\u20AC\u201D"),
+      (3L, "caf\u00C3\u00A9 m\u00C3\u00BCnchen"),
+      (4L, "a\u00C2\u00A0b"),
+      // ldquo fix butts the leading mojibake prefix against its output
+      // and forms the ndash source, which the later stage repairs
+      (5L, "x\u00E2\u20AC\u00E2\u20AC\u0153y"),
+      // the nbsp fix consumes the second A-circumflex's pair; the
+      // leftover one sits before a PLAIN space (never a new source)
+      (6L, "\u00C2\u00C2\u00A0z"),
+      (7L, "dash\u00E2\u20AC\u201Cline\u00E2\u20AC\u00A6"),
+      (8L, "clean text"),
+      (9L, null: String)
+    ).toDF("doc_id", "text")
+    val got = Clean.fixMojibake(docs, $"doc_id", $"text")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "it\u2019s fine", 1L, 1L)))
+    assert(got(2L) == ((2L, "\u201Cq\u2014", 2L, 1L)))
+    assert(got(3L) == ((3L, "caf\u00E9 m\u00FCnchen", 2L, 1L)))
+    assert(got(4L) == ((4L, "a b", 1L, 1L)))
+    assert(got(5L) == ((5L, "x\u2013y", 2L, 1L)))
+    assert(got(6L) == ((6L, "\u00C2 z", 1L, 1L)))
+    assert(got(7L) == ((7L, "dash\u2013line\u2026", 2L, 1L)))
+    assert(got(8L) == ((8L, "clean text", 0L, 0L)))
+    assert(got(9L) == ((9L, "", 0L, 0L)))
+  }
+
+  test("fixMojibake is a fixpoint in one pass: re-running over the " +
+       "injected documents table changes nothing (ordering contract)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("t0", concat($"text",
+        when($"doc_id" % 3 === 0,
+          lit(" it\u00E2\u20AC\u2122s \u00E2\u20AC\u0153q\u00E2\u20AC\u00A6"))
+          .otherwise(lit("")),
+        when($"doc_id" % 7 === 0, lit(" x\u00E2\u20AC\u00E2\u20AC\u0153y"))
+          .otherwise(lit(""))))
+    val once = Clean.fixMojibake(docs, $"doc_id", $"t0")
+    val twice = Clean.fixMojibake(once, $"doc_id", $"text_fixed")
+      .select($"doc_id", $"text_fixed", $"n_fixed", $"changed")
+    val diff = twice.filter($"n_fixed" =!= 0L || $"changed" =!= 0L).count()
+    assert(diff == 0L, "second pass must be a no-op")
+    assert(once.filter($"n_fixed" > 0L).count() > 0L,
+      "fixture must exercise real fixes")
+  }
+
+  test("fixMojibake plan is one codegen'd projection of literal " +
+       "replaces: zero exchanges, no UDF, no regex, no explode") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Clean.fixMojibake(df, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"fixMojibake must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Generate"),
+      s"fixMojibake must stay a codegen projection:\n$plan")
+    assert(!plan.toLowerCase.contains("regexp"),
+      s"literal replaces only \u2014 no regex engine in the hot path:\n$plan")
+  }
 }

@@ -411,6 +411,22 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(losers.nonEmpty, "fixture must exercise real near-dup drops")
   }
 
+  test("q66 composition: simhash pairs applied as corpus dedup equal " +
+       "the union-find reference (keep min id per cluster) on sf0.001") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.simhashPairs(docs, $"doc_id", $"text", maxDist = 3)
+      .localCheckpoint(true)
+    val edges = pairs.select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSeq
+    val comp = bruteComponents(edges)
+    val losers = comp.collect { case (n, c) if n != c => n }.toSet
+    val allIds = docs.select($"doc_id").as[Long].collect().toSet
+    val kept = Dedup.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (allIds -- losers))
+    assert(losers.nonEmpty, "fixture must exercise real near-dup drops")
+  }
+
   // --- Gopher-style repetition rules -----------------------------------------
 
   test("ngramRepetition: known counts on constructed docs") {
