@@ -52,7 +52,8 @@ object Bench {
     "q58_gopher_quality", "q59_span_dedup", "q60_sequence_pack",
     "q61_domain_cap", "q62_corpus_pipeline", "q63_paragraph_dedup",
     "q64_dup_lines", "q65_text_normalize", "q66_simhash_dedup",
-    "q67_source_divergence", "q68_fix_mojibake")
+    "q67_source_divergence", "q68_fix_mojibake", "q69_jaccard_dedup",
+    "q70_embedding_dedup", "q71_hygiene_pipeline")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()
@@ -282,11 +283,30 @@ object Bench {
     val (ts, removed) = time(
       Dedup.spanDedup(docs, $"doc_id", $"text", k = 10)
         .agg(coalesce(sum($"n_removed"), lit(0L))).as[Long].head())
+    // the raw-text hygiene chain (mojibake repair -> normalization) at
+    // the same 1M-doc scale; every fix-table entry injected every 3rd
+    // doc so the replaces and the NFC expression do real work
+    val moji = graft.pipeline.Clean.mojibakeFixes.map(_._1)
+      .mkString(" ", " ", "")
+    val aug = docs.withColumn("t0", concat($"text",
+      when($"doc_id" % 3 === 0, lit(moji)).otherwise(lit(""))))
+    val (tn, nChanged) = time(
+      graft.pipeline.Clean.normalizeText(
+          graft.pipeline.Clean.fixMojibake(aug, $"doc_id", $"t0"),
+          $"doc_id", $"text_fixed")
+        .agg(coalesce(sum($"changed"), lit(0L))).as[Long].head())
+    // per-source divergence: the one corpus-explode + vocab-sized aggs
+    // shape at 1M docs across the synth corpus's 64 sources
+    val (td, nSrc) = time(
+      TextAnalysis.sourceDivergence(docs, $"source", $"text").count())
     s"""{"docs":$nDocs,"quality_sec":${fmt(tq)},"quality_kept":$kept,""" +
       s""""pack_sec":${fmt(tp)},"pack_slices":$slices,""" +
       s""""cap_sec":${fmt(tc)},"cap_rows":$capped,""" +
       s""""span_sec":${fmt(ts)},"span_removed_tokens":$removed,""" +
+      s""""norm_sec":${fmt(tn)},"norm_changed":$nChanged,""" +
+      s""""divergence_sec":${fmt(td)},"divergence_sources":$nSrc,""" +
       s""""docs_per_sec_quality":${fmt(nDocs / tq)},""" +
+      s""""docs_per_sec_norm":${fmt(nDocs / tn)},""" +
       s""""docs_per_sec_span":${fmt(nDocs / ts)}}"""
   }
 

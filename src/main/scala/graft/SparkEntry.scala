@@ -252,6 +252,22 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // --- the n-gram Jaccard pairs APPLIED as corpus dedup (the q55/q66
+    // shape for the q16 pair family, at the discriminative 3-gram
+    // setting): cluster the jaccard>=0.7 graph, keep the min doc_id
+    // per cluster. (q16 demonstrates the unigram pair variant; at the
+    // unigram setting this corpus is so word-overlapping that dedup
+    // would collapse it — 3-gram shingles are the realistic config.) ----------
+    "q69_jaccard_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text",
+        shingleK = 3, threshold = 0.7, maxShingleDf = 400)
+      Dedup.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
+        .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
     // --- ANN: brute-force cosine top-k vs a fixed query vector -------------------------
     "q17_embedding_topk" -> ((s, dir) => {
       import s.implicits._
@@ -579,6 +595,33 @@ object SparkEntry {
           when($"doc_id" % 7 === 0, lit(
             " x\u00E2\u20AC\u00E2\u20AC\u0153y")).otherwise(lit(""))))
       Clean.fixMojibake(aug, $"doc_id", $"t0").orderBy($"doc_id")
+    }),
+
+    // --- the composed HYGIENE pipeline (CCNet order): mojibake repair
+    // -> unicode/whitespace normalization -> PII redaction -> PII-free
+    // keep gate, as one Dataset chain of the library's own operators.
+    // The injections make the ORDER itself value-checked: the %4 email
+    // carries a zero-width space (PII-invisible until normalizeText
+    // strips it) and the %4 phone is spaced with mojibake nbsp
+    // (PII-invisible until fixMojibake repairs it) — the whole chain is
+    // still ONE codegen'd projection, zero shuffles. --------------------------
+    "q71_hygiene_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").withColumn("t0",
+        concat($"text",
+          when($"doc_id" % 3 === 0, lit(MOJI3)).otherwise(lit("")),
+          when($"doc_id" % 4 === 0, concat(
+            lit(" mail user"), $"doc_id".cast("string"), lit(MOJI4A),
+            lit(" tel 555"), lit(MOJI4B), lit("867"), lit(MOJI4B),
+            lit("5309"))).otherwise(lit("")),
+          when($"doc_id" % 5 === 0, lit("  double  spaced "))
+            .otherwise(lit(""))))
+      val fx = Clean.fixMojibake(aug, $"doc_id", $"t0")
+      val nm = Clean.normalizeText(fx, $"doc_id", $"text_fixed")
+      val pi = graft.pipeline.Privacy.redactPii(nm, $"doc_id", $"text_norm")
+      pi.withColumn("n_pii", $"n_emails" + $"n_ips" + $"n_phones")
+        .withColumn("keep", ($"n_pii" === 0).cast("long"))
+        .orderBy($"doc_id")
     }),
 
     // --- CCNet exact paragraph dedup: the q45 recut + the same
@@ -998,6 +1041,19 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // --- the embedding near-dup pairs APPLIED as dedup (completes the
+    // pairs->dedup story for all four near-dup families): cluster the
+    // cos>=0.35 graph, keep the min vec_id per cluster with its label. ---------
+    "q70_embedding_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.embeddingCosinePairs(emb, $"vec_id",
+        $"embedding", threshold = 0.35, nBits = 8, nBands = 4)
+      Dedup.dedupByCluster(emb, "vec_id", pairs, "id_a", "id_b")
+        .select($"vec_id", $"label")
+        .orderBy($"vec_id")
+    }),
+
     // A11 EWM: pandas ewm(span=10).mean() parity over the hourly RPM
     // series (response_stats.py:84) — the adjust=true recurrence
     // N_t = x_t + (1-α)N_{t-1}, D_t = 1 + (1-α)D_{t-1}, y = N/D.
@@ -1014,11 +1070,11 @@ object SparkEntry {
     })
   )
 
-  /** The q23 MinHash-LSH CTE chain (shingle → signature → bands →
-    * candidate join → exact-Jaccard verify), shared by q23 (the pairs)
-    * and q55 (the pairs applied as corpus dedup). No WITH prefix: q23
-    * uses plain WITH, q55 WITH RECURSIVE (for the component closure). */
-  private val minhashCtes: String = 
+  /** The q23 3-gram shingle-hash chain (tokenize, Java-hashCode word
+    * hashes, splitmix-mixed k-gram shingles, per-doc distinct shingle
+    * lists) — the shared foundation of the q23 MinHash oracle and the
+    * q69 brute-force Jaccard oracle. No WITH prefix. */
+  private val shingleCtes: String =
     """consts AS (
            SELECT CAST(11400714819323198485 AS HUGEINT) AS h0,
                   CAST(13787848793156543929 AS HUGEINT) AS c1,
@@ -1066,6 +1122,15 @@ object SparkEntry {
              AS y2 FROM s2b),
          shing AS (SELECT DISTINCT doc_id, xor(y2, y2 // 2147483648) AS sh
            FROM s2c),
+         shs AS (SELECT doc_id, list(sh) AS shl FROM shing GROUP BY doc_id)"""
+
+  /** The q23 MinHash-LSH CTE chain (the shingle chain + permutation
+    * minima, banding, candidate join, exact-Jaccard verify), shared by
+    * q23 (the pairs) and q55 (the pairs applied as corpus dedup). No
+    * WITH prefix: q23 uses plain WITH, q55 WITH RECURSIVE (for the
+    * component closure). */
+  private val minhashCtes: String =
+    shingleCtes + """,
          perm AS (
            SELECT doc_id, sh, i.i, c.*
            FROM shing, (SELECT unnest(generate_series(0, 31)) AS i) i,
@@ -1102,7 +1167,6 @@ object SparkEntry {
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bandk a JOIN bandk b ON a.band = b.band AND a.bkey = b.bkey
             AND a.doc_id < b.doc_id),
-         shs AS (SELECT doc_id, list(sh) AS shl FROM shing GROUP BY doc_id),
          veri AS (
            SELECT id_a, id_b,
              CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE) /
@@ -1173,6 +1237,128 @@ object SparkEntry {
              CAST(bit_count(CAST(xor(a.simu, b.simu) AS UBIGINT))
                AS INTEGER) AS dist
            FROM sims a JOIN sims b ON a.doc_id < b.doc_id)"""
+
+  /** The q68 8-stage mojibake replace chain as SQL CTEs (reads a
+    * prior CTE exposing (doc_id, s0); exposes s1..s8). Shared by q68
+    * and the q71 composed hygiene pipeline. */
+  // q71 injection pieces: mojibake quotes/ellipsis, a zero-width space
+  // inside the email local part, and mojibake-nbsp phone separators
+  private val MOJI3 = " it\u00E2\u20AC\u2122s fine\u00E2\u20AC\u00A6"
+  private val MOJI4A = "\u200B@example.com"
+  private val MOJI4B = "\u00C2\u00A0"
+
+  private val mojibakeSqlChain: String =
+    """         m1 AS (SELECT doc_id, s0, replace(s0,
+             chr(226)||chr(8364)||chr(8482), chr(8217)) AS s1 FROM aug),
+         m2 AS (SELECT *, replace(s1,
+             chr(226)||chr(8364)||chr(339), chr(8220)) AS s2 FROM m1),
+         m3 AS (SELECT *, replace(s2,
+             chr(226)||chr(8364)||chr(8220), chr(8211)) AS s3 FROM m2),
+         m4 AS (SELECT *, replace(s3,
+             chr(226)||chr(8364)||chr(8221), chr(8212)) AS s4 FROM m3),
+         m5 AS (SELECT *, replace(s4,
+             chr(226)||chr(8364)||chr(166), chr(8230)) AS s5 FROM m4),
+         m6 AS (SELECT *, replace(s5,
+             chr(195)||chr(169), chr(233)) AS s6 FROM m5),
+         m7 AS (SELECT *, replace(s6,
+             chr(195)||chr(188), chr(252)) AS s7 FROM m6),
+         m8 AS (SELECT *, replace(s7,
+             chr(194)||chr(160), ' ') AS s8 FROM m7)"""
+
+
+  /** The q28 hyperplane-LSH CTE chain (plane weights -> sign-bit band
+    * buckets -> bucket-join candidates -> exact-cosine verify), shared
+    * by q28 (the pairs) and q70 (the pairs applied as embedding dedup).
+    * No WITH prefix: q28 uses plain WITH, q70 WITH RECURSIVE. */
+  private val embNeardupCtes: String =
+    """consts AS (
+           SELECT CAST(11400714819323198485 AS HUGEINT) AS h0,
+                  CAST(13787848793156543929 AS HUGEINT) AS c1,
+                  CAST(10723151780598845931 AS HUGEINT) AS c2,
+                  CAST(18446744073709551616 AS HUGEINT) AS p64,
+                  CAST(4294967296 AS HUGEINT) AS p32),
+         dims AS (SELECT unnest(generate_series(0, 63)) AS i),
+         planes AS (
+           SELECT band.band, bit.b, d.i, c.*,
+             CAST(42 + band.band * 1000 + bit.b AS HUGEINT) AS p1
+           FROM (SELECT unnest(generate_series(0, 3)) AS band) band,
+                (SELECT unnest(generate_series(0, 7)) AS b) bit,
+                dims d, consts c),
+         m1 AS (SELECT *, xor(h0, ((p1 % p32) * c1 +
+             ((((p1 // p32) * c1) % p32) * p32)) % p64) AS z0 FROM planes),
+         m1b AS (SELECT *, ((xor(z0, z0 // 1073741824) % p32) * c1 +
+             ((((xor(z0, z0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS z1 FROM m1),
+         m1c AS (SELECT *, ((xor(z1, z1 // 134217728) % p32) * c2 +
+             ((((xor(z1, z1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS z2 FROM m1b),
+         m1d AS (SELECT *, xor(z2, z2 // 2147483648) AS h1 FROM m1c),
+         m2 AS (SELECT *, xor(h1, ((CAST(i AS HUGEINT) % p32) * c1 +
+             ((((CAST(i AS HUGEINT) // p32) * c1) % p32) * p32)) % p64)
+             AS y0 FROM m1d),
+         m2b AS (SELECT *, ((xor(y0, y0 // 1073741824) % p32) * c1 +
+             ((((xor(y0, y0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
+             AS y1 FROM m2),
+         m2c AS (SELECT *, ((xor(y1, y1 // 134217728) % p32) * c2 +
+             ((((xor(y1, y1 // 134217728) // p32) * c2) % p32) * p32)) % p64
+             AS y2 FROM m2b),
+         weights AS (
+           SELECT band, b, i,
+             CAST(CASE WHEN xor(y2, y2 // 2147483648) >= 9223372036854775808
+               THEN xor(y2, y2 // 2147483648) - 18446744073709551616
+               ELSE xor(y2, y2 // 2147483648) END AS DOUBLE)
+               / 9223372036854775807.0 AS w
+           FROM m2c),
+         elems AS (
+           SELECT vec_id, i.i, embedding[i.i + 1]::DOUBLE AS x
+           FROM embeddings, dims i),
+         dots AS (
+           SELECT e.vec_id, w.band, w.b, sum(e.x * w.w) AS s
+           FROM elems e JOIN weights w ON e.i = w.i
+           GROUP BY e.vec_id, w.band, w.b),
+         buckets AS (
+           SELECT vec_id, band,
+             SUM(CASE WHEN s >= 0 THEN power(2, b)::BIGINT ELSE 0 END)
+               AS bucket
+           FROM dots GROUP BY vec_id, band),
+         norms AS (
+           SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x),
+               (a, b) -> a + b)) AS nrm
+           FROM embeddings),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM buckets a JOIN buckets b
+             ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id),
+         verified AS (
+           SELECT c.id_a, c.id_b,
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> na.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE),
+               (x, y) -> x + y) / (na.nrm * nb.nrm) AS cos
+           FROM cand c
+           JOIN norms na ON na.vec_id = c.id_a
+           JOIN norms nb ON nb.vec_id = c.id_b)"""
+
+
+  /** The q16 word-Jaccard CTE chain (df-capped inverted index ->
+    * common-count pairs), shared by q16 (the pairs) and q69 (the pairs
+    * applied as corpus dedup). No WITH prefix: q16 uses plain WITH,
+    * q69 WITH RECURSIVE. */
+  private val jaccardCtes: String =
+    """w AS (SELECT doc_id, unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\W+'), x -> x <> ''))) AS word
+           FROM documents),
+         n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM w
+           GROUP BY doc_id),
+         c AS (SELECT doc_id, word FROM (
+             SELECT doc_id, word, count(*) OVER (PARTITION BY word) AS wdf
+             FROM w) t WHERE wdf <= 400),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS common
+           FROM c a JOIN c b ON a.word = b.word AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)"""
+
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1252,23 +1438,35 @@ object SparkEntry {
          CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
     "q16_unigram_jaccard" ->
-      """WITH w AS (SELECT doc_id, unnest(list_distinct(list_filter(
-             string_split_regex(lower(text), '\W+'), x -> x <> ''))) AS word
-           FROM documents),
-         n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM w
-           GROUP BY doc_id),
-         c AS (SELECT doc_id, word FROM (
-             SELECT doc_id, word, count(*) OVER (PARTITION BY word) AS wdf
-             FROM w) t WHERE wdf <= 400),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(count(*) AS BIGINT) AS common
-           FROM c a JOIN c b ON a.word = b.word AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
+      ("WITH " + jaccardCtes + """
          SELECT id_a, id_b,
            round(common * 1.0 / (na.nw + nb.nw - common), 6) AS jaccard
          FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
          WHERE common * 1.0 / (na.nw + nb.nw - common) >= 0.5
-         ORDER BY id_a, id_b""",
+         ORDER BY id_a, id_b"""),
+    // the 3-gram Jaccard pairs applied as corpus dedup: the shared
+    // shingle-hash chain + BRUTE-FORCE pairwise Jaccard (the df cap
+    // never engages at this scale, pinned in sbt, so capped inverted
+    // index == brute force), then the q55/q66 reachability closure.
+    "q69_jaccard_dedup" ->
+      ("WITH RECURSIVE " + shingleCtes + """,
+         pairs AS (
+           SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+             CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE) /
+               (len(sa.shl) + len(sb.shl) -
+                 len(list_intersect(sa.shl, sb.shl))) AS j
+           FROM shs sa JOIN shs sb ON sa.doc_id < sb.doc_id),
+         prs AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.7),
+         ed AS (SELECT id_a AS a, id_b AS b FROM prs
+                UNION SELECT id_b, id_a FROM prs),
+         reach AS (
+           SELECT a AS node, b AS lbl FROM ed WHERE b < a
+           UNION
+           SELECT e.a AS node, r.lbl FROM ed e
+             JOIN reach r ON r.node = e.b WHERE r.lbl < e.a)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT DISTINCT node FROM reach)
+         ORDER BY doc_id"""),
     "q17_embedding_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
            FROM embeddings WHERE vec_id = 0)
@@ -1844,7 +2042,7 @@ object SparkEntry {
     // Stage order matters and is value-checked: the %7 injection's
     // ldquo fix forms the ndash source that stage 3 then repairs.
     "q68_fix_mojibake" ->
-      """WITH aug AS (SELECT doc_id,
+      ("""WITH aug AS (SELECT doc_id,
              coalesce(text, '') ||
              CASE WHEN doc_id % 3 = 0 THEN
                ' it' || chr(226)||chr(8364)||chr(8482) || 's ' ||
@@ -1865,22 +2063,7 @@ object SparkEntry {
                chr(226)||chr(8364)||chr(339) || 'y'
                ELSE '' END AS s0
            FROM documents),
-         m1 AS (SELECT doc_id, s0, replace(s0,
-             chr(226)||chr(8364)||chr(8482), chr(8217)) AS s1 FROM aug),
-         m2 AS (SELECT *, replace(s1,
-             chr(226)||chr(8364)||chr(339), chr(8220)) AS s2 FROM m1),
-         m3 AS (SELECT *, replace(s2,
-             chr(226)||chr(8364)||chr(8220), chr(8211)) AS s3 FROM m2),
-         m4 AS (SELECT *, replace(s3,
-             chr(226)||chr(8364)||chr(8221), chr(8212)) AS s4 FROM m3),
-         m5 AS (SELECT *, replace(s4,
-             chr(226)||chr(8364)||chr(166), chr(8230)) AS s5 FROM m4),
-         m6 AS (SELECT *, replace(s5,
-             chr(195)||chr(169), chr(233)) AS s6 FROM m5),
-         m7 AS (SELECT *, replace(s6,
-             chr(195)||chr(188), chr(252)) AS s7 FROM m6),
-         m8 AS (SELECT *, replace(s7,
-             chr(194)||chr(160), ' ') AS s8 FROM m7)
+""" + mojibakeSqlChain + """
          SELECT doc_id, s8 AS text_fixed,
            CAST((length(s0) - length(s1)) / 2 AS BIGINT) +
            CAST((length(s1) - length(s2)) / 2 AS BIGINT) +
@@ -1891,7 +2074,62 @@ object SparkEntry {
            CAST((length(s6) - length(s7)) / 1 AS BIGINT) +
            CAST((length(s7) - length(s8)) / 1 AS BIGINT) AS n_fixed,
            CAST(CASE WHEN s0 <> s8 THEN 1 ELSE 0 END AS BIGINT) AS changed
-         FROM m8 ORDER BY doc_id""",
+         FROM m8 ORDER BY doc_id"""),
+
+    // the composed hygiene pipeline: the q68 replace chain + the q65
+    // normalize chain + the q40 PII chain, all on q71's own injections
+    // (zw-broken email, mojibake-nbsp phone), replayed as ONE SQL chain
+    // so the stage ORDER is value-checked end to end.
+    "q71_hygiene_pipeline" ->
+      ("""WITH aug AS (SELECT doc_id,
+             coalesce(text, '') ||
+             CASE WHEN doc_id % 3 = 0 THEN
+               ' it' || chr(226)||chr(8364)||chr(8482) || 's fine' ||
+               chr(226)||chr(8364)||chr(166)
+               ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0 THEN
+               ' mail user' || CAST(doc_id AS VARCHAR) || chr(8203) ||
+               '@example.com tel 555' || chr(194)||chr(160) || '867' ||
+               chr(194)||chr(160) || '5309'
+               ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN '  double  spaced '
+               ELSE '' END AS s0
+           FROM documents),
+""" + mojibakeSqlChain + """,
+         n1 AS (SELECT doc_id,
+             regexp_replace(nfc_normalize(s8), '\r\n', chr(10), 'g') AS u1
+           FROM m8),
+         n2 AS (SELECT *, regexp_replace(u1,
+             '[\x00-\x08\x0B-\x1F\x7F]', '', 'g') AS u2 FROM n1),
+         n3 AS (SELECT *, regexp_replace(u2,
+             '[\x{200B}-\x{200D}\x{FEFF}\x{00AD}]', '', 'g') AS u3 FROM n2),
+         n4 AS (SELECT *, trim(regexp_replace(u3, '[ \t]+', ' ', 'g'))
+             AS u4 FROM n3),
+         r1 AS (SELECT doc_id, u4,
+             regexp_replace(u4,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+',
+               '<EMAIL>', 'g') AS v1
+           FROM n4),
+         r2 AS (SELECT *, regexp_replace(v1,
+             '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g') AS v2
+           FROM r1),
+         f AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(u4,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+'))
+               AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(v1,
+               '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ips,
+             CAST(len(regexp_extract_all(v2,
+               '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT)
+               AS n_phones,
+             regexp_replace(v2, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b',
+               '<PHONE>', 'g') AS clean_text
+           FROM r2)
+         SELECT doc_id, n_emails, n_ips, n_phones, clean_text,
+           CAST(n_emails + n_ips + n_phones AS BIGINT) AS n_pii,
+           CAST(CASE WHEN n_emails + n_ips + n_phones = 0 THEN 1 ELSE 0
+             END AS BIGINT) AS keep
+         FROM f ORDER BY doc_id"""),
 
     // paragraph dedup: q45's recut + injections, CCNet keep-first —
     // keeper = row_number 1 over (doc_id, ci) per normalized line.
@@ -2689,76 +2927,24 @@ object SparkEntry {
     // HUGEINT mod-2^64 (same mul64 decomposition as q23/q24), sign-bit
     // buckets per band, bucket-join candidates, exact cosine verify.
     "q28_embedding_neardup" ->
-      """WITH consts AS (
-           SELECT CAST(11400714819323198485 AS HUGEINT) AS h0,
-                  CAST(13787848793156543929 AS HUGEINT) AS c1,
-                  CAST(10723151780598845931 AS HUGEINT) AS c2,
-                  CAST(18446744073709551616 AS HUGEINT) AS p64,
-                  CAST(4294967296 AS HUGEINT) AS p32),
-         dims AS (SELECT unnest(generate_series(0, 63)) AS i),
-         planes AS (
-           SELECT band.band, bit.b, d.i, c.*,
-             CAST(42 + band.band * 1000 + bit.b AS HUGEINT) AS p1
-           FROM (SELECT unnest(generate_series(0, 3)) AS band) band,
-                (SELECT unnest(generate_series(0, 7)) AS b) bit,
-                dims d, consts c),
-         m1 AS (SELECT *, xor(h0, ((p1 % p32) * c1 +
-             ((((p1 // p32) * c1) % p32) * p32)) % p64) AS z0 FROM planes),
-         m1b AS (SELECT *, ((xor(z0, z0 // 1073741824) % p32) * c1 +
-             ((((xor(z0, z0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
-             AS z1 FROM m1),
-         m1c AS (SELECT *, ((xor(z1, z1 // 134217728) % p32) * c2 +
-             ((((xor(z1, z1 // 134217728) // p32) * c2) % p32) * p32)) % p64
-             AS z2 FROM m1b),
-         m1d AS (SELECT *, xor(z2, z2 // 2147483648) AS h1 FROM m1c),
-         m2 AS (SELECT *, xor(h1, ((CAST(i AS HUGEINT) % p32) * c1 +
-             ((((CAST(i AS HUGEINT) // p32) * c1) % p32) * p32)) % p64)
-             AS y0 FROM m1d),
-         m2b AS (SELECT *, ((xor(y0, y0 // 1073741824) % p32) * c1 +
-             ((((xor(y0, y0 // 1073741824) // p32) * c1) % p32) * p32)) % p64
-             AS y1 FROM m2),
-         m2c AS (SELECT *, ((xor(y1, y1 // 134217728) % p32) * c2 +
-             ((((xor(y1, y1 // 134217728) // p32) * c2) % p32) * p32)) % p64
-             AS y2 FROM m2b),
-         weights AS (
-           SELECT band, b, i,
-             CAST(CASE WHEN xor(y2, y2 // 2147483648) >= 9223372036854775808
-               THEN xor(y2, y2 // 2147483648) - 18446744073709551616
-               ELSE xor(y2, y2 // 2147483648) END AS DOUBLE)
-               / 9223372036854775807.0 AS w
-           FROM m2c),
-         elems AS (
-           SELECT vec_id, i.i, embedding[i.i + 1]::DOUBLE AS x
-           FROM embeddings, dims i),
-         dots AS (
-           SELECT e.vec_id, w.band, w.b, sum(e.x * w.w) AS s
-           FROM elems e JOIN weights w ON e.i = w.i
-           GROUP BY e.vec_id, w.band, w.b),
-         buckets AS (
-           SELECT vec_id, band,
-             SUM(CASE WHEN s >= 0 THEN power(2, b)::BIGINT ELSE 0 END)
-               AS bucket
-           FROM dots GROUP BY vec_id, band),
-         norms AS (
-           SELECT vec_id, embedding,
-             sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x),
-               (a, b) -> a + b)) AS nrm
-           FROM embeddings),
-         cand AS (
-           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM buckets a JOIN buckets b
-             ON a.band = b.band AND a.bucket = b.bucket
-               AND a.vec_id < b.vec_id),
-         verified AS (
-           SELECT c.id_a, c.id_b,
-             list_reduce(list_transform(generate_series(1, 64),
-               i -> na.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE),
-               (x, y) -> x + y) / (na.nrm * nb.nrm) AS cos
-           FROM cand c
-           JOIN norms na ON na.vec_id = c.id_a
-           JOIN norms nb ON nb.vec_id = c.id_b)
+      ("WITH " + embNeardupCtes + """
          SELECT id_a, id_b, round(cos, 6) AS cos FROM verified
-         WHERE cos >= 0.35 ORDER BY id_a, id_b""",
+         WHERE cos >= 0.35 ORDER BY id_a, id_b"""),
+    // the embedding near-dup pairs applied as dedup -- the recursive
+    // closure over the cos>=0.35 pair graph; survivors keep (id,label).
+    "q70_embedding_dedup" ->
+      ("WITH RECURSIVE " + embNeardupCtes + """,
+         prs AS (SELECT id_a, id_b FROM verified WHERE cos >= 0.35),
+         ed AS (SELECT id_a AS a, id_b AS b FROM prs
+                UNION SELECT id_b, id_a FROM prs),
+         reach AS (
+           SELECT a AS node, b AS lbl FROM ed WHERE b < a
+           UNION
+           SELECT e.a AS node, r.lbl FROM ed e
+             JOIN reach r ON r.node = e.b WHERE r.lbl < e.a)
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT DISTINCT node FROM reach)
+         ORDER BY vec_id"""),
     // The media stub's metadata derives from a splitmix64-style mix of
     // (0x3D1A, doc_id); the oracle recomputes it in HUGEINT arithmetic
     // mod 2^64 (mul64 decomposed into 32-bit halves so the 128-bit

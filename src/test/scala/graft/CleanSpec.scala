@@ -646,4 +646,32 @@ class CleanSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.toLowerCase.contains("regexp"),
       s"literal replaces only \u2014 no regex engine in the hot path:\n$plan")
   }
+
+  test("hygiene-chain global property (seeded random messy corpus): " +
+       "fixMojibake and normalizeText are both one-pass fixpoints and " +
+       "do real work (marks ride adjacent to their base, the realistic " +
+       "shape — a format char BETWEEN base and mark is out of contract)") {
+    val rnd = new scala.util.Random(97531)
+    val mess = Seq(" ", "  ", "\t", "\n", "\u0007", "\u200B",
+      "\u00AD", "e\u0301", "a\u0308", "\r\n",
+      "\u00E2\u20AC\u2122", "\u00C3\u00A9", "\u00E2\u20AC",
+      "\u00C2\u00A0", "word", "x")
+    val docs = (1L to 300L).map { i =>
+      val n = rnd.nextInt(30)
+      (i, Seq.fill(n)(mess(rnd.nextInt(mess.length))).mkString)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val f1 = Clean.fixMojibake(df, $"doc_id", $"text")
+      .localCheckpoint(true)
+    val f2 = Clean.fixMojibake(f1, $"doc_id", $"text_fixed")
+    assert(f2.filter($"n_fixed" =!= 0L || $"changed" =!= 0L).count() == 0,
+      "mojibake repair must be a one-pass fixpoint")
+    val n1 = Clean.normalizeText(f1, $"doc_id", $"text_fixed")
+      .localCheckpoint(true)
+    val n2 = Clean.normalizeText(n1, $"doc_id", $"text_norm")
+    assert(n2.filter($"changed" =!= 0L).count() == 0,
+      "normalization must be idempotent")
+    assert(f1.filter($"n_fixed" > 0L).count() > 0, "fixture must fix")
+    assert(n1.filter($"changed" =!= 0L).count() > 0, "fixture must clean")
+  }
 }

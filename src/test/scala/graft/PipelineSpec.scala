@@ -427,6 +427,50 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(losers.nonEmpty, "fixture must exercise real near-dup drops")
   }
 
+  test("q69 composition: 3-gram Jaccard pairs applied as corpus dedup " +
+       "equal the union-find reference; the df cap never engages (so " +
+       "the capped inverted index IS brute force at this scale)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs, $"doc_id", $"text",
+        shingleK = 3, threshold = 0.7, maxShingleDf = 400)
+      .localCheckpoint(true)
+    val edges = pairs.select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSeq
+    val comp = bruteComponents(edges)
+    val losers = comp.collect { case (n, c) if n != c => n }.toSet
+    val allIds = docs.select($"doc_id").as[Long].collect().toSet
+    val kept = Dedup.dedupByCluster(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (allIds -- losers))
+    assert(losers.nonEmpty, "fixture must exercise real near-dup drops")
+    // the oracle's brute-force pairwise jaccard equals the operator
+    // only while no 3-gram shingle exceeds the df cap — pin that
+    val shingleDfMax = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        Dedup.shingles(Option(t).getOrElse(""), 3).map(_ -> id) }
+      .groupBy(_._1).values.map(_.map(_._2).distinct.size).max
+    assert(shingleDfMax <= 400,
+      s"df cap must not engage (max shingle df $shingleDfMax)")
+  }
+
+  test("q70 composition: embedding near-dup pairs applied as dedup " +
+       "equal the union-find reference on the embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Dedup.embeddingCosinePairs(emb, $"vec_id", $"embedding",
+        threshold = 0.35, nBits = 8, nBands = 4)
+      .localCheckpoint(true)
+    val edges = pairs.select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSeq
+    val comp = bruteComponents(edges)
+    val losers = comp.collect { case (n, c) if n != c => n }.toSet
+    val allIds = emb.select($"vec_id").as[Long].collect().toSet
+    val kept = Dedup.dedupByCluster(emb, "vec_id", pairs, "id_a", "id_b")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (allIds -- losers))
+    assert(losers.nonEmpty, "fixture must exercise real near-dup drops")
+  }
+
   // --- Gopher-style repetition rules -----------------------------------------
 
   test("ngramRepetition: known counts on constructed docs") {

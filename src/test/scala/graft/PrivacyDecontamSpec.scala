@@ -137,4 +137,51 @@ class PrivacyDecontamSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-K must be a heap take, not a global sort:\n$plan")
   }
+
+  // --- composed hygiene pipeline (q71) -------------------------------------------
+
+  test("q71 composition: PII hidden by encoding mess is ONLY detectable " +
+       "after the hygiene stages — raw redaction finds nothing, the " +
+       "chained pipeline finds and scrubs everything") {
+    import graft.pipeline.Clean
+    // zw-broken email + mojibake-nbsp phone: invisible to the regexes
+    val dirty = "mail user7\u200B@example.com tel " +
+      "555\u00C2\u00A0867\u00C2\u00A05309"
+    val docs = Seq((7L, dirty), (8L, "clean text")).toDF("doc_id", "text")
+    // direct redaction on the raw text: zero hits
+    val raw = Privacy.redactPii(docs, $"doc_id", $"text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(raw(7L)._2 == 0L && raw(7L)._4 == 0L,
+      "raw text must hide the PII from the regexes")
+    // the chain: repair -> normalize -> redact
+    val fx = Clean.fixMojibake(docs, $"doc_id", $"text")
+    val nm = Clean.normalizeText(fx, $"doc_id", $"text_fixed")
+    val out = Privacy.redactPii(nm, $"doc_id", $"text_norm")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(7L)._2 == 1L, "email found after hygiene")
+    assert(out(7L)._4 == 1L, "phone found after hygiene")
+    assert(out(7L)._5 == "mail <EMAIL> tel <PHONE>")
+    assert(out(8L) == ((8L, 0L, 0L, 0L, "clean text")))
+  }
+
+  test("q71 plan: the WHOLE hygiene pipeline (mojibake repair -> " +
+       "normalize -> PII redaction -> keep gate) fuses into one " +
+       "codegen'd projection — zero exchanges, no UDF, one scan") {
+    import graft.pipeline.Clean
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fx = Clean.fixMojibake(df, $"doc_id", $"text")
+    val nm = Clean.normalizeText(fx, $"doc_id", $"text_fixed")
+    val out = Privacy.redactPii(nm, $"doc_id", $"text_norm")
+      .withColumn("n_pii", $"n_emails" + $"n_ips" + $"n_phones")
+      .withColumn("keep", ($"n_pii" === 0).cast("long"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the composed pipeline must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Generate"),
+      s"the composed pipeline must stay one codegen projection:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"one corpus scan for the whole chain:\n$plan")
+  }
 }

@@ -146,6 +146,38 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("the raw-text hygiene chain (fixMojibake -> normalizeText) is " +
+       "streaming-composable too: pure projections end to end") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "it\u00E2\u20AC\u2122s  a caf\u00C3\u00A9 test"),
+      (2L, "already clean"),
+      (3L, "tail \u00C2\u00A0nbsp\u0007ctl\u200B"))
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDS().toDF("doc_id", "text")
+    val fixed = graft.pipeline.Clean.fixMojibake(
+      docs, docs("doc_id"), docs("text"))
+    val out = graft.pipeline.Clean.normalizeText(
+      fixed, fixed("doc_id"), fixed("text_fixed"))
+    val q = out.writeStream.format("memory").queryName("hygiene_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM hygiene_stream")
+        .collect().map(_.toSeq).toSet
+      val batchDf = rows.toDF("doc_id", "text")
+      val bFixed = graft.pipeline.Clean.fixMojibake(
+        batchDf, batchDf("doc_id"), batchDf("text"))
+      val batch = graft.pipeline.Clean.normalizeText(
+          bFixed, bFixed("doc_id"), bFixed("text_fixed"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        "micro-batched and batch evaluation must agree bit for bit")
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming doc dedup: duplicate dropped within the watermark " +
        "window, state evicted after it (bounded-state contract)") {
     implicit val sqlCtx = spark.sqlContext
