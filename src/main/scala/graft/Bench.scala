@@ -53,7 +53,8 @@ object Bench {
     "q61_domain_cap", "q62_corpus_pipeline", "q63_paragraph_dedup",
     "q64_dup_lines", "q65_text_normalize", "q66_simhash_dedup",
     "q67_source_divergence", "q68_fix_mojibake", "q69_jaccard_dedup",
-    "q70_embedding_dedup", "q71_hygiene_pipeline")
+    "q70_embedding_dedup", "q71_hygiene_pipeline", "q72_winnowing",
+    "q73_snapshot_dedup")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

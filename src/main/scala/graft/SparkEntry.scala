@@ -624,6 +624,33 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // --- winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // algorithm): per-window minimum of 5-gram hashes, the sparse
+    // position-anchored fingerprint family next to full MinHash —
+    // ONE codegen'd array projection + the sparse explode. ---------------------
+    "q72_winnowing" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.winnowingFingerprints(t(s, dir, "documents"), $"doc_id",
+          $"text", k = 5, w = 4)
+        .orderBy($"doc_id", $"pos")
+    }),
+
+    // --- incremental SNAPSHOT dedup: a new crawl slice (odd doc_ids)
+    // deduped against the archived corpus (even doc_ids) — exact md5
+    // anti-join plus cross-side MinHash near-dups dropped. The
+    // cross-corpus shape a rolling 100 TB pipeline runs every snapshot
+    // (within-snapshot dedup is q55's job). ------------------------------------
+    "q73_snapshot_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Dedup.snapshotDedup(
+          docs.filter($"doc_id" % 2 === 0),  // the archive
+          docs.filter($"doc_id" % 2 === 1),  // the new snapshot
+          "doc_id", "text")
+        .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
     // --- CCNet exact paragraph dedup: the q45 recut + the same
     // case-varied footer/banner injections, but CCNet semantics — the
     // corpus-FIRST occurrence of every normalized paragraph survives
@@ -2130,6 +2157,46 @@ object SparkEntry {
            CAST(CASE WHEN n_emails + n_ips + n_phones = 0 THEN 1 ELSE 0
              END AS BIGINT) AS keep
          FROM f ORDER BY doc_id"""),
+
+    // winnowing: positional 5-gram md5 prefixes, window-4 minima
+    // (leftmost tie like Spark's array_position/DuckDB's
+    // list_position), distinct (pos, fp) selections.
+    "q72_winnowing" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id,
+             list_transform(range(0, len(ts) - 5 + 1),
+               i -> substr(md5(array_to_string(ts[i+1:i+5], ' ')), 1, 16))
+               AS gs
+           FROM toks),
+         sel AS (SELECT doc_id,
+             unnest(list_transform(range(0, len(gs) - 4 + 1),
+               j -> struct_pack(
+                 pos := CAST(j + list_position(gs[j+1:j+4],
+                   list_min(gs[j+1:j+4])) - 1 AS BIGINT),
+                 fp := list_min(gs[j+1:j+4])))) AS s
+           FROM g WHERE len(gs) >= 4)
+         SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM sel
+         ORDER BY doc_id, pos""",
+
+    // snapshot dedup: q23's LSH chain over the whole table, keep odd
+    // (snapshot) docs with no exact-md5 twin in the even (archive) side
+    // and no cross-side verified pair at jaccard >= 0.7.
+    "q73_snapshot_dedup" ->
+      ("WITH " + minhashCtes + """,
+         prs AS (SELECT id_a, id_b FROM veri
+           WHERE j >= 0.7 AND (id_a % 2) <> (id_b % 2)),
+         nearb AS (SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END
+             AS b_id FROM prs),
+         exacth AS (SELECT md5(text) AS h FROM documents
+           WHERE doc_id % 2 = 0)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id % 2 = 1
+           AND md5(text) NOT IN (SELECT h FROM exacth)
+           AND doc_id NOT IN (SELECT b_id FROM nearb)
+         ORDER BY doc_id"""),
 
     // paragraph dedup: q45's recut + injections, CCNet keep-first —
     // keeper = row_number 1 over (doc_id, ci) per normalized line.

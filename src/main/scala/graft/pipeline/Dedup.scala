@@ -565,4 +565,90 @@ object Dedup {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) === 0L).as("keep"))
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide
+    * a window of `w` consecutive gram hashes, and select each window's
+    * minimum (leftmost on ties — deterministic and mirrored by the
+    * oracle's `list_position`). Consecutive windows usually share their
+    * minimum, so selections are sparse but GUARANTEED dense enough that
+    * any shared run of k+w-1 tokens between two documents yields a
+    * shared fingerprint — the local-algorithm property the paper proves
+    * (and the spec pins as: gaps between selected positions ≤ w).
+    *
+    * Returns one row per distinct selection: (doc_id, pos, fp) with
+    * `pos` the gram's token offset and `fp` the first 16 hex chars of
+    * the gram md5 (a string: lexicographic min agrees across engines).
+    *
+    * Scale shape: the whole selection is array arithmetic inside ONE
+    * codegen'd projection (no window functions, no shuffle) — the only
+    * post-scan cost is the explode of the sparse selection set. At
+    * 100 TB this is the cheap fingerprint pass; pair-finding joins the
+    * slim (fp → doc) stream, never document text. */
+  /** Incremental SNAPSHOT dedup: drop documents of a new `snapshot`
+    * that duplicate the existing `archive` — exact (md5 twin anywhere
+    * in the archive) or near (a cross-corpus MinHash-LSH pair at
+    * `threshold`). Returns the surviving snapshot rows unchanged.
+    * Within-snapshot duplicates are deliberately KEPT (that pass is
+    * [[dedupByCluster]]'s job) — the two have different semantics: the
+    * archive always wins here, while within-corpus dedup elects a
+    * representative.
+    *
+    * Ids must be globally unique across both frames.
+    *
+    * Scale shape: the heavy leg is the LSH banding over archive ∪
+    * snapshot; a rolling 100 TB pipeline would persist the archive's
+    * band table (exactly the [[graft.tables.SeenStore]] pattern — an
+    * append-only bucketed table keyed by band hash) so each snapshot
+    * only signs its own documents and bucket-joins the stored bands.
+    * The cross-side classification joins are ids-only; the exact leg
+    * anti-joins 16-byte digests, never text. */
+  def snapshotDedup(archive: DataFrame, snapshot: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                    threshold: Double = 0.7): DataFrame = {
+    val a = archive.select(col(idCol), col(textCol))
+    val b = snapshot.select(col(idCol), col(textCol))
+    val pairs = minhashLshPairs(a.unionByName(b), col(idCol), col(textCol),
+      shingleK, bands, rowsPerBand, threshold)
+    val aIds = a.select(col(idCol).as("_aid"))
+    val cross = pairs
+      .join(aIds, pairs("id_a") === col("_aid"), "left")
+      .withColumn("_a_arch", col("_aid").isNotNull).drop("_aid")
+      .join(aIds, pairs("id_b") === col("_aid"), "left")
+      .withColumn("_b_arch", col("_aid").isNotNull).drop("_aid")
+      .filter(col("_a_arch") =!= col("_b_arch"))
+    val nearB = cross
+      .select(when(!col("_a_arch"), col("id_a")).otherwise(col("id_b"))
+        .as(idCol)).distinct()
+    val aHashes = a.select(md5(col(textCol)).as("_ah")).distinct()
+    snapshot
+      .join(aHashes, md5(col(textCol)) === col("_ah"), "left_anti")
+      .join(nearB, Seq(idCol), "left_anti")
+  }
+
+  def winnowingFingerprints(df: DataFrame, id: Column, text: Column,
+                            k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val toks = TextAnalysis.tokensWs(text)
+    // guard: Spark's sequence(0, negative) DESCENDS — short docs must
+    // yield an empty gram list, not a runaway one
+    val grams = when(size(toks) >= lit(k), transform(
+        sequence(lit(0), size(toks) - lit(k)),
+        i => substring(md5(concat_ws(" ", slice(toks, i + 1, lit(k)))), 1, 16)))
+      .otherwise(array().cast("array<string>"))
+    val sels = transform(
+      sequence(lit(0), size(col("_grams")) - lit(w)),
+      j => {
+        val win = slice(col("_grams"), j + 1, lit(w))
+        val m = array_min(win)
+        struct((j + array_position(win, m) - 1).cast("long").as("pos"),
+          m.as("fp"))
+      })
+    df.select(id.as("doc_id"), grams.as("_grams"))
+      .filter(size(col("_grams")) >= w)
+      .select(col("doc_id"),
+        explode(array_distinct(sels)).as("sel"))
+      .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+  }
 }

@@ -471,6 +471,104 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(losers.nonEmpty, "fixture must exercise real near-dup drops")
   }
 
+  test("winnowing fingerprints: row-wise reference equality, the " +
+       "paper's density guarantee (gaps <= w), short docs empty, " +
+       "and shared long runs always share a fingerprint") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 5; val w = 4
+    val got = Dedup.winnowingFingerprints(docs, $"doc_id", $"text", k, w)
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    // row-wise reference
+    val raw = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    }
+    raw.foreach { case (id, text) =>
+      val ts = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+      val gs = if (ts.length < k) Array.empty[String]
+        else (0 to ts.length - k).map(i =>
+          md5hex(ts.slice(i, i + k).mkString(" "))).toArray
+      val want = if (gs.length < w) Set.empty[(Long, String)]
+        else (0 to gs.length - w).map { j =>
+          val win = gs.slice(j, j + w); val m = win.min
+          ((j + win.indexOf(m)).toLong, m)
+        }.toSet
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id")
+      // density guarantee: consecutive selected positions gap <= w
+      val ps = want.map(_._1).toSeq.sorted
+      ps.zip(ps.drop(1)).foreach { case (a, b) =>
+        assert(b - a <= w, s"doc $id density violated") }
+    }
+    assert(got.nonEmpty)
+    // locality: two docs sharing a run of k+w-1 tokens share an fp
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val two = Seq((1L, s"unique left words here $shared"),
+      (2L, s"$shared and other trailing tokens now")).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(two, $"doc_id", $"text", k, w)
+      .as[(Long, Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._3).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "a shared k+w-1 token run must yield a shared fingerprint")
+  }
+
+  test("winnowing plan: the selection is ONE codegen'd array projection " +
+       "+ the sparse explode — no shuffle, no UDF, no window functions") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.winnowingFingerprints(df, $"doc_id", $"text", 5, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"winnowing must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+    assert(!plan.contains("Window"), s"array arithmetic, not windows:\n$plan")
+  }
+
+  test("snapshotDedup: exact archive twin dropped, cross near-dup " +
+       "dropped, fresh doc kept, WITHIN-snapshot dups both kept (the " +
+       "semantic contrast to dedupByCluster)") {
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi " +
+      "psi omega one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen")
+    val near = base.replace("sixteen", "seventeen")
+    val archive = Seq((2L, base), (4L, "archive only text that is long " +
+      "enough to shingle properly right here")).toDF("doc_id", "text")
+    val snapshot = Seq(
+      (3L, base),                       // exact twin of 2 → dropped
+      (5L, near),                       // near-dup of 2 → dropped
+      (7L, "a completely different new document with fresh content " +
+        "sharing nothing at all with the archive side whatsoever"),
+      (9L, "duplicated inside the snapshot but absent from the archive " +
+        "so the snapshot pass must keep it both times right"),
+      (11L, "duplicated inside the snapshot but absent from the archive " +
+        "so the snapshot pass must keep it both times right")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.snapshotDedup(archive, snapshot, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(7L, 9L, 11L), s"got $kept")
+  }
+
+  test("q73 composition on sf0.001: snapshotDedup equals the " +
+       "independent exact+cross-pair reference") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 === 1)
+    val kept = Dedup.snapshotDedup(a, b, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val aHash = a.select(md5($"text")).as[String].collect().toSet
+    val pairs = Dedup.minhashLshPairs(docs, $"doc_id", $"text",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val crossB = pairs.collect {
+      case (x, y) if x % 2 != y % 2 => if (x % 2 == 1) x else y }.toSet
+    val want = b.select($"doc_id", md5($"text")).as[(Long, String)]
+      .collect()
+      .collect { case (id, h) if !aHash.contains(h) && !crossB.contains(id)
+        => id }.toSet
+    assert(kept == want)
+    assert(crossB.nonEmpty, "fixture must exercise real cross-side drops")
+  }
+
   // --- Gopher-style repetition rules -----------------------------------------
 
   test("ngramRepetition: known counts on constructed docs") {
