@@ -926,6 +926,31 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // --- keep-BEST cluster dedup: elect the highest-n_chars copy per
+    // minhash cluster (ties to the lower id) instead of q55's min-id —
+    // the representative election production dedup actually runs. The
+    // ranking window touches only the clustered slice. -------------------------
+    "q74_dedup_keep_best" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, $"doc_id", $"text",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.7)
+      Dedup.dedupByClusterBest(docs, "doc_id", $"n_chars", pairs,
+          "id_a", "id_b")
+        .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
+    // --- winnowing candidate pairs (the MOSS match step): docs sharing
+    // >= 2 distinct q72 fingerprints, joined on the slim fp stream with
+    // a boilerplate-fp df cap. -------------------------------------------------
+    "q75_winnowing_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.winnowingPairs(t(s, dir, "documents"), $"doc_id", $"text",
+          k = 5, w = 4, minShared = 2, maxFpDf = 400)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // SimHash near-dup pairs
     "q24_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
@@ -1264,6 +1289,28 @@ object SparkEntry {
              CAST(bit_count(CAST(xor(a.simu, b.simu) AS UBIGINT))
                AS INTEGER) AS dist
            FROM sims a JOIN sims b ON a.doc_id < b.doc_id)"""
+
+  /** The q72 winnowing CTE chain (positional gram hashes -> window
+    * minima -> unnested selections), shared by q72 (the fingerprints)
+    * and q75 (the MOSS match step). No WITH prefix. */
+  private val winnowCtes: String =
+    """toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id,
+             list_transform(range(0, len(ts) - 5 + 1),
+               i -> substr(md5(array_to_string(ts[i+1:i+5], ' ')), 1, 16))
+               AS gs
+           FROM toks),
+         sel AS (SELECT doc_id,
+             unnest(list_transform(range(0, len(gs) - 4 + 1),
+               j -> struct_pack(
+                 pos := CAST(j + list_position(gs[j+1:j+4],
+                   list_min(gs[j+1:j+4])) - 1 AS BIGINT),
+                 fp := list_min(gs[j+1:j+4])))) AS s
+           FROM g WHERE len(gs) >= 4)"""
+
 
   /** The q68 8-stage mojibake replace chain as SQL CTEs (reads a
     * prior CTE exposing (doc_id, s0); exposes s1..s8). Shared by q68
@@ -2162,24 +2209,24 @@ object SparkEntry {
     // (leftmost tie like Spark's array_position/DuckDB's
     // list_position), distinct (pos, fp) selections.
     "q72_winnowing" ->
-      """WITH toks AS (SELECT doc_id,
-             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-               x -> x <> '') AS ts
-           FROM documents),
-         g AS (SELECT doc_id,
-             list_transform(range(0, len(ts) - 5 + 1),
-               i -> substr(md5(array_to_string(ts[i+1:i+5], ' ')), 1, 16))
-               AS gs
-           FROM toks),
-         sel AS (SELECT doc_id,
-             unnest(list_transform(range(0, len(gs) - 4 + 1),
-               j -> struct_pack(
-                 pos := CAST(j + list_position(gs[j+1:j+4],
-                   list_min(gs[j+1:j+4])) - 1 AS BIGINT),
-                 fp := list_min(gs[j+1:j+4])))) AS s
-           FROM g WHERE len(gs) >= 4)
+      ("WITH " + winnowCtes + """
          SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM sel
-         ORDER BY doc_id, pos""",
+         ORDER BY doc_id, pos"""),
+    // winnowing pairs: distinct (doc, fp) selections, df-capped on
+    // the fingerprint, self-joined; pairs sharing >= 2 fingerprints.
+    "q75_winnowing_pairs" ->
+      ("WITH " + winnowCtes + """,
+         fpd AS (SELECT DISTINCT doc_id, s.fp AS fp FROM sel),
+         capped AS (SELECT doc_id, fp FROM (
+             SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS fdf
+             FROM fpd) t WHERE fdf <= 400),
+         prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM capped a JOIN capped b
+             ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, n_shared FROM prs WHERE n_shared >= 2
+         ORDER BY id_a, id_b"""),
 
     // snapshot dedup: q23's LSH chain over the whole table, keep odd
     // (snapshot) docs with no exact-md5 twin in the even (archive) side
@@ -2196,6 +2243,33 @@ object SparkEntry {
          WHERE doc_id % 2 = 1
            AND md5(text) NOT IN (SELECT h FROM exacth)
            AND doc_id NOT IN (SELECT b_id FROM nearb)
+         ORDER BY doc_id"""),
+
+    // keep-best dedup: the q55 closure labels every clustered node with
+    // its component min; winner per component = (n_chars desc, doc_id)
+    // rank 1; unpaired docs survive untouched.
+    "q74_dedup_keep_best" ->
+      ("WITH RECURSIVE " + minhashCtes + """,
+         prs AS (SELECT id_a, id_b FROM veri WHERE j >= 0.7),
+         ed AS (SELECT id_a AS a, id_b AS b FROM prs
+                UNION SELECT id_b, id_a FROM prs),
+         reach AS (
+           SELECT a AS node, b AS lbl FROM ed WHERE b < a
+           UNION
+           SELECT e.a AS node, r.lbl FROM ed e
+             JOIN reach r ON r.node = e.b WHERE r.lbl < e.a),
+         nodes AS (SELECT DISTINCT a AS node FROM ed),
+         comp AS (SELECT n.node,
+             coalesce((SELECT min(lbl) FROM reach r WHERE r.node = n.node),
+               n.node) AS c
+           FROM nodes n),
+         ranked AS (SELECT d.doc_id, d.n_chars, l.c,
+             row_number() OVER (PARTITION BY l.c
+               ORDER BY d.n_chars DESC, d.doc_id) AS rk
+           FROM documents d JOIN comp l ON l.node = d.doc_id)
+         SELECT doc_id, n_chars FROM documents
+         WHERE doc_id IN (SELECT doc_id FROM ranked WHERE rk = 1)
+            OR doc_id NOT IN (SELECT node FROM nodes)
          ORDER BY doc_id"""),
 
     // paragraph dedup: q45's recut + injections, CCNet keep-first —

@@ -341,6 +341,56 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Keep the BEST row per near-duplicate cluster by `score` (ties
+    * break on the lower id) — what production dedup actually elects
+    * (e.g. the longest or highest-quality copy), vs [[dedupByCluster]]'s
+    * positional min-id representative.
+    *
+    * Scale shape: the ranking window runs ONLY over rows that appear in
+    * some pair — a slim (id, score, component) projection of the tiny
+    * clustered fraction — never over the full corpus; unpaired rows
+    * bypass it entirely and survive via the final ids-only semi-join.
+    * At 10^9 docs with ~1% near-dups, the window shuffles ~10^7 slim
+    * rows, not the corpus. */
+  def dedupByClusterBest(df: DataFrame, idCol: String, score: Column,
+                         pairs: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val clustered = df.select(col(idCol), score.as("_score"))
+      .join(comps.withColumnRenamed("node", idCol), Seq(idCol))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("_score").desc, col(idCol).asc)
+    val losers = clustered
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") =!= 1)
+      .select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Winnowing-based near-dup candidate pairs: documents sharing at
+    * least `minShared` distinct winnowing fingerprints (the MOSS match
+    * step). The join carries only the slim (fp → doc) stream — by the
+    * winnowing locality property a shared token run of k+w-1 tokens is
+    * guaranteed to surface here, so the pair list upper-bounds recall
+    * against runs of that length. `maxFpDf` caps boilerplate
+    * fingerprints (a fp in N docs creates N² join rows — same skew cap
+    * as [[ngramJaccardPairs]]'s shingle df cap). */
+  def winnowingPairs(df: DataFrame, id: Column, text: Column,
+                     k: Int = 5, w: Int = 4, minShared: Long = 2,
+                     maxFpDf: Int = 400): DataFrame = {
+    val fps = winnowingFingerprints(df, id, text, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val capped = fps.withColumn("_df",
+      count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("_df") <= maxFpDf).drop("_df")
+    capped.select(col("fp"), col("doc_id").as("id_a"))
+      .join(capped.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // --- passage (fixed-k token chunk) dedup -------------------------------------
 
   /** Corpus-level exact passage dedup, the sub-document unit exact

@@ -548,6 +548,71 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(kept == Set(7L, 9L, 11L), s"got $kept")
   }
 
+  test("dedupByClusterBest elects the highest-score copy (ties to the " +
+       "lower id); unpaired rows survive; and on the real corpus the " +
+       "winner set provably differs from keep-min-id") {
+    val rows = Seq(
+      (1L, "dup", 10L), (2L, "dup", 30L), (3L, "dup", 30L), // 2 wins (tie)
+      (4L, "solo", 5L)).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClusterBest(rows, "doc_id", $"score",
+        pairs, "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+    // real corpus: equals the union-find keep-best reference
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mp = Dedup.minhashLshPairs(docs, $"doc_id", $"text",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.7)
+      .localCheckpoint(true)
+    val edges = mp.select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    val comp = bruteComponents(edges)
+    val nodes = comp.keySet
+    val nch = docs.select($"doc_id", $"n_chars").as[(Long, Long)]
+      .collect().toMap
+    val best = comp.groupBy(_._2).values.map(_.keys.toSeq
+      .sortBy(m => (-nch(m), m)).head).toSet
+    val allIds = nch.keySet
+    val want = (allIds -- nodes) ++ best
+    val got = Dedup.dedupByClusterBest(docs, "doc_id", $"n_chars", mp,
+        "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    val minWinners = comp.groupBy(_._2).values.map(_.keys.min).toSet
+    assert(best != minWinners,
+      "fixture must distinguish keep-best from keep-min")
+  }
+
+  test("winnowingPairs: equals the independent shared-fp count over " +
+       "the q72 fingerprints; a long shared token run always pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fps = Dedup.winnowingFingerprints(docs, $"doc_id", $"text", 5, 4)
+      .select($"doc_id", $"fp").distinct()
+      .as[(Long, String)].collect()
+    val df = fps.groupBy(_._2).view.mapValues(_.length).toMap
+    val capped = fps.filter(r => df(r._2) <= 400)
+    val want = capped.groupBy(_._2).values.flatMap { ds =>
+      val ids = ds.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield (ids(i), ids(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2L)
+    val got = Dedup.winnowingPairs(docs, $"doc_id", $"text",
+        k = 5, w = 4, minShared = 2, maxFpDf = 400)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must produce real pairs")
+    // locality: a 30-token shared run guarantees a pair
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val two = Seq((1L, s"left unique prefix words $shared"),
+      (2L, s"$shared right unique suffix words")).toDF("doc_id", "text")
+    val p = Dedup.winnowingPairs(two, $"doc_id", $"text",
+        k = 5, w = 4, minShared = 2, maxFpDf = 400)
+      .as[(Long, Long, Long)].collect()
+    assert(p.length == 1 && p.head._1 == 1L && p.head._2 == 2L &&
+      p.head._3 >= 2L, s"shared run must pair: ${p.toSeq}")
+  }
+
   test("q73 composition on sf0.001: snapshotDedup equals the " +
        "independent exact+cross-pair reference") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
