@@ -951,6 +951,26 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // --- per-doc lexical diversity (entropy / TTR / hapax + keep gate):
+    // the whole profile is computed INSIDE each row (sorted token array,
+    // run-length counts, integer-micro entropy terms) — a zero-shuffle
+    // pure projection, unlike the corpus-keyed divergence ops. ------------------
+    "q76_lexical_diversity" -> ((s, dir) => {
+      import s.implicits._
+      TA.lexicalDiversity(t(s, dir, "documents"), $"doc_id", $"text")
+        .orderBy($"doc_id")
+    }),
+
+    // --- per-doc duplicate 8-gram coverage: fraction of each doc's
+    // distinct token 8-grams occurring in >= 2 documents (the post-dedup
+    // boilerplate-mass diagnostic), via the binary-md5 inverted index. ----------
+    "q77_dup_ngram_coverage" -> ((s, dir) => {
+      import s.implicits._
+      TA.dupNgramCoverage(t(s, dir, "documents"), $"doc_id", $"text",
+          n = 8, minDf = 2)
+        .orderBy($"doc_id")
+    }),
+
     // SimHash near-dup pairs
     "q24_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
@@ -2271,6 +2291,78 @@ object SparkEntry {
          WHERE doc_id IN (SELECT doc_id FROM ranked WHERE rk = 1)
             OR doc_id NOT IN (SELECT node FROM nodes)
          ORDER BY doc_id"""),
+
+    // lexical diversity: the relational construction (unnest -> per-type
+    // counts -> per-doc totals) of the same statistics Spark computes
+    // in-row; entropy terms p*(ln p / ln 2) with identical IEEE op order,
+    // fixed to x1e12 integer micro-units so the per-type sum is exact
+    // integer arithmetic on both engines.
+    "q76_lexical_diversity" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+               '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         tc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY 1, 2),
+         tots AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax
+           FROM tc GROUP BY 1),
+         terms AS (SELECT c.doc_id,
+             CAST(round(((c.cnt::DOUBLE / t.n_tokens::DOUBLE) *
+               (ln(c.cnt::DOUBLE / t.n_tokens::DOUBLE) / ln(2.0))) *
+               1000000000000.0, 0) AS BIGINT) AS tm
+           FROM tc c JOIN tots t USING (doc_id)),
+         ent AS (SELECT doc_id, CAST(sum(tm) AS BIGINT) AS sm
+           FROM terms GROUP BY 1),
+         prof AS (SELECT t.doc_id, t.n_tokens, t.n_types,
+             round(t.n_types::DOUBLE / t.n_tokens::DOUBLE, 6) AS ttr,
+             round(t.n_hapax::DOUBLE / t.n_types::DOUBLE, 6) AS hapax_frac,
+             round(0.0 - (e.sm::DOUBLE / 1000000000000.0), 6) AS entropy
+           FROM tots t JOIN ent e USING (doc_id))
+         SELECT d.doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.n_types, 0) AS n_types,
+           coalesce(p.ttr, 0.0) AS ttr,
+           coalesce(p.hapax_frac, 0.0) AS hapax_frac,
+           coalesce(p.entropy, 0.0) AS entropy,
+           CAST(CASE WHEN coalesce(p.n_tokens, 0) >= 20
+             AND coalesce(p.ttr, 0.0) >= 0.45
+             AND coalesce(p.entropy, 0.0) >= 4.3 THEN 1 ELSE 0 END
+             AS BIGINT) AS keep
+         FROM documents d LEFT JOIN prof p USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    // duplicate 8-gram coverage: positional list slices build each doc's
+    // distinct gram set (md5 identity, same gram text as Spark's
+    // concat_ws), corpus df over the gram stream, coverage per doc; keep
+    // compares the ROUNDED fraction like the Spark column.
+    "q77_dup_ngram_coverage" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         grams AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS g
+           FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) AS r(i)
+           WHERE len(t) >= 8),
+         dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df
+           FROM grams GROUP BY 1),
+         cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(*) FILTER (WHERE f.df >= 2) AS BIGINT) AS n_dup
+           FROM grams JOIN dfreq f USING (g) GROUP BY 1),
+         base AS (SELECT d.doc_id,
+             coalesce(c.n_grams, 0) AS n_grams,
+             coalesce(c.n_dup, 0) AS n_dup,
+             round(CASE WHEN coalesce(c.n_grams, 0) > 0
+               THEN c.n_dup::DOUBLE / c.n_grams::DOUBLE
+               ELSE 0.0 END, 6) AS dup_frac
+           FROM documents d LEFT JOIN cov c USING (doc_id))
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_dup AS BIGINT) AS n_dup, dup_frac,
+           CAST(CASE WHEN dup_frac <= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+         FROM base ORDER BY doc_id""",
 
     // paragraph dedup: q45's recut + injections, CCNet keep-first —
     // keeper = row_number 1 over (doc_id, ci) per normalized line.

@@ -689,6 +689,125 @@ object TextAnalysis {
         round(lit(0.5) * (col("_abs").cast("double") +
           (lit(1.0) - col("_pc").cast("double"))), 6).as("tvd"))
   }
+
+  // --- lexical diversity (entropy / type-token ratio / hapax) ------------------
+
+  /** Per-document lexical-diversity profile — the spam/templated-text
+    * signals data-quality pipelines gate on (low unigram entropy or a
+    * collapsed type-token ratio flags keyword stuffing and boilerplate
+    * even when Gopher's repetition rules pass):
+    *
+    *   - `n_tokens` / `n_types` — lowercased whitespace tokens and
+    *     distinct types;
+    *   - `ttr`        — type-token ratio (0.0 for empty docs);
+    *   - `hapax_frac` — fraction of types occurring exactly once;
+    *   - `entropy`    — unigram Shannon entropy in bits;
+    *   - `keep`       — 1 iff n_tokens ≥ 20 ∧ ttr ≥ 0.45 ∧ entropy ≥ 4.3.
+    *
+    * Scale shape: ZERO shuffle. The whole profile is computed inside one
+    * row — sort the token array, run boundaries give per-type counts,
+    * entropy terms sum in-row — so the operator is a pure projection
+    * that partitions with the scan (no exploded corpus, no (doc,token)
+    * aggregation state; contrast [[sourceDivergence]], which must
+    * shuffle because its statistic is cross-document).
+    *
+    * Cross-engine determinism: each entropy term p·(ln p / ln 2) is
+    * computed with the identical IEEE op order in the DuckDB oracle,
+    * then fixed to integer micro-units (×10¹², half-away rounding) so
+    * the per-type SUM is exact integer arithmetic — no float
+    * accumulation order on either side (same contract as
+    * [[sourceDivergence]]'s 12-dp decimal terms). */
+  def lexicalDiversity(docs: DataFrame, id: Column, text: Column)
+      : DataFrame = {
+    val sorted = docs.select(id.as("doc_id"),
+      array_sort(tokensWs(lower(text))).as("_t"))
+    val n = size(col("_t"))
+    // 1-based positions starting a new run in the sorted array; the
+    // greatest() guard keeps element_at in bounds under ANSI for i = 1
+    // (the i === 1 disjunct decides that position anyway).
+    val starts = filter(sequence(lit(1), n), i =>
+      i === 1 || element_at(col("_t"), i) =!=
+        element_at(col("_t"), greatest(i - 1, lit(1))))
+    val withRuns = sorted.select(col("doc_id"), n.as("_n"),
+      when(n >= 1, starts).otherwise(array().cast("array<int>")).as("_s"))
+    // run length j = next start (or n+1 past the end) - start j
+    val counts = transform(sequence(lit(1), size(col("_s"))), j =>
+      when(j < size(col("_s")), element_at(col("_s"), j + 1))
+        .otherwise(col("_n") + 1) - element_at(col("_s"), j))
+    val withCounts = withRuns.select(col("doc_id"), col("_n"),
+      size(col("_s")).as("_types"),
+      when(size(col("_s")) >= 1, counts)
+        .otherwise(array().cast("array<int>")).as("_c"))
+    def p(c: Column): Column = c.cast("double") / col("_n").cast("double")
+    val termMicros = transform(col("_c"), c =>
+      round((p(c) * (log(p(c)) / log(lit(2.0)))) * 1e12, 0).cast("long"))
+    val entropy = when(col("_n") > 0,
+      round(lit(0.0) -
+        aggregate(termMicros, lit(0L), (a, x) => a + x).cast("double") /
+          1e12, 6))
+      .otherwise(lit(0.0))
+    val ttr = when(col("_n") > 0,
+      round(col("_types").cast("double") / col("_n").cast("double"), 6))
+      .otherwise(lit(0.0))
+    val hapax = when(col("_types") > 0,
+      round(size(filter(col("_c"), c => c === 1)).cast("double") /
+        col("_types").cast("double"), 6))
+      .otherwise(lit(0.0))
+    withCounts
+      .select(col("doc_id"), col("_n").cast("long").as("n_tokens"),
+        col("_types").cast("long").as("n_types"), ttr.as("ttr"),
+        hapax.as("hapax_frac"), entropy.as("entropy"))
+      .withColumn("keep",
+        when(col("n_tokens") >= 20 && col("ttr") >= 0.45 &&
+          col("entropy") >= 4.3, 1L).otherwise(0L))
+  }
+
+  // --- cross-document duplicate n-gram coverage ---------------------------------
+
+  /** Per-document duplicate n-gram coverage — the fraction of a
+    * document's DISTINCT token n-grams that also occur in at least one
+    * OTHER document. The standard post-dedup diagnostic (how much
+    * near-boilerplate mass survives) and a document-level gate in its
+    * own right: a doc that is mostly corpus-duplicated n-grams is a
+    * template even if no single pair crosses a near-dup threshold.
+    *
+    *   - `n_grams` — distinct n-grams in the doc (0 when shorter than n
+    *     tokens);
+    *   - `n_dup`   — of those, how many occur in ≥ 2 documents;
+    *   - `dup_frac` — n_dup / n_grams (0.0 when n_grams = 0);
+    *   - `keep`    — 1 iff dup_frac ≤ 0.5.
+    *
+    * Scale shape: the classic inverted index. Grams ship as 16-byte
+    * binary md5 digests (not gram text) so the three gram-keyed
+    * exchanges move fixed-width keys; the df aggregation is map-side
+    * combinable and the df→gram join is co-partitioned with it. No
+    * driver state, no all-pairs step — the same 100 TB shape as the
+    * decontamination and boilerplate operators. */
+  def dupNgramCoverage(docs: DataFrame, id: Column, text: Column,
+      n: Int, minDf: Int = 2): DataFrame = {
+    val grams = docs
+      .select(id.as("doc_id"), explode(ngramArray(text, n)).as("_g"))
+      .select(col("doc_id"), unhex(md5(col("_g"))).as("g"))
+      .distinct()
+    val df = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("_df"))
+    val cov = grams.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
+    docs.select(id.as("doc_id"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          round(col("n_dup").cast("double") /
+            col("n_grams").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        when(col("dup_frac") <= 0.5, 1L).otherwise(0L))
+  }
 }
 
 /** floorMod(Java String.hashCode, buckets) as a native codegen

@@ -948,4 +948,118 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no all-pairs work:\n$plan")
   }
+
+  // --- lexical diversity (q76) ------------------------------------------------
+
+  test("lexicalDiversity: row-wise reference equality on the corpus, " +
+       "hand fixtures (empty / constant / all-distinct docs), and the " +
+       "keep gate fires both ways") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(text: String): (Long, Long, Double, Double, Double) = {
+      val ts = Option(text).getOrElse("").toLowerCase
+        .split("\\s+").filter(_.nonEmpty)
+      val n = ts.length
+      if (n == 0) return (0L, 0L, 0.0, 0.0, 0.0)
+      val cnts = ts.groupBy(identity).view.mapValues(_.length).values.toSeq
+      val micros = cnts.map { c =>
+        val p = c.toDouble / n.toDouble
+        BigDecimal((p * (math.log(p) / math.log(2.0))) * 1e12)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      (n.toLong, cnts.size.toLong, r6(cnts.size.toDouble / n.toDouble),
+        r6(cnts.count(_ == 1).toDouble / cnts.size.toDouble),
+        r6(0.0 - micros.toDouble / 1e12))
+    }
+    val got = TA.lexicalDiversity(docs, $"doc_id", $"text")
+      .as[(Long, Long, Long, Double, Double, Double, Long)].collect()
+    assert(got.nonEmpty)
+    val raw = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    got.foreach { case (id, n, types, ttr, hapax, h, keep) =>
+      val (wn, wt, wttr, whap, wh) = ref(raw(id))
+      assert((n, types, ttr, hapax, h) == (wn, wt, wttr, whap, wh),
+        s"doc $id")
+      assert(keep == (if (n >= 20 && ttr >= 0.45 && h >= 4.3) 1L else 0L))
+    }
+    // hand fixtures: empty -> zeros; constant doc -> entropy 0, no
+    // hapax; 4 distinct tokens -> exactly 2 bits, all hapax
+    val fx = Seq((1L, ""), (2L, "a a a a"), (3L, "a b c d"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val m = TA.lexicalDiversity(fx, $"doc_id", $"text")
+      .as[(Long, Long, Long, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 0L, 0L, 0.0, 0.0, 0.0, 0L)))
+    assert(m(4L) == ((4L, 0L, 0L, 0.0, 0.0, 0.0, 0L)))
+    assert(m(2L) == ((2L, 4L, 1L, 0.25, 0.0, 0.0, 0L)))
+    assert(m(3L) == ((3L, 4L, 4L, 1.0, 1.0, 2.0, 0L)))
+    // gate fires both ways: a diverse 24-token doc keeps, the same
+    // tokens repeated from a 4-token base doesn't
+    val div = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val rep = Seq.fill(6)("aa bb cc dd").mkString(" ")
+    val g = TA.lexicalDiversity(
+        Seq((1L, div), (2L, rep)).toDF("doc_id", "text"),
+        $"doc_id", $"text")
+      .select($"doc_id", $"keep").as[(Long, Long)].collect().toMap
+    assert(g(1L) == 1L && g(2L) == 0L)
+  }
+
+  test("lexicalDiversity plan: a pure zero-shuffle projection — the " +
+       "entire profile is in-row array arithmetic (no Exchange, no " +
+       "UDF, no Window, no Generate)") {
+    val plan = TA.lexicalDiversity(docs, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+    assert(!plan.contains("Window"), s"no window functions:\n$plan")
+    assert(!plan.contains("Generate"), s"no explode:\n$plan")
+  }
+
+  // --- duplicate n-gram coverage (q77) ------------------------------------------
+
+  test("dupNgramCoverage: brute-force reference equality on the corpus " +
+       "+ injected exact twins, short docs zero, and the inverted " +
+       "index ships binary hashes (no gram text), no UDF") {
+    val n = 8
+    // inject an exact twin pair so full coverage is exercised
+    val twin = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi").trim
+    val aug = docs.select($"doc_id", $"text")
+      .union(Seq((100001L, twin), (100002L, twin),
+        (100003L, "too short for any gram")).toDF("doc_id", "text"))
+      .localCheckpoint(true)
+    // Scala reference: per-doc distinct gram sets -> df -> coverage
+    val raw = aug.as[(Long, String)].collect()
+    val gsets = raw.map { case (id, text) =>
+      val ts = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+      id -> (if (ts.length < n) Set.empty[String]
+        else (0 to ts.length - n)
+          .map(i => ts.slice(i, i + n).mkString(" ")).toSet)
+    }.toMap
+    val dfm = gsets.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val got = TA.dupNgramCoverage(aug, $"doc_id", $"text", n)
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(got.length == raw.length)
+    got.foreach { case (id, ng, nd, frac, keep) =>
+      val gs = gsets(id)
+      val wd = gs.count(g => dfm(g) >= 2).toLong
+      val wf = if (gs.isEmpty) 0.0
+        else BigDecimal(wd.toDouble / gs.size.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert((ng, nd, frac) == ((gs.size.toLong, wd, wf)), s"doc $id")
+      assert(keep == (if (frac <= 0.5) 1L else 0L), s"doc $id keep")
+    }
+    val gm = got.map(r => r._1 -> r).toMap
+    assert(gm(100001L)._4 == 1.0 && gm(100002L)._4 == 1.0,
+      "exact twins must be fully covered")
+    assert(gm(100001L)._5 == 0L, "a fully-duplicated doc is dropped")
+    assert(gm(100003L) == ((100003L, 0L, 0L, 0.0, 1L)),
+      "sub-n-token docs have no grams and keep")
+    val plan = TA.dupNgramCoverage(aug, $"doc_id", $"text", n)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("unhex"), s"grams must ship as binary md5:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
+  }
 }
