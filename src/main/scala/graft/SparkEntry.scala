@@ -971,6 +971,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // --- source-level quality gate: a doc survives iff its SOURCE's
+    // mean quality_score >= 0.7 (judge the site, not just the page) —
+    // two-pass broadcast, the source mean summed as exact decimals. -------------
+    "q78_source_quality_gate" -> ((s, dir) => {
+      import s.implicits._
+      Clean.sourceQualityGate(t(s, dir, "documents"), $"doc_id",
+          $"source", $"text", minMean = 0.7)
+        .orderBy($"doc_id")
+    }),
+
+    // --- one-row corpus datasheet: doc/source/lang counts, token and
+    // char mass, exact-dup fraction, mean quality — one scan, one
+    // multi-aggregate. -----------------------------------------------------------
+    "q79_corpus_report" -> ((s, dir) => {
+      TA.corpusReport(t(s, dir, "documents"), col("doc_id"),
+        col("text"), col("source"), col("lang"))
+    }),
+
     // SimHash near-dup pairs
     "q24_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
@@ -1453,6 +1471,40 @@ object SparkEntry {
            FROM c a JOIN c b ON a.word = b.word AND a.doc_id < b.doc_id
            GROUP BY 1, 2)"""
 
+  /** The quality_score composite as a CTE chain ending in
+    * `qual(doc_id, quality)` — the identical arithmetic q26 already
+    * value-checks, factored out for q78 (source gate) and q79 (corpus
+    * report). No WITH prefix. */
+  private val qualityCtes: String =
+    """qb AS (SELECT doc_id,
+           least(length(text) / 500.0, 1.0) AS len_score,
+           CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) /
+               CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END AS punct,
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+             x -> x <> '') AS qtoks,
+           list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '') AS wtoks
+         FROM documents),
+       qs AS (SELECT doc_id, len_score,
+           CASE WHEN punct < 0.2 THEN 1.0 - punct * 2.5 ELSE 0.5 END
+             AS punct_score,
+           least(CASE WHEN len(qtoks) > 0
+             THEN len(list_filter(qtoks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from','this','be'], t))) /
+               CAST(len(qtoks) AS DOUBLE)
+             ELSE 0.0 END * 5.0, 1.0) AS stop_score,
+           CASE WHEN len(wtoks) > 0
+             THEN list_reduce(list_prepend(0.0,
+               list_transform(wtoks, t -> CAST(length(t) AS DOUBLE))),
+               (a, x) -> a + x) / len(wtoks)
+             ELSE 0.0 END AS mtl
+         FROM qb),
+       qual AS (SELECT doc_id,
+           round(len_score * 0.4 + punct_score * 0.2 + stop_score * 0.2 +
+             (CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)
+               * 0.2, 6) AS quality
+         FROM qs)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -2363,6 +2415,51 @@ object SparkEntry {
            CAST(CASE WHEN dup_frac <= 0.5 THEN 1 ELSE 0 END AS BIGINT)
              AS keep
          FROM base ORDER BY doc_id""",
+
+    // source quality gate: the shared quality CTEs, per-source mean via
+    // an exact DECIMAL(18,6) sum and ONE double division (q44's
+    // contract), survivors = docs of sources with mean >= 0.7.
+    "q78_source_quality_gate" ->
+      ("WITH " + qualityCtes + """,
+         sm AS (SELECT coalesce(d.source, '') AS source,
+             sum(CAST(q.quality AS DECIMAL(18,6))) AS sq,
+             CAST(count(*) AS BIGINT) AS n
+           FROM documents d JOIN qual q USING (doc_id) GROUP BY 1),
+         mm AS (SELECT source,
+             CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM sm)
+         SELECT d.doc_id, coalesce(d.source, '') AS source, q.quality,
+           round(m.mean, 6) AS src_quality
+         FROM documents d JOIN qual q USING (doc_id)
+           JOIN mm m ON m.source = coalesce(d.source, '')
+         WHERE m.mean >= 0.7
+         ORDER BY d.doc_id"""),
+
+    // corpus datasheet: one row — counts, token/char mass, exact-dup
+    // fraction via distinct md5, mean quality via the exact decimal sum.
+    "q79_corpus_report" ->
+      ("WITH " + qualityCtes + """,
+         m AS (SELECT
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT md5(coalesce(d.text, ''))) AS BIGINT)
+               AS n_unique_texts,
+             CAST(sum(len(list_filter(string_split_regex(
+               coalesce(d.text, ''), '\s+'), x -> x <> ''))) AS BIGINT)
+               AS n_tokens,
+             CAST(sum(length(coalesce(d.text, ''))) AS BIGINT) AS n_chars,
+             sum(CAST(q.quality AS DECIMAL(18,6))) AS sq
+           FROM documents d JOIN qual q USING (doc_id))
+         SELECT n_docs, n_sources, n_langs, n_unique_texts,
+           coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(n_chars, 0) AS n_chars,
+           round(CASE WHEN n_docs > 0
+             THEN 1.0 - (n_unique_texts::DOUBLE / n_docs::DOUBLE)
+             ELSE 0.0 END, 6) AS dup_frac,
+           round(CASE WHEN n_docs > 0
+             THEN CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             ELSE 0.0 END, 6) AS mean_quality
+         FROM m ORDER BY n_docs"""),
 
     // paragraph dedup: q45's recut + injections, CCNet keep-first —
     // keeper = row_number 1 over (doc_id, ci) per normalized line.

@@ -808,6 +808,47 @@ object TextAnalysis {
       .withColumn("keep",
         when(col("dup_frac") <= 0.5, 1L).otherwise(0L))
   }
+
+  // --- corpus datasheet ----------------------------------------------------------
+
+  /** One-row corpus datasheet — the summary block of a dataset card
+    * (Gebru et al. 2021 "Datasheets for Datasets", arXiv:1803.09010):
+    * document/source/language counts, token and character mass, the
+    * exact-duplicate fraction, and the mean quality score.
+    *
+    * Scale shape: ONE corpus scan feeding a single multi-aggregate (the
+    * three count-distincts share it via Spark's Expand — the scan is not
+    * repeated, at the cost of a 3× row expansion before the partial
+    * aggs, which is the standard exact-distinct trade; swap in
+    * approx_count_distinct when the datasheet tolerates ±2%). The
+    * quality mass sums as DECIMAL(18,6) so the mean is
+    * partial-agg-order-free (q44's contract); duplicate identity is
+    * md5, so the distinct state is 16 bytes/doc, not document text. */
+  def corpusReport(docs: DataFrame, id: Column, text: Column,
+      source: Column, lang: Column): DataFrame = {
+    val t = coalesce(text, lit(""))
+    docs
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(source).as("n_sources"),
+        countDistinct(lang).as("n_langs"),
+        countDistinct(md5(t)).as("n_unique_texts"),
+        sum(token_count_ws(t).cast("long")).as("n_tokens"),
+        sum(length(t).cast("long")).as("n_chars"),
+        sum(quality_score(text).cast("decimal(18,6)")).as("_sq"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_unique_texts"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        when(col("n_docs") > 0,
+          round(lit(1.0) - (col("n_unique_texts").cast("double") /
+            col("n_docs").cast("double")), 6))
+          .otherwise(lit(0.0)).as("dup_frac"),
+        when(col("n_docs") > 0,
+          round(col("_sq").cast("double") /
+            col("n_docs").cast("double"), 6))
+          .otherwise(lit(0.0)).as("mean_quality"))
+  }
 }
 
 /** floorMod(Java String.hashCode, buckets) as a native codegen

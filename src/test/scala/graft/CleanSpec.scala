@@ -674,4 +674,57 @@ class CleanSpec extends AnyFunSuite with SparkSuite {
     assert(f1.filter($"n_fixed" > 0L).count() > 0, "fixture must fix")
     assert(n1.filter($"changed" =!= 0L).count() > 0, "fixture must clean")
   }
+
+  // --- source-level quality gate (q78) -------------------------------------------
+
+  test("sourceQualityGate: a junk source's docs all drop together and " +
+       "one bad page on a good site survives; src mean equals the " +
+       "exact-decimal Scala reference on the corpus; broadcast join") {
+    import graft.pipeline.TextAnalysis
+    val good = ("This is a perfectly reasonable paragraph of text " +
+      "with the usual mix of words and it keeps going for a while " +
+      "so that the length score is fine and the stopword mass is " +
+      "healthy too. ") * 4
+    val junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) @@@ ~~~"
+    val fx = Seq(
+      (1L, "siteA", good), (2L, "siteA", good),
+      (3L, "siteA", junk), // the bad page on a good site
+      (4L, "siteB", junk), (5L, "siteB", junk), (6L, "siteB", junk))
+      .toDF("doc_id", "source", "text")
+    val kept = Clean.sourceQualityGate(fx, $"doc_id", $"source",
+        $"text", minMean = 0.6)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L),
+      s"siteA (incl. its one bad page) survives, siteB drops: $kept")
+
+    // corpus reference: group collected 6-dp qualities, exact decimal
+    // sum / count, gate at 0.7 — must equal the operator bit-for-bit
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = docs.select($"doc_id", coalesce($"source", lit(""))
+        .as("source"), TextAnalysis.quality_score($"text").as("q"))
+      .as[(Long, String, Double)].collect()
+    val bySrc = scored.groupBy(_._2).view.mapValues { rs =>
+      // exact decimal sum, then ONE IEEE double division — the
+      // operator's (and q44's) arithmetic contract
+      rs.map(r => BigDecimal(r._3)).sum.toDouble / rs.length.toDouble
+    }.toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wantMean = scored.collect {
+      case (id, src, q) if bySrc(src) >= 0.7 => id -> r6(bySrc(src))
+    }.toMap
+    val got = Clean.sourceQualityGate(docs, $"doc_id", $"source",
+        $"text", minMean = 0.7)
+      .select($"doc_id", $"src_quality").as[(Long, Double)]
+      .collect().toMap
+    assert(got == wantMean, "survivor set + src means must match")
+
+    val plan = Clean.sourceQualityGate(docs, $"doc_id", $"source",
+        $"text", minMean = 0.7).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the per-source means must broadcast back:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the probe side must never shuffle:\n$plan")
+  }
 }

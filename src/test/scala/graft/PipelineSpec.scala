@@ -1062,4 +1062,54 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
   }
+
+  // --- corpus datasheet (q79) ---------------------------------------------------
+
+  test("corpusReport: hand fixture with an exact twin, corpus " +
+       "reference equality, and ONE scan (no repeated FileScan)") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // hand fixture: 3 docs, one exact twin pair, 2 sources, 2 langs
+    val fx = Seq(
+      (1L, "alpha beta gamma", "en", "s1"),
+      (2L, "alpha beta gamma", "en", "s2"),
+      (3L, "delta epsilon", "de", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val row = TA.corpusReport(fx, $"doc_id", $"text", $"source", $"lang")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().head
+    val wantQ = {
+      val qs = fx.select(TA.quality_score($"text")).as[Double].collect()
+      r6(qs.map(BigDecimal(_)).sum.toDouble / 3.0)
+    }
+    assert(row == ((3L, 2L, 2L, 2L, 8L, 16L + 16L + 13L,
+      r6(1.0 - 2.0 / 3.0), wantQ)))
+    // corpus reference
+    val raw = docs.select($"doc_id", $"text", $"lang", $"source")
+      .as[(Long, String, String, String)].collect()
+    val got = TA.corpusReport(docs, $"doc_id", $"text", $"source", $"lang")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().head
+    val toks = raw.map(r => Option(r._2).getOrElse("")
+      .split("\\s+").count(_.nonEmpty).toLong).sum
+    val chars = raw.map(r => Option(r._2).getOrElse("").length.toLong).sum
+    val uniq = raw.map(r => Option(r._2).getOrElse("")).distinct.length
+    val qsum = docs.select(TA.quality_score($"text")).as[Double]
+      .collect().map(BigDecimal(_)).sum
+    assert(got._1 == raw.length && got._2 == raw.map(_._4).distinct.length &&
+      got._3 == raw.map(_._3).distinct.length && got._4 == uniq &&
+      got._5 == toks && got._6 == chars)
+    assert(got._7 == r6(1.0 - uniq.toDouble / raw.length.toDouble))
+    assert(got._8 == r6(qsum.toDouble / raw.length.toDouble))
+    // one scan: the multi-distinct shares a single Expand, never a
+    // second file scan / self-join
+    val plan = TA.corpusReport(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        $"doc_id", $"text", $"source", $"lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"the datasheet must read the corpus ONCE:\n$plan")
+    assert(plan.contains("Expand"), s"distincts share the scan:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+  }
 }
