@@ -54,7 +54,10 @@ object Bench {
     "q64_dup_lines", "q65_text_normalize", "q66_simhash_dedup",
     "q67_source_divergence", "q68_fix_mojibake", "q69_jaccard_dedup",
     "q70_embedding_dedup", "q71_hygiene_pipeline", "q72_winnowing",
-    "q73_snapshot_dedup", "q74_dedup_keep_best", "q75_winnowing_pairs")
+    "q73_snapshot_dedup", "q74_dedup_keep_best", "q75_winnowing_pairs",
+    "q76_lexical_diversity", "q77_dup_ngram_coverage",
+    "q78_source_quality_gate", "q79_corpus_report",
+    "q80_fuzzy_decontam", "q81_cluster_profile")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

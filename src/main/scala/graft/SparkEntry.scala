@@ -989,6 +989,30 @@ object SparkEntry {
         col("text"), col("source"), col("lang"))
     }),
 
+    // --- fuzzy eval-set decontamination: q23's MinHash family, but the
+    // band join probes the eval slice (doc_id % 10 == 0) BROADCAST —
+    // candidates are train x eval only, never train x train. --------------------
+    "q80_fuzzy_decontam" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.fuzzyDecontaminate(t(s, dir, "documents"), $"doc_id",
+          $"text", $"doc_id" % 10 === 0, shingleK = 3, bands = 8,
+          rowsPerBand = 4, threshold = 0.7)
+        .withColumn("jaccard", round($"jaccard", 6))
+        .orderBy($"train_id", $"eval_id")
+    }),
+
+    // --- per-cluster balance profile over the q36 pinned centroids:
+    // shuffle-free assignment, per-cell count + mean/min/max cosine. ------------
+    "q81_cluster_profile" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter($"vec_id".between(1, 8))
+        .select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      Similarity.clusterProfile(emb, $"vec_id", $"embedding", cents)
+        .orderBy($"cell")
+    }),
+
     // SimHash near-dup pairs
     "q24_simhash_pairs" -> ((s, dir) => {
       import s.implicits._
@@ -2460,6 +2484,42 @@ object SparkEntry {
              THEN CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE)
              ELSE 0.0 END, 6) AS mean_quality
          FROM m ORDER BY n_docs"""),
+
+    // fuzzy decontamination: q23's full MinHash chain (identical
+    // shingles / permutations / banding), verified pairs crossing the
+    // eval slice (doc_id % 10 == 0), mapped to (train, eval).
+    "q80_fuzzy_decontam" ->
+      ("WITH " + minhashCtes + """,
+         prs AS (SELECT id_a, id_b, j FROM veri
+           WHERE j >= 0.7 AND (id_a % 10 = 0) <> (id_b % 10 = 0)),
+         mapped AS (SELECT
+             CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS train_id,
+             CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS eval_id,
+             j FROM prs)
+         SELECT train_id, eval_id, round(j, 6) AS jaccard FROM mapped
+         ORDER BY train_id, eval_id"""),
+
+    // cluster profile: q36's pinned-centroid assignment (rounded-cosine
+    // argmax, ties to the lowest cell), per-cell count + mean (exact
+    // decimal sum / one double division) / min / max cosine.
+    "q81_cluster_profile" ->
+      """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         a AS (SELECT e.vec_id, c.cell,
+             round(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS cs
+           FROM embeddings e, c),
+         cells AS (SELECT vec_id, cell, cs FROM (
+             SELECT vec_id, cell, cs,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, cell) AS rk
+             FROM a) t
+           WHERE rk = 1)
+         SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(CAST(cs AS DECIMAL(18,6))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 6) AS mean_cos,
+           min(cs) AS min_cos, max(cs) AS max_cos
+         FROM cells GROUP BY 1 ORDER BY cell""",
 
     // paragraph dedup: q45's recut + injections, CCNet keep-first —
     // keeper = row_number 1 over (doc_id, ci) per normalized line.

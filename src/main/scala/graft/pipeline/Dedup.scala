@@ -128,6 +128,61 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Fuzzy eval-set decontamination — the near-duplicate complement to
+    * [[decontaminate]]'s exact k-gram overlap: flag training documents
+    * whose shingle-set Jaccard with ANY eval document reaches
+    * `threshold`, via the same MinHash family as [[minhashLshPairs]]
+    * (identical shingles, permutations, banding — so a doc pair meets
+    * here iff it would meet there). The standard companion pass in
+    * published pipelines: paraphrased or lightly-edited benchmark leaks
+    * that exact gram overlap misses.
+    *
+    * Returns (train_id, eval_id, jaccard) — every contaminated training
+    * doc with each eval doc that flags it.
+    *
+    * Scale shape: the corpus NEVER self-joins. Both sides band through
+    * one shared signature projection, but the band join probes the
+    * eval side broadcast (an eval set is thousands of docs; its band
+    * table is MBs against a 100 TB corpus), so candidates are
+    * train×eval only — the train×train quadratic term
+    * [[minhashLshPairs]] pays is gone, and the exact-Jaccard verify
+    * re-attaches shingles to just the candidate pairs (eval side again
+    * broadcast). */
+  def fuzzyDecontaminate(df: DataFrame, id: Column, text: Column,
+      isEval: Column, shingleK: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val n = bands * rowsPerBand
+    val base = df.select(id.as("doc_id"), text.as("_text"),
+        isEval.cast("boolean").as("_ev"))
+      .withColumn("sh", shinglesUdf(shingleK)(col("_text")))
+    val banded = base
+      .withColumn("sig", minhashUdf(n)(col("sh")))
+      .select(col("doc_id"), col("_ev"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          hash(slice(col("sig"), b * rowsPerBand + lit(1),
+            lit(rowsPerBand)), b)))
+          .as(Seq("band", "band_hash")))
+    val trainB = banded.filter(!col("_ev"))
+      .select(col("band"), col("band_hash"), col("doc_id").as("train_id"))
+    val evalB = banded.filter(col("_ev"))
+      .select(col("band"), col("band_hash"), col("doc_id").as("eval_id"))
+    val cand = trainB.join(broadcast(evalB), Seq("band", "band_hash"))
+      .select("train_id", "eval_id")
+      .dropDuplicates("train_id", "eval_id")
+    val jac = udf((a: Seq[Long], b: Seq[Long]) =>
+      exactJaccard(a.toArray, b.toArray))
+    cand
+      .join(base.filter(!col("_ev"))
+        .select(col("doc_id").as("train_id"), col("sh").as("sh_t")),
+        Seq("train_id"))
+      .join(broadcast(base.filter(col("_ev"))
+        .select(col("doc_id").as("eval_id"), col("sh").as("sh_e"))),
+        Seq("eval_id"))
+      .withColumn("jaccard", jac(col("sh_t"), col("sh_e")))
+      .filter(col("jaccard") >= threshold)
+      .select("train_id", "eval_id", "jaccard")
+  }
+
   // --- SimHash ----------------------------------------------------------------
 
   /** 64-bit SimHash over word-unigram hashes. */

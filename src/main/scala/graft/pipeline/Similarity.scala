@@ -380,11 +380,22 @@ object Similarity {
     * exchanges. */
   def semDedupCells(df: DataFrame, id: Column, vec: Column,
                     centroids: Array[(Long, Seq[Float])]): DataFrame = {
-    require(centroids.nonEmpty, "semDedup needs at least one centroid")
+    df.select(id.as("vec_id"), vec.as("v"))
+      .withColumn("cell", assignStruct(centroids).getField("cell"))
+  }
+
+  /** The rounded-cosine argmax fold over a broadcast-literal centroid
+    * array (ascending scan + strict > keeps the lowest cell id on
+    * 6-dp-rounded ties) applied to the `v` column — returns a
+    * struct(c: winning rounded cosine, cell: winning id). Shared by
+    * [[semDedupCells]] and [[clusterProfile]] so their assignment rule
+    * cannot drift apart. */
+  private def assignStruct(centroids: Array[(Long, Seq[Float])]): Column = {
+    require(centroids.nonEmpty, "assignment needs at least one centroid")
     val sorted = centroids.sortBy(_._1)
     val cvecs = typedLit(sorted.map(_._2.map(_.toDouble)).toSeq)
     val cids = typedLit(sorted.map(_._1).toSeq)
-    val cellCol = aggregate(
+    aggregate(
       sequence(lit(1), lit(sorted.length)),
       struct(lit(-2.0).as("c"), lit(Long.MaxValue).as("cell")),
       (acc, i) => {
@@ -392,8 +403,34 @@ object Similarity {
         when(cs > acc.getField("c"),
           struct(cs.as("c"), element_at(cids, i).as("cell")))
           .otherwise(acc)
-      },
-      acc => acc.getField("cell"))
-    df.select(id.as("vec_id"), vec.as("v")).withColumn("cell", cellCol)
+      })
+  }
+
+  /** Per-cluster balance profile — the diagnostic cluster-based
+    * curation pipelines read before sampling from clusters (how big is
+    * each cluster, how tight): every vector assigned to its nearest
+    * centroid (the [[semDedupCells]] rule exactly), then per cell the
+    * member count and the mean/min/max rounded cosine to the OWN
+    * centroid. A cell with low mean cosine is a junk-drawer cluster; a
+    * huge tight cell is near-duplicate mass.
+    *
+    * Scale shape: the assignment is the same shuffle-free
+    * broadcast-literal fold as SemDedup's; the only exchange is the
+    * |cells|-keyed aggregation, whose partials combine map-side. The
+    * mean sums the already-6-dp cosines as exact DECIMAL(18,6) (q44's
+    * order-free contract). Returns (cell, n_vecs, mean_cos, min_cos,
+    * max_cos), one row per non-empty cell. */
+  def clusterProfile(df: DataFrame, id: Column, vec: Column,
+                     centroids: Array[(Long, Seq[Float])]): DataFrame = {
+    df.select(id.as("vec_id"), vec.as("v"))
+      .withColumn("_a", assignStruct(centroids))
+      .select(col("vec_id"), col("_a").getField("cell").as("cell"),
+        col("_a").getField("c").as("cs"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("cs").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_cos"),
+        min(col("cs")).as("min_cos"),
+        max(col("cs")).as("max_cos"))
   }
 }

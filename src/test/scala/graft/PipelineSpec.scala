@@ -1112,4 +1112,97 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("Expand"), s"distincts share the scan:\n$plan")
     assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
   }
+
+  // --- fuzzy eval-set decontamination (q80) ---------------------------------------
+
+  test("fuzzyDecontaminate: equals the generic pair list filtered to " +
+       "cross-slice (same MinHash family), a paraphrased leak is " +
+       "caught, no train x train pairs, eval side broadcast") {
+    val isEval = $"doc_id" % 10 === 0
+    val got = Dedup.fuzzyDecontaminate(docs, $"doc_id", $"text", isEval,
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    // the dedicated eval-broadcast band join must find EXACTLY the
+    // cross-slice subset of the generic all-pairs operator
+    val want = Dedup.minhashLshPairs(docs, $"doc_id", $"text",
+        shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b, j) =>
+        if (a % 10 == 0) (b, a, j) else (a, b, j) }.toSet
+    assert(got == want, s"got $got want $want")
+    got.foreach { case (tr, ev, _) =>
+      assert(tr % 10 != 0 && ev % 10 == 0, "pairs must cross the slice") }
+    // a paraphrased benchmark leak: eval doc 0 lightly edited as a
+    // training doc must flag; an unrelated training doc must not
+    val evalText = "the quick brown fox jumps over the lazy dog and " +
+      "then runs far away into the deep dark quiet forest tonight"
+    val leak = evalText.replace("quiet", "calm")
+    val fx = Seq((10L, evalText), (11L, leak),
+      (13L, "completely different words about spark shuffles and " +
+        "partitions with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.fuzzyDecontaminate(fx, $"doc_id", $"text",
+        $"doc_id" % 10 === 0, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((11L, 10L)),
+      s"the paraphrase flags, the unrelated doc does not: ${hits.toSeq}")
+    val plan = Dedup.fuzzyDecontaminate(docs, $"doc_id", $"text", isEval)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the eval side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for the band join:\n$plan")
+  }
+
+  // --- cluster balance profile (q81) ----------------------------------------------
+
+  test("clusterProfile: cells match semDedupCells, counts/means match " +
+       "a local reference, and the assignment stays shuffle-free") {
+    val cents = centroidsFrom(embeddings, 1, 8)
+    val prof = Similarity.clusterProfile(embeddings, $"vec_id",
+        $"embedding", cents)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // local reference with the exact assignment rule
+    val vecs = embeddings.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cs = cents.sortBy(_._1).map { case (i, v) => (i, v.toArray) }
+    val assigned = vecs.map { case (id, v) =>
+      val (cell, c) = cs.map { case (ci, cv) => (ci, r6(cos(v, cv))) }
+        .maxBy { case (ci, s) => (s, -ci) }
+      (id, cell, c)
+    }
+    val byCell = assigned.groupBy(_._2)
+    byCell.foreach { case (cell, ms) =>
+      val (_, n, mean, mn, mx) = prof(cell)
+      assert(n == ms.length, s"cell $cell count")
+      assert(mean == r6(ms.map(m => BigDecimal(m._3)).sum.toDouble /
+        ms.length.toDouble), s"cell $cell mean")
+      assert(mn == ms.map(_._3).min && mx == ms.map(_._3).max,
+        s"cell $cell min/max")
+    }
+    assert(prof.keySet == byCell.keySet)
+    // cells agree with semDedupCells (the shared fold)
+    val cellsGot = Similarity.semDedupCells(embeddings, $"vec_id",
+        $"embedding", cents)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    assigned.foreach { case (id, cell, _) =>
+      assert(cellsGot(id) == cell, s"vec $id cell") }
+    // shuffle-free assignment: the only exchange is the cell agg's
+    val plan = Similarity.clusterProfile(embeddings, $"vec_id",
+        $"embedding", cents).queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 2,
+      s"only the |cells|-keyed aggregation may shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+  }
 }
