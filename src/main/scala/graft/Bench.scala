@@ -303,15 +303,26 @@ object Bench {
     // shape at 1M docs across the synth corpus's 64 sources
     val (td, nSrc) = time(
       TextAnalysis.sourceDivergence(docs, $"source", $"text").count())
+    // the zero-shuffle per-doc lexical profile (in-row sort +
+    // run-length entropy) and the 8-gram dup-coverage inverted index
+    val (tl, lexKept) = time(
+      TextAnalysis.lexicalDiversity(docs, $"doc_id", $"text")
+        .filter($"keep" === 1).count())
+    val (tg, gramFlagged) = time(
+      TextAnalysis.dupNgramCoverage(docs, $"doc_id", $"text", n = 8)
+        .filter($"keep" === 0).count())
     s"""{"docs":$nDocs,"quality_sec":${fmt(tq)},"quality_kept":$kept,""" +
       s""""pack_sec":${fmt(tp)},"pack_slices":$slices,""" +
       s""""cap_sec":${fmt(tc)},"cap_rows":$capped,""" +
       s""""span_sec":${fmt(ts)},"span_removed_tokens":$removed,""" +
       s""""norm_sec":${fmt(tn)},"norm_changed":$nChanged,""" +
       s""""divergence_sec":${fmt(td)},"divergence_sources":$nSrc,""" +
+      s""""lex_sec":${fmt(tl)},"lex_kept":$lexKept,""" +
+      s""""gram_sec":${fmt(tg)},"gram_flagged":$gramFlagged,""" +
       s""""docs_per_sec_quality":${fmt(nDocs / tq)},""" +
       s""""docs_per_sec_norm":${fmt(nDocs / tn)},""" +
-      s""""docs_per_sec_span":${fmt(nDocs / ts)}}"""
+      s""""docs_per_sec_span":${fmt(nDocs / ts)},""" +
+      s""""docs_per_sec_lex":${fmt(nDocs / tl)}}"""
   }
 
   private def repTimes(spark: SparkSession, reps: Int, nUrls: Long,

@@ -1001,6 +1001,24 @@ object SparkEntry {
         .orderBy($"train_id", $"eval_id")
     }),
 
+    // --- the end-to-end mix assembly: q44's temperature weights APPLIED
+    // — each source contributes floor(p*budget) docs in md5 draw order. ---------
+    "q82_build_mix" -> ((s, dir) => {
+      import s.implicits._
+      TrainingMix.buildMix(t(s, dir, "documents"), $"doc_id", $"source",
+          alpha = 0.5, budget = 100L)
+        .orderBy($"doc_id")
+    }),
+
+    // --- top duplicated 10-token spans: the "what IS the boilerplate"
+    // corpus report (q77 says how much; this says what). ------------------------
+    "q83_top_dup_spans" -> ((s, dir) => {
+      import s.implicits._
+      TA.topDupSpans(t(s, dir, "documents"), $"doc_id", $"text",
+          k = 10, topN = 25)
+        .orderBy($"n_sites".desc, $"span")
+    }),
+
     // --- per-cluster balance profile over the q36 pinned centroids:
     // shuffle-free assignment, per-cell count + mean/min/max cosine. ------------
     "q81_cluster_profile" -> ((s, dir) => {
@@ -2370,9 +2388,12 @@ object SparkEntry {
 
     // lexical diversity: the relational construction (unnest -> per-type
     // counts -> per-doc totals) of the same statistics Spark computes
-    // in-row; entropy terms p*(ln p / ln 2) with identical IEEE op order,
-    // fixed to x1e12 integer micro-units so the per-type sum is exact
-    // integer arithmetic on both engines.
+    // in-row; entropy via the n-free decomposition H = log2(n) -
+    // (sum c*log2 c)/n, per-type terms c*(ln c / ln 2) in identical IEEE
+    // op order fixed to x1e12 integer micro-units (exact order-free
+    // sums); abs() because the two log2(n) paths can differ by ~1e-13
+    // and a tiny negative would round to an engine-dependent signed
+    // zero.
     "q76_lexical_diversity" ->
       """WITH toks AS (SELECT doc_id,
              unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
@@ -2384,17 +2405,18 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n_types,
              CAST(count(*) FILTER (WHERE cnt = 1) AS BIGINT) AS n_hapax
            FROM tc GROUP BY 1),
-         terms AS (SELECT c.doc_id,
-             CAST(round(((c.cnt::DOUBLE / t.n_tokens::DOUBLE) *
-               (ln(c.cnt::DOUBLE / t.n_tokens::DOUBLE) / ln(2.0))) *
+         terms AS (SELECT doc_id,
+             CAST(round((cnt::DOUBLE * (ln(cnt::DOUBLE) / ln(2.0))) *
                1000000000000.0, 0) AS BIGINT) AS tm
-           FROM tc c JOIN tots t USING (doc_id)),
+           FROM tc),
          ent AS (SELECT doc_id, CAST(sum(tm) AS BIGINT) AS sm
            FROM terms GROUP BY 1),
          prof AS (SELECT t.doc_id, t.n_tokens, t.n_types,
              round(t.n_types::DOUBLE / t.n_tokens::DOUBLE, 6) AS ttr,
              round(t.n_hapax::DOUBLE / t.n_types::DOUBLE, 6) AS hapax_frac,
-             round(0.0 - (e.sm::DOUBLE / 1000000000000.0), 6) AS entropy
+             round(abs((ln(t.n_tokens::DOUBLE) / ln(2.0)) -
+               ((e.sm::DOUBLE / 1000000000000.0) /
+                 t.n_tokens::DOUBLE)), 6) AS entropy
            FROM tots t JOIN ent e USING (doc_id))
          SELECT d.doc_id,
            coalesce(p.n_tokens, 0) AS n_tokens,
@@ -2498,6 +2520,49 @@ object SparkEntry {
              j FROM prs)
          SELECT train_id, eval_id, round(j, 6) AS jaccard FROM mapped
          ORDER BY train_id, eval_id"""),
+
+    // mix assembly: q44's exact-decimal weight arithmetic (same pow /
+    // round / floor op order) gives per-source takes; the q61 md5 draw
+    // window ranks; survivors rk <= take.
+    "q82_build_mix" ->
+      """WITH c AS (SELECT source AS stratum,
+             CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         w AS (SELECT stratum,
+             CAST(round(pow(n_docs, 0.5), 6) AS DECIMAL(18,6)) AS w
+           FROM c),
+         t AS (SELECT sum(w) AS sw FROM w),
+         takes AS (SELECT stratum,
+             CAST(floor(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) * 100.0)
+               AS BIGINT) AS take
+           FROM w, t),
+         ranked AS (SELECT doc_id, source AS stratum,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         SELECT r.doc_id, r.stratum, CAST(r.rk AS BIGINT) AS rk
+         FROM ranked r JOIN takes k USING (stratum)
+         WHERE r.rk <= k.take
+         ORDER BY r.doc_id""",
+
+    // top duplicated spans: positional 10-token slices, per-span site
+    // and distinct-doc counts, singletons dropped, top-25 by
+    // (n_sites DESC, span).
+    "q83_top_dup_spans" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id,
+             array_to_string(list_slice(ts, i, i + 9), ' ') AS span
+           FROM toks, unnest(range(1, greatest(len(ts) - 8, 1))) AS r(i)
+           WHERE len(ts) >= 10),
+         a AS (SELECT span, CAST(count(*) AS BIGINT) AS n_sites,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM g GROUP BY 1)
+         SELECT span, n_sites, n_docs FROM a
+         WHERE n_sites >= 2
+         ORDER BY n_sites DESC, span LIMIT 25""",
 
     // cluster profile: q36's pinned-centroid assignment (rounded-cosine
     // argmax, ties to the lowest cell), per-cell count + mean (exact

@@ -719,43 +719,62 @@ object TextAnalysis {
     * [[sourceDivergence]]'s 12-dp decimal terms). */
   def lexicalDiversity(docs: DataFrame, id: Column, text: Column)
       : DataFrame = {
-    val sorted = docs.select(id.as("doc_id"),
-      array_sort(tokensWs(lower(text))).as("_t"))
-    val n = size(col("_t"))
-    // 1-based positions starting a new run in the sorted array; the
-    // greatest() guard keeps element_at in bounds under ANSI for i = 1
-    // (the i === 1 disjunct decides that position anyway).
-    val starts = filter(sequence(lit(1), n), i =>
-      i === 1 || element_at(col("_t"), i) =!=
-        element_at(col("_t"), greatest(i - 1, lit(1))))
-    val withRuns = sorted.select(col("doc_id"), n.as("_n"),
-      when(n >= 1, starts).otherwise(array().cast("array<int>")).as("_s"))
-    // run length j = next start (or n+1 past the end) - start j
-    val counts = transform(sequence(lit(1), size(col("_s"))), j =>
-      when(j < size(col("_s")), element_at(col("_s"), j + 1))
-        .otherwise(col("_n") + 1) - element_at(col("_s"), j))
-    val withCounts = withRuns.select(col("doc_id"), col("_n"),
-      size(col("_s")).as("_types"),
-      when(size(col("_s")) >= 1, counts)
-        .otherwise(array().cast("array<int>")).as("_c"))
-    def p(c: Column): Column = c.cast("double") / col("_n").cast("double")
-    val termMicros = transform(col("_c"), c =>
-      round((p(c) * (log(p(c)) / log(lit(2.0)))) * 1e12, 0).cast("long"))
+    // ONE fold builds the per-type run-length array: sort the token
+    // array, then a single aggregate pass whose lambdas touch ONLY the
+    // accumulator and the element. That discipline is load-bearing for
+    // performance, not style: a lambda body that references a
+    // projection column gets that column's full expression inlined by
+    // CollapseProject and re-evaluated PER ELEMENT (the sort would run
+    // n times per row — superlinear per document). Every downstream
+    // consumer takes `_c` as an HOF *input* (evaluated once per call),
+    // never inside a lambda body.
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      array().cast("array<bigint>").as("runs"))
+    val fold = aggregate(array_sort(tokensWs(lower(text))), zero,
+      (acc, tok) =>
+        when(acc.getField("run") === 0L,
+          struct(tok.as("prev"), lit(1L).as("run"),
+            acc.getField("runs").as("runs")))
+        .when(tok === acc.getField("prev"),
+          struct(tok.as("prev"), (acc.getField("run") + 1L).as("run"),
+            acc.getField("runs").as("runs")))
+        .otherwise(
+          struct(tok.as("prev"), lit(1L).as("run"),
+            concat(acc.getField("runs"),
+              array(acc.getField("run"))).as("runs"))),
+      acc => when(acc.getField("run") > 0L,
+        concat(acc.getField("runs"), array(acc.getField("run"))))
+        .otherwise(acc.getField("runs")))
+    val withRuns = docs.select(id.as("doc_id"), fold.as("_c"))
+    // scalars from the run array — entropy via the n-free decomposition
+    // H = log2(n) − (Σ c·log2 c)/n, so no lambda needs the total
+    val n = aggregate(col("_c"), lit(0L), (a, c) => a + c)
+    val sMicros = aggregate(
+      transform(col("_c"), c =>
+        round((c.cast("double") * (log(c.cast("double")) /
+          log(lit(2.0)))) * 1e12, 0).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val scalars = withRuns.select(col("doc_id"), n.as("_n"),
+      size(col("_c")).cast("long").as("_types"),
+      size(filter(col("_c"), c => c === 1L)).cast("long").as("_hapax"),
+      sMicros.as("_s"))
     val entropy = when(col("_n") > 0,
-      round(lit(0.0) -
-        aggregate(termMicros, lit(0L), (a, x) => a + x).cast("double") /
-          1e12, 6))
+      // abs: the two log2(n) paths can differ by ~1e-13, and a tiny
+      // negative would round to an engine-dependent signed zero
+      round(abs((log(col("_n").cast("double")) / log(lit(2.0))) -
+        ((col("_s").cast("double") / 1e12) /
+          col("_n").cast("double"))), 6))
       .otherwise(lit(0.0))
     val ttr = when(col("_n") > 0,
       round(col("_types").cast("double") / col("_n").cast("double"), 6))
       .otherwise(lit(0.0))
     val hapax = when(col("_types") > 0,
-      round(size(filter(col("_c"), c => c === 1)).cast("double") /
+      round(col("_hapax").cast("double") /
         col("_types").cast("double"), 6))
       .otherwise(lit(0.0))
-    withCounts
-      .select(col("doc_id"), col("_n").cast("long").as("n_tokens"),
-        col("_types").cast("long").as("n_types"), ttr.as("ttr"),
+    scalars
+      .select(col("doc_id"), col("_n").as("n_tokens"),
+        col("_types").as("n_types"), ttr.as("ttr"),
         hapax.as("hapax_frac"), entropy.as("entropy"))
       .withColumn("keep",
         when(col("n_tokens") >= 20 && col("ttr") >= 0.45 &&
@@ -785,9 +804,18 @@ object TextAnalysis {
     * decontamination and boilerplate operators. */
   def dupNgramCoverage(docs: DataFrame, id: Column, text: Column,
       n: Int, minDf: Int = 2): DataFrame = {
+    // explode positions FIRST (the spanDedup pattern): after the
+    // Generate, `ts` is a bound attribute and each position row slices
+    // it once — building gram arrays inside per-element lambdas would
+    // re-tokenize per position once CollapseProject inlines
     val grams = docs
-      .select(id.as("doc_id"), explode(ngramArray(text, n)).as("_g"))
-      .select(col("doc_id"), unhex(md5(col("_g"))).as("g"))
+      .select(id.as("doc_id"), tokensWs(text).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ts")) - n)).as("p"), col("ts"))
+      .select(col("doc_id"),
+        unhex(md5(concat_ws(" ",
+          slice(col("ts"), col("p") + 1, lit(n))))).as("g"))
       .distinct()
     val df = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("_df"))
@@ -807,6 +835,36 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .withColumn("keep",
         when(col("dup_frac") <= 0.5, 1L).otherwise(0L))
+  }
+
+  /** Top duplicated k-token spans — the "what IS the boilerplate"
+    * report a pipeline owner reads before tuning span/paragraph dedup:
+    * the `topN` most repeated token windows corpus-wide, with total
+    * occurrence sites and distinct-document counts. The q77 coverage
+    * number says HOW MUCH duplicated mass there is; this says WHAT it
+    * is.
+    *
+    * Scale shape: [[vocabTopK]]'s — group directly on the span text
+    * (hot spans collapse map-side, so the exchange carries each
+    * distinct span once per map partition), the ≥2-sites filter drops
+    * the singleton long tail before the top-N, and the final order is
+    * a TakeOrdered heap (never a global sort). The distinct-doc count
+    * rides the same aggregate via Expand. */
+  def topDupSpans(docs: DataFrame, id: Column, text: Column,
+      k: Int, topN: Int): DataFrame = {
+    docs
+      .select(id.as("doc_id"), tokensWs(text).as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ts")) - k)).as("p"), col("ts"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("ts"), col("p") + 1, lit(k))).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_sites"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_sites") >= 2)
+      .orderBy(col("n_sites").desc, col("span"))
+      .limit(topN)
   }
 
   // --- corpus datasheet ----------------------------------------------------------

@@ -80,6 +80,35 @@ object TrainingMix {
       floor(p * lit(budget.toDouble)).cast("long").as("expected_docs"))
   }
 
+  /** The end-to-end mix ASSEMBLY — [[mixWeights]]'s per-stratum budgets
+    * applied to actual documents: each stratum contributes its
+    * floor(p·budget) docs, drawn in md5(id) order (the seedless
+    * deterministic draw of [[stratifiedSample]]/[[capPerGroup]], so any
+    * engine picks the identical mix). Returns (doc_id, stratum, rk)
+    * with rk the doc's 1-based position in its stratum's draw order.
+    *
+    * Scale shape: the weights side is [[mixWeights]]'s |strata|-row
+    * aggregate, broadcast back onto the ranked corpus; the ranking is
+    * one hash-partitioned window per stratum (the [[capPerGroup]]
+    * shuffle — rows ship (id, stratum, 16-byte draw), never text).
+    * The per-stratum take is data-dependent, so the window cannot
+    * map-side prune via WindowGroupLimit the way a literal cap can —
+    * at extreme skew, pre-filter with a literal
+    * rk ≤ max(expected_docs) cap first (|strata| driver rows). */
+  def buildMix(df: DataFrame, id: Column, stratum: Column, alpha: Double,
+               budget: Long): DataFrame = {
+    val takes = mixWeights(df, stratum, alpha, budget)
+      .select(col("stratum"), col("expected_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("_draw"), col("doc_id"))
+    df.select(id.as("doc_id"), stratum.as("stratum"),
+        md5(id.cast("string")).as("_draw"))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(takes), Seq("stratum"))
+      .filter(col("rk") <= col("expected_docs"))
+      .select(col("doc_id"), col("stratum"), col("rk").cast("long").as("rk"))
+  }
+
   /** Deterministic corpus shuffle: lay documents out in md5(id) order —
     * a seedless pseudo-random permutation any engine reproduces — with
     * each document's global position (`rank`, 1-based, dense) and its

@@ -963,13 +963,14 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       if (n == 0) return (0L, 0L, 0.0, 0.0, 0.0)
       val cnts = ts.groupBy(identity).view.mapValues(_.length).values.toSeq
       val micros = cnts.map { c =>
-        val p = c.toDouble / n.toDouble
-        BigDecimal((p * (math.log(p) / math.log(2.0))) * 1e12)
+        BigDecimal((c.toDouble * (math.log(c.toDouble) /
+          math.log(2.0))) * 1e12)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
       }.sum
       (n.toLong, cnts.size.toLong, r6(cnts.size.toDouble / n.toDouble),
         r6(cnts.count(_ == 1).toDouble / cnts.size.toDouble),
-        r6(0.0 - micros.toDouble / 1e12))
+        r6(math.abs((math.log(n.toDouble) / math.log(2.0)) -
+          ((micros.toDouble / 1e12) / n.toDouble))))
     }
     val got = TA.lexicalDiversity(docs, $"doc_id", $"text")
       .as[(Long, Long, Long, Double, Double, Double, Long)].collect()
@@ -1203,6 +1204,51 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
         $"embedding", cents).queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 <= 2,
       s"only the |cells|-keyed aggregation may shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+  }
+
+  // --- top duplicated spans (q83) --------------------------------------------------
+
+  test("topDupSpans: a shared 12-token run yields its 3 shared windows " +
+       "(sites count sites, docs count docs), brute-force corpus " +
+       "reference equality, TakeOrdered not global sort") {
+    val k = 10
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val fx = Seq(
+      (1L, s"prefix one two $run"),
+      (2L, s"$run suffix here now"),
+      (3L, "r r r r r r r r r r r r")) // within-doc repeats: 3 sites of one span
+      .toDF("doc_id", "text")
+    val rows = TA.topDupSpans(fx, $"doc_id", $"text", k, topN = 25)
+      .as[(String, Long, Long)].collect()
+    val m = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    val runToks = run.split(" ")
+    (0 to 2).foreach { i =>
+      val span = runToks.slice(i, i + k).mkString(" ")
+      assert(m(span) == ((2L, 2L)), s"shared window $i") }
+    assert(m("r r r r r r r r r r") == ((3L, 1L)),
+      "a within-doc repeat counts sites, not docs")
+    assert(rows.length == 4, s"exactly the duplicated spans: ${rows.toSeq}")
+    // corpus brute force
+    val raw = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val sites = raw.flatMap { case (id, text) =>
+      val ts = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+      if (ts.length < k) Seq.empty
+      else (0 to ts.length - k).map(i =>
+        (id, ts.slice(i, i + k).mkString(" ")))
+    }
+    val want = sites.groupBy(_._2).view
+      .mapValues(v => (v.length.toLong, v.map(_._1).distinct.length.toLong))
+      .toSeq.filter(_._2._1 >= 2)
+      .sortBy { case (s, (n, _)) => (-n, s) }.take(25)
+      .map { case (s, (n, d)) => (s, n, d) }
+    val gotCorpus = TA.topDupSpans(docs, $"doc_id", $"text", k, topN = 25)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(gotCorpus == want, s"got $gotCorpus want $want")
+    val plan = TA.topDupSpans(docs, $"doc_id", $"text", k, topN = 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"),
+      s"top-N must be a heap, not a global sort:\n$plan")
     assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
   }
 }

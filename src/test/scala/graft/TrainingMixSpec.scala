@@ -528,4 +528,36 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
     assert(winIdx >= 0 && aggIdx > winIdx,
       s"the window must consume the histogram aggregate, not raw rows:\n$plan")
   }
+
+  // --- end-to-end mix assembly (q82) -----------------------------------------------
+
+  test("buildMix: each stratum contributes exactly its mixWeights take " +
+       "in md5 draw order (sequential reference equality), total within " +
+       "budget, deterministic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val takes = TrainingMix.mixWeights(docs, $"source", alpha = 0.5,
+        budget = 100L)
+      .select($"stratum", $"expected_docs").as[(String, Long)]
+      .collect().toMap
+    val got = TrainingMix.buildMix(docs, $"doc_id", $"source",
+        alpha = 0.5, budget = 100L)
+      .as[(Long, String, Long)].collect()
+    val ref = docs.select($"doc_id", $"source").as[(Long, String)]
+      .collect().groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+        rows.map(_._1).sortBy(id => (md5hex(id.toString), id))
+          .take(takes(g).toInt)
+          .zipWithIndex.map { case (id, i) => (id, g, i + 1L) }
+      }.toSet
+    assert(got.toSet == ref,
+      "the mix must be exactly the md5-least take_s per stratum")
+    assert(got.length <= 100, "floor() takes can never exceed the budget")
+    got.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.length == ref.count(_._2 == g),
+        s"stratum $g contribution") }
+    assert(takes.values.exists(_ > 0), "fixture must select something")
+    val again = TrainingMix.buildMix(docs, $"doc_id", $"source",
+        alpha = 0.5, budget = 100L)
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == got.toSet, "the draw is the hash: re-runs identical")
+  }
 }
