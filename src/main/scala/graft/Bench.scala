@@ -57,7 +57,8 @@ object Bench {
     "q73_snapshot_dedup", "q74_dedup_keep_best", "q75_winnowing_pairs",
     "q76_lexical_diversity", "q77_dup_ngram_coverage",
     "q78_source_quality_gate", "q79_corpus_report",
-    "q80_fuzzy_decontam", "q81_cluster_profile")
+    "q80_fuzzy_decontam", "q81_cluster_profile", "q82_build_mix",
+    "q83_top_dup_spans")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

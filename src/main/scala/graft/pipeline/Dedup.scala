@@ -735,25 +735,49 @@ object Dedup {
   def winnowingFingerprints(df: DataFrame, id: Column, text: Column,
                             k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be positive")
-    val toks = TextAnalysis.tokensWs(text)
-    // guard: Spark's sequence(0, negative) DESCENDS — short docs must
-    // yield an empty gram list, not a runaway one
-    val grams = when(size(toks) >= lit(k), transform(
-        sequence(lit(0), size(toks) - lit(k)),
-        i => substring(md5(concat_ws(" ", slice(toks, i + 1, lit(k)))), 1, 16)))
-      .otherwise(array().cast("array<string>"))
-    val sels = transform(
-      sequence(lit(0), size(col("_grams")) - lit(w)),
-      j => {
-        val win = slice(col("_grams"), j + 1, lit(w))
-        val m = array_min(win)
-        struct((j + array_position(win, m) - 1).cast("long").as("pos"),
-          m.as("fp"))
-      })
-    df.select(id.as("doc_id"), grams.as("_grams"))
-      .filter(size(col("_grams")) >= w)
+    // spanDedup's shape: explode gram positions so the per-gram md5
+    // runs in WHOLE-STAGE CODEGEN (an md5 inside an HOF lambda is
+    // interpreted+boxed — measured ~50× slower per gram, ~2 ms/doc at
+    // 200 tokens), regroup the slim 16-char hashes per doc (ONE
+    // doc-keyed exchange of (doc, pos, hash) rows — the trade that
+    // wins at corpus scale), then select window minima with one cheap
+    // fold whose lambdas touch only (acc, element) — see PLANS.md
+    // "lambda-inlining hazard".
+    val base = df.select(id.as("doc_id"), TextAnalysis.tokensWs(text).as("ts"))
+      .filter(size(col("ts")) >= k + w - 1) // ≥ w grams
+    val grams = base
       .select(col("doc_id"),
-        explode(array_distinct(sels)).as("sel"))
-      .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+        explode(sequence(lit(0), size(col("ts")) - k)).as("gi"), col("ts"))
+      .select(col("doc_id"), col("gi"),
+        substring(md5(concat_ws(" ",
+          slice(col("ts"), col("gi") + 1, lit(k)))), 1, 16).as("gh"))
+    val garr = grams.groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("gi"), col("gh")))),
+        s => s.getField("gh")).as("_g"))
+    // acc = (win: last ≤w hashes, i: grams consumed, out: selections);
+    // window j = i - w (0-based), leftmost tie via array_position
+    val zero = struct(
+      array().cast("array<string>").as("win"),
+      lit(0L).as("i"),
+      array().cast("array<struct<pos:bigint,fp:string>>").as("out"))
+    val fold = aggregate(col("_g"), zero,
+      (acc, g) => {
+        val w2full = concat(acc.getField("win"), array(g))
+        val w2 = when(size(w2full) > w, slice(w2full, 2, w))
+          .otherwise(w2full)
+        val i2 = acc.getField("i") + 1L
+        val m = array_min(w2)
+        val sel = struct(
+          (i2 - w + array_position(w2, m) - 1L).cast("long").as("pos"),
+          m.as("fp"))
+        struct(w2.as("win"), i2.as("i"),
+          when(size(w2) === w,
+            concat(acc.getField("out"), array(sel)))
+            .otherwise(acc.getField("out")).as("out"))
+      },
+      acc => acc.getField("out"))
+    garr.select(col("doc_id"), explode(array_distinct(fold)).as("sel"))
+      .select(col("doc_id"), col("sel.pos").as("pos"),
+        col("sel.fp").as("fp"))
   }
 }

@@ -85,7 +85,7 @@ object TextAnalysis {
   /** Token n-gram array of a text column: whitespace tokens, one gram
     * string per position (empty array when the document is shorter than
     * n tokens). Pure built-ins, stays in whole-stage codegen. */
-  private def ngramArray(text: Column, n: Int): Column = {
+  private[pipeline] def ngramArray(text: Column, n: Int): Column = {
     val toks = filter(split(text, "\\s+"), t => length(t) > lit(0))
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),

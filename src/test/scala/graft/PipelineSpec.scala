@@ -513,12 +513,15 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       "a shared k+w-1 token run must yield a shared fingerprint")
   }
 
-  test("winnowing plan: the selection is ONE codegen'd array projection " +
-       "+ the sparse explode — no shuffle, no UDF, no window functions") {
+  test("winnowing plan: md5 in a codegen'd projection (never inside an " +
+       "HOF lambda), ONE doc-keyed exchange to regroup slim hashes, no " +
+       "UDF, no window functions") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Dedup.winnowingFingerprints(df, $"doc_id", $"text", 5, 4)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"winnowing must not shuffle:\n$plan")
+    assert(plan.split("Exchange").length - 1 <= 2,
+      s"one doc-keyed regroup exchange only:\n$plan")
+    assert(plan.contains("md5"), s"hashing stays in the plan:\n$plan")
     assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
     assert(!plan.contains("Window"), s"array arithmetic, not windows:\n$plan")
   }

@@ -178,6 +178,36 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("lexicalDiversity is streaming-composable: the in-row fold is a " +
+       "pure projection, so the q76 gate runs on a live ingest stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, (1 to 24).map(i => s"tok$i").mkString(" ")), // diverse -> keep
+      (2L, Seq.fill(8)("aa bb cc").mkString(" ")),      // collapsed TTR
+      (3L, ""))
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDS().toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.lexicalDiversity(
+      docs, docs("doc_id"), docs("text"))
+    val q = out.writeStream.format("memory").queryName("lex_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.take(1))
+      q.processAllAvailable()
+      stream.addData(rows.drop(1))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM lex_stream")
+        .collect().map(_.toSeq).toSet
+      val batchDf = rows.toDF("doc_id", "text")
+      val batch = graft.pipeline.TextAnalysis.lexicalDiversity(
+          batchDf, batchDf("doc_id"), batchDf("text"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch,
+        "micro-batched and batch evaluation must agree bit for bit")
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming doc dedup: duplicate dropped within the watermark " +
        "window, state evicted after it (bounded-state contract)") {
     implicit val sqlCtx = spark.sqlContext
