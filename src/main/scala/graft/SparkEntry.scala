@@ -1019,6 +1019,28 @@ object SparkEntry {
         .orderBy($"n_sites".desc, $"span")
     }),
 
+    // --- the composed CURATION pipeline over this round's gate family:
+    // source-level quality gate AND lexical-diversity gate AND
+    // dup-8-gram gate, then the temperature mix assembled from the
+    // SURVIVORS (weights re-derived on the filtered corpus, the order
+    // a real pipeline runs) — q78 ∧ q76 ∧ q77 → q82. --------------------------
+    "q84_curation_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val srcOk = Clean.sourceQualityGate(docs, $"doc_id", $"source",
+          $"text", minMean = 0.7).select($"doc_id")
+      val lexOk = TA.lexicalDiversity(docs, $"doc_id", $"text")
+        .filter($"keep" === 1L).select($"doc_id")
+      val gramOk = TA.dupNgramCoverage(docs, $"doc_id", $"text",
+          n = 8, minDf = 2)
+        .filter($"keep" === 1L).select($"doc_id")
+      val surv = docs.join(srcOk, Seq("doc_id"))
+        .join(lexOk, Seq("doc_id")).join(gramOk, Seq("doc_id"))
+      TrainingMix.buildMix(surv, $"doc_id", $"source",
+          alpha = 0.5, budget = 30L)
+        .orderBy($"doc_id")
+    }),
+
     // --- per-cluster balance profile over the q36 pinned centroids:
     // shuffle-free assignment, per-cell count + mean/min/max cosine. ------------
     "q81_cluster_profile" -> ((s, dir) => {
@@ -2563,6 +2585,78 @@ object SparkEntry {
          SELECT span, n_sites, n_docs FROM a
          WHERE n_sites >= 2
          ORDER BY n_sites DESC, span LIMIT 25""",
+
+    // curation pipeline: the q78/q76/q77 gate CTEs verbatim (prefixed
+    // to avoid name collisions), survivors = the 3-way AND, then q82's
+    // weight/floor/md5-rank arithmetic over the SURVIVORS.
+    "q84_curation_pipeline" ->
+      ("WITH " + qualityCtes + """,
+         sm AS (SELECT coalesce(d.source, '') AS source,
+             sum(CAST(q.quality AS DECIMAL(18,6))) AS sq,
+             CAST(count(*) AS BIGINT) AS nn
+           FROM documents d JOIN qual q USING (doc_id) GROUP BY 1),
+         sg AS (SELECT source FROM sm
+           WHERE CAST(sq AS DOUBLE) / CAST(nn AS DOUBLE) >= 0.7),
+         ltoks AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+               '\s+'), x -> x <> '')) AS token
+           FROM documents),
+         ltc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+           FROM ltoks GROUP BY 1, 2),
+         ltot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS types
+           FROM ltc GROUP BY 1),
+         lterm AS (SELECT doc_id,
+             CAST(round((cnt::DOUBLE * (ln(cnt::DOUBLE) / ln(2.0))) *
+               1000000000000.0, 0) AS BIGINT) AS tm
+           FROM ltc),
+         lent AS (SELECT doc_id, CAST(sum(tm) AS BIGINT) AS sm2
+           FROM lterm GROUP BY 1),
+         lex AS (SELECT t.doc_id FROM ltot t JOIN lent e USING (doc_id)
+           WHERE t.n >= 20
+             AND round(t.types::DOUBLE / t.n::DOUBLE, 6) >= 0.45
+             AND round(abs((ln(t.n::DOUBLE) / ln(2.0)) -
+               ((e.sm2::DOUBLE / 1000000000000.0) / t.n::DOUBLE)), 6)
+               >= 4.3),
+         gt AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         gg AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS g
+           FROM gt, unnest(range(1, greatest(len(t) - 6, 1))) AS r(i)
+           WHERE len(t) >= 8),
+         gdf AS (SELECT g, CAST(count(*) AS BIGINT) AS df
+           FROM gg GROUP BY 1),
+         gcov AS (SELECT doc_id,
+             round(CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT)::DOUBLE /
+               CAST(count(*) AS BIGINT)::DOUBLE, 6) AS f
+           FROM gg JOIN gdf USING (g) GROUP BY 1),
+         gram AS (SELECT d.doc_id FROM documents d
+           LEFT JOIN gcov c USING (doc_id)
+           WHERE coalesce(c.f, 0.0) <= 0.5),
+         surv AS (SELECT d.doc_id, d.source FROM documents d
+           JOIN sg ON sg.source = coalesce(d.source, '')
+           JOIN lex USING (doc_id)
+           JOIN gram ON gram.doc_id = d.doc_id),
+         c2 AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+           FROM surv GROUP BY 1),
+         w2 AS (SELECT stratum,
+             CAST(round(pow(n_docs, 0.5), 6) AS DECIMAL(18,6)) AS w
+           FROM c2),
+         t2 AS (SELECT sum(w) AS sw FROM w2),
+         takes AS (SELECT stratum,
+             CAST(floor(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) * 30.0)
+               AS BIGINT) AS take
+           FROM w2, t2),
+         ranked AS (SELECT doc_id, source AS stratum,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM surv)
+         SELECT r.doc_id, r.stratum, CAST(r.rk AS BIGINT) AS rk
+         FROM ranked r JOIN takes k USING (stratum)
+         WHERE r.rk <= k.take
+         ORDER BY r.doc_id"""),
 
     // cluster profile: q36's pinned-centroid assignment (rounded-cosine
     // argmax, ties to the lowest cell), per-cell count + mean (exact

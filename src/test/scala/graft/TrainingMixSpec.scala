@@ -560,4 +560,37 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
       .as[(Long, String, Long)].collect().toSet
     assert(again == got.toSet, "the draw is the hash: re-runs identical")
   }
+
+  // --- composed curation pipeline (q84) ----------------------------------------
+
+  test("q84 composition: the curation pipeline equals buildMix over the " +
+       "independently-computed 3-gate intersection, and each gate " +
+       "genuinely removes docs") {
+    import graft.pipeline.{Clean, TextAnalysis => TA}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .localCheckpoint(true)
+    val srcOk = Clean.sourceQualityGate(docs, $"doc_id", $"source",
+        $"text", minMean = 0.7)
+      .select($"doc_id").as[Long].collect().toSet
+    val lexOk = TA.lexicalDiversity(docs, $"doc_id", $"text")
+      .filter($"keep" === 1L).select($"doc_id").as[Long].collect().toSet
+    val gramOk = TA.dupNgramCoverage(docs, $"doc_id", $"text", n = 8)
+      .filter($"keep" === 1L).select($"doc_id").as[Long].collect().toSet
+    val all = docs.select($"doc_id").as[Long].collect().toSet
+    val inter = srcOk intersect lexOk intersect gramOk
+    // every gate must bite on this corpus or the composition is vacuous
+    assert(srcOk != all && lexOk != all && gramOk != all && inter.nonEmpty)
+    val survDf = docs.filter($"doc_id".isin(inter.toSeq: _*))
+    val want = TrainingMix.buildMix(survDf, $"doc_id", $"source",
+        alpha = 0.5, budget = 30L)
+      .as[(Long, String, Long)].collect().toSet
+    val got = SparkEntry.queries("q84_curation_pipeline")(
+        spark, "/root/testdata/sf0.01")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want,
+      "the composed pipeline must equal the mix over the intersection")
+    assert(got.nonEmpty && got.size < inter.size,
+      "the budgeted draw must select a strict subset of survivors")
+  }
 }
