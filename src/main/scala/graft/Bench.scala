@@ -58,7 +58,8 @@ object Bench {
     "q76_lexical_diversity", "q77_dup_ngram_coverage",
     "q78_source_quality_gate", "q79_corpus_report",
     "q80_fuzzy_decontam", "q81_cluster_profile", "q82_build_mix",
-    "q83_top_dup_spans", "q84_curation_pipeline")
+    "q83_top_dup_spans", "q84_curation_pipeline", "q85_lsh_band_sweep",
+    "q86_quality_calibration")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

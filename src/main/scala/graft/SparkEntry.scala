@@ -1019,6 +1019,33 @@ object SparkEntry {
         .orderBy($"n_sites".desc, $"span")
     }),
 
+    // --- LSH band-layout sweep: the (bands × rows) parameter planner
+    // over q23's exact 32-hash MinHash family — per layout the
+    // empirical candidate/true-pair counts + precision at the 0.7
+    // verify threshold, and the exact-rational S-curve p_detect. -----------------
+    "q85_lsh_band_sweep" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.lshBandSweep(t(s, dir, "documents"), $"doc_id", $"text",
+        shingleK = 3, nHashes = 32, threshold = 0.7)
+    }),
+
+    // --- quality-signal calibration: the q56 NB LLR ranked into 10
+    // equal-count tiles (distributed exact ntile — no single-partition
+    // window), each tile audited against the INDEPENDENT q58 Gopher
+    // rule gate on the raw text. ------------------------------------------------
+    "q86_quality_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val nb = TA.nbQualityScore(docs, $"text", $"lang" === "en",
+          docs, $"doc_id", $"text", buckets = 4096)
+        .select($"doc_id", $"nb_llr")
+      val rules = TA.qualityRules(docs, $"doc_id", $"text",
+          maxBulletFrac = 0.5, minStopWords = 1)
+        .select($"doc_id", $"keep")
+      TrainingMix.scoreGateCalibration(nb.join(rules, Seq("doc_id")),
+        $"doc_id", $"nb_llr", $"keep", tiles = 10)
+    }),
+
     // --- the composed CURATION pipeline over this round's gate family:
     // source-level quality gate AND lexical-diversity gate AND
     // dup-8-gram gate, then the temperature mix assembled from the
@@ -1539,6 +1566,90 @@ object SparkEntry {
     * `qual(doc_id, quality)` — the identical arithmetic q26 already
     * value-checks, factored out for q78 (source gate) and q79 (corpus
     * report). No WITH prefix. */
+  /** The q56 hashed-Naive-Bayes CTE chain (Java-hashCode buckets →
+    * Laplace LLR model over the full 4096-bucket frame → per-doc exact
+    * decimal score `sc(doc_id, n_toks, s)`), shared by q56 (the scores)
+    * and q86 (the scores calibrated against the Gopher gate). No WITH
+    * prefix. */
+  private val nbCtes: String =
+    """toks AS (SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(coalesce(text, ''),
+               '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         hb AS (SELECT doc_id, lang,
+             CAST((((CASE WHEN h32u >= 2147483648
+                 THEN h32u - 4294967296 ELSE h32u END) % 4096) + 4096)
+               % 4096 AS INTEGER) AS bucket
+           FROM (SELECT doc_id, lang,
+               list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(generate_series(1, length(tok)),
+                   i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
+                 (acc, c) -> (acc * 31 + c) % 4294967296) AS h32u
+             FROM toks) t),
+         cnts AS (SELECT bucket,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS cpos,
+             CAST(count(*) FILTER (WHERE NOT (lang = 'en')) AS BIGINT)
+               AS cneg
+           FROM hb GROUP BY 1),
+         fb AS (SELECT b.bucket, COALESCE(c.cpos, 0) AS cpos,
+             COALESCE(c.cneg, 0) AS cneg
+           FROM (SELECT unnest(generate_series(0, 4095)) AS bucket) b
+           LEFT JOIN cnts c USING (bucket)),
+         tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS tp,
+             CAST(sum(cneg) AS BIGINT) AS tn FROM fb),
+         model AS (SELECT bucket,
+             CAST(round(ln(
+               (CAST(cpos + 1 AS DOUBLE) * CAST(tn + 4096 AS DOUBLE)) /
+               (CAST(cneg + 1 AS DOUBLE) * CAST(tp + 4096 AS DOUBLE))), 6)
+               AS DECIMAL(18,6)) AS llr
+           FROM fb CROSS JOIN tot),
+         sc AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             sum(m.llr) AS s
+           FROM hb h JOIN model m USING (bucket) GROUP BY 1)"""
+
+  /** The q58 Gopher feature CTE chain (whitespace tokens, non-empty
+    * lines, the replace-length symbol count → the per-doc feature frame
+    * `m(doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    * ellipsis_frac, alpha_frac, n_stop)`), parameterized by the input
+    * CTE (must expose doc_id, t); shared by q58 (augmented text) and
+    * q86 (raw text). No WITH prefix. */
+  private def gopherCtes(src: String): String =
+    """feat AS (SELECT doc_id,
+             list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS ts,
+             list_filter(string_split(t, chr(10)), x -> x <> '') AS ls,
+             CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) +
+               CAST((length(t) - length(replace(t, '...', ''))) // 3
+                 AS BIGINT) AS n_sym
+           FROM """ + src + """),
+         m AS (SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_words,
+             round(CASE WHEN len(ts) > 0 THEN
+                 CAST(list_sum(list_transform(ts, x -> length(x)))
+                   AS DOUBLE) / len(ts)
+               ELSE 0.0 END, 6) AS mean_word_len,
+             round(CASE WHEN len(ts) > 0 THEN
+                 CAST(n_sym AS DOUBLE) / len(ts)
+               ELSE 0.0 END, 6) AS symbol_ratio,
+             round(CASE WHEN len(ls) > 0 THEN
+                 CAST(len(list_filter(ls, l ->
+                   starts_with(trim(l), '•') OR starts_with(trim(l), '‣')
+                   OR starts_with(trim(l), '-')
+                   OR starts_with(trim(l), '*'))) AS DOUBLE) / len(ls)
+               ELSE 0.0 END, 6) AS bullet_frac,
+             round(CASE WHEN len(ls) > 0 THEN
+                 CAST(len(list_filter(ls, l -> ends_with(trim(l), '...')))
+                   AS DOUBLE) / len(ls)
+               ELSE 0.0 END, 6) AS ellipsis_frac,
+             round(CASE WHEN len(ts) > 0 THEN
+                 CAST(len(list_filter(ts, x ->
+                   regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ts)
+               ELSE 0.0 END, 6) AS alpha_frac,
+             CAST(len(list_filter(
+                 ['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(list_transform(ts, x -> lower(x)), s)))
+               AS BIGINT) AS n_stop
+           FROM feat)"""
+
   private val qualityCtes: String =
     """qb AS (SELECT doc_id,
            least(length(text) / 500.0, 1.0) AS len_score,
@@ -2658,6 +2769,86 @@ object SparkEntry {
          WHERE r.rk <= k.take
          ORDER BY r.doc_id"""),
 
+    // LSH band sweep: q23's signature chain (sig = per-(doc,i) minima),
+    // then EVERY layout's banding at once (band key = the ordered
+    // minima tuple, not a hash — collision-free in both engines), the
+    // per-layout candidate join, one exact-Jaccard verify per distinct
+    // pair, and the S-curve p_detect in exact HUGEINT arithmetic
+    // (numerator (10^r - 7^r)^b over denominator 10^32 — threshold
+    // 0.7 = 7/10 exactly) so the final double is the same bits.
+    "q85_lsh_band_sweep" ->
+      ("WITH " + minhashCtes + """,
+         lay AS (SELECT unnest([32, 16, 8, 4, 2, 1]) AS bands),
+         bk2 AS (SELECT s.doc_id, l.bands, s.i // (32 // l.bands) AS band,
+             string_agg(CAST(s.m AS VARCHAR), ',' ORDER BY s.i) AS bkey
+           FROM sig s CROSS JOIN lay l
+           GROUP BY s.doc_id, l.bands, s.i // (32 // l.bands)),
+         cand2 AS (SELECT DISTINCT a.bands, a.doc_id AS id_a,
+             b2.doc_id AS id_b
+           FROM bk2 a JOIN bk2 b2 ON a.bands = b2.bands
+             AND a.band = b2.band AND a.bkey = b2.bkey
+             AND a.doc_id < b2.doc_id),
+         uq AS (SELECT DISTINCT id_a, id_b FROM cand2),
+         vq AS (SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE) /
+               (len(sa.shl) + len(sb.shl) -
+                 len(list_intersect(sa.shl, sb.shl))) AS j
+           FROM uq JOIN shs sa ON sa.doc_id = uq.id_a
+             JOIN shs sb ON sb.doc_id = uq.id_b),
+         ag AS (SELECT c.bands, CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(count(*) FILTER (WHERE v.j >= 0.7) AS BIGINT) AS n_true
+           FROM cand2 c JOIN vq v USING (id_a, id_b) GROUP BY c.bands),
+         pd AS (SELECT bands,
+             list_reduce(list_transform(range(1, bands + 1), x ->
+               list_reduce(list_transform(range(1, (32 // bands) + 1),
+                 y -> CAST(10 AS HUGEINT)), (u, v) -> u * v) -
+               list_reduce(list_transform(range(1, (32 // bands) + 1),
+                 y -> CAST(7 AS HUGEINT)), (u, v) -> u * v)),
+               (u, v) -> u * v) AS num
+           FROM lay)
+         SELECT CAST(l.bands AS BIGINT) AS bands,
+           CAST(32 // l.bands AS BIGINT) AS rows_per_band,
+           coalesce(a.n_candidates, 0) AS n_candidates,
+           coalesce(a.n_true, 0) AS n_true,
+           CASE WHEN coalesce(a.n_candidates, 0) > 0 THEN
+               round(CAST(coalesce(a.n_true, 0) AS DOUBLE) /
+                 CAST(a.n_candidates AS DOUBLE), 6)
+             ELSE 0.0 END AS precision_at_t,
+           round(1.0 - CAST(p.num AS DOUBLE) / CAST(CAST(
+             '100000000000000000000000000000000' AS HUGEINT) AS DOUBLE),
+             6) AS p_detect
+         FROM lay l LEFT JOIN ag a ON a.bands = l.bands
+           JOIN pd p ON p.bands = l.bands
+         ORDER BY bands DESC"""),
+
+    // quality calibration: q56's NB chain verbatim (sc = per-doc exact
+    // decimal LLR), the Gopher feature chain on RAW text, the q58
+    // thresholds as the gate, ntile(10) over (score, doc_id) — the
+    // window function IS the oracle for the distributed exact-ntile
+    // arithmetic — then per-tile counts and single-division rates.
+    "q86_quality_calibration" ->
+      ("WITH " + nbCtes + """,
+         raw AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+         """ + gopherCtes("raw") + """,
+         kg AS (SELECT doc_id,
+             CAST(n_words >= 50 AND n_words <= 100000
+               AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+               AND symbol_ratio <= 0.1 AND bullet_frac <= 0.5
+               AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+               AND n_stop >= 1 AS BIGINT) AS g
+           FROM m),
+         dec AS (SELECT s2.doc_id, s2.s, k.g,
+             ntile(10) OVER (ORDER BY s2.s, s2.doc_id) AS tile
+           FROM sc s2 JOIN kg k USING (doc_id))
+         SELECT CAST(tile AS BIGINT) AS tile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(g) AS BIGINT) AS n_pass,
+           round(CAST(sum(g) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS pass_rate,
+           round(CAST(min(s) AS DOUBLE), 6) AS min_score,
+           round(CAST(max(s) AS DOUBLE), 6) AS max_score
+         FROM dec GROUP BY 1 ORDER BY 1"""),
+
     // cluster profile: q36's pinned-centroid assignment (rounded-cosine
     // argmax, ties to the lowest cell), per-cell count + mean (exact
     // decimal sum / one double division) / min / max cosine.
@@ -2813,7 +3004,7 @@ object SparkEntry {
     // intersection; fractions rounded to 6dp BEFORE the exact-decimal
     // threshold compares so keep replays bit-identically.
     "q58_gopher_quality" ->
-      """WITH aug AS (SELECT doc_id,
+      ("""WITH aug AS (SELECT doc_id,
              coalesce(text, '') ||
              CASE WHEN doc_id % 5 = 0 THEN ' ## # ###' ELSE '' END ||
              CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- buy one now' ||
@@ -2821,41 +3012,7 @@ object SparkEntry {
              CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
                'the story continues...' ELSE '' END AS t
            FROM documents),
-         feat AS (SELECT doc_id,
-             list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS ts,
-             list_filter(string_split(t, chr(10)), x -> x <> '') AS ls,
-             CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) +
-               CAST((length(t) - length(replace(t, '...', ''))) // 3
-                 AS BIGINT) AS n_sym
-           FROM aug),
-         m AS (SELECT doc_id,
-             CAST(len(ts) AS BIGINT) AS n_words,
-             round(CASE WHEN len(ts) > 0 THEN
-                 CAST(list_sum(list_transform(ts, x -> length(x)))
-                   AS DOUBLE) / len(ts)
-               ELSE 0.0 END, 6) AS mean_word_len,
-             round(CASE WHEN len(ts) > 0 THEN
-                 CAST(n_sym AS DOUBLE) / len(ts)
-               ELSE 0.0 END, 6) AS symbol_ratio,
-             round(CASE WHEN len(ls) > 0 THEN
-                 CAST(len(list_filter(ls, l ->
-                   starts_with(trim(l), '•') OR starts_with(trim(l), '‣')
-                   OR starts_with(trim(l), '-')
-                   OR starts_with(trim(l), '*'))) AS DOUBLE) / len(ls)
-               ELSE 0.0 END, 6) AS bullet_frac,
-             round(CASE WHEN len(ls) > 0 THEN
-                 CAST(len(list_filter(ls, l -> ends_with(trim(l), '...')))
-                   AS DOUBLE) / len(ls)
-               ELSE 0.0 END, 6) AS ellipsis_frac,
-             round(CASE WHEN len(ts) > 0 THEN
-                 CAST(len(list_filter(ts, x ->
-                   regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ts)
-               ELSE 0.0 END, 6) AS alpha_frac,
-             CAST(len(list_filter(
-                 ['the','be','to','of','and','that','have','with'],
-                 s -> list_contains(list_transform(ts, x -> lower(x)), s)))
-               AS BIGINT) AS n_stop
-           FROM feat)
+         """ + gopherCtes("aug") + """
          SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
              ellipsis_frac, alpha_frac, n_stop,
              CAST(n_words >= 50 AND n_words <= 100000
@@ -2863,7 +3020,7 @@ object SparkEntry {
                AND symbol_ratio <= 0.1 AND bullet_frac <= 0.5
                AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
                AND n_stop >= 1 AS BIGINT) AS keep
-         FROM m ORDER BY doc_id""",
+         FROM m ORDER BY doc_id"""),
 
     // DSIR: unigram∪bigram features hashed through the same hashCode
     // fold, target(en)-vs-raw(all) Laplace LLR model, exact-decimal
@@ -2937,43 +3094,10 @@ object SparkEntry {
     // rounded), so the 6dp round carries q33/q44's accepted
     // ~1e-10-per-value boundary caveat.
     "q56_nb_quality" ->
-      """WITH toks AS (SELECT doc_id, lang,
-             unnest(list_filter(string_split_regex(coalesce(text, ''),
-               '\s+'), x -> x <> '')) AS tok
-           FROM documents),
-         hb AS (SELECT doc_id, lang,
-             CAST((((CASE WHEN h32u >= 2147483648
-                 THEN h32u - 4294967296 ELSE h32u END) % 4096) + 4096)
-               % 4096 AS INTEGER) AS bucket
-           FROM (SELECT doc_id, lang,
-               list_reduce(list_prepend(CAST(0 AS HUGEINT),
-                 list_transform(generate_series(1, length(tok)),
-                   i -> CAST(unicode(substr(tok, i, 1)) AS HUGEINT))),
-                 (acc, c) -> (acc * 31 + c) % 4294967296) AS h32u
-             FROM toks) t),
-         cnts AS (SELECT bucket,
-             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS cpos,
-             CAST(count(*) FILTER (WHERE NOT (lang = 'en')) AS BIGINT)
-               AS cneg
-           FROM hb GROUP BY 1),
-         fb AS (SELECT b.bucket, COALESCE(c.cpos, 0) AS cpos,
-             COALESCE(c.cneg, 0) AS cneg
-           FROM (SELECT unnest(generate_series(0, 4095)) AS bucket) b
-           LEFT JOIN cnts c USING (bucket)),
-         tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS tp,
-             CAST(sum(cneg) AS BIGINT) AS tn FROM fb),
-         model AS (SELECT bucket,
-             CAST(round(ln(
-               (CAST(cpos + 1 AS DOUBLE) * CAST(tn + 4096 AS DOUBLE)) /
-               (CAST(cneg + 1 AS DOUBLE) * CAST(tp + 4096 AS DOUBLE))), 6)
-               AS DECIMAL(18,6)) AS llr
-           FROM fb CROSS JOIN tot),
-         sc AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-             sum(m.llr) AS s
-           FROM hb h JOIN model m USING (bucket) GROUP BY 1)
+      ("WITH " + nbCtes + """
          SELECT doc_id, n_toks, CAST(s AS DOUBLE) AS nb_llr,
            CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-         FROM sc ORDER BY doc_id""",
+         FROM sc ORDER BY doc_id"""),
     // CCNet buckets: q50's LM-surprise chain verbatim, then the
     // integer-exact tercile: per lang, cutoff b = smallest score whose
     // cumulative histogram count × 3 ≥ b × n; ties share a bucket.

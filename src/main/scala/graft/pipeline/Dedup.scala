@@ -128,6 +128,104 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** LSH band-layout sweep — the parameter planner a pipeline runs on a
+    * SAMPLE before committing a (bands × rowsPerBand) choice to a full
+    * corpus pass: for every layout that factors the same `nHashes`
+    * MinHash family as [[minhashLshPairs]], report the empirical
+    * candidate volume, how many candidates survive the exact-Jaccard
+    * verify at `threshold`, the resulting precision, and the
+    * theoretical S-curve detection probability 1−(1−s^r)^b at s =
+    * threshold (exact rational arithmetic so any engine reproduces the
+    * same double).
+    *
+    * Returns one row per layout: (bands, rows_per_band, n_candidates,
+    * n_true, precision_at_t, p_detect) ordered by bands descending.
+    *
+    * Shape: the shingle/signature UDF pass is shared by every layout —
+    * the signature explodes ONCE into (i, min_i) rows, a 6-row layout
+    * dim broadcast-joins on, and one groupBy builds every layout's band
+    * keys together, so the sweep costs one self-join keyed by
+    * (layout, band, key) instead of |layouts| separate pipelines. The
+    * exact-Jaccard verify runs once per DISTINCT candidate pair across
+    * all layouts (aligned layouts nest — an r-row band match implies
+    * its r/2 halves match — so the union is just the finest layout's
+    * set). Band keys are the raw minima tuples, not a hash of them, so
+    * counts are collision-free and engine-independent. This is a
+    * planning tool: run it on the 0.1–1% sample you'd tune on, never
+    * the full corpus — the bands=nHashes row (r=1) is near-exhaustive
+    * by design, which is the point (it bounds attainable recall) and
+    * why the full corpus would pay a quadratic hot-bucket term there.
+    *
+    * Shares q23's degenerate-doc caveat: docs with no shingles carry a
+    * sentinel signature and pair with each other (exact-Jaccard 1.0 by
+    * convention).
+    */
+  def lshBandSweep(df: DataFrame, id: Column, text: Column,
+                   shingleK: Int = 3, nHashes: Int = 32,
+                   threshold: Double = 0.7,
+                   bandCounts: Seq[Int] = Seq(32, 16, 8, 4, 2, 1)): DataFrame = {
+    require(bandCounts.nonEmpty &&
+      bandCounts.forall(b => b > 0 && nHashes % b == 0),
+      "every band count must divide nHashes")
+    val spark = df.sparkSession
+    // threshold as an exact rational (BigDecimal.valueOf reads the
+    // decimal literal, not the binary double), so p_detect is the same
+    // double on every engine: 1 - ((tDen^r - tNum^r)^b / tDen^(r*b)).
+    val td = BigDecimal.valueOf(threshold).underlying.stripTrailingZeros
+    val tNum = BigInt(td.unscaledValue)
+    val tDen = BigInt(10).pow(td.scale)
+    val layouts = bandCounts.map { b =>
+      val r = nHashes / b
+      val num = (tDen.pow(r) - tNum.pow(r)).pow(b)
+      val den = tDen.pow(nHashes)
+      (b, r, 1.0 - num.toDouble / den.toDouble)
+    }
+    val layDf = spark.createDataFrame(layouts).toDF("bands", "rpb", "pd")
+    val base = df.select(id.as("doc_id"), text.as("_text"))
+      .withColumn("sh", shinglesUdf(shingleK)(col("_text")))
+      .withColumn("sig", minhashUdf(nHashes)(col("sh")))
+    val bandk = base
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "m")))
+      .join(broadcast(layDf.select(col("bands"), col("rpb"))))
+      .groupBy(col("doc_id"), col("bands"), col("rpb"),
+        floor(col("i") / col("rpb")).cast("int").as("band"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+      .withColumn("bkey", transform(col("im"), x => x.getField("m")))
+      .drop("im")
+    val cand = bandk
+      .select(col("bands"), col("band"), col("bkey"), col("doc_id").as("id_a"))
+      .join(bandk.select(col("bands"), col("band"), col("bkey"),
+        col("doc_id").as("id_b")), Seq("bands", "band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("bands", "id_a", "id_b")
+      .dropDuplicates("bands", "id_a", "id_b")
+    val shingleSets = base.select(col("doc_id"), col("sh"))
+    val jac = udf((a: Seq[Long], b: Seq[Long]) =>
+      exactJaccard(a.toArray, b.toArray))
+    val veri = cand.select(col("id_a"), col("id_b")).dropDuplicates()
+      .join(shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(shingleSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jac(col("sh_a"), col("sh_b")).as("j"))
+    val agg = cand.join(veri, Seq("id_a", "id_b"))
+      .groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("j") >= threshold, 1L).otherwise(0L)).as("n_true"))
+    layDf.join(agg, Seq("bands"), "left")
+      .select(col("bands").cast("long").as("bands"),
+        col("rpb").cast("long").as("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        when(coalesce(col("n_candidates"), lit(0L)) > 0,
+          round(coalesce(col("n_true"), lit(0L)).cast("double") /
+            col("n_candidates").cast("double"), 6))
+          .otherwise(lit(0.0)).as("precision_at_t"),
+        round(col("pd"), 6).as("p_detect"))
+      .orderBy(col("bands").desc)
+  }
+
   /** Fuzzy eval-set decontamination — the near-duplicate complement to
     * [[decontaminate]]'s exact k-gram overlap: flag training documents
     * whose shingle-set Jaccard with ANY eval document reaches

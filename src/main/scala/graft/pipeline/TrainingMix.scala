@@ -140,6 +140,70 @@ object TrainingMix {
         .as("shard_id"))
   }
 
+  /** Exact SQL-standard `ntile(k)` over a global total order WITHOUT a
+    * single-partition window sort: the 1-based global rank comes from
+    * [[graft.stats.Cumulative.runningTotals]]'s distributed prefix scan
+    * (range partition + P driver scalars + per-partition scan), and the
+    * tile is pure arithmetic on that rank — the first `n % k` tiles get
+    * `n/k + 1` rows, the rest `n/k`, exactly the window function's
+    * contract, so any engine's `ntile(k) OVER (ORDER BY ...)` is the
+    * oracle. `order` must be a TOTAL order (runningTotals' contract);
+    * ranks stay exact while n < 2^53 (double floor-division on longs).
+    *
+    * Complements [[percentileBuckets]]: that one cuts by score
+    * thresholds (ties share a bucket, sizes vary); this one cuts by
+    * COUNT (sizes fixed, ties split by the order's tiebreaker). */
+  def exactNtile(df: DataFrame, order: Seq[Column], tiles: Int,
+                 tileName: String = "tile"): DataFrame = {
+    require(tiles > 0, "tiles must be positive")
+    val (ranked, n, _) = graft.stats.Cumulative.runningTotals(
+      df, order, lit(0.0), "_nt_rk", "_nt_unused")
+    val small = n / tiles
+    val extras = n % tiles
+    val cut = extras * (small + 1)
+    val idx = col("_nt_rk") - 1L
+    val tile =
+      when(idx < cut, floor(idx / lit(small + 1)).cast("long") + 1L)
+        .otherwise(lit(extras) +
+          floor((idx - cut) / lit(math.max(small, 1L))).cast("long") + 1L)
+    ranked.withColumn(tileName, tile).drop("_nt_rk", "_nt_unused")
+  }
+
+  /** Quality-signal calibration report — the audit a pipeline runs
+    * before trusting a learned quality score to gate a corpus: rank
+    * every document by `score` (a classifier LLR, a perplexity, ...),
+    * cut the ranking into `tiles` equal-count tiles, and report how an
+    * INDEPENDENT boolean `gate` (a rule-based filter, a human label)
+    * agrees per tile. A well-calibrated score shows pass_rate rising
+    * with the tile; a flat profile means the two signals measure
+    * different things and gating on the score would be arbitrary.
+    *
+    * Input: one row per document (id, score, gate∈{0,1}). Returns one
+    * row per tile: (tile, n_docs, n_pass, pass_rate, min_score,
+    * max_score) ordered by tile.
+    *
+    * Scale shape: the tiling is [[exactNtile]] (distributed rank, no
+    * single-partition window), then ONE tile-keyed aggregation of
+    * |docs| rows of four scalars. pass_rate is a single IEEE division
+    * of exact counts; min/max are order-free — every value is
+    * engine-deterministic. */
+  def scoreGateCalibration(df: DataFrame, id: Column, score: Column,
+                           gate: Column, tiles: Int = 10): DataFrame = {
+    val base = df.select(id.as("doc_id"),
+      score.cast("double").as("_score"), gate.cast("long").as("_gate"))
+    exactNtile(base, Seq(col("_score"), col("doc_id")), tiles)
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_gate")).as("n_pass"),
+        round(min(col("_score")), 6).as("min_score"),
+        round(max(col("_score")), 6).as("max_score"))
+      .select(col("tile"), col("n_docs"), col("n_pass"),
+        round(col("n_pass").cast("double") / col("n_docs").cast("double"),
+          6).as("pass_rate"),
+        col("min_score"), col("max_score"))
+      .orderBy(col("tile"))
+  }
+
   /** CCNet-style per-stratum percentile split (Wenzek et al. 2020
     * arXiv:1911.00359 §4.3: per language, cut the corpus into
     * head/middle/tail by LM-perplexity terciles). Generic over the

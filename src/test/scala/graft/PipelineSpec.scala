@@ -1254,4 +1254,44 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       s"top-N must be a heap, not a global sort:\n$plan")
     assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
   }
+
+  // --- LSH band-layout sweep (q85) ----------------------------------------------
+
+  test("lshBandSweep: candidate sets nest across aligned layouts, the " +
+       "(8,4) row reproduces q23 exactly, and p_detect is the S-curve") {
+    val sweep = Dedup.lshBandSweep(docs, $"doc_id", $"text",
+        shingleK = 3, nHashes = 32, threshold = 0.7)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(sweep.map(_._1).toSeq == Seq(32L, 16L, 8L, 4L, 2L, 1L),
+      "one row per layout, bands descending")
+    sweep.foreach { case (b, r, _, _, _, _) => assert(b * r == 32L) }
+    // aligned layouts nest: an r-row band match implies its halves
+    // match, so candidates are non-increasing as r grows (bands shrink)
+    val nc = sweep.map(_._3)
+    assert(nc.zip(nc.tail).forall { case (hi, lo) => hi >= lo },
+      s"candidates must be monotone over nested layouts: ${nc.toSeq}")
+    assert(nc.head > nc.last,
+      "the sweep must actually discriminate layouts on this corpus")
+    // the production layout's row IS q23: same family, same banding
+    val q23 = Dedup.minhashLshPairs(docs, $"doc_id", $"text",
+      shingleK = 3, bands = 8, rowsPerBand = 4, threshold = 0.7)
+    val row8 = sweep.find(_._1 == 8L).get
+    assert(row8._4 == q23.count(),
+      "n_true at (8,4) must equal the q23 pair count")
+    // n_true <= n_candidates, and every layout's true set is a subset
+    // of the r=1 layout's (which catches any pair sharing one minimum)
+    sweep.foreach { case (_, _, c, t, p, _) =>
+      assert(t <= c)
+      if (c > 0)
+        assert(math.abs(p - math.round(t.toDouble / c * 1e6) / 1e6) < 1e-12)
+    }
+    // p_detect matches the closed form and rises with the band count
+    sweep.foreach { case (b, r, _, _, _, pd) =>
+      val want = 1.0 - math.pow(1.0 - math.pow(0.7, r.toDouble), b.toDouble)
+      assert(math.abs(pd - want) < 1e-6, s"S-curve at ($b,$r): $pd vs $want")
+    }
+    val pds = sweep.map(_._6)
+    assert(pds.zip(pds.tail).forall { case (hi, lo) => hi >= lo },
+      "detection probability must be monotone in the band count")
+  }
 }

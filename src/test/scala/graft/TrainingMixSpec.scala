@@ -593,4 +593,67 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
     assert(got.nonEmpty && got.size < inter.size,
       "the budgeted draw must select a strict subset of survivors")
   }
+
+  // --- exact distributed ntile + calibration (q86) -----------------------------
+
+  test("exactNtile: equals the ntile window function on every tile, " +
+       "including the n % k remainder split") {
+    import org.apache.spark.sql.expressions.Window
+    // 47 rows, 10 tiles: first 7 tiles get 5 rows, the rest 4
+    val df = (1 to 47).map(i => (i.toLong, (i * 37 % 47).toLong))
+      .toDF("id", "v").localCheckpoint(true)
+    val got = TrainingMix.exactNtile(df, Seq($"v", $"id"), 10)
+      .select($"id", $"tile").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("tile",
+        ntile(10).over(Window.orderBy($"v", $"id")).cast("long"))
+      .select($"id", $"tile").as[(Long, Long)].collect().toMap
+    assert(got == want, "distributed ntile must equal the window function")
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert((1L to 7L).forall(sizes(_) == 5) &&
+      (8L to 10L).forall(sizes(_) == 4), s"remainder-first sizes: $sizes")
+    // degenerate: fewer rows than tiles -> each row its own tile 1..n
+    val tiny = (1 to 3).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val t3 = TrainingMix.exactNtile(tiny, Seq($"v", $"id"), 10)
+      .select($"tile").as[Long].collect().sorted.toSeq
+    assert(t3 == Seq(1L, 2L, 3L))
+  }
+
+  test("q86 calibration: tile stats equal a local reference over the " +
+       "joined NB-score/Gopher-gate frame, and the gate varies") {
+    import graft.pipeline.{TextAnalysis => TA}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .localCheckpoint(true)
+    val nb = TA.nbQualityScore(docs, $"text", $"lang" === "en",
+        docs, $"doc_id", $"text", buckets = 4096)
+      .select($"doc_id", $"nb_llr")
+    val rules = TA.qualityRules(docs, $"doc_id", $"text",
+        maxBulletFrac = 0.5, minStopWords = 1)
+      .select($"doc_id", $"keep")
+    val joined = nb.join(rules, Seq("doc_id")).localCheckpoint(true)
+    val rows = joined.as[(Long, Double, Long)].collect()
+    val gates = rows.map(_._3).toSet
+    assert(gates == Set(0L, 1L),
+      "the gate must pass some docs and fail others on this corpus")
+    // local reference: sort by (score, id), ntile arithmetic, aggregate
+    val n = rows.length
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    val (small, extras) = (n / 10, n % 10)
+    val byTile = sorted.zipWithIndex.groupBy { case (_, idx) =>
+      if (idx < extras * (small + 1)) idx / (small + 1) + 1
+      else extras + (idx - extras * (small + 1)) / small + 1
+    }
+    val want = byTile.map { case (tile, g) =>
+      val scores = g.map(_._1._2)
+      (tile.toLong, g.length.toLong, g.map(_._1._3).sum,
+        math.round(g.map(_._1._3).sum.toDouble / g.length * 1e6) / 1e6,
+        math.round(scores.min * 1e6) / 1e6,
+        math.round(scores.max * 1e6) / 1e6)
+    }.toSet
+    val got = SparkEntry.queries("q86_quality_calibration")(
+        spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSet
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.map(_._1) == (1L to 10L).toSet, "all ten tiles present")
+  }
 }
