@@ -59,7 +59,8 @@ object Bench {
     "q78_source_quality_gate", "q79_corpus_report",
     "q80_fuzzy_decontam", "q81_cluster_profile", "q82_build_mix",
     "q83_top_dup_spans", "q84_curation_pipeline", "q85_lsh_band_sweep",
-    "q86_quality_calibration")
+    "q86_quality_calibration", "q87_contamination_report",
+    "q88_vocab_growth", "q89_tokenizer_fertility", "q90_source_epochs")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -1046,6 +1046,42 @@ object SparkEntry {
         $"doc_id", $"nb_llr", $"keep", tiles = 10)
     }),
 
+    // --- graded contamination report: q41's gram/eval-slice convention
+    // (k=5, eval = doc_id % 50 == 0) but per-TRAIN-doc distinct-gram
+    // overlap fractions and a clean/partial/dirty verdict. -----------------------
+    "q87_contamination_report" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(docs.filter($"doc_id" % 50 =!= 0),
+          $"doc_id", $"text",
+          docs.filter($"doc_id" % 50 === 0), $"doc_id", $"text", k = 5)
+        .orderBy($"doc_id")
+    }),
+
+    // --- Heaps-law vocabulary growth: 10 equal-count doc slices in
+    // doc_id order (the distributed exact ntile), each token type
+    // charged to its first slice, cumulative types/tokens/TTR. -------------------
+    "q88_vocab_growth" -> ((s, dir) => {
+      import s.implicits._
+      TA.vocabGrowth(t(s, dir, "documents"), $"doc_id", $"text", tiles = 10)
+    }),
+
+    // --- tokenizer fertility: per-language bytes/chars/words/BPE-ish
+    // subword tokens and the derived budget-cost ratios. -------------------------
+    "q89_tokenizer_fertility" -> ((s, dir) => {
+      import s.implicits._
+      TA.tokenizerFertility(t(s, dir, "documents"), $"lang", $"text")
+    }),
+
+    // --- epochs per source: q44's temperature-0.5 share arithmetic over
+    // a 2M-token budget vs each source's available whitespace tokens →
+    // repeat factor, integer-exact epoch count, oversampled flag. ----------------
+    "q90_source_epochs" -> ((s, dir) => {
+      import s.implicits._
+      TrainingMix.sourceEpochs(t(s, dir, "documents"), $"source", $"text",
+        alpha = 0.5, tokenBudget = 2000000L)
+    }),
+
     // --- the composed CURATION pipeline over this round's gate family:
     // source-level quality gate AND lexical-diversity gate AND
     // dup-8-gram gate, then the temperature mix assembled from the
@@ -2848,6 +2884,137 @@ object SparkEntry {
            round(CAST(min(s) AS DOUBLE), 6) AS min_score,
            round(CAST(max(s) AS DOUBLE), 6) AS max_score
          FROM dec GROUP BY 1 ORDER BY 1"""),
+
+    // contamination report: q41's gram chain but per-doc DISTINCT
+    // grams, left-join the eval gram set, overlap_frac = single IEEE
+    // division rounded 6dp BEFORE the verdict compares (q58's
+    // convention), train slice only.
+    "q87_contamination_report" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         grams AS (SELECT DISTINCT doc_id,
+             md5(array_to_string(ts[i+1 : i+5], ' ')) AS gh
+           FROM (SELECT doc_id, ts, unnest(range(0, len(ts) - 4)) AS i
+             FROM toks WHERE len(ts) >= 5)),
+         ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0),
+         agg AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(*) FILTER (WHERE e.gh IS NOT NULL) AS BIGINT)
+               AS n_hits
+           FROM grams g LEFT JOIN ev e ON g.gh = e.gh
+           WHERE g.doc_id % 50 <> 0 GROUP BY 1),
+         rep AS (SELECT d.doc_id,
+             CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits
+           FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+           LEFT JOIN agg a USING (doc_id)),
+         fr AS (SELECT doc_id, n_grams, n_hits,
+             CASE WHEN n_grams > 0 THEN
+                 round(CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+               ELSE 0.0 END AS overlap_frac
+           FROM rep)
+         SELECT doc_id, n_grams, n_hits, overlap_frac,
+           CASE WHEN overlap_frac >= 0.8 THEN 'dirty'
+                WHEN overlap_frac >= 0.2 THEN 'partial'
+                ELSE 'clean' END AS verdict
+         FROM fr ORDER BY doc_id""",
+
+    // vocab growth: ntile(10) over doc_id IS the oracle for the
+    // distributed exact-ntile slicing; token types charged to their
+    // min tile; cumulative sums over the 10-row frame; ttr a single
+    // IEEE division of exact longs.
+    "q88_vocab_growth" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         tiled AS (SELECT doc_id, ts,
+             ntile(10) OVER (ORDER BY doc_id) AS tile
+           FROM toks),
+         pt AS (SELECT tile, CAST(sum(len(ts)) AS BIGINT) AS n_tokens
+           FROM tiled GROUP BY 1),
+         ft AS (SELECT token, min(tile) AS tile
+           FROM (SELECT tile, unnest(ts) AS token FROM tiled) GROUP BY 1),
+         nt AS (SELECT tile, CAST(count(*) AS BIGINT) AS n_new_types
+           FROM ft GROUP BY 1),
+         cum AS (SELECT p.tile, p.n_tokens,
+             CAST(sum(p.n_tokens) OVER (ORDER BY p.tile) AS BIGINT)
+               AS cum_tokens,
+             CAST(coalesce(n.n_new_types, 0) AS BIGINT) AS n_new_types,
+             CAST(sum(coalesce(n.n_new_types, 0)) OVER (ORDER BY p.tile)
+               AS BIGINT) AS cum_types
+           FROM pt p LEFT JOIN nt n USING (tile))
+         SELECT CAST(tile AS BIGINT) AS tile, n_tokens, cum_tokens,
+           n_new_types, cum_types,
+           CASE WHEN cum_tokens > 0 THEN
+               round(CAST(cum_types AS DOUBLE) /
+                 CAST(cum_tokens AS DOUBLE), 6)
+             ELSE 0.0 END AS ttr
+         FROM cum ORDER BY tile""",
+
+    // tokenizer fertility: strlen = bytes vs length = chars (the corpus
+    // is ASCII at oracle scale so UTF-16 vs codepoint length agree —
+    // the q23/q26 BMP caveat family), the BPE-ish pre-tokenization
+    // regex replayed in RE2, ratios single IEEE divisions of exact
+    // sums rounded 6dp.
+    "q89_tokenizer_fertility" ->
+      """WITH b AS (SELECT lang,
+             CAST(strlen(coalesce(text, '')) AS BIGINT) AS nb,
+             CAST(length(coalesce(text, '')) AS BIGINT) AS nc,
+             CAST(len(list_filter(string_split_regex(coalesce(text, ''),
+               '\s+'), x -> x <> '')) AS BIGINT) AS nw,
+             CAST(len(regexp_extract_all(coalesce(text, ''),
+               '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]')) AS BIGINT) AS nt
+           FROM documents),
+         a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nb) AS BIGINT) AS n_bytes,
+             CAST(sum(nc) AS BIGINT) AS n_chars,
+             CAST(sum(nw) AS BIGINT) AS n_words,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+           FROM b GROUP BY 1)
+         SELECT lang, n_docs, n_bytes, n_chars, n_words, n_tokens,
+           CASE WHEN n_tokens > 0 THEN round(CAST(n_bytes AS DOUBLE) /
+               CAST(n_tokens AS DOUBLE), 6) ELSE 0.0 END AS bytes_per_token,
+           CASE WHEN n_tokens > 0 THEN round(CAST(n_chars AS DOUBLE) /
+               CAST(n_tokens AS DOUBLE), 6) ELSE 0.0 END AS chars_per_token,
+           CASE WHEN n_words > 0 THEN round(CAST(n_tokens AS DOUBLE) /
+               CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS fertility,
+           CASE WHEN n_docs > 0 THEN round(CAST(n_words AS DOUBLE) /
+               CAST(n_docs AS DOUBLE), 6) ELSE 0.0 END AS words_per_doc
+         FROM a ORDER BY lang""",
+
+    // source epochs: q44's exact-decimal weight chain verbatim (same
+    // pow/round/floor op order) over a 2M-token budget; n_epochs via
+    // integer-only ceil-division (the q60 convention — never floor of
+    // a double quotient).
+    "q90_source_epochs" ->
+      """WITH c AS (SELECT source AS stratum,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split_regex(
+               coalesce(text, ''), '\s+'), x -> x <> ''))) AS BIGINT)
+               AS avail_tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT stratum, n_docs, avail_tokens,
+             CAST(round(pow(n_docs, 0.5), 6) AS DECIMAL(18,6)) AS w
+           FROM c),
+         t AS (SELECT sum(w) AS sw FROM w),
+         s AS (SELECT stratum, n_docs, avail_tokens,
+             round(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS p,
+             CAST(floor(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) * 2000000.0)
+               AS BIGINT) AS target_tokens
+           FROM w, t)
+         SELECT stratum, n_docs, avail_tokens, p, target_tokens,
+           CASE WHEN avail_tokens > 0 THEN
+               round(CAST(target_tokens AS DOUBLE) /
+                 CAST(avail_tokens AS DOUBLE), 6)
+             ELSE 0.0 END AS repeat_factor,
+           CASE WHEN avail_tokens > 0 THEN
+               CAST((target_tokens + avail_tokens - 1) // avail_tokens
+                 AS BIGINT)
+             ELSE 0 END AS n_epochs,
+           CAST(target_tokens > avail_tokens AS BIGINT) AS oversampled
+         FROM s ORDER BY stratum""",
 
     // cluster profile: q36's pinned-centroid assignment (rounded-cosine
     // argmax, ties to the lowest cell), per-cell count + mean (exact

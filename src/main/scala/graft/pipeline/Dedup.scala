@@ -769,6 +769,59 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) === 0L).as("keep"))
   }
 
+  /** Graded contamination report — the GPT-3 App. C / PaLM §B "dirty
+    * document" audit that [[decontaminate]]'s binary flag summarizes:
+    * for each train document, the FRACTION of its distinct k-grams
+    * that appear anywhere in the eval set, and a three-way verdict
+    * (`clean` below `cleanFrac`, `dirty` at/above `dirtyFrac`,
+    * `partial` between). The graded form is what a release audit
+    * publishes — "n% of retained docs have <5% eval overlap" — where
+    * the binary gate only supports drop/keep.
+    *
+    * Returns one row per train doc: (doc_id, n_grams = distinct
+    * k-grams, n_hits = distinct contaminated grams, overlap_frac,
+    * verdict). Documents shorter than k tokens have no grams and are
+    * `clean` by convention. Verdict thresholds compare the 6dp-ROUNDED
+    * fraction (the q58 convention), so any engine replays the same
+    * cut.
+    *
+    * Scale shape: identical to [[decontaminate]] — the eval gram set
+    * is a slim distinct-hash table (ids-only, broadcast-or-slim-
+    * shuffle), the train side streams its per-doc-distinct grams
+    * through ONE left join and a doc-keyed count; gram text never
+    * leaves the map stage (only its 16-byte md5 rides the shuffle).
+    * No pairwise doc×doc work anywhere. */
+  def contaminationReport(train: DataFrame, id: Column, text: Column,
+                          evalDf: DataFrame, evalId: Column,
+                          evalText: Column, k: Int,
+                          cleanFrac: Double = 0.2,
+                          dirtyFrac: Double = 0.8): DataFrame = {
+    require(k > 0, "gram size k must be positive")
+    require(0.0 <= cleanFrac && cleanFrac <= dirtyFrac && dirtyFrac <= 1.0,
+      "need 0 <= cleanFrac <= dirtyFrac <= 1")
+    val evalGrams = gramHashes(evalDf, evalId, evalText, k)
+      .select(col("gh")).distinct().withColumn("_hit", lit(1L))
+    val perDoc = gramHashes(train, id, text, k)
+      .dropDuplicates("_gid", "gh")
+      .join(evalGrams, Seq("gh"), "left")
+      .groupBy(col("_gid"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+    val frac = when(col("n_grams") > 0,
+      round(col("n_hits").cast("double") / col("n_grams").cast("double"), 6))
+      .otherwise(lit(0.0))
+    train.select(id.as("doc_id"))
+      .join(perDoc.withColumnRenamed("_gid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("overlap_frac", frac)
+      .withColumn("verdict",
+        when(col("overlap_frac") >= dirtyFrac, lit("dirty"))
+          .when(col("overlap_frac") >= cleanFrac, lit("partial"))
+          .otherwise(lit("clean")))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide
     * a window of `w` consecutive gram hashes, and select each window's

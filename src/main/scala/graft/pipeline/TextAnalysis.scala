@@ -530,6 +530,97 @@ object TextAnalysis {
         .as("coverage"))
   }
 
+  /** Vocabulary-growth (Heaps-law) curve — how many NEW token types
+    * each successive slice of the corpus contributes, the standard
+    * diminishing-returns diagnostic for "is more of this source still
+    * adding vocabulary?". The corpus is cut into `tiles` equal-count
+    * document slices in `id` order ([[TrainingMix.exactNtile]] — the
+    * distributed rank, no single-partition sort), each token type is
+    * charged to the FIRST tile it appears in, and the report rolls the
+    * per-tile new-type and token counts into cumulative totals plus
+    * the running type-token ratio.
+    *
+    * Returns one row per tile: (tile, n_tokens, cum_tokens,
+    * n_new_types, cum_types, ttr = round(cum_types / cum_tokens, 6))
+    * ordered by tile. `cum_types` at the last tile is the corpus's
+    * distinct-type count; `ttr` is a single IEEE division of exact
+    * longs.
+    *
+    * Scale shape: the tiling ranks ids only; the heavy leg is ONE
+    * min-aggregation keyed by token type (map-side combinable — the
+    * exchange carries |vocab| rows, not |tokens|), then two
+    * |tiles|-row aggregates and a |tiles|-row cumulative window (a
+    * constant, never the corpus). */
+  def vocabGrowth(df: DataFrame, id: Column, text: Column,
+                  tiles: Int = 10): DataFrame = {
+    require(tiles > 0, "tiles must be positive")
+    val docs = df.select(id.as("doc_id"), tokensWs(text).as("_ts"))
+    val tiled = TrainingMix.exactNtile(docs, Seq(col("doc_id")), tiles)
+    val perTile = tiled.groupBy(col("tile"))
+      .agg(sum(size(col("_ts"))).as("n_tokens"))
+    val newTypes = tiled
+      .select(col("tile"), explode(col("_ts")).as("token"))
+      .groupBy(col("token")).agg(min(col("tile")).as("tile"))
+      .groupBy(col("tile")).agg(count(lit(1)).as("n_new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("tile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perTile.join(newTypes, Seq("tile"), "left")
+      .select(col("tile"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .select(col("tile"), col("n_tokens"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        col("n_new_types"),
+        sum(col("n_new_types")).over(w).as("cum_types"))
+      .withColumn("ttr",
+        when(col("cum_tokens") > 0,
+          round(col("cum_types").cast("double") /
+            col("cum_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("tile"))
+  }
+
+  /** Tokenizer-fertility report — the per-language cost accounting a
+    * pipeline runs before committing a token budget: for each
+    * language, total documents / bytes / characters / whitespace words
+    * / BPE-ish subword tokens, and the derived ratios (bytes and chars
+    * per subword token, subword tokens per word = the tokenizer's
+    * "fertility", words per doc). High fertility on a language means
+    * the token budget buys less text there — the standard motivation
+    * for per-language budget corrections.
+    *
+    * Uses [[tokensWs]] (THE whitespace contract) for words and
+    * [[token_count_bpe]]'s letter-run/digit-run/punct split for
+    * subword tokens. Ratios are single IEEE divisions of exact sums,
+    * rounded to 6dp — engine-deterministic.
+    *
+    * Scale shape: every per-doc quantity is a codegen'd projection
+    * inside the scan; the only exchange is the |languages|-keyed
+    * aggregation with map-side partials. Embarrassingly parallel at
+    * any corpus size. */
+  def tokenizerFertility(df: DataFrame, lang: Column,
+                         text: Column): DataFrame = {
+    val t = coalesce(text, lit(""))
+    val base = df.select(lang.as("lang"),
+      octet_length(t).cast("long").as("_nb"),
+      length(t).cast("long").as("_nc"),
+      size(tokensWs(text)).cast("long").as("_nw"),
+      token_count_bpe(t).cast("long").as("_nt"))
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den.cast("double"), 6))
+        .otherwise(lit(0.0))
+    base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nb")).as("n_bytes"),
+        sum(col("_nc")).as("n_chars"), sum(col("_nw")).as("n_words"),
+        sum(col("_nt")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_bytes"), col("n_chars"),
+        col("n_words"), col("n_tokens"),
+        ratio(col("n_bytes"), col("n_tokens")).as("bytes_per_token"),
+        ratio(col("n_chars"), col("n_tokens")).as("chars_per_token"),
+        ratio(col("n_tokens"), col("n_words")).as("fertility"),
+        ratio(col("n_words"), col("n_docs")).as("words_per_doc"))
+      .orderBy(col("lang"))
+  }
+
   // --- hashed Naive-Bayes quality classifier ------------------------------------
 
   /** Token → feature bucket: floorMod(Java String.hashCode, buckets),

@@ -109,6 +109,55 @@ object TrainingMix {
       .select(col("doc_id"), col("stratum"), col("rk").cast("long").as("rk"))
   }
 
+  /** Epochs-per-source table — the "how many passes over each source
+    * does this mix imply" accounting (the epochs column of the
+    * LLaMA/Pile data tables): [[mixWeights]]'s temperature-α share per
+    * stratum applied to a TOKEN budget, divided by what each stratum
+    * actually has. A repeat factor above 1 means the mix oversamples
+    * that source (it will be seen more than once per training run) —
+    * the flag a curator watches, since heavy repetition of a small
+    * source is a memorization risk.
+    *
+    * Per stratum: avail_tokens (whitespace-token total), weight/p
+    * (the IDENTICAL exact-decimal arithmetic of [[mixWeights]], op
+    * order and all), target_tokens = floor(p·budget), repeat_factor =
+    * round(target/avail, 6), n_epochs = ceil(target/avail) via pure
+    * integer arithmetic ((target+avail-1) div avail — no float floor),
+    * oversampled = target > avail.
+    *
+    * Scale shape: ONE map-side-combinable aggregation to |strata|
+    * rows, a 1-row total broadcast back, then scalar arithmetic —
+    * nothing further touches the corpus. */
+  def sourceEpochs(df: DataFrame, stratum: Column, text: Column,
+                   alpha: Double, tokenBudget: Long): DataFrame = {
+    require(alpha > 0.0 && tokenBudget > 0,
+      "alpha and tokenBudget must be positive")
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokensWs(text)).cast("long"))
+          .as("avail_tokens"))
+      .withColumn("_w", round(pow(col("n_docs").cast("double"), lit(alpha)), 6)
+        .cast("decimal(18,6)"))
+    val total = counts.agg(sum(col("_w")).as("_sw"))
+    val p = col("_w").cast("double") / col("_sw").cast("double")
+    counts.crossJoin(broadcast(total))
+      .select(col("stratum"), col("n_docs"), col("avail_tokens"),
+        round(p, 6).as("p"),
+        floor(p * lit(tokenBudget.toDouble)).cast("long").as("target_tokens"))
+      .withColumn("repeat_factor",
+        when(col("avail_tokens") > 0,
+          round(col("target_tokens").cast("double") /
+            col("avail_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("n_epochs",
+        when(col("avail_tokens") > 0,
+          expr("(target_tokens + avail_tokens - 1) div avail_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("oversampled",
+        (col("target_tokens") > col("avail_tokens")).cast("long"))
+      .orderBy(col("stratum"))
+  }
+
   /** Deterministic corpus shuffle: lay documents out in md5(id) order —
     * a seedless pseudo-random permutation any engine reproduces — with
     * each document's global position (`rank`, 1-based, dense) and its

@@ -1294,4 +1294,121 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(pds.zip(pds.tail).forall { case (hi, lo) => hi >= lo },
       "detection probability must be monotone in the band count")
   }
+
+  // --- graded contamination report (q87) ---------------------------------------
+
+  test("contaminationReport: fixture fractions land the exact verdict " +
+       "boundaries, and n_hits agrees with decontaminate everywhere") {
+    val eval = Seq(
+      (1000L, "a b c d e f"),          // grams: abcde, bcdef
+      (1001L, "p q r s t u v w")       // grams: pqrst, qrstu, rstuv, stuvw
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d e f"),             // 2/2 = 1.0      -> dirty
+      (2L, "p q r s t u v w x"),       // 4/5 = 0.8      -> dirty (boundary)
+      (3L, "a b c d e g h i j"),       // 1/5 = 0.2      -> partial (boundary)
+      (4L, "a b c d e f q r s t"),     // 2/6 = 0.333333 -> partial
+      (5L, "z1 z2 z3 z4 z5 z6"),       // 0/2            -> clean
+      (6L, "w x y"),                   // < k tokens     -> 0 grams, clean
+      (7L, "a b c d e a b c d e")      // distinct grams: abcde,bcdea,cdeab,
+                                       // deabc,eabcd,abcde(dup) -> 5, 1 hit
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train, $"doc_id", $"text",
+        eval, $"doc_id", $"text", k = 5)
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0, "dirty")))
+    assert(got(2L) == ((5L, 4L, 0.8, "dirty")))
+    assert(got(3L) == ((5L, 1L, 0.2, "partial")))
+    assert(got(4L) == ((6L, 2L, 0.333333, "partial")))
+    assert(got(5L) == ((2L, 0L, 0.0, "clean")))
+    assert(got(6L) == ((0L, 0L, 0.0, "clean")))
+    assert(got(7L) == ((5L, 1L, 0.2, "partial")))
+
+    // on the corpus: the graded report's hit counts ARE decontaminate's
+    // (same gram family, same eval set), and keep == (n_hits == 0)
+    val trainSlice = docs.filter($"doc_id" % 50 =!= 0)
+    val evalSlice = docs.filter($"doc_id" % 50 === 0)
+    val rep = Dedup.contaminationReport(trainSlice, $"doc_id", $"text",
+        evalSlice, $"doc_id", $"text", k = 5)
+      .select($"doc_id", $"n_hits").as[(Long, Long)].collect().toMap
+    val dec = Dedup.decontaminate(trainSlice, $"doc_id", $"text",
+        evalSlice, $"doc_id", $"text", k = 5)
+      .select($"doc_id", $"n_hits", $"keep".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(dec.nonEmpty && dec.forall { case (id, h, k) =>
+      rep(id) == h && (k == 1L) == (h == 0L) })
+  }
+
+  // --- vocabulary growth curve (q88) -------------------------------------------
+
+  test("vocabGrowth: equals a local first-occurrence reference and the " +
+       "curve's cumulative invariants hold") {
+    val got = TA.vocabGrowth(docs, $"doc_id", $"text", tiles = 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == (1L to 10L), "all ten tiles, in order")
+    // local reference: sort docs by id, ntile arithmetic, first tile
+    // per type
+    val local = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, t) =>
+        (id, Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty)) }
+    val n = local.length
+    val (small, extras) = (n / 10, n % 10)
+    val tileOf = (idx: Int) =>
+      if (idx < extras * (small + 1)) idx / (small + 1) + 1
+      else extras + (idx - extras * (small + 1)) / small + 1
+    val tiled = local.zipWithIndex.map { case ((_, ts), i) => (tileOf(i), ts) }
+    val perTileTokens = tiled.groupBy(_._1).view
+      .mapValues(_.map(_._2.length.toLong).sum).toMap
+    val firstTile = scala.collection.mutable.Map.empty[String, Int]
+    tiled.foreach { case (tile, ts) =>
+      ts.foreach { tok =>
+        if (!firstTile.contains(tok) || firstTile(tok) > tile)
+          firstTile(tok) = tile } }
+    val newTypes = firstTile.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    var cumT = 0L; var cumY = 0L
+    (1 to 10).zip(got).foreach { case (tile, row) =>
+      val nt = perTileTokens.getOrElse(tile, 0L)
+      val ny = newTypes.getOrElse(tile, 0L)
+      cumT += nt; cumY += ny
+      assert(row == ((tile.toLong, nt, cumT, ny, cumY,
+        math.round(cumY.toDouble / cumT * 1e6) / 1e6)),
+        s"tile $tile: $row")
+    }
+    assert(cumY == firstTile.size && cumT == local.map(_._2.length).sum,
+      "the curve must end at the corpus totals")
+  }
+
+  // --- tokenizer fertility (q89) -----------------------------------------------
+
+  test("tokenizerFertility: per-language sums and ratios equal a local " +
+       "reference tokenization") {
+    val bpe = java.util.regex.Pattern.compile(
+      "[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]")
+    val rows = docs.select($"lang", $"text").as[(String, String)].collect()
+    val ref = rows.groupBy(_._1).map { case (lang, g) =>
+      val ts = g.map(r => Option(r._2).getOrElse(""))
+      val nb = ts.map(_.getBytes("UTF-8").length.toLong).sum
+      val nc = ts.map(t => t.codePointCount(0, t.length).toLong).sum
+      val nw = ts.map(_.split("\\s+").count(_.nonEmpty).toLong).sum
+      val nt = ts.map { t =>
+        val m = bpe.matcher(t); var c = 0L; while (m.find()) c += 1; c }.sum
+      def r6(num: Long, den: Long): Double =
+        if (den > 0) BigDecimal(num.toDouble / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0
+      (lang, (g.length.toLong, nb, nc, nw, nt, r6(nb, nt), r6(nc, nt),
+        r6(nt, nw), r6(nw, g.length.toLong)))
+    }
+    val got = TA.tokenizerFertility(docs, $"lang", $"text")
+      .as[(String, Long, Long, Long, Long, Long, Double, Double, Double,
+        Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9,
+        r._10))).toMap
+    assert(got.keySet == ref.keySet && ref.size > 1)
+    ref.foreach { case (lang, want) =>
+      assert(got(lang) == want, s"lang $lang: ${got(lang)} vs $want") }
+  }
 }

@@ -656,4 +656,43 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
     assert(got == want, s"got $got\nwant $want")
     assert(got.map(_._1) == (1L to 10L).toSet, "all ten tiles present")
   }
+
+  // --- epochs per source (q90) -------------------------------------------------
+
+  test("sourceEpochs: shares match mixWeights' arithmetic exactly, and " +
+       "epoch counts are integer-exact ceilings of target/available") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .localCheckpoint(true)
+    val got = TrainingMix.sourceEpochs(docs, $"source", $"text",
+        alpha = 0.5, tokenBudget = 30000L)
+      .as[(String, Long, Long, Double, Long, Double, Long, Long)].collect()
+    // p is the IDENTICAL arithmetic as mixWeights (shared convention
+    // with q44's oracle chain)
+    val mw = TrainingMix.mixWeights(docs, $"source", alpha = 0.5,
+        budget = 30000L)
+      .select($"stratum", $"p").as[(String, Double)].collect().toMap
+    assert(got.map(_._1).toSet == mw.keySet && got.length > 1)
+    got.foreach { case (src, nDocs, avail, p, target, rf, epochs, over) =>
+      assert(p == mw(src), s"$src: p must equal mixWeights'")
+      assert(nDocs > 0 && avail > 0)
+      // integer-exact ceiling, cross-checked in BigInt
+      val wantEpochs =
+        ((BigInt(target) + BigInt(avail) - 1) / BigInt(avail)).toLong
+      assert(epochs == wantEpochs, s"$src: $epochs vs $wantEpochs")
+      assert(rf == math.round(target.toDouble / avail * 1e6) / 1e6)
+      assert((over == 1L) == (target > avail), s"$src oversampled flag")
+      assert((epochs > 1L) == (target > avail),
+        "more than one epoch exactly when oversampled")
+    }
+    // the report must actually discriminate at this budget: some
+    // sources oversampled, some not
+    assert(got.exists(_._8 == 1L) && got.exists(_._8 == 0L),
+      s"budget must split the flag: ${got.map(r => (r._1, r._8)).toSeq}")
+    // token conservation: available tokens sum to the corpus total
+    val totalTokens = docs.select(
+        sum(size(graft.pipeline.TextAnalysis.tokensWs($"text"))))
+      .as[Long].head()
+    assert(got.map(_._3).sum == totalTokens)
+  }
 }
