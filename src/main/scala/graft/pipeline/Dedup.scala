@@ -931,4 +931,64 @@ object Dedup {
       .select(col("doc_id"), col("sel.pos").as("pos"),
         col("sel.fp").as("fp"))
   }
+
+  // --- cross-source leakage matrix ----------------------------------------------
+
+  /** Pairwise cross-SOURCE n-gram leakage — the audit that catches two
+    * "independent" corpus sources being partial mirrors of each other
+    * (a Common Crawl slice and a curated web dump routinely share
+    * boilerplate and syndicated pages; mixing them double-counts that
+    * mass and quietly re-leaks anything deduped within one source
+    * only). For every unordered source pair: how many DISTINCT
+    * n-token shingles they share, each side's distinct-gram total, and
+    * the gram-set Jaccard.
+    *
+    * Returns (src_a, src_b, shared_grams, n_a, n_b, jaccard) for pairs
+    * with ≥1 shared gram, src_a < src_b.
+    *
+    * Scale shape: grams ship as 16-byte binary md5 digests (the
+    * [[graft.pipeline.TextAnalysis.dupNgramCoverage]] contract —
+    * fixed-width keys, never gram text) into ONE corpus-sized exchange:
+    * a map-side-combinable collect_set aggregates each gram to its
+    * source SET (bounded by |sources|, and deduping, so no separate
+    * distinct shuffle). EVERYTHING downstream derives from that one
+    * aggregate — the (a < b) pairs are generated per gram from the
+    * sorted set array (blow-up C(sources_per_gram, 2), never a
+    * gram-keyed self-join of the corpus) and the per-source distinct-
+    * gram totals come from exploding the same sets (AQE reuses the
+    * exchange: one corpus scan), broadcast back onto the
+    * ≤ C(|sources|, 2) pair rows. */
+  def crossSourceLeakage(docs: DataFrame, id: Column, text: Column,
+      source: Column, n: Int): DataFrame = {
+    val sets = docs
+      .select(source.as("src"), TextAnalysis.tokensWs(text).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("src"),
+        explode(sequence(lit(0), size(col("ts")) - n)).as("p"), col("ts"))
+      .select(col("src"),
+        unhex(md5(concat_ws(" ",
+          slice(col("ts"), col("p") + 1, lit(n))))).as("g"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_set(col("src"))).as("_ss"))
+    val totals = sets.select(explode(col("_ss")).as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n_src"))
+    // per gram: emit every (a < b) pair of its source set map-side
+    val pairs = sets
+      .filter(size(col("_ss")) >= 2)
+      .select(explode(flatten(transform(col("_ss"), (a, i) =>
+        transform(slice(col("_ss"), i + 2, size(col("_ss"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("pr"))
+      .groupBy(col("pr.src_a").as("src_a"), col("pr.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(broadcast(totals.select(col("src").as("src_a"),
+        col("n_src").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("src").as("src_b"),
+        col("n_src").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        col("n_a"), col("n_b"),
+        round(col("shared_grams").cast("double") /
+          (col("n_a") + col("n_b") - col("shared_grams")).cast("double"),
+          6).as("jaccard"))
+  }
 }

@@ -47,4 +47,50 @@ object Privacy {
       regexp_count(t2, lit(phoneRe)).cast("long").as("n_phones"),
       t3.as("clean_text"))
   }
+
+  /** AWS-style access key id: the fixed `AKIA` prefix plus 16
+    * uppercase-alphanumeric chars. */
+  val awsKeyRe = "AKIA[0-9A-Z]{16}"
+
+  /** GitHub-style personal access token: `ghp_` plus exactly 36
+    * alphanumerics. */
+  val ghTokenRe = "ghp_[0-9A-Za-z]{36}"
+
+  /** Long hexadecimal blob (≥ 40 lowercase hex chars): the shape of
+    * leaked SHA-1s, session secrets, and private-key material once
+    * hex-encoded. Greedy, so one contiguous blob counts once. */
+  val hexBlobRe = "[0-9a-f]{40,}"
+
+  /** Credential scrub — the secret-shaped complement of [[redactPii]]:
+    * leaked API keys and key material must never reach a training
+    * corpus (a model memorizes high-entropy strings far faster than
+    * prose — Carlini et al. 2021, arXiv:2012.07805). Three RE2-safe
+    * families are redacted IN ORDER — AWS key ids → `<AWSKEY>`,
+    * GitHub-style tokens → `<TOKEN>`, then long hex blobs →
+    * `<HEXBLOB>` — with each family's hit count taken on the text that
+    * family actually sees ([[redactPii]]'s convention, so counts and
+    * replacements always agree; the ordering also keeps the 36-hex
+    * tail of a `ghp_` token from ever double-counting as a blob).
+    *
+    * Returns (doc_id, n_aws, n_token, n_hex, n_secrets, keep,
+    * clean_text) — keep = 1 iff nothing matched, for pipelines that
+    * drop rather than redact.
+    *
+    * Like [[redactPii]]: one whole-stage-codegen'd projection, zero
+    * shuffles, one corpus scan at any scale. */
+  def secretScan(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val t0 = coalesce(text, lit(""))
+    val t1 = regexp_replace(t0, awsKeyRe, "<AWSKEY>")
+    val t2 = regexp_replace(t1, ghTokenRe, "<TOKEN>")
+    val t3 = regexp_replace(t2, hexBlobRe, "<HEXBLOB>")
+    val nAws = regexp_count(t0, lit(awsKeyRe)).cast("long")
+    val nTok = regexp_count(t1, lit(ghTokenRe)).cast("long")
+    val nHex = regexp_count(t2, lit(hexBlobRe)).cast("long")
+    df.select(
+      id.as("doc_id"),
+      nAws.as("n_aws"), nTok.as("n_token"), nHex.as("n_hex"),
+      (nAws + nTok + nHex).as("n_secrets"),
+      when(nAws + nTok + nHex === 0, 1L).otherwise(0L).as("keep"),
+      t3.as("clean_text"))
+  }
 }

@@ -998,6 +998,59 @@ object TextAnalysis {
             col("n_docs").cast("double"), 6))
           .otherwise(lit(0.0)).as("mean_quality"))
   }
+
+  // --- sequence-length histogram -------------------------------------------------
+
+  /** Power-of-two bucket floor for a token count: 0 for n<16, then
+    * 16/32/64/128/256/512, capped at 1024 for everything longer. Fixed
+    * CASE edges (not float log2) so every engine buckets identically,
+    * including at exact powers of two. */
+  private val lenBucketEdges = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+  private def lenBucket(nTok: Column): Column = {
+    // ascending when-chain: the FIRST edge the count falls under wins
+    val first = when(nTok < lenBucketEdges.head, lit(0L))
+    lenBucketEdges.tail.zip(lenBucketEdges).foldLeft(first) {
+      case (acc, (edge, lo)) => acc.when(nTok < edge, lit(lo))
+    }.otherwise(lit(lenBucketEdges.last))
+  }
+
+  /** Token-length histogram — the packing/truncation planner's input:
+    * documents bucketed by whitespace-token count into power-of-two
+    * bands, with per-band doc/token mass, the corpus shares, and the
+    * token mass a `maxSeqLen` truncation policy would DISCARD from that
+    * band (Σ max(n_tok − maxSeqLen, 0) — the number a curator compares
+    * against [[TrainingMix.packSequences]]'s zero-loss packing before
+    * choosing between them).
+    *
+    * Returns one row per non-empty band: (bucket_lo, n_docs, n_tokens,
+    * trunc_tokens, doc_share, token_share), ordered by bucket_lo.
+    *
+    * Scale shape: the bucket is a pure projection on the scan; ONE
+    * map-side-combinable aggregation to ≤ 8 rows; the share totals are
+    * a GLOBAL WINDOW over that tiny aggregate (≤ 8 rows to one
+    * partition — never a second corpus scan or a re-aggregated
+    * branch). Nothing downstream of the scan is corpus-sized. */
+  def lengthHistogram(docs: DataFrame, text: Column,
+                      maxSeqLen: Long = 256L): DataFrame = {
+    require(maxSeqLen > 0, "maxSeqLen must be positive")
+    val nTok = token_count_ws(coalesce(text, lit(""))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs
+      .select(lenBucket(nTok).as("bucket_lo"), nTok.as("_nt"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        sum(greatest(col("_nt") - maxSeqLen, lit(0L))).as("trunc_tokens"))
+      .select(col("bucket_lo"), col("n_docs"), col("n_tokens"),
+        col("trunc_tokens"),
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double"), 6).as("doc_share"),
+        when(sum(col("n_tokens")).over(w) > 0,
+          round(col("n_tokens").cast("double") /
+            sum(col("n_tokens")).over(w).cast("double"), 6))
+          .otherwise(lit(0.0)).as("token_share"))
+      .orderBy(col("bucket_lo"))
+  }
 }
 
 /** floorMod(Java String.hashCode, buckets) as a native codegen

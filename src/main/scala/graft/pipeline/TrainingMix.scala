@@ -449,6 +449,61 @@ object TrainingMix {
       .select(col("doc_id"), col("grp"), col("rk").cast("long").as("rk"))
   }
 
+  /** Deterministic train/validation/test split — the hold-out carve a
+    * training run does exactly once, and must do REPRODUCIBLY: the
+    * assignment is a pure function of the row id (the
+    * [[stratifiedSample]] hash-is-the-draw device, salted with
+    * `"split:"` so it is INDEPENDENT of any sampling draw keyed on the
+    * bare id — a doc sampled into the corpus at rate r must not be
+    * correlated with landing in test). A row's `split_key` is the
+    * first 8 hex chars of md5("split:" ‖ id), a uniform draw in
+    * [0, 2^32); key < testFrac·2^32 → "test", below
+    * (testFrac+valFrac)·2^32 → "val", else "train". Thresholds are
+    * fixed-width lowercase hex, so the comparison is identical in any
+    * engine and the split never moves between runs, retries, or
+    * engines — the property that keeps eval honest across pipeline
+    * versions.
+    *
+    * Returns the input plus (split_key, split). Zero shuffles: the
+    * assignment is a pure projection that rides the scan. */
+  def dataSplit(df: DataFrame, id: Column, valFrac: Double,
+                testFrac: Double): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1.0,
+      "fractions must be non-negative and sum below 1")
+    val key = substring(md5(concat(lit("split:"), id.cast("string"))), 1, 8)
+    val tTest = rateThreshold(testFrac)
+    val tVal = rateThreshold(testFrac + valFrac)
+    df.withColumn("split_key", key)
+      .withColumn("split",
+        when(col("split_key") < lit(tTest), lit("test"))
+          .when(col("split_key") < lit(tVal), lit("val"))
+          .otherwise(lit("train")))
+  }
+
+  /** The split AUDIT: per (stratum, split) — docs, whitespace tokens,
+    * and the realized doc share within the stratum — the table a
+    * curator reads to confirm every source/language actually has eval
+    * coverage (a small stratum can easily draw zero test docs; this is
+    * where that shows up before training does).
+    *
+    * Scale shape: [[dataSplit]]'s projection feeds ONE map-side-
+    * combinable aggregation to |strata|·3 rows; the within-stratum
+    * share is a window over that tiny aggregate, never the corpus. */
+  def splitReport(df: DataFrame, id: Column, stratum: Column, text: Column,
+                  valFrac: Double, testFrac: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+    dataSplit(df.select(id.as("doc_id"), stratum.as("stratum"),
+        TextAnalysis.token_count_ws(coalesce(text, lit("")))
+          .cast("long").as("_nt")),
+        col("doc_id"), valFrac, testFrac)
+      .groupBy(col("stratum"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double"), 6))
+  }
+
   /** GPT-style sequence packing (concat-and-chunk): the id-ordered
     * token stream is cut into fixed `seqLen`-token training sequences,
     * and documents SPLIT across sequence boundaries — the final

@@ -1411,4 +1411,121 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     ref.foreach { case (lang, want) =>
       assert(got(lang) == want, s"lang $lang: ${got(lang)} vs $want") }
   }
+
+  // --- cross-source leakage (q91) ------------------------------------------------
+
+  test("crossSourceLeakage: distinct-gram overlap per source pair — " +
+       "within-source duplicate grams count once, zero-overlap pairs " +
+       "are absent, jaccard exact") {
+    val fx = Seq(
+      (1L, "A", "w1 w2 w3 w4 w5 w6 w7 w8 x"), // grams g1=[w1..w8], g2=[w2..x]
+      (2L, "B", "w1 w2 w3 w4 w5 w6 w7 w8"),   // g1 again — shared with A
+      (3L, "B", "w1 w2 w3 w4 w5 w6 w7 w8 y"), // g1 dup within B: counts ONCE
+      (4L, "C", "u1 u2 u3 u4 u5 u6 u7 u8"),   // private to C
+      (5L, "C", "w2 w3 w4 w5 w6 w7 w8 x"),    // g2 — shared with A
+      (6L, "A", "short text")                 // < 8 tokens: no grams
+    ).toDF("doc_id", "src", "text")
+    val got = Dedup.crossSourceLeakage(fx, $"doc_id", $"text", $"src", n = 8)
+      .orderBy($"src_a", $"src_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    val third = math.round(1.0 / 3.0 * 1e6) / 1e6
+    assert(got == Seq(
+      ("A", "B", 1L, 2L, 2L, third),   // share g1 of A{g1,g2}, B{g1,[..y]}
+      ("A", "C", 1L, 2L, 2L, third)))  // share g2; (B,C) overlap 0 → absent
+  }
+
+  test("crossSourceLeakage equals a brute-force local reference on the " +
+       "documents table") {
+    val rows = docs.select($"doc_id", coalesce($"source", lit("")), $"text")
+      .as[(Long, String, String)].collect()
+    val bySrc = rows.groupBy(_._2).map { case (s, rs) =>
+      s -> rs.flatMap { case (_, _, t) =>
+        val ts = Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty)
+        ts.sliding(8).filter(_.length == 8).map(_.mkString(" "))
+      }.toSet
+    }
+    val want = (for {
+      (a, ga) <- bySrc; (b, gb) <- bySrc if a < b
+      shared = (ga & gb).size if shared > 0
+    } yield (a, b) -> ((shared.toLong, ga.size.toLong, gb.size.toLong,
+      math.round(shared.toDouble / (ga.size + gb.size - shared) * 1e6) / 1e6
+    ))).toMap
+    val got = Dedup.crossSourceLeakage(docs, $"doc_id", $"text",
+        coalesce($"source", lit("")), n = 8)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got == want && want.nonEmpty,
+      s"${got.size} pairs vs ${want.size} reference pairs")
+  }
+
+  test("crossSourceLeakage plan: ONE corpus scan (pair and total " +
+       "branches reuse the distinct-gram exchange), totals broadcast, " +
+       "no gram-keyed corpus self-join") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Dedup.crossSourceLeakage(df, $"doc_id", $"text",
+      coalesce($"source", lit("")), n = 8)
+    out.collect() // materialize so AQE's final plan (incl. stage reuse) prints
+    val plan = out.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"),
+      s"branches must share the distinct-gram exchange:\n$finalPlan")
+    val textScans = "ReadSchema: struct<text:string,source:string>".r
+      .findAllIn(finalPlan).length
+    assert(textScans == 1,
+      s"corpus text must be scanned exactly once, got $textScans:\n$finalPlan")
+    assert(finalPlan.contains("BroadcastExchange"),
+      s"per-source totals must broadcast:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin") &&
+      !finalPlan.contains("CartesianProduct"),
+      s"pairs must come from per-gram source sets, not a self-join:\n$finalPlan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+  }
+
+  // --- token-length histogram (q93) ------------------------------------------------
+
+  test("lengthHistogram: exact power-of-two banding at every edge, " +
+       "truncation loss, and shares over exact totals") {
+    val counts =
+      Seq(5, 15, 16, 31, 32, 127, 128, 255, 256, 511, 512, 1023, 1024, 2000)
+    val fx = (counts.zipWithIndex.map { case (k, i) =>
+        (i.toLong, Seq.fill(k)("t").mkString(" ")) } ++
+      Seq((90L, ""), (91L, null: String))).toDF("doc_id", "text")
+    val got = TA.lengthHistogram(fx, $"text", maxSeqLen = 256L)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // (bucket_lo, n_docs, n_tokens, trunc_tokens)
+    val want = Seq(
+      (0L, 4L, 20L, 0L),        // 5, 15, "", null
+      (16L, 2L, 47L, 0L),       // 16, 31 — an exact edge lands UP a band
+      (32L, 1L, 32L, 0L),
+      (64L, 1L, 127L, 0L),
+      (128L, 2L, 383L, 0L),
+      (256L, 2L, 767L, 255L),   // 511 → 255 over the 256 cap
+      (512L, 2L, 1535L, 1023L), // 256 + 767
+      (1024L, 2L, 3024L, 2512L) // the ≥1024 catch-all: 768 + 1744
+    )
+    val totD = 16.0
+    val totT = want.map(_._3).sum.toDouble
+    assert(got == want.map { case (b, d, t, tr) =>
+      (b, d, t, tr, math.round(d / totD * 1e6) / 1e6,
+        math.round(t / totT * 1e6) / 1e6) })
+  }
+
+  test("lengthHistogram plan: ONE corpus scan — the share totals are a " +
+       "global window over the ≤8-row band aggregate, never a second " +
+       "scan or a re-aggregated branch") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TA.lengthHistogram(df, $"text", maxSeqLen = 256L)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val textScans = "ReadSchema: struct<text:string>".r
+      .findAllIn(finalPlan).length
+    assert(textScans == 1,
+      s"corpus text must be scanned exactly once, got $textScans:\n$finalPlan")
+    assert(finalPlan.contains("Window"),
+      s"totals must be a window over the band aggregate:\n$finalPlan")
+    assert(finalPlan.contains("partial_count"),
+      s"the band aggregate must combine map-side:\n$finalPlan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+  }
 }

@@ -695,4 +695,65 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
       .as[Long].head()
     assert(got.map(_._3).sum == totalTokens)
   }
+
+  // --- train/val/test split (q94) ---------------------------------------------
+
+  test("dataSplit matches a row-by-row reference of the salted " +
+       "md5-threshold rule, and the salt decorrelates it from the " +
+       "q38 sampling draw") {
+    val df = (0L until 600L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val got = TrainingMix.dataSplit(df, $"doc_id",
+        valFrac = 0.1, testFrac = 0.1)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    def th(r: Double) = f"${(r * 4294967296.0).toLong}%08x"
+    val want = (0L until 600L).map { i =>
+      val k = md5hex8("split:" + i)
+      i -> (if (k < th(0.1)) "test"
+            else if (k < th(0.2)) "val" else "train")
+    }.toMap
+    assert(got == want)
+    // every row lands in exactly one split, and all three are realized
+    assert(got.size == 600 && got.values.toSet == Set("train", "val", "test"))
+    // independence from the bare-id draw: the test slice is NOT the
+    // bottom decile of the unsalted q38 sampling key
+    val bareBottom = (0L until 600L)
+      .filter(i => md5hex8(i.toString) < th(0.1)).toSet
+    val testSet = got.collect { case (i, "test") => i }.toSet
+    assert(testSet != bareBottom,
+      "salting must decorrelate the split from the sampling draw")
+    // loose uniformity band (md5 is uniform): test ≈ 10% of 600
+    assert(testSet.size > 600 * 0.05 && testSet.size < 600 * 0.15)
+  }
+
+  test("dataSplit plan is a pure projection: zero exchanges, no UDF " +
+       "(the split rides the scan at any scale)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TrainingMix.dataSplit(df, $"doc_id", 0.1, 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "split must stay in codegen")
+  }
+
+  test("splitReport conserves docs and tokens and its within-stratum " +
+       "shares sum to 1") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rep = TrainingMix.splitReport(docs, $"doc_id",
+        coalesce($"source", lit("")), $"text",
+        valFrac = 0.1, testFrac = 0.1)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rep.map(_._3).sum == docs.count())
+    val totalTokens = docs.select(sum(
+        graft.pipeline.TextAnalysis.token_count_ws(coalesce($"text", lit("")))
+          .cast("long"))).as[Long].head()
+    assert(rep.map(_._4).sum == totalTokens)
+    rep.groupBy(_._1).foreach { case (stratum, rows) =>
+      val s = rows.map(_._5).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$stratum shares sum to $s")
+    }
+    // the audit's point: it must be ABLE to show a stratum with no
+    // eval coverage — here every (stratum, split) cell is explicit,
+    // so a missing cell is visible as an absent row, never a zero
+    assert(rep.map(r => (r._1, r._2)).distinct.length == rep.length)
+  }
 }
