@@ -1332,6 +1332,34 @@ object SparkEntry {
           coalesce($"source", lit("")), $"text",
           valFrac = 0.1, testFrac = 0.1)
         .orderBy($"stratum", $"split")
+    }),
+
+    // --- span-level eval decontamination: q41's gram overlap APPLIED
+    // surgically — contaminated spans removed, the document kept
+    // (eval slice doc_id%50==0, the q41 convention). -----------------------------
+    "q95_span_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Dedup.spanDecontam(docs.filter($"doc_id" % 50 =!= 0), $"doc_id",
+          $"text", docs.filter($"doc_id" % 50 === 0), $"doc_id", $"text",
+          k = 5)
+        .orderBy($"doc_id")
+    }),
+
+    // --- shard manifest: q39's pack + per-shard content fingerprint
+    // (md5 of doc-ordered per-doc md5s) — the reproducible data card. ------------
+    "q96_shard_manifest" -> ((s, dir) => {
+      import s.implicits._
+      TrainingMix.shardManifest(t(s, dir, "documents"), $"doc_id",
+        $"text", tokensPerShard = 2000L)
+    }),
+
+    // --- padding waste under length-bucketed batching: per q93 band,
+    // deterministic (len, id)-order batches of 32, padding to batch max. ---------
+    "q97_padding_waste" -> ((s, dir) => {
+      import s.implicits._
+      TA.paddingWaste(t(s, dir, "documents"), $"doc_id", $"text",
+        batchSize = 32)
     })
   )
 
@@ -3996,6 +4024,92 @@ object SparkEntry {
            round(CAST(n_docs AS DOUBLE) /
              CAST(sum(n_docs) OVER (PARTITION BY stratum) AS DOUBLE), 6)
              AS doc_share
-         FROM a ORDER BY stratum, split"""
+         FROM a ORDER BY stratum, split""",
+
+    // span decontam: q41's 5-gram overlap + q59's cover-removal device —
+    // eval slice grams distinct-ed, matched train windows expand to
+    // covered positions, survivors position-filtered and reassembled.
+    "q95_span_decontam" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         eg AS (SELECT DISTINCT array_to_string(ts[p+1 : p+5], ' ') AS gm
+           FROM (SELECT unnest(range(0, len(ts) - 4)) AS p, ts
+                 FROM toks WHERE doc_id % 50 = 0 AND len(ts) >= 5)),
+         base AS (SELECT doc_id, ts FROM toks WHERE doc_id % 50 <> 0),
+         wins AS (SELECT doc_id, p, array_to_string(ts[p+1 : p+5], ' ')
+               AS gm
+           FROM (SELECT doc_id, unnest(range(0, len(ts) - 4)) AS p, ts
+                 FROM base WHERE len(ts) >= 5)),
+         cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 5)) AS pos
+           FROM wins JOIN eg USING (gm)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed,
+             list(pos) AS cover
+           FROM cov GROUP BY doc_id)
+         SELECT b.doc_id, CAST(len(b.ts) AS BIGINT) AS n_tokens,
+           coalesce(a.n_removed, 0) AS n_removed,
+           coalesce(array_to_string(list_transform(
+             list_filter(range(0, len(b.ts)),
+               i -> a.cover IS NULL OR NOT list_contains(a.cover, i)),
+             i -> b.ts[i+1]), ' '), '') AS clean_text
+         FROM base b LEFT JOIN agg a USING (doc_id)
+         ORDER BY b.doc_id""",
+
+    // shard manifest: q39's exclusive-prefix pack verbatim, then the
+    // fingerprint = md5 of the doc-ordered per-doc md5 hex digests —
+    // ordered string_agg is DuckDB's native form of the Spark side's
+    // sorted-array concat.
+    "q96_shard_manifest" ->
+      """WITH b AS (SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(coalesce(text, ''),
+               '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+             md5(coalesce(text, '')) AS h
+           FROM documents),
+         s AS (SELECT doc_id, n_tok, h,
+             CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tok) * 1.0 / 2000) AS BIGINT)
+               AS shard_id
+           FROM b)
+         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           md5(string_agg(h, '' ORDER BY doc_id)) AS content_md5
+         FROM s GROUP BY 1 ORDER BY shard_id""",
+
+    // padding waste: q93's CASE bands, row_number within band in
+    // (len, id) order (the window IS the oracle for the distributed
+    // offset-rank), batches of 32, pad to batch max, per-band report.
+    "q97_padding_waste" ->
+      """WITH n AS (SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(coalesce(text, ''),
+               '\s+'), x -> x <> '')) AS BIGINT) AS nt
+           FROM documents),
+         b AS (SELECT doc_id, CASE WHEN nt < 16 THEN 0
+               WHEN nt < 32 THEN 16 WHEN nt < 64 THEN 32
+               WHEN nt < 128 THEN 64 WHEN nt < 256 THEN 128
+               WHEN nt < 512 THEN 256 WHEN nt < 1024 THEN 512
+               ELSE 1024 END AS bucket_lo, nt
+           FROM n),
+         r AS (SELECT bucket_lo, nt,
+             row_number() OVER (PARTITION BY bucket_lo
+               ORDER BY nt, doc_id) AS rk
+           FROM b),
+         bb AS (SELECT bucket_lo, nt,
+             CAST(floor((rk - 1) * 1.0 / 32) AS BIGINT) AS batch
+           FROM r),
+         pb AS (SELECT bucket_lo, batch, CAST(count(*) AS BIGINT) AS bn,
+             CAST(sum(nt) AS BIGINT) AS bt, CAST(max(nt) AS BIGINT) AS bm
+           FROM bb GROUP BY 1, 2)
+         SELECT CAST(bucket_lo AS BIGINT) AS bucket_lo,
+           CAST(sum(bn) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_batches,
+           CAST(sum(bt) AS BIGINT) AS n_tokens,
+           CAST(sum(bm * bn - bt) AS BIGINT) AS pad_tokens,
+           CASE WHEN sum(bt) + sum(bm * bn - bt) > 0 THEN
+               round(CAST(sum(bm * bn - bt) AS DOUBLE) /
+                 CAST(sum(bt) + sum(bm * bn - bt) AS DOUBLE), 6)
+             ELSE 0.0 END AS pad_frac
+         FROM pb GROUP BY 1 ORDER BY bucket_lo"""
   )
 }

@@ -769,6 +769,59 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) === 0L).as("keep"))
   }
 
+  /** Span-level eval decontamination — [[decontaminate]]'s surgical
+    * form: instead of DROPPING a training document that shares any
+    * k-gram with the eval set, remove just the contaminated spans
+    * (every token position covered by a matching window) and keep the
+    * rest. The binary gate wastes the whole document over one leaked
+    * quote; span removal is what a release pipeline actually ships
+    * when eval text is embedded in otherwise-good pages (the
+    * [[spanDedup]] cover-removal device pointed at an external gram
+    * set instead of corpus-duplicate sites).
+    *
+    * Returns one row per TRAIN doc: (doc_id, n_tokens, n_removed,
+    * clean_text) — n_removed = distinct covered token positions;
+    * clean_text is the surviving token stream space-rejoined
+    * ([[graft.pipeline.TextAnalysis.tokensWs]] is the tokenizer
+    * contract). Docs shorter than k tokens (and null text) pass
+    * through untouched.
+    *
+    * Scale shape at 10^9 train docs vs a benchmark of thousands: the
+    * eval side collapses to distinct 16-byte binary digests (slim —
+    * AQE broadcasts it under the join threshold); train windows
+    * stream through ONE inner join (gram text never leaves the map
+    * stage); covered positions collapse in array arithmetic inside a
+    * doc-keyed aggregate — never a per-position row stream joined
+    * back token by token. */
+  def spanDecontam(train: DataFrame, id: Column, text: Column,
+                   evalDf: DataFrame, evalId: Column, evalText: Column,
+                   k: Int): DataFrame = {
+    require(k > 0, "gram size k must be positive")
+    val base = train.select(id.as("doc_id"),
+      TextAnalysis.tokensWs(text).as("ts"))
+    val evalGrams = gramHashes(evalDf, evalId, evalText, k)
+      .select(col("gh")).distinct()
+    val wins = base.filter(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ts")) - k)).as("p"),
+        col("ts"))
+      .select(col("doc_id"), col("p"),
+        unhex(md5(concat_ws(" ", slice(col("ts"), col("p") + 1, lit(k)))))
+          .as("gh"))
+    val covered = wins.join(evalGrams, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(array_distinct(flatten(
+        collect_list(sequence(col("p"), col("p") + (k - 1))))).as("cover"))
+    base.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        coalesce(size(col("cover")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("ts"), (_, i) =>
+          !array_contains(
+            coalesce(col("cover"), array().cast("array<int>")), i)))
+          .as("clean_text"))
+  }
+
   /** Graded contamination report — the GPT-3 App. C / PaLM §B "dirty
     * document" audit that [[decontaminate]]'s binary flag summarizes:
     * for each train document, the FRACTION of its distinct k-grams

@@ -1051,6 +1051,63 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("token_share"))
       .orderBy(col("bucket_lo"))
   }
+
+  /** Padding-waste report for length-bucketed batching — the number
+    * that justifies (or kills) a bucketed batching policy: docs are
+    * bucketed into [[lengthHistogram]]'s power-of-two bands, batches of
+    * `batchSize` formed DETERMINISTICALLY within each band in
+    * (token-count, id) order, every sequence in a batch padded to the
+    * batch max. Per band: batches, docs, real token mass, padding mass,
+    * and pad_frac = padding / (tokens + padding) — compare against the
+    * single-global-bucket policy's waste to size the win.
+    *
+    * Returns (bucket_lo, n_docs, n_batches, n_tokens, pad_tokens,
+    * pad_frac) ordered by bucket_lo.
+    *
+    * Scale shape: the within-band rank does NOT use a per-band window
+    * (≤ 8 bands would funnel the corpus into 8 partitions) — it is the
+    * A10 distributed prefix scan over the TOTAL order (band, len, id),
+    * minus each band's exclusive doc offset from an ≤ 8-row aggregate
+    * joined back broadcast. Batch stats are one map-side-combinable
+    * aggregation keyed (band, batch); the report re-aggregates ≤
+    * |batches| rows. */
+  def paddingWaste(docs: DataFrame, id: Column, text: Column,
+                   batchSize: Int): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val nTok = token_count_ws(coalesce(text, lit(""))).cast("long")
+    val base = docs.select(id.as("doc_id"),
+      lenBucket(nTok).as("bucket_lo"), nTok.as("_nt"))
+    val (ranked, _, _) = graft.stats.Cumulative.runningTotals(
+      base, Seq(col("bucket_lo"), col("_nt"), col("doc_id")),
+      lit(1.0), "_grank", "_cs")
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket_lo"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val offsets = ranked.groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("_bn"))
+      .select(col("bucket_lo"),
+        coalesce(sum(col("_bn")).over(wOff), lit(0L)).as("_off"))
+    val perBatch = ranked.join(broadcast(offsets), Seq("bucket_lo"))
+      .select(col("bucket_lo"), col("_nt"),
+        floor((col("_grank") - col("_off") - 1) / batchSize)
+          .cast("long").as("_batch"))
+      .groupBy(col("bucket_lo"), col("_batch"))
+      .agg(count(lit(1)).as("_bn"), sum(col("_nt")).as("_bt"),
+        max(col("_nt")).as("_bm"))
+    perBatch.groupBy(col("bucket_lo"))
+      .agg(sum(col("_bn")).as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum(col("_bt")).as("n_tokens"),
+        sum(col("_bm") * col("_bn") - col("_bt")).as("pad_tokens"))
+      .select(col("bucket_lo"), col("n_docs"), col("n_batches"),
+        col("n_tokens"), col("pad_tokens"),
+        when(col("n_tokens") + col("pad_tokens") > 0,
+          round(col("pad_tokens").cast("double") /
+            (col("n_tokens") + col("pad_tokens")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("pad_frac"))
+      .orderBy(col("bucket_lo"))
+  }
 }
 
 /** floorMod(Java String.hashCode, buckets) as a native codegen

@@ -423,6 +423,48 @@ object TrainingMix {
         .cast("long").as("shard_id"))
   }
 
+  /** Shard manifest — the reproducible data card a packed corpus ships
+    * with: per [[packShards]] shard, the doc count, token mass, id
+    * range, and a content fingerprint (md5 of the per-doc md5(text)
+    * hex digests concatenated in doc_id order). Two runs — or two
+    * engines — producing the same shards produce byte-identical
+    * manifests, and any single-document change flips exactly that
+    * shard's fingerprint: the property that lets a training run verify
+    * its inputs without re-reading them.
+    *
+    * Returns (shard_id, n_docs, n_tokens, first_doc, last_doc,
+    * content_md5) ordered by shard_id.
+    *
+    * Scale shape: the pack is the A10 distributed prefix scan (range
+    * partition + P driver scalars — no global window sort), with the
+    * per-doc digest computed in the SAME scan projection; the manifest
+    * is ONE shard-keyed aggregation whose only order-sensitive piece —
+    * the digest concat — sorts an array bounded by docs-per-shard
+    * (tokensPerShard / avg doc length, a config constant), never the
+    * corpus. */
+  def shardManifest(df: DataFrame, id: Column, text: Column,
+                    tokensPerShard: Long): DataFrame = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val base = df.select(id.as("doc_id"),
+      TextAnalysis.token_count_ws(coalesce(text, lit("")))
+        .cast("long").as("n_tok"),
+      md5(coalesce(text, lit(""))).as("_h"))
+    val (cum, _, _) = graft.stats.Cumulative.runningTotals(
+      base, Seq(col("doc_id")), col("n_tok"), "_cnt", "_cumtok")
+    cum.select(col("doc_id"), col("n_tok"), col("_h"),
+        floor((col("_cumtok") - col("n_tok")) / tokensPerShard)
+          .cast("long").as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("_h")))),
+          x => x.getField("_h")))).as("content_md5"))
+      .orderBy(col("shard_id"))
+  }
+
   /** Per-domain/source document cap (RefinedWeb caps pages per domain,
     * C4 bounds host domination the same way): keep at most `n`
     * documents per group, chosen DETERMINISTICALLY by md5(doc_id) —

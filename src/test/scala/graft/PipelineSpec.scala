@@ -1510,6 +1510,50 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
         math.round(t / totT * 1e6) / 1e6) })
   }
 
+  test("paddingWaste: deterministic (len, id)-order batches within each " +
+       "band, padding to batch max, exact report") {
+    // one band (all < 16 tokens), batchSize 2: sorted lens 2,3,5,5,8
+    // (tie at 5 broken by id) → batches [2,3] [5,5] [8]
+    val fx = Seq(
+      (1L, "a b c d e f g h"),    // 8 tokens
+      (2L, "a b"),                // 2
+      (3L, "a b c"),              // 3
+      (4L, "a b c d e"),          // 5 (id 4 before id 5 at the tie)
+      (5L, "x y z w v")           // 5
+    ).toDF("doc_id", "text")
+    val got = TA.paddingWaste(fx, $"doc_id", $"text", batchSize = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // pads: [2,3]→1, [5,5]→0, [8]→0 ⇒ pad=1, tokens=23
+    val frac = math.round(1.0 / 24.0 * 1e6) / 1e6
+    assert(got == Seq((0L, 5L, 3L, 23L, 1L, frac)))
+  }
+
+  test("paddingWaste equals the per-band window reference on the " +
+       "documents table (the distributed offset-rank IS row_number)") {
+    val rows = docs.select($"doc_id",
+        TA.token_count_ws(coalesce($"text", lit(""))).cast("long"))
+      .as[(Long, Long)].collect()
+    def bucket(n: Long): Long =
+      if (n < 16) 0 else if (n < 32) 16 else if (n < 64) 32
+      else if (n < 128) 64 else if (n < 256) 128 else if (n < 512) 256
+      else if (n < 1024) 512 else 1024
+    val want = rows.groupBy(r => bucket(r._2)).toSeq.sortBy(_._1).map {
+      case (b, rs) =>
+        val batches = rs.sortBy(r => (r._2, r._1)).map(_._2)
+          .grouped(32).toSeq
+        val tokens = batches.map(_.sum).sum
+        val pad = batches.map(g => g.max * g.length - g.sum).sum
+        (b, rs.length.toLong, batches.length.toLong, tokens, pad,
+          if (tokens + pad > 0)
+            math.round(pad.toDouble / (tokens + pad) * 1e6) / 1e6
+          else 0.0)
+    }
+    val got = TA.paddingWaste(docs, $"doc_id", $"text", batchSize = 32)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == want && want.length > 1)
+    assert(got.map(_._5).sum > 0, "fixture must exercise real padding")
+  }
+
   test("lengthHistogram plan: ONE corpus scan — the share totals are a " +
        "global window over the ≤8-row band aggregate, never a second " +
        "scan or a re-aggregated branch") {

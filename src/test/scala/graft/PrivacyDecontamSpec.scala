@@ -222,6 +222,50 @@ class PrivacyDecontamSpec extends AnyFunSuite with SparkSuite {
     assert(out == ((1L, 0L, 1L, 0L, 1L, 0L, "t <TOKEN>0000 end")))
   }
 
+  // --- span-level decontamination (q95) -----------------------------------------
+
+  test("spanDecontam removes exactly the covered positions of matching " +
+       "windows, merges overlapping covers, and keeps the document") {
+    val train = Seq(
+      (1L, "intro words then the secret eval answer is here trailing"),
+      (2L, "totally clean document with no overlap at all"),
+      (3L, "one two"),            // < k tokens: untouched
+      (4L, null: String)
+    ).toDF("doc_id", "text")
+    // two OVERLAPPING 5-grams from doc 1 (positions 3..7 and 4..8):
+    // cover = union {3..8}, counted once per position
+    val eval = Seq(
+      (100L, "the secret eval answer is here")  // 6 tokens → grams at 0,1
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDecontam(train, $"doc_id", $"text",
+        eval, $"doc_id", $"text", k = 5)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 10L, 6L, "intro words then trailing")))
+    assert(out(1) == ((2L, 8L, 0L,
+      "totally clean document with no overlap at all")))
+    assert(out(2) == ((3L, 2L, 0L, "one two")))
+    assert(out(3) == ((4L, 0L, 0L, "")))
+  }
+
+  test("spanDecontam agrees with decontaminate's flag: a doc loses " +
+       "spans iff the binary gate would drop it (same k, same eval)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter($"doc_id" % 50 =!= 0)
+    val eval = docs.filter($"doc_id" % 50 === 0)
+    val spans = Dedup.spanDecontam(train, $"doc_id", $"text",
+        eval, $"doc_id", $"text", k = 5)
+      .select($"doc_id", ($"n_removed" > 0).as("hit"))
+    val flags = Dedup.decontaminate(train, $"doc_id", $"text",
+        eval, $"doc_id", $"text", k = 5)
+      .select($"doc_id", (!$"keep").as("hit"))
+    val joined = spans.alias("s").join(flags.alias("f"), Seq("doc_id"))
+      .select($"s.hit".as[Boolean], $"f.hit".as[Boolean]).collect()
+    assert(joined.nonEmpty && joined.forall { case (a, b) => a == b })
+    assert(joined.exists(_._1), "fixture must contain real contamination")
+  }
+
   test("secretScan plan is one codegen'd projection: zero exchanges, " +
        "no UDF (one corpus scan at any scale)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

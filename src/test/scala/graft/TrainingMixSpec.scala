@@ -696,6 +696,57 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._3).sum == totalTokens)
   }
 
+  // --- shard manifest (q96) -----------------------------------------------------
+
+  test("shardManifest: shard ids equal packShards', stats are exact, " +
+       "and the fingerprint is the doc-ordered md5-of-md5s") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val man = TrainingMix.shardManifest(docs, $"doc_id", $"text", 2000L)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    // local reference from the packShards assignment
+    val packed = TrainingMix.packShards(docs, $"doc_id", $"text", 2000L)
+      .join(docs.select($"doc_id",
+        md5(coalesce($"text", lit(""))).as("h")), Seq("doc_id"))
+      .select($"shard_id", $"doc_id", $"n_tok", $"h")
+      .as[(Long, Long, Long, String)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = packed.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (sid, rows) =>
+        val sorted = rows.sortBy(_._2)
+        (sid, rows.length.toLong, rows.map(_._3).sum,
+          sorted.head._2, sorted.last._2, md5hex(sorted.map(_._4).mkString))
+    }
+    assert(man == want && man.length > 1)
+    // every doc in exactly one shard; token mass conserved
+    assert(man.map(_._2).sum == docs.count())
+  }
+
+  test("shardManifest: a single-document change flips exactly that " +
+       "shard's fingerprint (same shapes, same ids)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // same token COUNT (shard cuts identical), different content
+    val mutated = docs.withColumn("text",
+      when($"doc_id" === 7L,
+        regexp_replace($"text", "^\\S+", "MUTATED")).otherwise($"text"))
+    val a = TrainingMix.shardManifest(docs, $"doc_id", $"text", 2000L)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    val b = TrainingMix.shardManifest(mutated, $"doc_id", $"text", 2000L)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(a.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq ==
+      b.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq,
+      "shapes and id ranges must be unchanged")
+    val diff = a.zip(b).filter { case (x, y) => x._6 != y._6 }
+    assert(diff.length == 1, s"exactly one fingerprint flips: $diff")
+    val homeShard = a.zip(b).find { case (x, y) => x._6 != y._6 }.get._1._1
+    assert(7L >= a.find(_._1 == homeShard).get._4 &&
+      7L <= a.find(_._1 == homeShard).get._5)
+  }
+
   // --- train/val/test split (q94) ---------------------------------------------
 
   test("dataSplit matches a row-by-row reference of the salted " +
