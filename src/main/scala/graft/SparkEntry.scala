@@ -1360,6 +1360,32 @@ object SparkEntry {
       import s.implicits._
       TA.paddingWaste(t(s, dir, "documents"), $"doc_id", $"text",
         batchSize = 32)
+    }),
+
+    // --- collocations: top-25 bigram pairs by integer-exact lift
+    // (the monotone transform of PMI — no libm ln anywhere). ---------------------
+    "q98_collocations" -> ((s, dir) => {
+      import s.implicits._
+      TA.collocations(t(s, dir, "documents"), $"doc_id", $"text",
+        minCount = 5L, topK = 25)
+    }),
+
+    // --- multi-epoch deterministic shuffle: 2 epoch-salted md5
+    // permutations ranked by ONE distributed prefix scan. ------------------------
+    "q99_epoch_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      TrainingMix.epochShuffle(t(s, dir, "documents"), $"doc_id",
+          epochs = 2, docsPerShard = 100L)
+        .orderBy($"epoch", $"rank")
+    }),
+
+    // --- per-source embedding drift vs the global corpus centroid
+    // (exact-decimal per-dim sums; single-division 6dp means). -------------------
+    "q100_source_drift" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.sourceCentroidDrift(t(s, dir, "documents"), $"doc_id",
+        coalesce($"source", lit("")), t(s, dir, "embeddings"),
+        $"vec_id", $"embedding")
     })
   )
 
@@ -4110,6 +4136,81 @@ object SparkEntry {
                round(CAST(sum(bm * bn - bt) AS DOUBLE) /
                  CAST(sum(bt) + sum(bm * bn - bt) AS DOUBLE), 6)
              ELSE 0.0 END AS pad_frac
-         FROM pb GROUP BY 1 ORDER BY bucket_lo"""
+         FROM pb GROUP BY 1 ORDER BY bucket_lo""",
+
+    // collocations: bigram contingency counts via parallel unnest (the
+    // q50 device), lift in the same integer chain and op order
+    // ((c_ab·10^6 // c_a)·N // c_b — all positive, // == Spark div),
+    // row_number on (lift desc, w1, w2).
+    "q98_collocations" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS l
+           FROM documents),
+         bg AS (SELECT unnest(l[1:len(l)-1]) AS w1,
+             unnest(l[2:len(l)]) AS w2
+           FROM toks WHERE len(l) >= 2),
+         p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+           FROM bg GROUP BY 1, 2),
+         a AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a
+           FROM p GROUP BY 1),
+         b AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS c_b
+           FROM p GROUP BY 1),
+         nn AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM p),
+         s AS (SELECT p.w1, p.w2, p.c_ab, a.c_a, b.c_b,
+             CAST((((p.c_ab * 1000000) // a.c_a) * nn.n) // b.c_b
+               AS BIGINT) AS lift_fp
+           FROM p JOIN a USING (w1) JOIN b USING (w2) CROSS JOIN nn
+           WHERE p.c_ab >= 5),
+         r AS (SELECT *, CAST(row_number() OVER (ORDER BY lift_fp DESC,
+             w1, w2) AS BIGINT) AS rank
+           FROM s)
+         SELECT rank, w1, w2, c_ab, c_a, c_b, lift_fp
+         FROM r WHERE rank <= 25 ORDER BY rank""",
+
+    // epoch shuffle: the epoch-salted md5 permutation replayed — the
+    // per-epoch window row_number IS the oracle for the distributed
+    // rank (global prefix rank minus epoch·N).
+    "q99_epoch_shuffle" ->
+      """WITH e AS (SELECT doc_id, unnest(range(0, 2)) AS epoch
+           FROM documents),
+         k AS (SELECT epoch, doc_id,
+             md5('ep' || CAST(epoch AS VARCHAR) || ':' ||
+               CAST(doc_id AS VARCHAR)) AS pos_key
+           FROM e),
+         r AS (SELECT epoch, doc_id, pos_key,
+             CAST(row_number() OVER (PARTITION BY epoch
+               ORDER BY pos_key, doc_id) AS BIGINT) AS rank
+           FROM k)
+         SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, pos_key, rank,
+           CAST(floor((rank - 1) * 1.0 / 100) AS BIGINT) AS shard_id
+         FROM r ORDER BY epoch, rank""",
+
+    // source drift: per-dim 6dp-rounded values summed as exact
+    // DECIMAL(18,6), centroid dims single IEEE divisions rounded 6dp,
+    // global centroid from the SAME sums (Σs/Σn), cosine via
+    // list_cosine_similarity rounded 6dp (the q81 parity device).
+    "q100_source_drift" ->
+      """WITH j AS (SELECT coalesce(d.source, '') AS src, e.embedding AS v
+           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         dims AS (SELECT src, unnest(range(0, len(v))) AS dim, v FROM j),
+         s AS (SELECT src, dim,
+             sum(CAST(round(CAST(v[dim+1] AS DOUBLE), 6)
+               AS DECIMAL(18,6))) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM dims GROUP BY 1, 2),
+         m AS (SELECT src, dim, n,
+             round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS m
+           FROM s),
+         ca AS (SELECT src, list(m ORDER BY dim) AS c,
+             max(n) AS n_vecs
+           FROM m GROUP BY 1),
+         g AS (SELECT dim, round(CAST(sum(s) AS DOUBLE) /
+             CAST(sum(n) AS DOUBLE), 6) AS m
+           FROM s GROUP BY 1),
+         ga AS (SELECT list(m ORDER BY dim) AS c FROM g)
+         SELECT ca.src AS source, ca.n_vecs,
+           round(list_cosine_similarity(ca.c, ga.c), 6) AS drift
+         FROM ca, ga ORDER BY source"""
   )
 }

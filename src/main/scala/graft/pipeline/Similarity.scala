@@ -433,4 +433,55 @@ object Similarity {
         min(col("cs")).as("min_cos"),
         max(col("cs")).as("max_cos"))
   }
+
+  /** Per-source embedding drift — the semantic-diversity audit over
+    * the corpus mix: each source's centroid (per-dimension mean
+    * embedding) compared by cosine against the GLOBAL corpus centroid.
+    * A source whose drift ≈ 1 is semantically redundant with the
+    * corpus average; a low-drift outlier is the distinctive slice a
+    * mix designer protects (or the junk slice it reveals). Complements
+    * [[clusterProfile]]: that audits geometry per CLUSTER, this per
+    * provenance.
+    *
+    * Determinism across engines: per-dim values round to 6 dp and sum
+    * as exact DECIMAL(18,6) (q44's order-free contract); each centroid
+    * dim is ONE IEEE division rounded to 6 dp; the global centroid
+    * reuses the same per-source sums (Σs/Σn — the true global mean,
+    * NOT a mean of source means), so both engines fold identical
+    * 64-value double arrays.
+    *
+    * Returns (source, n_vecs, drift) ordered by source.
+    *
+    * Scale shape: ONE corpus-sized exchange — the (source, dim)
+    * partial sums combine map-side (the posexplode multiplies rows
+    * only INSIDE the map stage; the exchange carries |sources|·dims
+    * rows per partition at most). Everything downstream re-aggregates
+    * that tiny frame; the global centroid broadcasts back. */
+  def sourceCentroidDrift(docs: DataFrame, id: Column, source: Column,
+                          emb: DataFrame, vecId: Column,
+                          vec: Column): DataFrame = {
+    val dims = docs.select(id.as("doc_id"), source.as("src"))
+      .join(emb.select(vecId.as("doc_id"), vec.as("v")), Seq("doc_id"))
+      .select(col("src"), posexplode(col("v")).as(Seq("dim", "val")))
+      .groupBy(col("src"), col("dim"))
+      .agg(sum(round(col("val").cast("double"), 6).cast("decimal(18,6)"))
+          .as("s"),
+        count(lit(1)).as("n"))
+    val cent = dims
+      .select(col("src"), col("dim"), col("n"),
+        round(col("s").cast("double") / col("n").cast("double"), 6).as("m"))
+      .groupBy(col("src"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("centroid"),
+        max(col("n")).as("n_vecs"))
+    val global = dims.groupBy(col("dim"))
+      .agg(round(sum(col("s")).cast("double") /
+        sum(col("n")).cast("double"), 6).as("m"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m")).as("gc"))
+    cent.crossJoin(broadcast(global))
+      .select(col("src").as("source"), col("n_vecs"),
+        round(Dedup.cosine(col("centroid"), col("gc")), 6).as("drift"))
+      .orderBy(col("source"))
+  }
 }

@@ -1108,6 +1108,55 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("pad_frac"))
       .orderBy(col("bucket_lo"))
   }
+
+  /** Top-K collocations by integer-exact LIFT — the PMI-style
+    * "distinctive phrases" mining a corpus card ships, WITHOUT the
+    * libm ln() that makes raw PMI engine-dependent: lift =
+    * p(a,b)/(p(a)·p(b)) = c_ab·N/(c_a·c_b) is a monotone transform of
+    * PMI (= ln lift), so ranking by lift ranks by PMI exactly, and the
+    * fixed-point chain
+    *   f1 = (c_ab · 10^6) div c_a;  lift_fp = (f1 · N) div c_b
+    * stays in BIGINT with ONE fixed op order every engine replays
+    * bit-identically (c_ab ≤ c_a keeps f1 ≤ 10^6; f1·N < 2^63 while N
+    * < 9.2·10^12 bigrams — ~40× the 100 TB shape's token count).
+    * Counts are the bigram contingency table: c_a = bigrams with left
+    * a, c_b = bigrams with right b, N = total bigrams.
+    *
+    * Returns top-K (rank, w1, w2, c_ab, c_a, c_b, lift_fp) by
+    * (lift_fp desc, w1, w2); pairs below `minCount` excluded (rare
+    * pairs have unboundedly noisy lift — the standard PMI floor).
+    *
+    * Scale shape: ONE corpus-sized aggregation (the map-side-combined
+    * pair counts); both marginals and N are re-aggregations of that
+    * |pairs|-sized result (AQE reuses its exchange), joined back onto
+    * the minCount-FILTERED pairs — the slim survivors, never the raw
+    * bigram stream. The rank window sits behind the lift filter, so
+    * Catalyst's window-limit pushdown keeps per-partition top-K only
+    * ([[tfidfTopTerms]]' TakeOrderedAndProject device). */
+  def collocations(docs: DataFrame, id: Column, text: Column,
+                   minCount: Long = 5L, topK: Int = 25): DataFrame = {
+    require(minCount >= 1, "minCount must be at least 1")
+    require(topK > 0, "topK must be positive")
+    val pairs = bigramStream(docs, id, text)
+      .select(col("prev").as("w1"), col("next").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val cA = pairs.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val cB = pairs.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val n = pairs.agg(sum(col("c_ab")).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift_fp").desc, col("w1"), col("w2"))
+    pairs.filter(col("c_ab") >= minCount)
+      .join(cA, Seq("w1")).join(cB, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift_fp",
+        expr("(((c_ab * 1000000L) div c_a) * _n) div c_b"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("w1"), col("w2"), col("c_ab"),
+        col("c_a"), col("c_b"), col("lift_fp"))
+      .orderBy(col("rank"))
+  }
 }
 
 /** floorMod(Java String.hashCode, buckets) as a native codegen

@@ -189,6 +189,44 @@ object TrainingMix {
         .as("shard_id"))
   }
 
+  /** Multi-epoch deterministic shuffle — [[corpusShuffle]] once per
+    * training epoch, each epoch a DIFFERENT deterministic permutation
+    * (the md5 position key is salted with the epoch, so epoch 1 is not
+    * a replay of epoch 0 — re-seeing documents in the same order every
+    * epoch measurably hurts convergence, and an unsalted key would
+    * also correlate the order with every other md5(id) draw in the
+    * pipeline). Any engine, any retry, any worker count reproduces the
+    * same schedule.
+    *
+    * Returns one row per (epoch, doc): (epoch, doc_id, pos_key, rank,
+    * shard_id) — rank 1..N within each epoch, shard =
+    * (rank−1) div docsPerShard.
+    *
+    * Scale shape: ONE [[graft.stats.Cumulative.runningTotals]]
+    * distributed prefix scan over the TOTAL order (epoch, pos_key,
+    * doc_id) covers ALL epochs — each epoch holds exactly N rows, so
+    * rank-in-epoch is the global rank minus epoch·N, pure arithmetic;
+    * no per-epoch pass, no single-partition window sort. */
+  def epochShuffle(df: DataFrame, id: Column, epochs: Int,
+                   docsPerShard: Long): DataFrame = {
+    require(epochs > 0, "epochs must be positive")
+    require(docsPerShard > 0, "docsPerShard must be positive")
+    val keyed = df.select(id.as("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit((epochs - 1).toLong))).as("epoch"))
+      .select(col("epoch"), col("doc_id"),
+        md5(concat(lit("ep"), col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))).as("pos_key"))
+    val (ranked, total, _) = graft.stats.Cumulative.runningTotals(
+      keyed, Seq(col("epoch"), col("pos_key"), col("doc_id")),
+      lit(1.0), "_grank", "_c")
+    val n = total / epochs
+    ranked.select(col("epoch"), col("doc_id"), col("pos_key"),
+      (col("_grank") - col("epoch") * n).as("rank"),
+      floor((col("_grank") - col("epoch") * n - 1) / docsPerShard)
+        .cast("long").as("shard_id"))
+  }
+
   /** Exact SQL-standard `ntile(k)` over a global total order WITHOUT a
     * single-partition window sort: the 1-based global rank comes from
     * [[graft.stats.Cumulative.runningTotals]]'s distributed prefix scan

@@ -222,4 +222,73 @@ class LmSurpriseSpec extends AnyFunSuite with SparkSuite {
       plan.indexOf("HashAggregate(keys=[doc_id", scoreAgg + 1) > 0,
       s"per-doc sum must have a map-side partial:\n$plan")
   }
+
+  // --- collocations (q98) --------------------------------------------------------
+
+  test("collocations: exact contingency counts and integer lift on a " +
+       "hand fixture; minCount excludes rare pairs") {
+    // "new york" appears 3×, "of the" 4×, "a a" 2× (below minCount 3)
+    val docs = Seq(
+      (1L, "new york of the new york"),       // new-york ×2, of-the ×1
+      (2L, "of the new york of the a a"),     // of-the ×2, new-york ×1, a-a ×1
+      (3L, "of the a a x")                    // of-the ×1, a-a ×1
+    ).toDF("doc_id", "text")
+    val got = TA.collocations(docs, $"doc_id", $"text",
+        minCount = 3L, topK = 10)
+      .as[(Long, String, String, Long, Long, Long, Long)].collect().toSeq
+    // bigram stream: doc1: (new,york)(york,of)(of,the)(the,new)(new,york)
+    //   doc2: (of,the)(the,new)(new,york)(york,of)(of,the)(the,a)(a,a)
+    //   doc3: (of,the)(the,a)(a,a)(a,x)   — N = 16
+    // c(new,york)=3, c_a(new)=3, c_b(york)=3:
+    //   f1 = 3000000/3 = 1000000; lift = 1000000·16/3 = 5333333
+    // c(of,the)=4, c_a(of)=4, c_b(the)=4:
+    //   f1 = 1000000; lift = 1000000·16/4 = 4000000
+    assert(got == Seq(
+      (1L, "new", "york", 3L, 3L, 3L, 5333333L),
+      (2L, "of", "the", 4L, 4L, 4L, 4000000L)))
+  }
+
+  test("collocations equals the sequential integer reference on the " +
+       "documents table") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    def bigrams(t: String): Seq[(String, String)] = {
+      val l = Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty).toSeq
+      if (l.length < 2) Seq.empty else l.zip(l.tail)
+    }
+    val cab = rows.flatMap(r => bigrams(r._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ca = cab.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val cb = cab.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val n = cab.values.sum
+    val want = cab.toSeq.filter(_._2 >= 5L).map { case ((a, b), c) =>
+      val lift = ((c * 1000000L) / ca(a)) * n / cb(b)
+      (a, b, c, ca(a), cb(b), lift)
+    }.sortBy { case (a, b, _, _, _, l) => (-l, a, b) }.take(25)
+      .zipWithIndex.map { case ((a, b, c, x, y, l), i) =>
+        (i + 1L, a, b, c, x, y, l) }
+    val got = TA.collocations(docs, $"doc_id", $"text",
+        minCount = 5L, topK = 25)
+      .as[(Long, String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("collocations plan: top-k never global-sorts the pair table " +
+       "(window-limit pushdown) and the pair aggregate combines " +
+       "map-side") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TA.collocations(docs, $"doc_id", $"text", 5L, 25)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("WindowGroupLimit") ||
+      finalPlan.contains("TakeOrderedAndProject"),
+      s"rank must push a per-partition limit:\n$finalPlan")
+    assert(finalPlan.contains("partial_count"),
+      s"pair counts must combine map-side:\n$finalPlan")
+    assert(!plan.contains("ScalaUDF"), s"no UDF:\n$plan")
+  }
 }

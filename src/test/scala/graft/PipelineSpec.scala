@@ -1554,6 +1554,54 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._5).sum > 0, "fixture must exercise real padding")
   }
 
+  test("sourceCentroidDrift equals the exact-decimal local reference " +
+       "on the documents×embeddings tables, and a redundant source " +
+       "drifts higher than a distinctive one") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = docs.select($"doc_id", coalesce($"source", lit("")))
+      .as[(Long, String)].collect().toMap
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+      .flatMap { case (i, v) => rows.get(i).map(s => (s, v)) }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per (src, dim): exact decimal sums of 6dp-rounded values
+    val dims = vecs.head._2.length
+    def centroid(vs: Seq[Seq[Float]]): Seq[Double] =
+      (0 until dims).map { d =>
+        val s = vs.map(v => BigDecimal(r6(v(d).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        r6(s.toDouble / vs.length)
+      }
+    val bySrc = vecs.groupBy(_._1).map { case (s, vs) =>
+      s -> vs.map(_._2.toSeq) }
+    // global centroid from the SAME sums: sum over all vectors
+    val all = vecs.map(_._2.toSeq).toSeq
+    val gc = centroid(all)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      def nrm(v: Seq[Double]) =
+        math.sqrt(v.map(x => x * x).foldLeft(0.0)(_ + _))
+      dot / (nrm(a) * nrm(b))
+    }
+    val want = bySrc.map { case (s, vs) =>
+      s -> ((vs.length.toLong, r6(cos(centroid(vs), gc)))) }
+    val got = graft.pipeline.Similarity.sourceCentroidDrift(
+        docs, $"doc_id", coalesce($"source", lit("")),
+        emb, $"vec_id", $"embedding")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == want.keySet && want.size > 1)
+    want.foreach { case (s, (n, d)) =>
+      assert(got(s)._1 == n, s"$s n_vecs")
+      assert(math.abs(got(s)._2 - d) <= 1e-6,
+        s"$s drift ${got(s)._2} vs $d")
+    }
+    // the metric must discriminate: not all sources identical
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
+
   test("lengthHistogram plan: ONE corpus scan — the share totals are a " +
        "global window over the ≤8-row band aggregate, never a second " +
        "scan or a re-aggregated branch") {

@@ -747,6 +747,38 @@ class TrainingMixSpec extends AnyFunSuite with SparkSuite {
       7L <= a.find(_._1 == homeShard).get._5)
   }
 
+  // --- multi-epoch shuffle (q99) ------------------------------------------------
+
+  test("epochShuffle: every epoch is a full permutation matching the " +
+       "row-by-row salted-md5 reference; epochs differ from each other " +
+       "and from the unsalted corpusShuffle order") {
+    val df = (0L until 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = TrainingMix.epochShuffle(df, $"doc_id",
+        epochs = 3, docsPerShard = 50L)
+      .select($"epoch", $"doc_id", $"rank", $"shard_id")
+      .as[(Long, Long, Long, Long)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (0L until 3L).flatMap { e =>
+      (0L until 300L).map(i => (e, i, md5hex(s"ep$e:$i")))
+        .sortBy(r => (r._3, r._2)).zipWithIndex
+        .map { case ((ep, id, _), rk) =>
+          (ep, id, rk + 1L, rk / 50L) }
+    }.toSet
+    assert(got.toSet == want && got.length == 900)
+    // per-epoch ranks dense 1..N; permutations pairwise distinct
+    val byEpoch = got.groupBy(_._1).map { case (e, rs) =>
+      e -> rs.sortBy(_._3).map(_._2).toSeq }
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.values.foreach(p => assert(p.sorted == (0L until 300L)))
+    assert(byEpoch(0L) != byEpoch(1L) && byEpoch(1L) != byEpoch(2L))
+    // the salt decorrelates epoch 0 from the unsalted q47 order
+    val unsalted = TrainingMix.corpusShuffle(df, $"doc_id", 50L)
+      .orderBy($"rank").select($"doc_id").as[Long].collect().toSeq
+    assert(byEpoch(0L) != unsalted)
+  }
+
   // --- train/val/test split (q94) ---------------------------------------------
 
   test("dataSplit matches a row-by-row reference of the salted " +
