@@ -60,7 +60,11 @@ object Bench {
     "q80_fuzzy_decontam", "q81_cluster_profile", "q82_build_mix",
     "q83_top_dup_spans", "q84_curation_pipeline", "q85_lsh_band_sweep",
     "q86_quality_calibration", "q87_contamination_report",
-    "q88_vocab_growth", "q89_tokenizer_fertility", "q90_source_epochs")
+    "q88_vocab_growth", "q89_tokenizer_fertility", "q90_source_epochs",
+    "q91_cross_source_leakage", "q92_secret_scan", "q93_length_histogram",
+    "q94_split_report", "q95_span_decontam", "q96_shard_manifest",
+    "q97_padding_waste", "q98_collocations", "q99_epoch_shuffle",
+    "q100_source_drift")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()
