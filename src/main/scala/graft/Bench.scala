@@ -64,7 +64,8 @@ object Bench {
     "q91_cross_source_leakage", "q92_secret_scan", "q93_length_histogram",
     "q94_split_report", "q95_span_decontam", "q96_shard_manifest",
     "q97_padding_waste", "q98_collocations", "q99_epoch_shuffle",
-    "q100_source_drift")
+    "q100_source_drift", "q101_hits", "q102_readability",
+    "q103_template_prefixes", "q104_sessionize", "q105_quality_signals")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -60,6 +60,37 @@ object SparkEntry {
        |FROM r5 ORDER BY node""".stripMargin
   }
 
+  /** q101's DuckDB oracle: GraphOps.hitsFixedPoint's integer max-norm
+    * recurrence unrolled to 3 iterations (an a-step and an h-step each)
+    * over the directed supplier→part graph. */
+  private def hitsOracleSql: String = {
+    val iters = (1 to 3).map { i =>
+      val hp = if (i == 1) "h0" else s"h${i - 1}"
+      s"""am$i AS (SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS s
+         |  FROM e0 e JOIN $hp h ON h.node = e.src GROUP BY 1),
+         |a$i AS (SELECT nd.node, CAST((coalesce(m.s, 0) * 1000000) //
+         |    greatest((SELECT coalesce(max(s), 0) FROM am$i), 1)
+         |    AS BIGINT) AS a
+         |  FROM nodes nd LEFT JOIN am$i m USING (node)),
+         |hm$i AS (SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS s
+         |  FROM e0 e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         |h$i AS (SELECT nd.node, CAST((coalesce(m.s, 0) * 1000000) //
+         |    greatest((SELECT coalesce(max(s), 0) FROM hm$i), 1)
+         |    AS BIGINT) AS h
+         |  FROM nodes nd LEFT JOIN hm$i m USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src,
+       |    l_partkey*2+1 AS dst FROM lineitem),
+       |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |$iters
+       |SELECT n.node, h3.h AS hub_fp, a3.a AS auth_fp,
+       |  round(h3.h / 1000000.0, 6) AS hub,
+       |  round(a3.a / 1000000.0, 6) AS auth
+       |FROM nodes n JOIN h3 USING (node) JOIN a3 USING (node)
+       |ORDER BY n.node""".stripMargin
+  }
+
   /** Deterministic line synthesis for the line-level cleaning operators
     * (q43/q45): the synthetic corpus has no newlines, so — like q40's
     * PII augmentation — documents are recut into 10-token lines as a
@@ -1386,6 +1417,65 @@ object SparkEntry {
       Similarity.sourceCentroidDrift(t(s, dir, "documents"), $"doc_id",
         coalesce($"source", lit("")), t(s, dir, "embeddings"),
         $"vec_id", $"embedding")
+    }),
+
+    // --- fixed-point HITS over the DIRECTED supplier→part graph:
+    // suppliers are hubs, parts authorities — the authority prior a
+    // crawler blends into page priority, the hub prior into link
+    // priority. Integer max-norm recurrence, bit-exact in DuckDB. -----------------
+    "q101_hits" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .select(($"l_suppkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
+        .distinct()
+      graft.pipeline.GraphOps.hitsFixedPoint(edges, iters = 3)
+        .orderBy($"node")
+    }),
+
+    // --- fixed-point Flesch / Flesch-Kincaid readability over the
+    // sentence-bearing 10-token recut (q43's shared device — the raw
+    // synthetic corpus has no terminal punctuation to count). -----------------
+    "q102_readability" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").withColumn("t2",
+        array_join(synthLines($"doc_id", $"text", suffixed = true), " "))
+      TA.readability(aug, $"doc_id", $"t2").orderBy($"doc_id")
+    }),
+
+    // --- template-prefix detection: templated page families injected
+    // deterministically (q40's augmentation device) — every fifth doc
+    // opens with one of three boilerplate shells. -----------------------------
+    "q103_template_prefixes" -> ((s, dir) => {
+      import s.implicits._
+      val tplSel = expr("(doc_id div 5) % 3")
+      val tpl = when(tplSel === 0,
+          lit("access denied you do not have permission to view this page"))
+        .when(tplSel === 1,
+          lit("please enable javascript and cookies to continue browsing this site"))
+        .otherwise(
+          lit("index of parent directory last modified size description apache"))
+      val aug = t(s, dir, "documents").withColumn("t2",
+        when($"doc_id" % 5 === 0, concat(tpl, lit(" "), coalesce($"text", lit(""))))
+          .otherwise($"text"))
+      TA.templatePrefixes(aug, $"t2", k = 8, minDf = 3L, topK = 20)
+    }),
+
+    // --- sessionization of the events stream: per-user sessions cut
+    // at 30-minute inactivity gaps, exact integer microseconds. ---------------
+    "q104_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      graft.stats.StatsJobs.sessionize(t(s, dir, "events"),
+          $"user_id", $"ts", $"event_id", gapSec = 1800L)
+        .withColumnRenamed("key", "user_id")
+    }),
+
+    // --- the fused quality-signal bundle: every per-doc signal in ONE
+    // whole-stage-codegen projection over one scan (RedPajama-v2's
+    // compute-once-filter-later design). --------------------------------------
+    "q105_quality_signals" -> ((s, dir) => {
+      import s.implicits._
+      TA.signalBundle(t(s, dir, "documents"), $"doc_id", $"text")
+        .orderBy($"doc_id")
     })
   )
 
@@ -4211,6 +4301,174 @@ object SparkEntry {
          ga AS (SELECT list(m ORDER BY dim) AS c FROM g)
          SELECT ca.src AS source, ca.n_vecs,
            round(list_cosine_similarity(ca.c, ga.c), 6) AS drift
-         FROM ca, ga ORDER BY source"""
+         FROM ca, ga ORDER BY source""",
+
+    // fixed-point HITS: GraphOps.hitsFixedPoint's integer max-norm
+    // recurrence unrolled to 3 iterations (two half-steps each) over
+    // the directed supplier→part graph.
+    "q101_hits" -> hitsOracleSql,
+
+    // readability: the same 10-token suffixed recut as q43, then the
+    // integer Flesch/FK recurrence — every divide on nonnegative
+    // operands so // replays Spark's div bit-for-bit.
+    "q102_readability" ->
+      """WITH toks AS (SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+               x -> x <> '') AS ts
+           FROM documents),
+         b AS (SELECT doc_id, ts,
+             CAST(ceil(len(ts) / 10.0) AS BIGINT) AS nl
+           FROM toks),
+         content AS (SELECT doc_id,
+             array_to_string(ts[ci*10+1 : ci*10+10], ' ') ||
+               CASE WHEN (doc_id + ci) % 4 = 0 THEN '' ELSE '.' END AS line,
+             ci
+           FROM (SELECT doc_id, unnest(range(0, nl)) AS ci, ts FROM b)),
+         t2 AS (SELECT d.doc_id,
+             coalesce(string_agg(c.line, ' ' ORDER BY c.ci), '') AS t
+           FROM documents d LEFT JOIN content c USING (doc_id)
+           GROUP BY d.doc_id),
+         m AS (SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(t, '\s+'),
+               x -> x <> '')) AS BIGINT) AS words,
+             CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1)
+               AS BIGINT) AS sentences,
+             CAST(len(regexp_extract_all(lower(t), '[aeiouy]+'))
+               AS BIGINT) AS syllables
+           FROM t2),
+         f AS (SELECT doc_id, words, sentences, syllables,
+             CASE WHEN words > 0 THEN CAST(
+               (CAST(206835 AS BIGINT) * 1000000) // 1000
+               - (CAST(1015 AS BIGINT) * 1000000 * words) // (1000 * sentences)
+               - (CAST(846 AS BIGINT) * 1000000 * syllables) // (10 * words) AS BIGINT)
+             END AS fre_fp,
+             CASE WHEN words > 0 THEN CAST(
+               (CAST(39 AS BIGINT) * 1000000 * words) // (100 * sentences)
+               + (CAST(118 AS BIGINT) * 1000000 * syllables) // (10 * words)
+               - (CAST(1559 AS BIGINT) * 1000000) // 100 AS BIGINT)
+             END AS fkg_fp
+           FROM m)
+         SELECT doc_id, words, sentences, syllables, fre_fp, fkg_fp,
+           round(fre_fp / 1000000.0, 6) AS fre,
+           round(fkg_fp / 1000000.0, 6) AS fkg,
+           CASE WHEN fre_fp IS NULL THEN 'empty'
+                WHEN fre_fp >= 60000000 THEN 'easy'
+                WHEN fre_fp >= 30000000 THEN 'standard'
+                ELSE 'hard' END AS band
+         FROM f ORDER BY doc_id""",
+
+    // template prefixes: the same three injected shells, first-8-token
+    // prefix md5-grouped, df >= 3, top-20 by (df desc, digest).
+    "q103_template_prefixes" ->
+      """WITH aug AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               (CASE (doc_id // 5) % 3
+                WHEN 0 THEN 'access denied you do not have permission to view this page'
+                WHEN 1 THEN 'please enable javascript and cookies to continue browsing this site'
+                ELSE 'index of parent directory last modified size description apache'
+                END) || ' ' || coalesce(text, '')
+             ELSE text END AS t
+           FROM documents),
+         p AS (SELECT array_to_string(
+             (list_filter(string_split_regex(coalesce(t, ''), '\s+'),
+               x -> x <> ''))[1:8], ' ') AS pfx
+           FROM aug),
+         nz AS (SELECT pfx FROM p WHERE len(pfx) > 0),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nz),
+         g AS (SELECT md5(pfx) AS prefix_digest, min(pfx) AS prefix,
+             CAST(count(*) AS BIGINT) AS df
+           FROM nz GROUP BY 1 HAVING count(*) >= 3),
+         r AS (SELECT *, CAST(row_number() OVER (ORDER BY df DESC,
+             prefix_digest) AS BIGINT) AS rank
+           FROM g)
+         SELECT rank, prefix_digest, prefix, df,
+           round(df / CAST(n.n AS DOUBLE), 6) AS share
+         FROM r CROSS JOIN n WHERE rank <= 20 ORDER BY rank""",
+
+    // sessionize: 30-min-gap sessions in exact integer microseconds
+    // (epoch_us ↔ unix_micros), (ts, event_id)-ordered lag + running
+    // boundary count, per-session min/max/count.
+    "q104_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+           FROM events),
+         l AS (SELECT user_id, us, event_id,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS p
+           FROM e),
+         b AS (SELECT user_id, us, event_id,
+             CASE WHEN p IS NULL OR us - p > 1800000000
+               THEN 1 ELSE 0 END AS nb
+           FROM l),
+         s AS (SELECT user_id, us,
+             CAST(sum(nb) OVER (PARTITION BY user_id
+               ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS session_idx
+           FROM b)
+         SELECT user_id, session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(us) AS start_us, max(us) AS end_us,
+           CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+
+    // quality-signal bundle: every signal recomputed in one SQL
+    // projection — list ops for the token signals, regexp_extract_all
+    // lengths for the character classes, // for the micro-unit
+    // fixed-point fractions (all operands nonnegative).
+    "q105_quality_signals" ->
+      """WITH base AS (SELECT doc_id, coalesce(text, '') AS t,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+               '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         m AS (SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(ts)) AS BIGINT) AS n_unique_tokens,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(ts, x -> CAST(length(x) AS BIGINT))),
+               (a, b) -> a + b) AS BIGINT) AS token_chars,
+             CAST(coalesce(list_max(list_transform(ts,
+               x -> length(x))), 0) AS BIGINT) AS max_token_len,
+             CAST(len(list_filter(ts, x -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','it',
+                'that','for','on','with','as','at','by','from','this',
+                'be'], x))) AS BIGINT) AS n_stop,
+             CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT)
+               AS n_digit,
+             CAST(len(regexp_extract_all(t, '[A-Z]')) AS BIGINT)
+               AS n_upper,
+             CAST(len(regexp_extract_all(t, '[^\p{L}\p{N}\s]'))
+               AS BIGINT) AS n_punct,
+             CAST(CASE WHEN right(rtrim(t), 1) IN ('.', '!', '?')
+               THEN 1 ELSE 0 END AS BIGINT) AS ends_punct
+           FROM base),
+         f AS (SELECT doc_id, n_chars, n_tokens, n_unique_tokens,
+             token_chars, max_token_len, ends_punct,
+             CAST(CASE WHEN n_tokens > 0
+               THEN token_chars * 1000000 // n_tokens ELSE 0 END
+               AS BIGINT) AS mean_token_len_fp,
+             CAST(CASE WHEN n_tokens > 0
+               THEN n_unique_tokens * 1000000 // n_tokens ELSE 0 END
+               AS BIGINT) AS uniq_frac_fp,
+             CAST(CASE WHEN n_tokens > 0
+               THEN n_stop * 1000000 // n_tokens ELSE 0 END
+               AS BIGINT) AS stop_frac_fp,
+             CAST(CASE WHEN n_chars > 0
+               THEN n_digit * 1000000 // n_chars ELSE 0 END
+               AS BIGINT) AS digit_frac_fp,
+             CAST(CASE WHEN n_chars > 0
+               THEN n_upper * 1000000 // n_chars ELSE 0 END
+               AS BIGINT) AS upper_frac_fp,
+             CAST(CASE WHEN n_chars > 0
+               THEN n_punct * 1000000 // n_chars ELSE 0 END
+               AS BIGINT) AS punct_frac_fp
+           FROM m)
+         SELECT doc_id, n_chars, n_tokens, n_unique_tokens, token_chars,
+           max_token_len, mean_token_len_fp, uniq_frac_fp, stop_frac_fp,
+           digit_frac_fp, upper_frac_fp, punct_frac_fp, ends_punct,
+           CAST(CASE WHEN n_tokens >= 10 AND punct_frac_fp < 200000
+             AND digit_frac_fp < 200000 AND uniq_frac_fp >= 100000
+             AND max_token_len <= 50 THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+         FROM f ORDER BY doc_id"""
   )
 }

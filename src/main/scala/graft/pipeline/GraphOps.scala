@@ -76,4 +76,70 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank_fp"),
       round(col("r") / lit(unit.toDouble), 6).as("rank"))
   }
+
+  /** Fixed-point HITS (Kleinberg 1999) — hub and authority scores,
+    * deterministic to the last bit on any engine.
+    *
+    * The float algorithm's L2 normalization is both aggregation-order
+    * dependent and sqrt-bound, so this variant normalizes by the MAX
+    * (the standard max-norm HITS formulation) in BIGINT micro-units:
+    *
+    *   h_0(u)     = unit
+    *   a_t(v)     = (Σ_{u→v} h_{t-1}(u)) · unit div max_v Σ h
+    *   h_t(u)     = (Σ_{u→v} a_t(v))     · unit div max_u Σ a
+    *
+    * so after every half-step the best node sits exactly at `unit` and
+    * everything else is its integer-truncated fraction — the same
+    * recurrence replays in DuckDB with `//` hash-for-hash.
+    *
+    * A discovery crawler wants exactly this pair: authority ≈ "worth
+    * fetching" (blends into page priority like the PageRank prior
+    * above), hub ≈ "worth expanding links from" (blends into link
+    * priority, the role of the reference's deep-deep link model,
+    * dd_crawler/deepdeep.py).
+    *
+    * Scale shape: identical to [[pageRankFixedPoint]] — the edge table
+    * is cached once; each half-step is one hash join of edges with the
+    * |V|-row score table plus one map-side-combinable sum (hot hubs
+    * and hot authorities combine locally before the exchange), then a
+    * left join back to nodes; the normalizer is a 1-row aggregate
+    * joined back broadcast, NEVER a driver collect. Lineage is cut per
+    * iteration. Overflow bound: maxdeg · unit² < 2^63, i.e. at the
+    * default unit=10^6 the hottest node may have ≤ ~9·10^6 in-links —
+    * callers at web-graph hub densities pass a smaller unit.
+    */
+  def hitsFixedPoint(edges: DataFrame, iters: Int,
+                     unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(unit > 0, "positive unit")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val norm = expr(s"(coalesce(s, CAST(0 AS BIGINT)) * ${unit}L) " +
+      "div greatest(mx, 1L)")
+    def halfStep(scores: DataFrame, in: String, out: String,
+                 col0: String, col1: String): DataFrame = {
+      val m = e.join(scores.withColumnRenamed("node", in), in)
+        .groupBy(col(out)).agg(sum(col(col0)).as("s"))
+      val mx = m.agg(coalesce(max(col("s")), lit(0L)).as("mx"))
+      nodes.join(m.withColumnRenamed(out, "node"), Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"), norm.as(col1))
+    }
+    var hub = nodes.withColumn("h", lit(unit))
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      if (i > 1) hub = hub.localCheckpoint(true)
+      // a_t from h_{t-1} (sum over in-edges), then h_t from a_t (sum
+      // over out-edges); auth is cut too — it feeds both the h-step
+      // and, on the last iteration, the output join
+      auth = halfStep(hub, "src", "dst", "h", "a").localCheckpoint(true)
+      hub = halfStep(auth, "dst", "src", "a", "h")
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub_fp"), col("a").as("auth_fp"),
+        round(col("h") / lit(unit.toDouble), 6).as("hub"),
+        round(col("a") / lit(unit.toDouble), 6).as("auth"))
+  }
 }

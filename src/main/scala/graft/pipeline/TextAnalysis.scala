@@ -1157,6 +1157,169 @@ object TextAnalysis {
         col("c_a"), col("c_b"), col("lift_fp"))
       .orderBy(col("rank"))
   }
+
+  // --- readability (Flesch / Flesch-Kincaid, fixed-point) ----------------------
+
+  /** Per-document readability scores — Flesch reading ease and
+    * Flesch-Kincaid grade level, the classic surface-statistics
+    * quality prior (used e.g. as a RedPajama-v2 signal,
+    * rps_doc_*flesch*): a corpus skewed to grade-1 fragments or
+    * grade-19 legalese is equally suspect training text.
+    *
+    * Deterministic surrogates, all integer: words = whitespace tokens
+    * ([[tokensWs]]); sentences = terminal-punctuation runs `[.!?]+`
+    * clamped to ≥ 1; syllables = vowel-group runs `[aeiouy]+` on the
+    * lowercased text (vowel runs never span whitespace, so one corpus
+    * regexp equals the per-word sum). Both scores in BIGINT
+    * micro-units with the coefficients as exact rationals —
+    *
+    *   fre_fp = 206835·u div 1000 − 1015·u·w div (1000·s)
+    *                              −  846·u·y div (10·w)
+    *   fkg_fp =     39·u·w div (100·s) + 118·u·y div (10·w)
+    *                              − 1559·u div 100
+    *
+    * — every divide on nonnegative operands (truncation = floor), so
+    * the DuckDB oracle replays bit-for-bit with `//`. Documents with
+    * zero tokens score NULL. `band` cuts reading ease at the standard
+    * 60/30 thresholds.
+    *
+    * Scale shape: one scan, one whole-stage-codegen projection — no
+    * exchange, no UDF, composes under any pushed filter. */
+  def readability(docs: DataFrame, id: Column, text: Column,
+                  unit: Long = 1000000L): DataFrame = {
+    require(unit > 0, "positive unit")
+    val t = coalesce(text, lit(""))
+    val w = size(tokensWs(t)).cast("long")
+    val s = greatest(regexp_count(t, lit("[.!?]+")).cast("long"), lit(1L))
+    val y = regexp_count(lower(t), lit("[aeiouy]+")).cast("long")
+    docs.select(id.as("doc_id"), w.as("words"), s.as("sentences"),
+        y.as("syllables"))
+      .withColumn("fre_fp", when(col("words") > 0, expr(
+        s"(206835 * ${unit}L) div 1000 " +
+        s"- (1015 * ${unit}L * words) div (1000 * sentences) " +
+        s"- (846 * ${unit}L * syllables) div (10 * words)")))
+      .withColumn("fkg_fp", when(col("words") > 0, expr(
+        s"(39 * ${unit}L * words) div (100 * sentences) " +
+        s"+ (118 * ${unit}L * syllables) div (10 * words) " +
+        s"- (1559 * ${unit}L) div 100")))
+      .withColumn("fre", round(col("fre_fp") / lit(unit.toDouble), 6))
+      .withColumn("fkg", round(col("fkg_fp") / lit(unit.toDouble), 6))
+      .withColumn("band",
+        when(col("fre_fp").isNull, lit("empty"))
+          .when(col("fre_fp") >= 60L * unit, lit("easy"))
+          .when(col("fre_fp") >= 30L * unit, lit("standard"))
+          .otherwise(lit("hard")))
+  }
+
+  // --- template-prefix detection ------------------------------------------------
+
+  /** Template-prefix report — the boilerplate-DOCUMENT counterpart of
+    * [[graft.pipeline.Clean]]'s boilerplate-LINE removal: error pages,
+    * cookie walls and CMS shells open with the same first words
+    * ("access denied", "please enable javascript…"), so the document
+    * frequency of the first-`k`-token prefix finds whole templated
+    * page families that line-level rules miss. Returns the top
+    * `topK` prefixes seen in ≥ `minDf` documents:
+    * (rank, prefix_digest, prefix, df, share-of-corpus).
+    *
+    * Scale shape: the prefix rides the scan as a pure projection and
+    * is immediately collapsed to its md5 digest, so the ONE map-side-
+    * combinable aggregation shuffles 16-byte keys, never prefix text
+    * (min(prefix) resurfaces one copy for the report); the corpus
+    * total is a 1-row aggregate joined back broadcast; the rank is a
+    * TakeOrdered top-K, never a global sort. */
+  def templatePrefixes(docs: DataFrame, text: Column,
+                       k: Int = 8, minDf: Long = 3L,
+                       topK: Int = 20): DataFrame = {
+    require(k > 0 && topK > 0 && minDf >= 1, "positive k/topK/minDf")
+    val toks = tokensWs(coalesce(text, lit("")))
+    val prefix = array_join(slice(toks, 1, k), " ")
+    val n = docs.select(toks.as("_t")).filter(size(col("_t")) > 0)
+      .agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("prefix_digest"))
+    docs.select(prefix.as("_p"))
+      .filter(length(col("_p")) > 0)
+      .groupBy(md5(col("_p")).as("prefix_digest"))
+      .agg(min(col("_p")).as("prefix"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("prefix_digest"), col("prefix"),
+        col("df"),
+        round(col("df").cast("double") / col("_n").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("rank"))
+  }
+
+  // --- fused quality-signal bundle ----------------------------------------------
+
+  /** The fused per-document quality-signal bundle — RedPajama-v2's
+    * design (arXiv:2411.12372: compute ~40 signals ONCE, filter many
+    * ways later) applied to this engine's deterministic signals. At
+    * 100 TB the dominant cost of quality filtering is re-SCANNING the
+    * corpus once per signal; this computes the whole row of signals in
+    * a single pipelined projection over one scan — no UDF, no exchange,
+    * composes under any pushed filter. (The token signals use
+    * higher-order array functions, which Spark evaluates interpreted —
+    * HOFs never codegen — but they remain projections in the same
+    * stage; the char-class and fraction signals stay in codegen.)
+    *
+    * All fractional signals in BIGINT micro-units (numerator · unit
+    * div denominator, 0 when the denominator is 0): mean token length,
+    * unique-token / stopword fraction over whitespace tokens of the
+    * LOWERCASED text, digit / uppercase / punctuation fraction over
+    * characters. `ends_punct` = last non-space char ∈ {. ! ?}. `keep`
+    * is an illustrative conjunction (≥10 tokens, punct and digit mass
+    * < 20%, ≥10% unique tokens, no 50+-char token) — downstream
+    * curators filter the signal columns their own way, which is the
+    * point of materializing the bundle. */
+  def signalBundle(docs: DataFrame, id: Column, text: Column,
+                   unit: Long = 1000000L): DataFrame = {
+    require(unit > 0, "positive unit")
+    val t = coalesce(text, lit(""))
+    val toks = tokensWs(lower(t))
+    docs.select(id.as("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_unique_tokens"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+          .as("token_chars"),
+        coalesce(array_max(transform(toks, x => length(x))), lit(0))
+          .cast("long").as("max_token_len"),
+        size(filter(toks, x => x.isin(stopwordsEn: _*))).cast("long")
+          .as("_n_stop"),
+        regexp_count(t, lit("[0-9]")).cast("long").as("_n_digit"),
+        regexp_count(t, lit("[A-Z]")).cast("long").as("_n_upper"),
+        regexp_count(t, lit("[^\\p{L}\\p{N}\\s]")).cast("long")
+          .as("_n_punct"),
+        substring(rtrim(t), -1, 1).isin(".", "!", "?").cast("long")
+          .as("ends_punct"))
+      .withColumn("mean_token_len_fp", when(col("n_tokens") > 0,
+        expr(s"token_chars * ${unit}L div n_tokens")).otherwise(lit(0L)))
+      .withColumn("uniq_frac_fp", when(col("n_tokens") > 0,
+        expr(s"n_unique_tokens * ${unit}L div n_tokens")).otherwise(lit(0L)))
+      .withColumn("stop_frac_fp", when(col("n_tokens") > 0,
+        expr(s"_n_stop * ${unit}L div n_tokens")).otherwise(lit(0L)))
+      .withColumn("digit_frac_fp", when(col("n_chars") > 0,
+        expr(s"_n_digit * ${unit}L div n_chars")).otherwise(lit(0L)))
+      .withColumn("upper_frac_fp", when(col("n_chars") > 0,
+        expr(s"_n_upper * ${unit}L div n_chars")).otherwise(lit(0L)))
+      .withColumn("punct_frac_fp", when(col("n_chars") > 0,
+        expr(s"_n_punct * ${unit}L div n_chars")).otherwise(lit(0L)))
+      .withColumn("keep",
+        (col("n_tokens") >= 10 &&
+         col("punct_frac_fp") < unit / 5 &&
+         col("digit_frac_fp") < unit / 5 &&
+         col("uniq_frac_fp") >= unit / 10 &&
+         col("max_token_len") <= 50).cast("long"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("n_unique_tokens"), col("token_chars"), col("max_token_len"),
+        col("mean_token_len_fp"), col("uniq_frac_fp"),
+        col("stop_frac_fp"), col("digit_frac_fp"), col("upper_frac_fp"),
+        col("punct_frac_fp"), col("ends_punct"), col("keep"))
+  }
 }
 
 /** floorMod(Java String.hashCode, buckets) as a native codegen

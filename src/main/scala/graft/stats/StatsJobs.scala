@@ -142,4 +142,52 @@ object StatsJobs {
       avg(col("score")).as("mean_score"),
       sum((col("score") > threshold).cast("long")).as("n_relevant"),
       avg((col("score") > threshold).cast("double")).as("relevant_ratio"))
+
+  /** Sessionization — split each key's event stream into sessions at
+    * inactivity gaps > `gapSec`, the standard log-analytics operator a
+    * crawl-operations pipeline runs over its response logs (per-domain
+    * fetch sessions, per-worker activity bursts) and the batch twin of
+    * [[graft.streaming.StreamingIngest]]'s stateful per-key tracking.
+    *
+    * All time arithmetic in exact integer MICROSECONDS (`unix_micros`;
+    * a float epoch at 2024 magnitudes has sub-microsecond ulps — the
+    * floor of 1.7e9.9999995 is engine-dependent). A TIMESTAMP_NTZ
+    * column (parquet writers commonly emit isAdjustedToUTC=false) is
+    * cast to the session-zoned type first — run under a UTC session
+    * zone, as Verify/Bench do, for wall-time == epoch-time. Events are
+    * ordered
+    * (ts, tie-break id); a session starts at the first event and at
+    * every event more than `gapSec` after its predecessor. Returns one
+    * row per session: (key, session_idx, n_events, start_us, end_us,
+    * duration_sec — truncating).
+    *
+    * Scale shape: ONE exchange, on the session key. The lag and the
+    * running boundary count are windows PARTITIONED BY key — no global
+    * sort, and the session aggregate reuses the same partitioning
+    * (zero additional exchanges after the window's). Skew bound =
+    * events of the hottest key, inherent to session semantics (a
+    * session cannot be split across tasks); keys at web-log skew get
+    * pre-bucketed by day first. */
+  def sessionize(events: DataFrame, key: Column, ts: Column, id: Column,
+                 gapSec: Long = 1800L): DataFrame = {
+    require(gapSec > 0, "positive gap")
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(ts.cast("timestamp"))
+    val w = Window.partitionBy(col("key")).orderBy(col("us"), col("id"))
+    val run = Window.partitionBy(col("key")).orderBy(col("us"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(key.as("key"), us.as("us"), id.as("id"))
+      .withColumn("_new", when(lag(col("us"), 1).over(w).isNull
+          .or(col("us") - lag(col("us"), 1).over(w) > gapSec * 1000000L),
+        lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_idx", sum(col("_new")).over(run))
+      .groupBy(col("key"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+      .withColumn("duration_sec",
+        expr("(end_us - start_us) div 1000000L"))
+      .orderBy(col("key"), col("session_idx"))
+  }
 }

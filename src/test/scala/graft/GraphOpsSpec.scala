@@ -74,6 +74,74 @@ class GraphOpsSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
+  // --- HITS (q101) -----------------------------------------------------------
+
+  private val Unit6 = 1000000L
+
+  /** Sequential reference of the exact integer HITS recurrence. */
+  private def hitsRef(edges: Seq[(Long, Long)],
+                      iters: Int): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var h = nodes.map(_ -> Unit6).toMap
+    var a = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val am = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => h(s) }.sum }
+      val amx = math.max(if (am.isEmpty) 0L else am.values.max, 1L)
+      a = nodes.map(v => v -> am.getOrElse(v, 0L) * Unit6 / amx).toMap
+      val hm = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map { case (_, d) => a(d) }.sum }
+      val hmx = math.max(if (hm.isEmpty) 0L else hm.values.max, 1L)
+      h = nodes.map(v => v -> hm.getOrElse(v, 0L) * Unit6 / hmx).toMap
+    }
+    nodes.map(v => v -> (h(v), a(v))).toMap
+  }
+
+  test("hitsFixedPoint equals the sequential integer reference " +
+       "bit-for-bit on an irregular directed graph") {
+    val e = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      5L -> 1L, 2L -> 5L, 6L -> 3L, 6L -> 5L)
+    val got = GraphOps.hitsFixedPoint(e.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == hitsRef(e, 3))
+  }
+
+  test("hits: bipartite graph — pure sources have zero authority, pure " +
+       "sinks zero hub, and the best node of each side sits exactly at " +
+       "unit") {
+    val e = for (s <- 1L to 3L; d <- 10L to 13L if (s + d) % 5 != 0)
+      yield s -> d
+    val got = GraphOps.hitsFixedPoint(e.toDF("src", "dst"), iters = 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val (srcs, dsts) = got.partition(_._1 < 10L)
+    assert(srcs.forall(_._3 == 0L), "sources have no in-links")
+    assert(dsts.forall(_._2 == 0L), "sinks have no out-links")
+    assert(srcs.map(_._2).max == Unit6, "max-norm pins best hub at unit")
+    assert(dsts.map(_._3).max == Unit6, "max-norm pins best auth at unit")
+  }
+
+  test("hits: deterministic across runs and under repartitioning") {
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 2L)
+    val a = GraphOps.hitsFixedPoint(e.toDF("src", "dst"), 3)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val b = GraphOps.hitsFixedPoint(e.toDF("src", "dst").repartition(7), 3)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("hits: half-step sums combine map-side and the normalizer is a " +
+       "broadcast join, never a driver collect") {
+    val e = (1L to 50L).map(i => i -> 0L)
+    val qe = GraphOps.hitsFixedPoint(e.toDF("src", "dst"), 1)
+      .queryExecution.executedPlan.toString
+    assert(qe.contains("partial_sum"),
+      s"message sum needs a map-side partial:\n$qe")
+    assert(qe.contains("BroadcastNestedLoopJoin") ||
+           qe.contains("BroadcastExchange"),
+      s"normalizer must join back broadcast:\n$qe")
+  }
+
   test("per-iteration message aggregate combines map-side before the " +
        "dst exchange (hub in-links must not skew the shuffle)") {
     val e = bidirect((1L to 50L).map(i => 0L -> i))

@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.TextAnalysis
+import graft.stats.StatsJobs
+
+/** The q102-q105 operator family: readability, template-prefix
+  * detection, the fused quality-signal bundle, and sessionization. */
+class TextSignalsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // --- readability (q102) ------------------------------------------------------
+
+  test("readability: hand-computed Flesch / FK pins, empty doc NULLs, " +
+       "band thresholds") {
+    val docs = Seq(
+      (1L, "The cat sat. It ran fast!"),
+      (2L, ""),
+      (3L, null: String),
+      // no terminal punctuation → sentences clamps to 1
+      (4L, "word word word")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, $"doc_id", $"text")
+      .select($"doc_id", $"words", $"sentences", $"syllables",
+        $"fre_fp", $"fkg_fp", $"band")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // doc 1: 6 ws-tokens, 2 terminal-punct runs, 6 vowel-group runs
+    val r1 = got(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((6L, 2L, 6L)))
+    // fre_fp = 206_835_000 - (1015e6*6) div 2000 - (846e6*6) div 60
+    assert(r1.getLong(4) == 206835000L - 3045000L - 84600000L)
+    // fkg_fp = (39e6*6) div 200 + (118e6*6) div 60 - 15_590_000
+    assert(r1.getLong(5) == 1170000L + 11800000L - 15590000L)
+    assert(r1.getString(6) == "easy")
+
+    // empty / null docs: zero words → NULL scores, 'empty' band
+    for (id <- Seq(2L, 3L)) {
+      assert(got(id).isNullAt(4) && got(id).isNullAt(5))
+      assert(got(id).getString(6) == "empty")
+    }
+    // clamped sentences: 3 words, 1 sentence, 3 syllables
+    val r4 = got(4L)
+    assert((r4.getLong(1), r4.getLong(2), r4.getLong(3)) == ((3L, 1L, 3L)))
+  }
+
+  test("readability is a single-scan projection: no exchange in the plan") {
+    val docs = Seq((1L, "a.")).toDF("doc_id", "text")
+    val plan = TextAnalysis.readability(docs, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected exchange-free plan:\n$plan")
+  }
+
+  // --- template prefixes (q103) -------------------------------------------------
+
+  test("templatePrefixes groups by first-k-token prefix, applies minDf, " +
+       "ranks by (df desc, digest) and reports corpus share") {
+    val tplA = "access denied you do not have permission to view" // > k toks
+    val tplB = "please enable javascript to continue"
+    val docs = (
+      (1 to 5).map(i => (i.toLong, s"$tplA extra tail $i")) ++
+      (6 to 8).map(i => (i.toLong, s"$tplB unique tail $i")) ++
+      Seq((9L, "please enable cookies instead now ok"), // df=1 → cut
+          (10L, ""), (11L, null: String))               // empty → excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .templatePrefixes(docs, $"text", k = 6, minDf = 2L, topK = 10)
+      .select($"rank", $"prefix", $"df", $"share")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // corpus = 9 non-empty docs; two surviving prefixes
+    assert(got == Seq(
+      (1L, "access denied you do not have", 5L, 0.555556),
+      (2L, "please enable javascript to continue unique", 3L, 0.333333)))
+  }
+
+  test("templatePrefixes topK truncates after ranking") {
+    val docs = (1 to 9)
+      .map(i => (i.toLong, s"group ${i % 3} shared prefix words here tail"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis
+      .templatePrefixes(docs, $"text", k = 4, minDf = 2L, topK = 2)
+      .count()
+    assert(got == 2L)
+  }
+
+  // --- fused signal bundle (q105) -------------------------------------------------
+
+  test("signalBundle: every signal hand-pinned on one document") {
+    val docs = Seq((7L, "The cat CAT ran 42 times!!")).toDF("doc_id", "text")
+    val r = TextAnalysis.signalBundle(docs, $"doc_id", $"text").collect()(0)
+    val got = r.getValuesMap[Any](r.schema.fieldNames)
+    assert(got("n_chars") == 26L)
+    assert(got("n_tokens") == 6L)          // the cat cat ran 42 times!!
+    assert(got("n_unique_tokens") == 5L)   // lowercased dedup folds cat/CAT
+    assert(got("token_chars") == 21L)
+    assert(got("max_token_len") == 7L)     // "times!!"
+    assert(got("mean_token_len_fp") == 21L * 1000000L / 6L)
+    assert(got("uniq_frac_fp") == 5L * 1000000L / 6L)
+    assert(got("stop_frac_fp") == 1000000L / 6L)          // just "the"
+    assert(got("digit_frac_fp") == 2L * 1000000L / 26L)   // "42"
+    assert(got("upper_frac_fp") == 4L * 1000000L / 26L)   // T,C,A,T
+    assert(got("punct_frac_fp") == 2L * 1000000L / 26L)   // "!!"
+    assert(got("ends_punct") == 1L)
+    assert(got("keep") == 0L)              // < 10 tokens
+  }
+
+  test("signalBundle: empty and null docs zero every signal and drop keep") {
+    val docs = Seq((1L, ""), (2L, null: String)).toDF("doc_id", "text")
+    val got = TextAnalysis.signalBundle(docs, $"doc_id", $"text").collect()
+    got.foreach { r =>
+      (1 until r.length).foreach(i => assert(r.getLong(i) == 0L,
+        s"${r.schema.fieldNames(i)} must be 0 on empty text"))
+    }
+  }
+
+  test("signalBundle keep-conjunction boundary: a clean 10-token doc keeps") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // 50+-char token trips the max_token_len gate
+      (2L, ("alpha beta gamma delta epsilon zeta eta theta iota " +
+        "x" * 51))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.signalBundle(docs, $"doc_id", $"text")
+      .select($"doc_id", $"keep").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 0L)
+  }
+
+  test("signalBundle is one exchange-free whole-stage projection") {
+    // range source, not a local literal table (which constant-folds
+    // the whole bundle away before it can prove anything)
+    val docs = spark.range(4).select($"id".as("doc_id"),
+      concat(lit("alpha beta "), $"id".cast("string")).as("text"))
+    val plan = TextAnalysis.signalBundle(docs, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected exchange-free plan:\n$plan")
+    // the lambda (higher-order-function) token signals are interpreted
+    // expressions — Spark HOFs never codegen — but they stay pipelined
+    // projections in the same stage; the rest of the bundle is codegen'd
+    assert(plan.contains("*("), s"expected codegen'd spans:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"no UDFs on the signal path:\n$plan")
+  }
+
+  // --- sessionize (q104) -----------------------------------------------------------
+
+  /** Sequential reference: gap-cut sessions per key. */
+  private def sessionsRef(events: Seq[(Long, Long, Long)], gapUs: Long)
+      : Seq[(Long, Long, Long, Long, Long, Long)] =
+    events.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+      val sorted = es.map(e => (e._2, e._3)).sortBy(identity)
+      var idx = 0L
+      var prev = Long.MinValue
+      val tagged = sorted.map { case (us, _) =>
+        if (prev == Long.MinValue || us - prev > gapUs) idx += 1
+        prev = us
+        (idx, us)
+      }
+      tagged.groupBy(_._1).toSeq.map { case (i, rows) =>
+        val uss = rows.map(_._2)
+        (k, i, rows.size.toLong, uss.min, uss.max,
+          (uss.max - uss.min) / 1000000L)
+      }
+    }.sortBy(t => (t._1, t._2))
+
+  test("sessionize equals a sequential gap-cut reference on an " +
+       "irregular multi-key stream") {
+    val base = 1700000000000000L // epoch µs
+    val raw = for {
+      k <- 1L to 5L
+      i <- 0L until 40L
+    } yield {
+      // deterministic pseudo-random gaps: mostly < 30 min, every 7th huge
+      val step = if (i % 7 == 6) 3600000000L * (1 + (i % 3))
+                 else (i * 7919L * k) % 1700000000L
+      (k, i, step)
+    }
+    // running cumulative timestamps per key
+    val events = raw.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+      var t = base + k
+      es.sortBy(_._2).map { case (_, i, step) =>
+        t += step; (k, t, i)
+      }
+    }
+    val df = events.toDF("user_id", "us", "event_id")
+      .withColumn("ts", timestamp_micros($"us"))
+    val got = StatsJobs
+      .sessionize(df, $"user_id", $"ts", $"event_id", gapSec = 1800L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == sessionsRef(events, 1800L * 1000000L))
+  }
+
+  test("sessionize ties on identical timestamps break by id and never " +
+       "split a session") {
+    val df = Seq(
+      (1L, 1000000L, 2L), (1L, 1000000L, 1L), (1L, 2000000L, 3L)
+    ).toDF("user_id", "us", "event_id")
+      .withColumn("ts", timestamp_micros($"us"))
+    val got = StatsJobs
+      .sessionize(df, $"user_id", $"ts", $"event_id", gapSec = 10L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 3L, 1000000L, 2000000L, 1L)))
+  }
+
+  test("sessionize shuffles once on the key: windows and the session " +
+       "aggregate reuse one hash exchange") {
+    val df = Seq((1L, 1000000L, 1L)).toDF("user_id", "us", "event_id")
+      .withColumn("ts", timestamp_micros($"us"))
+    val plan = StatsJobs
+      .sessionize(df, $"user_id", $"ts", $"event_id")
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).size
+    assert(hashEx == 1, s"expected exactly one hash exchange:\n$plan")
+  }
+}
