@@ -65,7 +65,10 @@ object Bench {
     "q94_split_report", "q95_span_decontam", "q96_shard_manifest",
     "q97_padding_waste", "q98_collocations", "q99_epoch_shuffle",
     "q100_source_drift", "q101_hits", "q102_readability",
-    "q103_template_prefixes", "q104_sessionize", "q105_quality_signals")
+    "q103_template_prefixes", "q104_sessionize", "q105_quality_signals",
+    "q106_anchor_text", "q107_redirect_resolve", "q108_asof_state",
+    "q109_bm25_topk", "q110_robots_gate", "q111_recrawl_priority",
+    "q112_chunk_windows")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -1476,6 +1476,107 @@ object SparkEntry {
       import s.implicits._
       TA.signalBundle(t(s, dir, "documents"), $"doc_id", $"text")
         .orderBy($"doc_id")
+    }),
+
+    // --- anchor-text index: top-3 anchors per link target with link /
+    // distinct-source counts — ONE hash exchange (dst repartition feeds
+    // the (dst,anchor) agg, the dst totals and the rank window). -------------
+    "q106_anchor_text" -> ((s, dir) => {
+      import s.implicits._
+      val links = t(s, dir, "lineitem").select(
+        ($"l_partkey" % 200).as("dst"), $"l_orderkey".as("src"),
+        concat(lit("anchor "), (($"l_orderkey" + $"l_partkey") % 7)
+          .cast("string")).as("anchor"))
+      graft.pipeline.WebGraph.anchorTextIndex(
+          links, "dst", "anchor", "src", k = 3)
+        .orderBy($"dst", $"rank")
+    }),
+
+    // --- redirect-chain resolution by pointer doubling (O(log hops)
+    // self-join rounds, the CC trick on a functional graph): chains
+    // doc_id → doc_id−1 terminate at multiples of 10, so the oracle is
+    // closed-form; cycles/give-up are pinned in sbt. --------------------------
+    "q107_redirect_resolve" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "documents").filter($"doc_id" % 10 =!= 0)
+        .select($"doc_id".as("src"), ($"doc_id" - 1).as("dst"))
+      graft.pipeline.WebGraph.resolveRedirects(edges, "src", "dst",
+          maxHops = 20)
+        .orderBy($"node")
+    }),
+
+    // --- as-of join (union-tag formulation — one shuffle, no range
+    // blowup): every non-snapshot event aligned with the user's latest
+    // snapshot row at-or-before it; nulls surfaced as sentinels so the
+    // no-prior-snapshot case stays hash-comparable. ---------------------------
+    "q108_asof_state" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val snaps = ev.filter($"event_id" % 10 === 0)
+        .select($"user_id", $"ts", $"event_id",
+          $"value".as("state_val"), $"event_type".as("state_type"))
+      val obs = ev.filter($"event_id" % 10 =!= 0)
+        .select($"event_id", $"user_id", $"ts")
+      graft.pipeline.Temporal.asofJoin(obs, snaps, "user_id", "ts",
+          "event_id", Seq("state_val", "state_type"))
+        .select($"event_id", $"user_id",
+          coalesce($"state_val", lit(-1.0)).as("state_val"),
+          coalesce($"state_type", lit("none")).as("state_type"),
+          coalesce(unix_micros($"asof_ts".cast("timestamp")), lit(-1L))
+            .as("asof_us"))
+        .orderBy($"event_id")
+    }),
+
+    // --- fixed-point BM25 top-10 for a literal 3-term query: per-doc
+    // tf as ONE array projection (no corpus token explode), corpus
+    // stats broadcast back as a 1-row dimension, TakeOrderedAndProject
+    // top-k. ------------------------------------------------------------------
+    "q109_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Retrieval.bm25TopK(t(s, dir, "documents"),
+        "doc_id", $"text", Seq("spark", "window", "hash"), k = 10)
+    }),
+
+    // --- the robots gate as a first-class operator (north-star
+    // capability): urls and per-host disallow rules synthesized
+    // deterministically from documents; the gate is the engine's own
+    // broadcast-join prefix matcher (Epoch step 5 calls the same
+    // method). ----------------------------------------------------------------
+    "q110_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val urls = docs.select($"doc_id",
+        concat(lit("http://"), $"source", lit("/"), $"lang", lit("/"),
+          ($"doc_id" % 12).cast("string"), lit("/p")).as("url"))
+      val rules = docs.select($"source").distinct()
+        .select($"source".as("host"),
+          array(lit("/de"),
+            when(substring($"source", 4, 10).cast("int") % 2 === 0,
+              lit("/en/3")).otherwise(lit("/zz")))
+            .as("disallow_prefixes"))
+      graft.html.Robots.gate(urls, rules)
+        .orderBy($"doc_id")
+    }),
+
+    // --- change-rate recrawl planner: lag-window change detection per
+    // key (no pairwise join), integer revisit intervals, hot/warm/cold
+    // buckets — the batch scheduler a freshness-aware crawl runs
+    // between epochs. ---------------------------------------------------------
+    "q111_recrawl_priority" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Temporal.recrawlPriority(t(s, dir, "events"),
+          "user_id", "ts", "event_id", col("event_type"),
+          baseInterval = 3600L, damp = 2L)
+        .orderBy($"user_id")
+    }),
+
+    // --- overlapping RAG chunk windows (size 8, stride 4): pure
+    // codegen'd array projection + one explode, zero shuffles. ----------------
+    "q112_chunk_windows" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Retrieval.chunkWindows(t(s, dir, "documents"),
+          "doc_id", $"text", size = 8, stride = 4)
+        .orderBy($"doc_id", $"chunk_id")
     })
   )
 
@@ -4469,6 +4570,155 @@ object SparkEntry {
              AND digit_frac_fp < 200000 AND uniq_frac_fp >= 100000
              AND max_token_len <= 50 THEN 1 ELSE 0 END AS BIGINT)
              AS keep
-         FROM f ORDER BY doc_id"""
+         FROM f ORDER BY doc_id""",
+
+    // anchor-text index: same synthetic link derivation, per-(dst,
+    // anchor) counts, dst totals over ALL anchors, (links desc, anchor)
+    // rank window, top 3.
+    "q106_anchor_text" ->
+      """WITH lk AS (SELECT l_partkey % 200 AS dst, l_orderkey AS src,
+             'anchor ' || CAST((l_orderkey + l_partkey) % 7 AS VARCHAR)
+               AS anchor
+           FROM lineitem),
+         pa AS (SELECT dst, anchor,
+             CAST(count(*) AS BIGINT) AS links,
+             CAST(count(DISTINCT src) AS BIGINT) AS sources
+           FROM lk GROUP BY 1, 2),
+         r AS (SELECT dst, anchor, links, sources,
+             CAST(sum(links) OVER (PARTITION BY dst) AS BIGINT)
+               AS in_links,
+             row_number() OVER (PARTITION BY dst
+               ORDER BY links DESC, anchor) AS rank
+           FROM pa)
+         SELECT dst, anchor, links, sources, CAST(rank AS INT) AS rank,
+           in_links
+         FROM r WHERE rank <= 3 ORDER BY dst, rank""",
+
+    // redirect resolution: the synthetic chains are closed-form —
+    // doc_id walks down to the nearest multiple of 10 in doc_id % 10
+    // hops; nothing cycles (cycle/give-up behavior is sbt-pinned).
+    "q107_redirect_resolve" ->
+      """SELECT doc_id AS node, doc_id - (doc_id % 10) AS terminal,
+           CAST(doc_id % 10 AS BIGINT) AS hops, FALSE AS cycled
+         FROM documents WHERE doc_id % 10 <> 0 ORDER BY node""",
+
+    // as-of join: LATERAL latest-at-or-before lookup (ts <=, ties to
+    // the highest snapshot event_id) with the same null sentinels.
+    "q108_asof_state" ->
+      """WITH snap AS (SELECT user_id, ts, event_id,
+             value AS state_val, event_type AS state_type
+           FROM events WHERE event_id % 10 = 0),
+         ev AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_id % 10 <> 0)
+         SELECT e.event_id, e.user_id,
+           coalesce(s.state_val, -1.0) AS state_val,
+           coalesce(s.state_type, 'none') AS state_type,
+           coalesce(epoch_us(s.ts), -1) AS asof_us
+         FROM ev e LEFT JOIN LATERAL (
+           SELECT ts, state_val, state_type FROM snap s
+           WHERE s.user_id = e.user_id AND s.ts <= e.ts
+           ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) s ON true
+         ORDER BY e.event_id""",
+
+    // fixed-point BM25: the idf/tfn/score recurrence replayed with //
+    // (k1 = 6/5, b = 3/4 cleared to the same integer constants:
+    // numerator 4·tf·11·avgdl_mfp·10^6, denominator 20·tf·avgdl_mfp +
+    // 6·avgdl_mfp + 18·dl·1000).
+    "q109_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(
+             coalesce(text, ''), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         b AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl,
+             CAST(len(list_filter(ts, x -> x = 'spark')) AS BIGINT)
+               AS tf0,
+             CAST(len(list_filter(ts, x -> x = 'window')) AS BIGINT)
+               AS tf1,
+             CAST(len(list_filter(ts, x -> x = 'hash')) AS BIGINT)
+               AS tf2
+           FROM d),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS BIGINT) AS sdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df2
+           FROM b),
+         st2 AS (SELECT *, (sdl * 1000) // n AS am FROM st),
+         sc AS (SELECT doc_id, dl,
+             (CASE WHEN tf0 = 0 THEN 0 ELSE
+               (((2 * (n - df0) + 1) * 1000000) // (2 * df0 + 1)) *
+               ((4 * tf0 * 11 * am * 1000000) //
+                (20 * tf0 * am + 6 * am + 18 * dl * 1000)) // 1000000
+              END) +
+             (CASE WHEN tf1 = 0 THEN 0 ELSE
+               (((2 * (n - df1) + 1) * 1000000) // (2 * df1 + 1)) *
+               ((4 * tf1 * 11 * am * 1000000) //
+                (20 * tf1 * am + 6 * am + 18 * dl * 1000)) // 1000000
+              END) +
+             (CASE WHEN tf2 = 0 THEN 0 ELSE
+               (((2 * (n - df2) + 1) * 1000000) // (2 * df2 + 1)) *
+               ((4 * tf2 * 11 * am * 1000000) //
+                (20 * tf2 * am + 6 * am + 18 * dl * 1000)) // 1000000
+              END) AS score_fp
+           FROM b, st2)
+         SELECT doc_id, dl, CAST(score_fp AS BIGINT) AS score_fp,
+           round(score_fp / 1000000.0, 6) AS score
+         FROM sc WHERE score_fp > 0
+         ORDER BY score_fp DESC, doc_id LIMIT 10""",
+
+    // robots gate: '/de' blocks every german path on every host;
+    // even-numbered hosts also block the '/en/3' bucket ('/zz' is the
+    // never-matching filler the odd hosts carry instead).
+    "q110_robots_gate" ->
+      """WITH u AS (SELECT doc_id, source, lang, doc_id % 12 AS b
+           FROM documents)
+         SELECT doc_id, 'http://' || source || '/' || lang || '/' ||
+             CAST(b AS VARCHAR) || '/p' AS url
+         FROM u
+         WHERE lang <> 'de'
+           AND NOT (CAST(substr(source, 4) AS INT) % 2 = 0
+                    AND lang = 'en' AND b = 3)
+         ORDER BY doc_id""",
+
+    // recrawl planner: (ts, event_id)-ordered lag change flags, then
+    // per-key totals, the integer interval recurrence and the 1/3-2/3
+    // rate buckets.
+    "q111_recrawl_priority" ->
+      """WITH l AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS p
+           FROM events),
+         c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS obs,
+             CAST(sum(CASE WHEN p IS NOT NULL AND p <> event_type
+               THEN 1 ELSE 0 END) AS BIGINT) AS changes
+           FROM l GROUP BY 1)
+         SELECT user_id, obs, changes,
+           CASE WHEN obs <= 1 THEN 0.0
+             ELSE round(changes / CAST(obs - 1 AS DOUBLE), 6) END
+             AS change_rate,
+           CAST(CASE WHEN obs <= 1 THEN 3600
+             ELSE (3600 * (obs - 1)) // (changes * 2 + 1) END AS BIGINT)
+             AS interval,
+           CASE WHEN obs > 1 AND changes * 3 >= (obs - 1) * 2 THEN 'hot'
+             WHEN obs > 1 AND changes * 3 >= obs - 1 THEN 'warm'
+             ELSE 'cold' END AS bucket
+         FROM c ORDER BY user_id""",
+
+    // chunk windows: 1-based inclusive list slices every 4 tokens,
+    // window count 1 + (len-1) // 4, short tails kept.
+    "q112_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(
+             coalesce(text, ''), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         w AS (SELECT doc_id, ts,
+             unnest(generate_series(0, CAST((len(ts) - 1) // 4 AS INT)))
+               AS cid
+           FROM d WHERE len(ts) > 0)
+         SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+           CAST(len(ts[cid * 4 + 1 : cid * 4 + 8]) AS INT) AS n_tokens,
+           array_to_string(ts[cid * 4 + 1 : cid * 4 + 8], ' ') AS chunk
+         FROM w ORDER BY doc_id, chunk_id"""
   )
 }

@@ -492,14 +492,8 @@ final class CrawlJob(
     // robots gate (north-star capability; prefix-disallow matcher)
     var nDroppedRobots = 0L
     if (cfg.robotsEnabled && robots.nonEmpty) {
-      val withHost = candidates.withColumn("host", UF.url_host($"url"))
-      val (gated, nGated) = Eager.ckptCount(withHost
-        .join(broadcast(robots.get), Seq("host"), "left")
-        .withColumn("path", UF.url_path($"url"))
-        .filter($"disallow_prefixes".isNull ||
-          !exists($"disallow_prefixes",
-            p => startswith(coalesce($"path", lit("/")), p)))
-        .drop("host", "path", "disallow_prefixes"))
+      val (gated, nGated) = Eager.ckptCount(
+        graft.html.Robots.gate(candidates, robots.get))
       candidates = gated
       nDroppedRobots = nAfterGates - nGated
     }

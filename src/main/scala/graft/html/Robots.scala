@@ -84,4 +84,24 @@ object Robots {
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select("host", "disallow_prefixes")
   }
+
+  /** The robots gate itself: drop candidates whose url path starts
+    * with any disallow prefix of its host's rules row. Hosts with no
+    * rules row pass (no robots.txt = allow all), as does a null path
+    * (treated as "/"). The rules side is tiny (one row per host with a
+    * robots.txt) and broadcast — the candidate side stays
+    * exchange-free. Column contract: `rules` is (host,
+    * disallow_prefixes: array<string>) as produced by
+    * [[rulesFromPages]]; the url column must not be named `host`,
+    * `path` or `disallow_prefixes`. */
+  def gate(candidates: DataFrame, rules: DataFrame,
+           url: org.apache.spark.sql.Column = col("url")): DataFrame =
+    candidates
+      .withColumn("host", UF.url_host(url))
+      .join(broadcast(rules), Seq("host"), "left")
+      .withColumn("path", UF.url_path(url))
+      .filter(col("disallow_prefixes").isNull ||
+        !exists(col("disallow_prefixes"),
+          p => startswith(coalesce(col("path"), lit("/")), p)))
+      .drop("host", "path", "disallow_prefixes")
 }

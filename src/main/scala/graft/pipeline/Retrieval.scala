@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval operators: BM25 keyword search (the standard
+  * relevance-ranking baseline — a focused crawler's "is this page about
+  * the topic" score when no trained model is plugged in, complementing
+  * the pluggable classifier seam in [[graft.score.Scorers]]) and
+  * overlapping chunk-window materialization (RAG-style retrieval
+  * units; distinct from [[Dedup]]'s NON-overlapping passage chunks,
+  * which are dedup keys, not retrieval units).
+  */
+object Retrieval {
+
+  /** Whitespace tokens of `text` — the corpus-wide tokenizer
+    * (q13/q42/q49 semantics): split on runs of whitespace, drop
+    * empties. */
+  def wsTokens(text: Column): Column =
+    filter(split(coalesce(text, lit("")), "\\s+"), t => t =!= "")
+
+  /** Fixed-point BM25 top-k: rank documents against a literal bag of
+    * query terms, deterministic to the last bit on any engine.
+    *
+    * Float BM25 is aggregation-order dependent (the per-term sum) and
+    * ln-bound, so every factor is integer:
+    *
+    *   idf_fp(t)  = ((2(N − df_t) + 1) · 10^6) div (2·df_t + 1)
+    *                — the Robertson-Sparck-Jones idf ratio WITHOUT the
+    *                log, in micro-units (rank-order equivalent for a
+    *                few-term query; monotone in df)
+    *   avgdl_mfp  = (Σ dl · 1000) div N        (milli-tokens)
+    *   tfn_fp(t,d)= (bd · tf · (k1n + k1d) · avgdl_mfp · 10^6)
+    *                div (k1d · bd · tf · avgdl_mfp
+    *                     + k1n · (bd − bn) · avgdl_mfp
+    *                     + k1n · bn · dl · 1000)
+    *                — the k1/b saturation term ×10^6, with
+    *                k1 = k1n/k1d (default 6/5 = 1.2) and b = bn/bd
+    *                (default 3/4 = 0.75) cleared to integers
+    *   score_fp(d)= Σ_t idf_fp(t) · tfn_fp(t,d) div 10^6
+    *
+    * The integer sum is order-free, so the DuckDB oracle replays the
+    * recurrence with `//` hash-for-hash. Overflow bound: the tfn_fp
+    * numerator bd·tf·(k1n+k1d)·avgdl_mfp·10^6 < 2^63 needs
+    * tf·avgdl < ~2.6·10^8 token² at the defaults — beyond any real
+    * document; idf_fp·tfn_fp < 2·10^9 · 2.2·10^6 < 2^63 likewise.
+    *
+    * Scale shape: one scan computes per-doc tf for the (few) query
+    * terms as a codegen'd array projection — NO corpus-wide token
+    * explode, no df join against a full vocabulary: df and the length
+    * stats come from one map-side-combinable aggregate of that same
+    * projection, broadcast back (a 1-row dimension). Top-k is
+    * TakeOrderedAndProject, never a global sort. */
+  def bm25TopK(docs: DataFrame, id: String, text: Column,
+               queryTerms: Seq[String], k: Int = 10,
+               k1n: Long = 6L, k1d: Long = 5L,
+               bn: Long = 3L, bd: Long = 4L): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(queryTerms.distinct == queryTerms, "duplicate query terms")
+    require(k >= 1 && k1n > 0 && k1d > 0 && bn >= 0 && bd >= bn,
+      "need k >= 1, k1 > 0, 0 <= b <= 1")
+    val toks = wsTokens(text)
+    // one row per doc: dl + tf per query term (array projection; the
+    // token array is materialized once per row inside the projection)
+    val base = docs.select(
+      Seq(col(id).as("doc"), size(toks).cast("long").as("dl")) ++
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(s"_tf$i")
+        }: _*)
+    val statAggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sdl")) ++
+      queryTerms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+      .withColumn("avgdl_mfp", expr("(sdl * 1000L) div n"))
+    val scored = base.crossJoin(broadcast(stats))
+    // score_fp = Σ_t idf_fp(t) · tfn_fp(t, d) div 10^6, one codegen'd
+    // expression per term; df of an absent term never divides by zero
+    // because the tf = 0 branch short-circuits the whole term
+    val scoreCol = queryTerms.indices.map { i =>
+      when(col(s"_tf$i") === 0, lit(0L)).otherwise(expr(
+        s"(((2L * (n - _df$i) + 1L) * 1000000L) div (2L * _df$i + 1L)) * " +
+          s"((${bd}L * _tf$i * ${k1n + k1d}L * avgdl_mfp * 1000000L) div " +
+          s"(${k1d * bd}L * _tf$i * avgdl_mfp + " +
+          s"${k1n * (bd - bn)}L * avgdl_mfp + " +
+          s"${k1n * bn}L * dl * 1000L)) div 1000000L"))
+    }.reduce(_ + _)
+    scored
+      .select(col("doc").as(id), col("dl"), scoreCol.as("score_fp"))
+      .filter(col("score_fp") > 0)
+      .orderBy(col("score_fp").desc, col(id).asc)
+      .limit(k)
+      .withColumn("score", round(col("score_fp") / lit(1e6), 6))
+  }
+
+  /** Overlapping chunk windows: cut each document's token stream into
+    * windows of `size` tokens every `stride` tokens (stride < size ⇒
+    * overlap), the standard retrieval-unit materialization. A window
+    * is emitted iff it starts inside the document, so every token is
+    * covered and the last windows may be short; empty docs emit
+    * nothing. Output: (id, chunk_id, n_tokens, chunk) with chunk_id
+    * counting from 0 in stride order.
+    *
+    * Pure codegen'd array projection + one explode — no shuffle at
+    * all; chunking is embarrassingly row-local. */
+  def chunkWindows(docs: DataFrame, id: String, text: Column,
+                   size: Int = 8, stride: Int = 4): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "need 1 <= stride <= size")
+    val toks = wsTokens(text)
+    val chunks = docs.select(col(id), toks.as("_toks"))
+      .withColumn("_n", org.apache.spark.sql.functions.size(col("_toks")))
+      .filter(col("_n") > 0)
+      .select(col(id),
+        posexplode(transform(
+          sequence(lit(0), expr(s"CAST((_n - 1) div $stride AS INT)")),
+          w => slice(col("_toks"), w * stride + 1, lit(size)))))
+    chunks.select(col(id), col("pos").as("chunk_id"),
+      org.apache.spark.sql.functions.size(col("col")).as("n_tokens"),
+      array_join(col("col"), " ").as("chunk"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-aligned operators over crawl/event streams: the as-of join (align
+  * every observation with the latest state snapshot at or before it) and
+  * change-rate recrawl scheduling (Cho & Garcia-Molina's freshness
+  * result: revisit frequency should track observed change frequency —
+  * the batch planner behind the live crawler's fixed politeness loop).
+  */
+object Temporal {
+
+  /** As-of join: for every left row, the single latest right row with
+    * the same `key` and right.`ts` <= left.`ts` (inclusive; ties among
+    * right rows at the same ts resolve to the highest `rightTieBreak`).
+    *
+    * Spark has no native as-of join, and the naive range join explodes
+    * to O(|L|·|R|) per key. This is the union-tag formulation instead:
+    * tag right rows 0 and left rows 1, sort within each key by
+    * (ts, tag, tiebreak), and carry the last non-null right payload
+    * forward with last_value(ignoreNulls) over a running window — one
+    * shuffle on key, O((|L|+|R|) log) per partition, no pair blowup,
+    * and hot keys stay one-partition-bounded rather than quadratic.
+    *
+    * Output: the left rows (original columns) plus the matched right
+    * `payload` columns (null when no snapshot precedes the row).
+    *
+    * `payload` columns must not collide with left column names. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               ts: String, rightTieBreak: String,
+               payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "need at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains),
+      "payload columns must not collide with left columns")
+    val l = left.select(
+      Seq(col(key), col(ts).as("_ats"), lit(1).as("_tag"),
+        lit(null).cast("long").as("_tie"),
+        struct(leftCols.map(col): _*).as("_lrow")) ++
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+    val r = right.select(
+      Seq(col(key), col(ts).as("_ats"), lit(0).as("_tag"),
+        col(rightTieBreak).cast("long").as("_tie"),
+        lit(null).cast(l.schema("_lrow").dataType).as("_lrow")) ++
+        payload.map(col): _*)
+    // right rows sort before left rows at equal ts (inclusive as-of);
+    // among right rows at one ts the highest tiebreak lands last, so
+    // last_value picks it. One struct per right row keeps the carried
+    // payload atomic — no column can come from a different snapshot.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ats").asc, col("_tag").asc, col("_tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = r.unionByName(l)
+      .withColumn("_snap", last(
+        when(col("_tag") === 0,
+          struct((payload.map(col) :+ col("_ats").as("_sts")): _*)),
+        ignoreNulls = true).over(w))
+    carried.filter(col("_tag") === 1)
+      .select(Seq(col("_lrow.*")) ++
+        payload.map(p => col(s"_snap.$p").as(p)) :+
+        col("_snap._sts").as("asof_ts"): _*)
+  }
+
+  /** Change-rate recrawl planner: per key, order the observation
+    * stream by (ts, tiebreak) and count fingerprint CHANGES between
+    * consecutive observations (lag comparison — no pairwise join).
+    * Emits, per key:
+    *
+    *   obs          observations seen
+    *   changes      adjacent observation pairs whose fingerprint differs
+    *   change_rate  round(changes / (obs − 1), 6); 0.0 for single-obs keys
+    *   interval     revisit interval in the caller's base unit:
+    *                base·(obs−1) div (changes·damp + 1) — integer, so
+    *                a never-changing page backs off to base·(obs−1)
+    *                and a page changing every visit recrawls at
+    *                ~base/damp; damp defaults to 2 (don't chase noise).
+    *                A single-observation key has no evidence either
+    *                way and gets exactly `base`
+    *   bucket       'hot' (change_rate ≥ 2/3) / 'warm' (≥ 1/3) / 'cold'
+    *
+    * One exchange on key; the lag window and the aggregation share it.
+    * The fingerprint is whatever the caller passes (content hash,
+    * simhash band, ETag) — the operator only compares equality. */
+  def recrawlPriority(obsv: DataFrame, key: String, ts: String,
+                      tieBreak: String, fingerprint: Column,
+                      baseInterval: Long = 86400L,
+                      damp: Long = 2L): DataFrame = {
+    require(baseInterval > 0 && damp > 0, "positive base/damp")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col(tieBreak).asc)
+    val marked = obsv
+      .select(col(key), col(ts), col(tieBreak), fingerprint.as("_fp"))
+      .withColumn("_chg",
+        when(lag(col("_fp"), 1).over(w).isNull, lit(0L))
+          .when(lag(col("_fp"), 1).over(w) =!= col("_fp"), lit(1L))
+          .otherwise(lit(0L)))
+    marked.groupBy(col(key))
+      .agg(count(lit(1)).as("obs"), sum(col("_chg")).as("changes"))
+      .select(col(key), col("obs"), col("changes"),
+        when(col("obs") <= 1, lit(0.0))
+          .otherwise(round(col("changes") / (col("obs") - 1), 6))
+          .as("change_rate"),
+        when(col("obs") <= 1, lit(baseInterval))
+          .otherwise(expr(s"(${baseInterval}L * (obs - 1)) div " +
+            s"(changes * ${damp}L + 1)")).as("interval"),
+        when(col("obs") > 1 && col("changes") * 3 >= (col("obs") - 1) * 2,
+          lit("hot"))
+          .when(col("obs") > 1 && col("changes") * 3 >= col("obs") - 1,
+            lit("warm"))
+          .otherwise(lit("cold")).as("bucket"))
+  }
+}

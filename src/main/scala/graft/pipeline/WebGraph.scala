@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-graph operators beyond the score-propagation pair in
+  * [[GraphOps]]: the anchor-text index (the classic link-derived
+  * relevance signal a focused crawler feeds its link scorer — the role
+  * of the anchor features in the reference's deep-deep link model,
+  * dd_crawler/deepdeep.py) and redirect-chain resolution (the reference
+  * follows redirects live through Scrapy's RedirectMiddleware,
+  * dd_crawler/settings.py:33-35; a batch engine over an archived crawl
+  * resolves the whole redirect graph in one job instead).
+  */
+object WebGraph {
+
+  /** Anchor-text index: for every link target, the top-`k` anchor
+    * texts pointing at it, with per-anchor link and distinct-source
+    * counts plus target-level totals.
+    *
+    * Output: (dst, anchor, links, sources, rank, in_links) — rank 1..k
+    * per dst by (links desc, anchor asc); `in_links` is the dst's
+    * total in-link count across ALL its anchors (not just the
+    * surviving top-k).
+    *
+    * Scale shape: ONE hash exchange. The input is repartitioned on dst
+    * alone; the (dst, anchor) aggregation, the distinct-source count,
+    * the dst totals, and the rank window are all dst-clustered, so
+    * every downstream operator reuses that single partitioning (a
+    * HashPartitioning on dst satisfies the (dst, anchor) clustering —
+    * pinned by a plan test). Hot targets (a 10^8-inlink hub) are
+    * bounded by the per-(dst, anchor) map-side partial aggregation;
+    * the distinct-source expansion is the one skew surface and is
+    * per-(dst, anchor), not per-dst. */
+  def anchorTextIndex(links: DataFrame, dst: String, anchor: String,
+                      src: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val norm = trim(lower(col(anchor)))
+    val byDst = links
+      .select(col(dst).as("dst"), norm.as("anchor"), col(src).as("src"))
+      .repartition(col("dst"))
+    val perAnchor = byDst.groupBy(col("dst"), col("anchor"))
+      .agg(count(lit(1)).as("links"),
+        countDistinct(col("src")).as("sources"))
+    val totals = Window.partitionBy(col("dst"))
+    val ranked = perAnchor
+      .withColumn("in_links", sum(col("links")).over(totals))
+      .withColumn("rank", row_number().over(
+        totals.orderBy(col("links").desc, col("anchor").asc)))
+      .filter(col("rank") <= k)
+    ranked.select("dst", "anchor", "links", "sources", "rank", "in_links")
+  }
+
+  /** Resolve every redirect source to its terminal target by pointer
+    * doubling: O(log maxHops) self-join rounds instead of O(chain
+    * length) sequential lookups — the [[Dedup]] connected-components
+    * trick applied to functional graphs.
+    *
+    * `edges` is the redirect map (one outgoing edge per source; the
+    * last write wins is the caller's concern — this operator asserts
+    * nothing about duplicates and follows whichever rows it is given,
+    * so pre-dedup multi-snapshot inputs). Output: one row per source
+    * node, (node, terminal, hops, cycled). A node whose walk does not
+    * terminate within `maxHops` steps — a redirect loop, or a chain
+    * longer than any sane crawl follows (Scrapy's own REDIRECT_MAX_
+    * TIMES is 20) — reports cycled = true with hops capped at maxHops,
+    * mirroring the live crawler's give-up; its `terminal` is then just
+    * the doubled walk's frontier node, not a destination.
+    *
+    * Scale shape: the jump table J_k maps every node to its 2^k-step
+    * successor with the step count walked; terminals self-map with 0
+    * steps, so composing J with itself (one hash join on the jump key
+    * per round) is total — no per-row branching, no driver state.
+    * Lineage is cut per round with a local checkpoint. Rounds =
+    * ceil(log2(maxHops)) + 1; each is one shuffle of |V| rows. */
+  def resolveRedirects(edges: DataFrame, src: String, dst: String,
+                       maxHops: Int = 20): DataFrame = {
+    require(maxHops >= 1, "need maxHops >= 1")
+    val e = edges.select(col(src).as("node"), col(dst).as("jump"))
+      .localCheckpoint(true)
+    // terminal nodes (appear as a target, never as a source) self-map
+    // with 0 steps so composition never loses them
+    val terminals = e.select(col("jump").as("node")).distinct()
+      .join(e.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("jump"), lit(0L).as("steps"))
+    var j = e.withColumn("steps", lit(1L)).unionByName(terminals)
+    var span = 1L // longest walk J can currently express
+    while (span < maxHops) {
+      j = j.localCheckpoint(true)
+      val nxt = j.select(col("node").as("jump"), col("jump").as("jump2"),
+        col("steps").as("steps2"))
+      j = j.join(nxt, Seq("jump"))
+        .select(col("node"), col("jump2").as("jump"),
+          (col("steps") + col("steps2")).as("steps"))
+      span *= 2
+    }
+    // sources only (terminals were scaffolding). steps stayed exact
+    // (min(2^rounds, termination time) — bounded by 2·maxHops, no
+    // overflow); a walk that needed more than maxHops of them, or that
+    // never reached a terminal at all, is the give-up case
+    val isTerminal = terminals.select(col("node").as("jump"),
+      lit(true).as("_t"))
+    j.join(e.select(col("node")), Seq("node"), "left_semi")
+      .join(isTerminal, Seq("jump"), "left")
+      .select(col("node"), col("jump").as("terminal"),
+        least(col("steps"), lit(maxHops.toLong)).as("hops"),
+        (not(coalesce(col("_t"), lit(false))) ||
+          col("steps") > maxHops).as("cycled"))
+  }
+}

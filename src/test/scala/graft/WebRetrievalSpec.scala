@@ -1,0 +1,240 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Retrieval, Temporal, WebGraph}
+
+/** Web-graph index ops (anchor text, redirect resolution), temporal
+  * alignment (as-of join, recrawl planning), retrieval (BM25, chunk
+  * windows) and the robots gate — the q106-q112 operator family. */
+class WebRetrievalSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // --- anchor-text index (q106) ---------------------------------------------
+
+  test("anchorTextIndex: counts, distinct sources, anchor-asc tie-break, " +
+       "dst totals include anchors outside the top-k") {
+    val links = Seq(
+      // dst 1: anchor "a" x3 from 2 sources, "b" x2, "c" x1, "d" x1
+      (1L, "A", 10L), (1L, "a", 10L), (1L, " a ", 11L),
+      (1L, "b", 10L), (1L, "b", 10L),
+      (1L, "c", 12L), (1L, "d", 13L),
+      // dst 2: tie between "x" and "y" at 1 link each -> anchor asc
+      (2L, "y", 10L), (2L, "x", 11L)
+    ).toDF("dst", "anchor", "src")
+    val got = WebGraph.anchorTextIndex(links, "dst", "anchor", "src", k = 3)
+      .orderBy($"dst", $"rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getLong(5)))
+    // dst 1 top-3: a(3 links, 2 srcs), b(2, 1), then c before d; in_links=7
+    assert(got.toSeq == Seq(
+      (1L, "a", 3L, 2L, 1, 7L), (1L, "b", 2L, 1L, 2, 7L),
+      (1L, "c", 1L, 1L, 3, 7L),
+      (2L, "x", 1L, 1L, 1, 2L), (2L, "y", 1L, 1L, 2, 2L)))
+  }
+
+  test("anchorTextIndex plan: ONE hash exchange — the dst repartition " +
+       "feeds the (dst,anchor) agg, the totals and the rank window") {
+    val links = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(($"l_partkey" % 50).as("dst"), $"l_orderkey".as("src"),
+        lit("t").as("anchor"))
+    val plan = WebGraph.anchorTextIndex(links, "dst", "anchor", "src")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"anchor index must shuffle exactly once:\n$plan")
+  }
+
+  // --- redirect resolution (q107) -------------------------------------------
+
+  test("resolveRedirects: chains resolve with exact hop counts; " +
+       "2-cycles and over-long chains report cycled with capped hops") {
+    val edges = Seq(
+      3L -> 2L, 2L -> 1L, 1L -> 0L, // chain 3->2->1->0 (terminal 0)
+      7L -> 0L,                     // direct edge
+      20L -> 21L, 21L -> 20L        // 2-cycle: never terminates
+    ).toDF("src", "dst")
+    val got = WebGraph.resolveRedirects(edges, "src", "dst", maxHops = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(3L)._1 == 0L && got(3L)._2 == 3L && !got(3L)._3)
+    assert(got(2L) == ((0L, 2L, false)))
+    assert(got(1L) == ((0L, 1L, false)))
+    assert(got(7L) == ((0L, 1L, false)))
+    assert(got(20L)._2 == 20L && got(20L)._3, "cycle: capped hops, cycled")
+    assert(got(21L)._3)
+    assert(got.size == 6, "one row per source, terminals are not rows")
+  }
+
+  test("resolveRedirects: a chain longer than maxHops is the give-up " +
+       "case even though the doubled walk overshoots to its terminal") {
+    // 5->4->3->2->1->0 with maxHops=3: terminates in 5 > 3 steps
+    val edges = (1 to 5).map(i => i.toLong -> (i - 1).toLong)
+      .toDF("src", "dst")
+    val got = WebGraph.resolveRedirects(edges, "src", "dst", maxHops = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(5L) == ((3L, true)), "over-long: hops capped, cycled=true")
+    assert(got(3L) == ((3L, false)), "exactly maxHops steps is NOT give-up")
+    assert(got(2L) == ((2L, false)))
+  }
+
+  // --- as-of join (q108) -----------------------------------------------------
+
+  test("asofJoin: latest at-or-before per key, inclusive ties, highest " +
+       "tiebreak among equal-ts snapshots, null payload when none") {
+    val right = Seq(
+      (1L, 10L, 1L, "A"), (1L, 10L, 2L, "B"), // equal ts: id 2 wins
+      (1L, 12L, 3L, "C")
+    ).toDF("k", "ts", "rid", "v")
+    val left = Seq(
+      (1L, 9L, 100L), (1L, 10L, 101L), (1L, 11L, 102L), (1L, 15L, 103L),
+      (2L, 10L, 200L) // no snapshots for key 2
+    ).toDF("k", "ts", "lid")
+    val got = Temporal.asofJoin(left, right, "k", "ts", "rid", Seq("v"))
+      .select($"lid", $"v", $"asof_ts")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got(100L) == ((None, None)), "before any snapshot -> null")
+    assert(got(101L) == ((Some("B"), Some(10L))), "inclusive + tiebreak")
+    assert(got(102L) == ((Some("B"), Some(10L))))
+    assert(got(103L) == ((Some("C"), Some(12L))))
+    assert(got(200L) == ((None, None)), "keyless -> null")
+  }
+
+  test("asofJoin plan: one hash exchange on the key (union-tag, no " +
+       "range-join pair blowup, no broadcast of the big side)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val snaps = ev.filter($"event_id" % 10 === 0)
+      .select($"user_id", $"ts", $"event_id", $"value".as("sv"))
+    val obs = ev.filter($"event_id" % 10 =!= 0)
+      .select($"event_id", $"user_id", $"ts")
+    val plan = Temporal.asofJoin(obs, snaps, "user_id", "ts",
+        "event_id", Seq("sv"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"as-of must be one key shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not pair-expand:\n$plan")
+  }
+
+  // --- recrawl planner (q111) ------------------------------------------------
+
+  test("recrawlPriority: lag-based change counting, integer intervals, " +
+       "rate buckets, single-observation default") {
+    val obsv = Seq(
+      // key 1: A A B B C -> 2 changes / 4 pairs = 0.5 -> warm
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "A"), (1L, 3L, 3L, "B"),
+      (1L, 4L, 4L, "B"), (1L, 5L, 5L, "C"),
+      // key 2: one observation -> cold, base interval
+      (2L, 1L, 6L, "A"),
+      // key 3: A B A B -> 3 changes / 3 pairs = 1.0 -> hot
+      (3L, 1L, 7L, "A"), (3L, 2L, 8L, "B"), (3L, 3L, 9L, "A"),
+      (3L, 4L, 10L, "B"),
+      // key 4: never changes over 3 obs -> cold, backoff
+      (4L, 1L, 11L, "A"), (4L, 2L, 12L, "A"), (4L, 3L, 13L, "A")
+    ).toDF("k", "ts", "id", "fp")
+    val got = Temporal.recrawlPriority(obsv, "k", "ts", "id", col("fp"),
+        baseInterval = 3600L, damp = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got(1L) == ((5L, 2L, 0.5, 3600L * 4 / 5, "warm")))
+    assert(got(2L) == ((1L, 0L, 0.0, 3600L, "cold")))
+    assert(got(3L) == ((4L, 3L, 1.0, 3600L * 3 / 7, "hot")))
+    assert(got(4L) == ((3L, 0L, 0.0, 3600L * 2, "cold")))
+  }
+
+  // --- BM25 (q109) -------------------------------------------------------------
+
+  test("bm25TopK: rarer terms outscore common ones, multi-term docs " +
+       "outscore single-term, absent-term docs drop, id tie-break") {
+    val docs = Seq(
+      (1L, "rare common common pad pad pad"),
+      (2L, "common common common pad pad pad"),
+      (3L, "rare common pad pad pad pad"),
+      (4L, "pad pad pad pad pad pad"),
+      (5L, "rare common common pad pad pad") // identical to doc 1
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", $"text",
+        Seq("rare", "common"), k = 10)
+      .select($"doc_id", $"score_fp").as[(Long, Long)].collect()
+    val score = got.toMap
+    assert(!score.contains(4L), "no query term -> filtered")
+    assert(score(1L) == score(5L), "identical docs score identically")
+    assert(got.map(_._1).toSeq.take(2) == Seq(1L, 5L),
+      "equal scores order by doc_id")
+    assert(score(1L) > score(2L),
+      "rare+common beats common-only at equal length")
+    assert(score(1L) > score(3L) || score(3L) > score(2L),
+      "sanity: scores are discriminative")
+    // determinism: the integer pipeline repeats bit-for-bit
+    val again = Retrieval.bm25TopK(docs, "doc_id", $"text",
+        Seq("rare", "common"), k = 10)
+      .select($"doc_id", $"score_fp").as[(Long, Long)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("bm25TopK plan: no token explode, no UDF, top-k via " +
+       "TakeOrderedAndProject (never a global sort)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Retrieval.bm25TopK(docs, "doc_id", $"text",
+        Seq("spark", "window"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"bm25 must not explode the corpus:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"bm25 must stay codegen:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n$plan")
+  }
+
+  // --- chunk windows (q112) ----------------------------------------------------
+
+  test("chunkWindows: stride-4 size-8 windows cover every token, short " +
+       "tails kept, empty docs emit nothing") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Retrieval.chunkWindows(docs, "doc_id", $"text", 8, 4)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, 8, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (1L, 1, 6, (5 to 10).map(i => s"t$i").mkString(" ")),
+      (1L, 2, 2, "t9 t10"),
+      (2L, 0, 3, "a b c")))
+  }
+
+  test("chunkWindows plan: zero exchanges (row-local explode only)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Retrieval.chunkWindows(docs, "doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"chunking must stay built-in:\n$plan")
+  }
+
+  // --- robots gate as an operator (q110) ----------------------------------------
+
+  test("Robots.gate: disallow prefixes block by path, unknown hosts " +
+       "pass, non-matching prefixes pass") {
+    val urls = Seq(
+      (1L, "http://h1/private/x"), // blocked by /private
+      (2L, "http://h1/public/x"),  // passes
+      (3L, "http://h2/private/x"), // h2 has no rules -> passes
+      (4L, "http://h1/priv"),      // /priv does not start with /private
+      (5L, "http://h1/")           // root passes
+    ).toDF("id", "url")
+    val rules = Seq(("h1", Seq("/private")))
+      .toDF("host", "disallow_prefixes")
+    val kept = graft.html.Robots.gate(urls, rules)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L, 4L, 5L))
+  }
+}
