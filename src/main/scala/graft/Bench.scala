@@ -68,7 +68,9 @@ object Bench {
     "q103_template_prefixes", "q104_sessionize", "q105_quality_signals",
     "q106_anchor_text", "q107_redirect_resolve", "q108_asof_state",
     "q109_bm25_topk", "q110_robots_gate", "q111_recrawl_priority",
-    "q112_chunk_windows")
+    "q112_chunk_windows", "q113_inverted_index", "q114_phrase_search",
+    "q115_kwic_snippets", "q116_trap_patterns", "q117_crawl_budget",
+    "q118_snapshot_diff")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

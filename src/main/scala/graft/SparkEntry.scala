@@ -1577,6 +1577,91 @@ object SparkEntry {
       graft.pipeline.Retrieval.chunkWindows(t(s, dir, "documents"),
           "doc_id", $"text", size = 8, stride = 4)
         .orderBy($"doc_id", $"chunk_id")
+    }),
+
+    // --- positional inverted index with a df cap (stopword
+    // suppression): one exchange, posting rows per (token, doc) — never
+    // a per-token array of the whole posting set. The synthetic vocab's
+    // hottest tokens sit above df 380, so the cap demonstrably fires.
+    // Positions serialize as a comma string for the cross-engine hash. --------
+    "q113_inverted_index" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Retrieval.invertedIndex(t(s, dir, "documents"),
+          "doc_id", $"text", maxDf = 380L)
+        .withColumn("positions", array_join($"positions", ","))
+        .orderBy($"token", $"doc_id")
+    }),
+
+    // --- exact phrase search: adjacent-token match as a row-local
+    // codegen'd projection — zero shuffles, no index required for a
+    // one-shot query. ---------------------------------------------------------
+    "q114_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Retrieval.phraseSearch(t(s, dir, "documents"),
+          "doc_id", $"text", Seq("fast", "table"))
+        .orderBy($"doc_id")
+    }),
+
+    // --- KWIC snippets: first occurrence of a term with 3 tokens of
+    // context either side; row-local, zero shuffles. --------------------------
+    "q115_kwic_snippets" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Retrieval.kwicSnippets(t(s, dir, "documents"),
+          "doc_id", $"text", term = "vector", context = 3)
+        .orderBy($"doc_id")
+    }),
+
+    // --- crawl-trap detection: digit runs masked to one pattern per
+    // page family — the calendar/session-id explosion detector. The
+    // /cal/ family collapses ~3000 lineitem urls per host into one
+    // pattern (trap); the /about page stays distinct (not). ------------------
+    "q116_trap_patterns" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val urls = li.select(concat(lit("http://h"),
+          ($"l_suppkey" % 20).cast("string"), lit("/cal/"),
+          $"l_orderkey".cast("string"), lit("/"),
+          $"l_linenumber".cast("string")).as("url"))
+        .union(li.select(concat(lit("http://h"),
+          ($"l_suppkey" % 20).cast("string"), lit("/about")).as("url")))
+      graft.pipeline.WebGraph.urlPatternTraps(urls, $"url",
+          maxDistinct = 100L)
+        .orderBy($"pattern")
+    }),
+
+    // --- crawl-budget allocation over the q48 PageRank scores:
+    // budget_i = (rank_fp · 100000) div Σ rank_fp, pure integers,
+    // the total broadcast back — deterministic proportional split. -----------
+    "q117_crawl_budget" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = t(s, dir, "lineitem")
+        .select(($"l_suppkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+      val pr = graft.pipeline.GraphOps.pageRankFixedPoint(edges, iters = 5)
+      graft.pipeline.WebGraph.crawlBudget(pr, "node", "rank_fp",
+          totalBudget = 100000L)
+        .orderBy($"node")
+    }),
+
+    // --- snapshot diff: added/removed/changed/unchanged between the
+    // archived corpus and a new snapshot — one full-outer join on
+    // (key, md5) projections, hashes shipped, never bodies. -------------------
+    "q118_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .withColumn("fp", md5(coalesce($"text", lit(""))))
+      val archive = docs.filter($"doc_id" % 10 =!= 9)
+        .select($"doc_id", $"fp")
+      val snapshot = docs.filter($"doc_id" % 10 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 3 === 0,
+            md5(concat(coalesce($"text", lit("")), lit(" v2"))))
+            .otherwise($"fp").as("fp"))
+      graft.pipeline.Temporal.snapshotDiff(archive, snapshot,
+          "doc_id", "fp")
+        .withColumnRenamed("key", "doc_id")
+        .orderBy($"doc_id")
     })
   )
 
@@ -4719,6 +4804,105 @@ object SparkEntry {
          SELECT doc_id, CAST(cid AS INT) AS chunk_id,
            CAST(len(ts[cid * 4 + 1 : cid * 4 + 8]) AS INT) AS n_tokens,
            array_to_string(ts[cid * 4 + 1 : cid * 4 + 8], ' ') AS chunk
-         FROM w ORDER BY doc_id, chunk_id"""
+         FROM w ORDER BY doc_id, chunk_id""",
+
+    // inverted index: parallel-unnest (token, position) pairs, per-
+    // (token, doc) tf + sorted position list, token-window df, the same
+    // df <= 380 cap, positions joined to one comma string.
+    "q113_inverted_index" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(
+             coalesce(text, ''), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id, unnest(ts) AS token,
+             unnest(generate_series(1, len(ts))) AS p
+           FROM d),
+         pl AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf,
+             array_to_string(list_sort(list(p)), ',') AS positions
+           FROM g GROUP BY 1, 2),
+         wd AS (SELECT *, CAST(count(*) OVER (PARTITION BY token)
+             AS BIGINT) AS df
+           FROM pl)
+         SELECT token, df, doc_id, tf, positions FROM wd
+         WHERE df <= 380 ORDER BY token, doc_id""",
+
+    // phrase search: 1-based adjacent-pair predicate over the token
+    // list; generate_series(1, 0) is empty so short docs are safe.
+    "q114_phrase_search" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(
+             coalesce(text, ''), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         m AS (SELECT doc_id, list_filter(
+             generate_series(1, greatest(len(ts) - 1, 0)),
+             i -> ts[i] = 'fast' AND ts[i + 1] = 'table') AS starts
+           FROM d)
+         SELECT doc_id, CAST(len(starts) AS INT) AS n_matches,
+           CAST(starts[1] AS INT) AS first_pos
+         FROM m WHERE len(starts) > 0 ORDER BY doc_id""",
+
+    // KWIC snippets: list_position first hit, inclusive 1-based slice
+    // clamped to the document bounds.
+    "q115_kwic_snippets" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(
+             coalesce(text, ''), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         p AS (SELECT doc_id, ts, list_position(ts, 'vector') AS pos
+           FROM d)
+         SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           array_to_string(
+             ts[greatest(pos - 3, 1) : least(pos + 3, len(ts))], ' ')
+             AS snippet
+         FROM p WHERE pos IS NOT NULL AND pos > 0 ORDER BY doc_id""",
+
+    // trap patterns: digit runs masked with the 'g' flag (replace ALL,
+    // matching Spark's regexp_replace), distinct-url counts + min
+    // example per pattern, trap threshold 100.
+    "q116_trap_patterns" ->
+      """WITH u AS (SELECT 'http://h' || CAST(l_suppkey % 20 AS VARCHAR)
+             || '/cal/' || CAST(l_orderkey AS VARCHAR) || '/' ||
+             CAST(l_linenumber AS VARCHAR) AS url
+           FROM lineitem
+           UNION ALL
+           SELECT 'http://h' || CAST(l_suppkey % 20 AS VARCHAR)
+             || '/about' AS url
+           FROM lineitem),
+         p AS (SELECT regexp_extract(url, '^http://([^/]+)', 1) ||
+             regexp_replace(
+               regexp_extract(url, '^http://[^/]+(/.*)$', 1),
+               '[0-9]+', 'N', 'g') AS pattern,
+             url
+           FROM u)
+         SELECT pattern, CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+           min(url) AS example, count(DISTINCT url) > 100 AS trap
+         FROM p GROUP BY 1 ORDER BY pattern""",
+
+    // crawl budget: the q48 PageRank oracle wrapped as a CTE, then the
+    // identical integer proportional split (sum // in HUGEINT, cast
+    // back).
+    "q117_crawl_budget" -> (
+      "WITH pr AS (" + pagerankOracleSql.replace("ORDER BY node", "") +
+        """)
+         SELECT node, rank_fp,
+           CAST((rank_fp * 100000) // t.s AS BIGINT) AS budget
+         FROM pr CROSS JOIN
+           (SELECT sum(rank_fp) AS s FROM pr) t
+         ORDER BY node"""),
+
+    // snapshot diff: full outer join of (key, md5) projections, the
+    // same %10/%3 synthetic slices and ' v2' content drift.
+    "q118_snapshot_diff" ->
+      """WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS fp,
+             md5(coalesce(text, '') || ' v2') AS fp2
+           FROM documents),
+         a AS (SELECT doc_id, fp FROM d WHERE doc_id % 10 <> 9),
+         b AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN fp2 ELSE fp END AS fp
+           FROM d WHERE doc_id % 10 <> 0)
+         SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.fp IS NULL THEN 'added'
+             WHEN b.fp IS NULL THEN 'removed'
+             WHEN a.fp <> b.fp THEN 'changed'
+             ELSE 'unchanged' END AS status
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         ORDER BY doc_id"""
   )
 }

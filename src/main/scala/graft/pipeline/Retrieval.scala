@@ -92,6 +92,95 @@ object Retrieval {
       .withColumn("score", round(col("score_fp") / lit(1e6), 6))
   }
 
+  /** Positional inverted index: one output row per (token, document)
+    * with the in-document positions — the materialization behind
+    * phrase/proximity search and any term-at-a-time ranking.
+    *
+    * Output: (token, df, doc_id, tf, positions) — positions 1-based
+    * ascending, df = distinct docs containing the token (the full df,
+    * computed BEFORE any cap). `maxDf` drops rows of tokens above the
+    * cap (stopword suppression — the standard index-size/skew lever);
+    * pass Long.MaxValue to keep everything.
+    *
+    * Scale shape: ONE hash exchange. The token-position explode is
+    * row-local; the explode output is repartitioned on token alone, so
+    * the (token, doc) aggregation, the df window and the cap filter
+    * all reuse that single partitioning. The posting LIST stays one
+    * row per (token, doc) — never a per-token array of the whole
+    * posting set, which is exactly what breaks on a 10^8-df token; the
+    * df cap bounds the one remaining hot spot (the hottest token's
+    * partition) the same way [[Dedup]] caps hot shingles. */
+  def invertedIndex(docs: DataFrame, id: String, text: Column,
+                    maxDf: Long = Long.MaxValue): DataFrame = {
+    require(maxDf >= 1, "need maxDf >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token"))
+    docs.select(col(id).as("doc_id"), posexplode(wsTokens(text)))
+      .select(col("col").as("token"), col("doc_id"),
+        (col("pos") + 1).as("p"))
+      .repartition(col("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p"))).as("positions"))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDf)
+      .select(col("token"), col("df"), col("doc_id"), col("tf"),
+        col("positions"))
+  }
+
+  /** Exact phrase search: documents containing `phrase` as adjacent
+    * tokens in order. Output: (id, n_matches, first_pos) — 1-based
+    * start positions, one row per matching doc.
+    *
+    * Deliberately NOT an index join: for a one-shot phrase over a
+    * corpus the right Spark shape is a row-local scan — each doc
+    * checks its own token array in one codegen'd projection, zero
+    * shuffles, and the text scan prunes to (id, text). Repeated-query
+    * workloads build [[invertedIndex]] once and join postings instead. */
+  def phraseSearch(docs: DataFrame, id: String, text: Column,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "need a non-empty phrase")
+    val toks = wsTokens(text)
+    val n = org.apache.spark.sql.functions.size(col("_toks"))
+    // starts = 1-based i where tokens[i+j-1] == phrase(j-1) for all j
+    val matchAt = (i: Column) => phrase.zipWithIndex.map { case (t, j) =>
+      element_at(col("_toks"), i + j) === lit(t)
+    }.reduce(_ && _)
+    // guard: sequence(1, x) DESCENDS when x < 1 (and element_at(_, 0)
+    // throws), so docs shorter than the phrase emit an empty start set
+    val starts = when(n < phrase.size, array().cast("array<int>"))
+      .otherwise(filter(
+        sequence(lit(1), n - (phrase.size - 1)), i => matchAt(i)))
+    docs.select(col(id), toks.as("_toks"))
+      .withColumn("_starts", starts)
+      .filter(org.apache.spark.sql.functions.size(col("_starts")) > 0)
+      .select(col(id),
+        org.apache.spark.sql.functions.size(col("_starts"))
+          .as("n_matches"),
+        element_at(col("_starts"), 1).as("first_pos"))
+  }
+
+  /** KWIC (keyword-in-context) snippets: for every document containing
+    * `term`, the first occurrence position and a window of `context`
+    * tokens on each side. Row-local projection, zero shuffles. */
+  def kwicSnippets(docs: DataFrame, id: String, text: Column,
+                   term: String, context: Int = 3): DataFrame = {
+    require(context >= 0, "need context >= 0")
+    val toks = wsTokens(text)
+    val p = array_position(col("_toks"), term)
+    docs.select(col(id), toks.as("_toks"))
+      .withColumn("pos", p)
+      .filter(col("pos") > 0)
+      .select(col(id), col("pos"),
+        array_join(slice(col("_toks"),
+          greatest(col("pos") - context, lit(1L)).cast("int"),
+          (least(col("pos") + context,
+            org.apache.spark.sql.functions.size(col("_toks"))
+              .cast("long")) -
+            greatest(col("pos") - context, lit(1L)) + 1).cast("int")),
+          " ").as("snippet"))
+  }
+
   /** Overlapping chunk windows: cut each document's token stream into
     * windows of `size` tokens every `stride` tokens (stride < size ⇒
     * overlap), the standard retrieval-unit materialization. A window

@@ -63,6 +63,32 @@ object Temporal {
         col("_snap._sts").as("asof_ts"): _*)
   }
 
+  /** Snapshot diff: the incremental-crawl report between an archived
+    * corpus and a new snapshot, keyed by `key` with equality decided by
+    * `fingerprint` (a content hash — compare hashes, never the bodies).
+    * Output: one row per key, (key, status) with status ∈ added /
+    * removed / changed / unchanged.
+    *
+    * One full-outer hash join on the key — both sides project to
+    * (key, fingerprint) before shuffling, so the join ships hashes,
+    * not documents. The status breakdown feeds recrawl planning
+    * ([[recrawlPriority]] wants exactly the changed set) and snapshot
+    * dedup (the unchanged set is [[graft.pipeline.Dedup]]'s
+    * snapshotDedup fast path). */
+  def snapshotDiff(archive: DataFrame, snapshot: DataFrame,
+                   key: String, fingerprint: String): DataFrame = {
+    val a = archive.select(col(key).as("key"),
+      col(fingerprint).as("_fa"))
+    val b = snapshot.select(col(key).as("key"),
+      col(fingerprint).as("_fb"))
+    a.join(b, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("_fa").isNull, lit("added"))
+          .when(col("_fb").isNull, lit("removed"))
+          .when(col("_fa") =!= col("_fb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Change-rate recrawl planner: per key, order the observation
     * stream by (ts, tiebreak) and count fingerprint CHANGES between
     * consecutive observations (lag comparison — no pairwise join).

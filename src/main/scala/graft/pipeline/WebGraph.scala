@@ -52,6 +52,54 @@ object WebGraph {
     ranked.select("dst", "anchor", "links", "sources", "rank", "in_links")
   }
 
+  /** Crawl-budget allocation: split an epoch's fetch budget across
+    * nodes (hosts/domains) proportionally to a fixed-point importance
+    * score — the batch analogue of the reference's softmax queue bias
+    * (deterministic split instead of sampling). budget_i =
+    * (score_i · totalBudget) div Σ score — pure integers, so any
+    * engine reproduces the allocation bit-for-bit; floor truncation
+    * under-allocates by < |nodes| slots (callers wanting exhaustion
+    * add a largest-remainder pass).
+    *
+    * The total is a 1-row aggregate broadcast back — never a driver
+    * collect; allocation itself is a codegen'd projection. */
+  def crawlBudget(ranks: DataFrame, node: String, rankFp: String,
+                  totalBudget: Long): DataFrame = {
+    require(totalBudget >= 1, "need a positive budget")
+    val tot = ranks.agg(sum(col(rankFp)).as("_t"))
+    ranks.select(col(node).as("node"), col(rankFp).as("rank_fp"))
+      .crossJoin(broadcast(tot))
+      .select(col("node"), col("rank_fp"),
+        expr(s"(rank_fp * ${totalBudget}L) div greatest(_t, 1L)")
+          .as("budget"))
+  }
+
+  /** Crawl-trap detection: mask digit runs in URL paths to a pattern
+    * and count distinct URLs per (host, pattern) — a calendar page,
+    * session-id echo or faceted-search explosion shows up as ONE
+    * pattern with an unbounded URL count (the page-level cousin of the
+    * reference's duplicate-segment drop, dd_crawler/
+    * middleware/dupesegments.py:40-73, which catches only within-URL
+    * repetition). Output: (pattern, n_urls, example, trap) with
+    * trap = n_urls > maxDistinct; `example` is the lexicographic min
+    * URL of the pattern (deterministic).
+    *
+    * One map-side-combinable exchange on the pattern; the masking is a
+    * codegen'd projection. Feed `trap` patterns back as a frontier
+    * push gate. */
+  def urlPatternTraps(urls: DataFrame, url: org.apache.spark.sql.Column,
+                      maxDistinct: Long): DataFrame = {
+    require(maxDistinct >= 1, "need maxDistinct >= 1")
+    val host = graft.urlops.UrlFunctions.url_host(url)
+    val path = graft.urlops.UrlFunctions.url_path(url)
+    val pattern = concat(host, regexp_replace(path, "[0-9]+", "N"))
+    urls.select(pattern.as("pattern"), url.as("_u"))
+      .groupBy(col("pattern"))
+      .agg(countDistinct(col("_u")).as("n_urls"),
+        min(col("_u")).as("example"))
+      .withColumn("trap", col("n_urls") > maxDistinct)
+  }
+
   /** Resolve every redirect source to its terminal target by pointer
     * doubling: O(log maxHops) self-join rounds instead of O(chain
     * length) sequential lookups — the [[Dedup]] connected-components

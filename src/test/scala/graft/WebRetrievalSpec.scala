@@ -220,6 +220,145 @@ class WebRetrievalSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("ScalaUDF"), s"chunking must stay built-in:\n$plan")
   }
 
+  // --- crawl-trap detection (q116) ------------------------------------------------
+
+  test("urlPatternTraps: digit runs mask to one pattern per family, " +
+       "host digits survive, min-url example, threshold flag") {
+    val urls = Seq(
+      "http://h5/cal/2024/01", "http://h5/cal/2024/02",
+      "http://h5/cal/2025/11",
+      "http://h5/about",
+      "http://h6/cal/1/1"
+    ).toDF("url")
+    val got = graft.pipeline.WebGraph.urlPatternTraps(urls, $"url",
+        maxDistinct = 2L)
+      .as[(String, Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("h5/cal/N/N") ==
+      ((3L, "http://h5/cal/2024/01", true)))
+    assert(got("h5/about") == ((1L, "http://h5/about", false)))
+    assert(got("h6/cal/N/N") == ((1L, "http://h6/cal/1/1", false)))
+  }
+
+  // --- crawl budget (q117) ----------------------------------------------------------
+
+  test("crawlBudget: integer proportional split, floor truncation " +
+       "bounded by node count, zero-score nodes get zero") {
+    val ranks = Seq((1L, 600L), (2L, 300L), (3L, 99L), (4L, 0L))
+      .toDF("node", "rank_fp")
+    val got = graft.pipeline.WebGraph.crawlBudget(ranks, "node",
+        "rank_fp", totalBudget = 1000L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> 600L, 2L -> 300L, 3L -> 99L, 4L -> 0L))
+    val skew = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "rank_fp")
+    val g2 = graft.pipeline.WebGraph.crawlBudget(skew, "node",
+        "rank_fp", 100L).as[(Long, Long, Long)].collect().map(_._3)
+    assert(g2.forall(_ == 33L), "floor split: 100 div 3 each")
+    assert(100L - g2.sum < 3L, "under-allocation < |nodes|")
+  }
+
+  // --- snapshot diff (q118) ----------------------------------------------------------
+
+  test("snapshotDiff: added/removed/changed/unchanged from one " +
+       "full-outer fingerprint join") {
+    val archive = Seq((1L, "fa"), (2L, "fb"), (3L, "fc"))
+      .toDF("doc_id", "fp")
+    val snapshot = Seq((2L, "fb"), (3L, "fc2"), (4L, "fd"))
+      .toDF("doc_id", "fp")
+    val got = Temporal.snapshotDiff(archive, snapshot, "doc_id", "fp")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  // --- inverted index (q113) -----------------------------------------------------
+
+  test("invertedIndex: per-(token,doc) tf and sorted 1-based positions, " +
+       "token df over all docs, the maxDf cap drops hot tokens") {
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "b a"),
+      (3L, "c c")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.invertedIndex(docs, "doc_id", $"text",
+        maxDf = 2L)
+      .withColumn("positions", array_join($"positions", ","))
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._3) -> ((r._2, r._4, r._5))).toMap
+    // 'a' has df 2 (docs 1,2); 'b' df 2; 'c' df 2; cap keeps all at 2
+    assert(got(("a", 1L)) == ((2L, 2L, "1,3")))
+    assert(got(("a", 2L)) == ((2L, 1L, "2")))
+    assert(got(("c", 3L)) == ((2L, 2L, "1,2")))
+    // cap = 1 drops every df-2 token entirely
+    assert(Retrieval.invertedIndex(docs, "doc_id", $"text", maxDf = 1L)
+      .count() == 0)
+  }
+
+  test("invertedIndex plan: ONE hash exchange — the token repartition " +
+       "feeds the (token,doc) agg, the df window and the cap") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Retrieval.invertedIndex(docs, "doc_id", $"text", 100L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"index build must shuffle exactly once:\n$plan")
+  }
+
+  // --- phrase search (q114) --------------------------------------------------------
+
+  test("phraseSearch: adjacent in-order matches with overlap, " +
+       "short docs safe, non-matches excluded") {
+    val docs = Seq(
+      (1L, "x fast table y fast table"),
+      (2L, "fast fast fast"),          // 'fast fast' overlaps at 1,2
+      (3L, "table fast"),              // reversed: no match
+      (4L, "fast"),                    // shorter than the phrase
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", $"text",
+        Seq("fast", "table"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(1L -> ((2, 2))))
+    val overlap = Retrieval.phraseSearch(docs, "doc_id", $"text",
+        Seq("fast", "fast"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(overlap == Map(2L -> ((2, 1))), "overlapping starts both count")
+  }
+
+  test("phraseSearch plan: zero exchanges (row-local projection)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Retrieval.phraseSearch(docs, "doc_id", $"text",
+        Seq("fast", "table"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"phrase search must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"must stay built-in:\n$plan")
+  }
+
+  // --- KWIC snippets (q115) ---------------------------------------------------------
+
+  test("kwicSnippets: first occurrence, context clamped at both " +
+       "document edges, absent term excluded") {
+    val docs = Seq(
+      (1L, "hit a b c d"),        // at start: left clamp
+      (2L, "a b c d hit"),        // at end: right clamp
+      (3L, "a b hit c d"),        // middle: full window
+      (4L, "a hit b hit c"),      // first occurrence wins
+      (5L, "no match here")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.kwicSnippets(docs, "doc_id", $"text", "hit", 2)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, "hit a b")))
+    assert(got(2L) == ((5L, "c d hit")))
+    assert(got(3L) == ((3L, "a b hit c d")))
+    assert(got(4L) == ((2L, "a hit b hit")))
+    assert(!got.contains(5L))
+  }
+
   // --- robots gate as an operator (q110) ----------------------------------------
 
   test("Robots.gate: disallow prefixes block by path, unknown hosts " +
