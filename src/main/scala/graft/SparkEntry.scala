@@ -1662,6 +1662,54 @@ object SparkEntry {
           "doc_id", "fp")
         .withColumnRenamed("key", "doc_id")
         .orderBy($"doc_id")
+    }),
+
+    // --- phrase search through the prebuilt positional index: postings
+    // for each phrase slot equi-joined on doc_id, adjacency as a
+    // row-local array probe — the corpus text is never touched. The
+    // index is UNCAPPED so the result set is pinned equal to q114's
+    // scan path (same phrase). ------------------------------------------------
+    "q119_phrase_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val idx = graft.pipeline.Retrieval.invertedIndex(
+        t(s, dir, "documents"), "doc_id", $"text")
+      graft.pipeline.Retrieval.phraseSearchIndexed(idx,
+          Seq("fast", "table"))
+        .orderBy($"doc_id")
+    }),
+
+    // --- deterministic politeness timeline: per-host fetch rounds of
+    // at most rpm=3 slots, rank by (priority desc, url) — the batch
+    // layout of the reference's per-domain request-rate cap. -----------------
+    "q120_politeness_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "lineitem")
+        .select(concat(lit("h"), ($"l_suppkey" % 20).cast("string"))
+            .as("host"),
+          concat(lit("http://h"), ($"l_suppkey" % 20).cast("string"),
+            lit("/p/"), $"l_orderkey".cast("string"), lit("/"),
+            $"l_linenumber".cast("string")).as("url"),
+          ($"l_partkey" % 100).cast("int").as("priority"))
+      graft.pipeline.WebGraph.politenessSchedule(urls, $"host", $"url",
+          $"priority", rpm = 3)
+        .orderBy($"host", $"round", $"slot")
+    }),
+
+    // --- host URL-depth profile: path-slash depth histogram per host —
+    // the crawl-shape audit behind depth-limit tuning. -----------------------
+    "q121_host_depth_profile" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val urls = li.select(concat(lit("http://h"),
+          ($"l_suppkey" % 20).cast("string"), lit("/a/"),
+          ($"l_orderkey" % 7).cast("string")).as("url"))
+        .union(li.select(concat(lit("http://h"),
+          ($"l_suppkey" % 20).cast("string"), lit("/a/b/c/"),
+          ($"l_linenumber").cast("string")).as("url")))
+        .union(li.select(concat(lit("http://h"),
+          ($"l_suppkey" % 20).cast("string"), lit("/about")).as("url")))
+      graft.pipeline.WebGraph.hostDepthProfile(urls, $"url")
+        .orderBy($"host", $"depth")
     })
   )
 
@@ -4903,6 +4951,67 @@ object SparkEntry {
              WHEN a.fp <> b.fp THEN 'changed'
              ELSE 'unchanged' END AS status
          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // indexed phrase search: the uncapped index as CTEs, per-slot
+    // posting selection, doc_id equi-join, adjacency as a list probe —
+    // must equal q114's scan-path result exactly.
+    "q119_phrase_indexed" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(
+             coalesce(text, ''), '\s+'), x -> x <> '') AS ts
+           FROM documents),
+         g AS (SELECT doc_id, unnest(ts) AS token,
+             unnest(generate_series(1, len(ts))) AS p
+           FROM d),
+         pl AS (SELECT token, doc_id, list_sort(list(p)) AS ps
+           FROM g GROUP BY 1, 2),
+         p0 AS (SELECT doc_id, ps FROM pl WHERE token = 'fast'),
+         p1 AS (SELECT doc_id, ps FROM pl WHERE token = 'table'),
+         m AS (SELECT p0.doc_id, list_filter(p0.ps,
+             p -> list_contains(p1.ps, p + 1)) AS starts
+           FROM p0 JOIN p1 USING (doc_id))
+         SELECT doc_id, CAST(len(starts) AS INT) AS n_matches,
+           CAST(starts[1] AS INT) AS first_pos
+         FROM m WHERE len(starts) > 0 ORDER BY doc_id""",
+
+    // politeness schedule: the same synthetic per-host batch, the same
+    // (priority desc, url) row_number, integer div/mod round+slot.
+    "q120_politeness_schedule" ->
+      """WITH u AS (SELECT 'h' || CAST(l_suppkey % 20 AS VARCHAR) AS host,
+             'http://h' || CAST(l_suppkey % 20 AS VARCHAR) || '/p/' ||
+               CAST(l_orderkey AS VARCHAR) || '/' ||
+               CAST(l_linenumber AS VARCHAR) AS url,
+             CAST(l_partkey % 100 AS INT) AS priority
+           FROM lineitem),
+         r AS (SELECT host, url, priority, row_number() OVER (
+             PARTITION BY host ORDER BY priority DESC, url) AS rk
+           FROM u)
+         SELECT host, url, priority,
+           CAST((rk - 1) // 3 AS INT) AS round,
+           CAST((rk - 1) % 3 AS INT) AS slot
+         FROM r ORDER BY host, round, slot""",
+
+    // host depth profile: host + path-slash count with the 'g' flag
+    // (replace ALL — Spark regexp_replace semantics), grouped counts.
+    "q121_host_depth_profile" ->
+      """WITH u AS (SELECT 'http://h' || CAST(l_suppkey % 20 AS VARCHAR)
+             || '/a/' || CAST(l_orderkey % 7 AS VARCHAR) AS url
+           FROM lineitem
+           UNION ALL
+           SELECT 'http://h' || CAST(l_suppkey % 20 AS VARCHAR)
+             || '/a/b/c/' || CAST(l_linenumber AS VARCHAR) AS url
+           FROM lineitem
+           UNION ALL
+           SELECT 'http://h' || CAST(l_suppkey % 20 AS VARCHAR)
+             || '/about' AS url
+           FROM lineitem),
+         p AS (SELECT regexp_extract(url, '^http://([^/]+)', 1) AS host,
+             length(regexp_replace(
+               regexp_extract(url, '^http://[^/]+(/.*)$', 1),
+               '[^/]', '', 'g')) AS depth
+           FROM u)
+         SELECT host, CAST(depth AS INT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_urls
+         FROM p GROUP BY 1, 2 ORDER BY host, depth"""
   )
 }

@@ -160,6 +160,39 @@ object Retrieval {
         element_at(col("_starts"), 1).as("first_pos"))
   }
 
+  /** Phrase search THROUGH a prebuilt [[invertedIndex]] — the
+    * repeated-query counterpart of [[phraseSearch]]'s one-shot scan.
+    * Output: (doc_id, n_matches, first_pos), identical to the scan
+    * path (pinned by test) when the index is uncapped.
+    *
+    * Scale shape: each phrase slot filters the index to ONE token's
+    * postings (a partition-pruned / predicate-pushed read when the
+    * index is stored partitioned by token), then |phrase|-1 equi-joins
+    * on doc_id — the corpus text is never touched and nothing is
+    * proportional to corpus size except the pushed-down posting reads.
+    * Adjacency is a row-local array probe: starts = positions of
+    * slot 0 where every slot j contains p+j (postings are sorted, so
+    * first_pos is element 1). */
+  def phraseSearchIndexed(index: DataFrame,
+                          phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "need a non-empty phrase")
+    val slots = phrase.zipWithIndex.map { case (t, j) =>
+      index.filter(col("token") === lit(t))
+        .select(col("doc_id"), col("positions").as(s"_p$j"))
+    }
+    val joined = slots.reduce(_.join(_, Seq("doc_id")))
+    val starts = filter(col("_p0"), p =>
+      (1 until phrase.size)
+        .map(j => array_contains(col(s"_p$j"), p + j))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+    joined.withColumn("_starts", starts)
+      .filter(org.apache.spark.sql.functions.size(col("_starts")) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("_starts"))
+          .as("n_matches"),
+        element_at(col("_starts"), 1).as("first_pos"))
+  }
+
   /** KWIC (keyword-in-context) snippets: for every document containing
     * `term`, the first occurrence position and a window of `context`
     * tokens on each side. Row-local projection, zero shuffles. */

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,52 @@ object WebGraph {
       .agg(countDistinct(col("_u")).as("n_urls"),
         min(col("_u")).as("example"))
       .withColumn("trap", col("n_urls") > maxDistinct)
+  }
+
+  /** Deterministic politeness timeline: assign each URL of a pending
+    * batch to a fetch round so no host ever sees more than `rpm`
+    * fetches per round — the batch materialization of the reference's
+    * per-domain request-rate cap (dd_crawler/queue.py slot budgeting),
+    * laid out ahead of time instead of enforced live. Output:
+    * (host, url, priority, round, slot) with rank = row_number over
+    * host by (priority desc, url asc), round = (rank−1) div rpm,
+    * slot = (rank−1) mod rpm — pure integers, bit-reproducible.
+    *
+    * One hash exchange on host; the per-host window sorts only that
+    * host's pending rows (a hot host is one partition's sort — salting
+    * is NOT applicable here because ranks must be host-global, but the
+    * pending batch per host is politeness-bounded upstream by the
+    * frontier's pop budget, so the window input is already capped). */
+  def politenessSchedule(urls: DataFrame, host: Column, url: Column,
+                         priority: Column, rpm: Int): DataFrame = {
+    require(rpm >= 1, "need rpm >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("url"))
+    urls.select(host.as("host"), url.as("url"),
+        priority.as("priority"))
+      .withColumn("_rk", row_number().over(w))
+      .select(col("host"), col("url"), col("priority"),
+        expr(s"(_rk - 1) div $rpm").cast("int").as("round"),
+        expr(s"(_rk - 1) % $rpm").cast("int").as("slot"))
+  }
+
+  /** Host URL-depth profile: how deep each host's crawled URL tree
+    * goes — depth = path-segment count (slash count of the URL path),
+    * one row per (host, depth) with the URL count. The crawl-shape
+    * audit behind depth-limit tuning (the reference clamps depth at
+    * int16, UrlFunctions.depth_clamp): a host whose mass sits at
+    * depth ≥ 8 is template spidering, not content.
+    *
+    * One map-side-combinable exchange; depth is a codegen'd
+    * projection (native url_path + regexp). */
+  def hostDepthProfile(urls: DataFrame, url: Column): DataFrame = {
+    val host = graft.urlops.UrlFunctions.url_host(url)
+    val path = graft.urlops.UrlFunctions.url_path(url)
+    val depth = length(regexp_replace(path, "[^/]", ""))
+    urls.select(host.as("host"), depth.as("depth"))
+      .groupBy(col("host"), col("depth"))
+      .agg(count(lit(1)).as("n_urls"))
   }
 
   /** Resolve every redirect source to its terminal target by pointer

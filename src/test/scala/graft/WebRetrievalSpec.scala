@@ -376,4 +376,92 @@ class WebRetrievalSpec extends AnyFunSuite with SparkSuite {
       .select($"id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(2L, 3L, 4L, 5L))
   }
+
+  // --- indexed phrase search (q119) -------------------------------------------
+
+  test("phraseSearchIndexed equals the scan path on the corpus table " +
+       "(uncapped index), and handles overlap/absent-token cases") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", $"text")
+    val viaIndex = Retrieval.phraseSearchIndexed(idx,
+        Seq("fast", "table"))
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    val viaScan = Retrieval.phraseSearch(docs, "doc_id", $"text",
+        Seq("fast", "table"))
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    assert(viaIndex == viaScan && viaScan.nonEmpty,
+      s"index path must equal the scan path (${viaScan.size} matches)")
+    // overlap: 'fast fast' in a doc of three 'fast's -> starts 1,2
+    val tiny = Seq((1L, "fast fast fast"), (2L, "fast zz"))
+      .toDF("doc_id", "text")
+    val tinyIdx = Retrieval.invertedIndex(tiny, "doc_id", $"text")
+    val got = Retrieval.phraseSearchIndexed(tinyIdx, Seq("fast", "fast"))
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 2, 1)))
+    // a token absent from the index -> empty result, no error
+    assert(Retrieval.phraseSearchIndexed(tinyIdx,
+      Seq("fast", "nope")).count() == 0)
+  }
+
+  test("phraseSearchIndexed plan: postings filtered per slot before the " +
+       "doc_id join; adjacency is a row-local array probe (no UDF)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", $"text")
+    val plan = Retrieval.phraseSearchIndexed(idx, Seq("fast", "table"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("(token") || plan.contains("token#"),
+      s"slot filters must reach the index scan:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"must stay built-in:\n$plan")
+  }
+
+  // --- politeness schedule (q120) ---------------------------------------------
+
+  test("politenessSchedule: at most rpm urls per (host, round), priority " +
+       "desc then url asc within a host, rounds dense from 0") {
+    val urls = Seq(
+      ("h1", "http://h1/a", 5), ("h1", "http://h1/b", 9),
+      ("h1", "http://h1/c", 9), ("h1", "http://h1/d", 1),
+      ("h1", "http://h1/e", 7),
+      ("h2", "http://h2/x", 3)
+    ).toDF("host", "url", "priority")
+    val got = WebGraph.politenessSchedule(urls, $"host", $"url",
+        $"priority", rpm = 2)
+      .as[(String, String, Int, Int, Int)].collect()
+      .map(r => r._2 -> ((r._4, r._5))).toMap
+    // h1 rank order: b(9) c(9, url tie-break) e(7) a(5) d(1)
+    assert(got("http://h1/b") == ((0, 0)))
+    assert(got("http://h1/c") == ((0, 1)))
+    assert(got("http://h1/e") == ((1, 0)))
+    assert(got("http://h1/a") == ((1, 1)))
+    assert(got("http://h1/d") == ((2, 0)))
+    assert(got("http://h2/x") == ((0, 0)))
+    // cap invariant on a bigger random-ish batch
+    val big = (1 to 500).map(i =>
+      (s"h${i % 7}", f"http://h${i % 7}/p$i%03d", i * 131 % 97))
+      .toDF("host", "url", "priority")
+    val sched = WebGraph.politenessSchedule(big, $"host", $"url",
+      $"priority", rpm = 3)
+    val over = sched.groupBy($"host", $"round")
+      .agg(count(lit(1)).as("n")).filter($"n" > 3).count()
+    assert(over == 0, "no (host, round) may exceed rpm")
+    assert(sched.count() == 500)
+  }
+
+  // --- host depth profile (q121) ------------------------------------------------
+
+  test("hostDepthProfile: depth = path slash count, per-host histogram") {
+    val urls = Seq(
+      "http://h1/a/b",      // depth 2
+      "http://h1/a/c",      // depth 2
+      "http://h1/about",    // depth 1
+      "http://h2/x/y/z/w",  // depth 4
+      "http://h2/"          // depth 1
+    ).toDF("url")
+    val got = WebGraph.hostDepthProfile(urls, $"url")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("h1", 2, 2L), ("h1", 1, 1L), ("h2", 4, 1L),
+      ("h2", 1, 1L)))
+  }
 }
