@@ -70,7 +70,10 @@ object Bench {
     "q109_bm25_topk", "q110_robots_gate", "q111_recrawl_priority",
     "q112_chunk_windows", "q113_inverted_index", "q114_phrase_search",
     "q115_kwic_snippets", "q116_trap_patterns", "q117_crawl_budget",
-    "q118_snapshot_diff")
+    "q118_snapshot_diff", "q119_phrase_indexed",
+    "q120_politeness_schedule", "q121_host_depth_profile",
+    "q122_domain_graph", "q123_degree_histogram", "q124_reciprocity",
+    "q125_url_params", "q126_mirrors", "q127_lang_consistency")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -1710,6 +1710,83 @@ object SparkEntry {
           ($"l_suppkey" % 20).cast("string"), lit("/about")).as("url")))
       graft.pipeline.WebGraph.hostDepthProfile(urls, $"url")
         .orderBy($"host", $"depth")
+    }),
+
+    // --- domain-level rollup of the page link graph: one exchange
+    // computes links + distinct source pages per host pair. -----------------
+    "q122_domain_graph" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem").select(
+        concat(lit("http://h"), ($"l_suppkey" % 20).cast("string"),
+          lit("/p/"), ($"l_orderkey" % 500).cast("string")).as("src_url"),
+        concat(lit("http://h"), ($"l_partkey" % 30).cast("string"),
+          lit("/q/"), $"l_linenumber".cast("string")).as("dst_url"))
+      graft.pipeline.WebGraph.domainGraph(edges, $"src_url", $"dst_url")
+        .orderBy($"src_host", $"dst_host")
+    }),
+
+    // --- log2-bucketed in/out degree distribution (bucket via binary
+    // string length — integer-exact at powers of two). ----------------------
+    "q123_degree_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .select(($"l_suppkey" % 300).as("src"),
+          ($"l_partkey" % 800).as("dst"))
+        .distinct()
+      graft.pipeline.WebGraph.degreeHistogram(edges, "src", "dst")
+        .orderBy($"direction", $"bucket")
+    }),
+
+    // --- edge reciprocity (link-ring signal): distinct non-loop edges
+    // whose reverse exists, ratio in integer ppm. ----------------------------
+    "q124_reciprocity" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .select(($"l_suppkey" % 50).as("src"), ($"l_partkey" % 50).as("dst"))
+      graft.pipeline.WebGraph.reciprocity(edges, "src", "dst")
+    }),
+
+    // --- URL query-parameter audit: near-unique-valued params (session
+    // ids) flagged as strip candidates; 'page' (5 values) is not. ------------
+    "q125_url_params" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "lineitem").select(concat(
+        lit("http://h"), ($"l_suppkey" % 10).cast("string"),
+        lit("/item?id="), ($"l_orderkey" % 5000).cast("string"),
+        lit("&page="), ($"l_linenumber" % 5).cast("string"),
+        lit("&sess="), (($"l_orderkey" * 7919 + $"l_linenumber") % 1000000)
+          .cast("string")).as("url"))
+      graft.pipeline.WebGraph.urlParamAudit(urls, $"url",
+          minUrls = 10L, dominancePct = 90L)
+        .orderBy($"host", $"param")
+    }),
+
+    // --- mirror-site candidates: host pairs sharing content
+    // fingerprints, containment over the smaller side, hot-fp cap.
+    // Even hosts carry fp pool {0..399}, odd hosts {250..649}: same-
+    // parity pairs are full mirrors (10^6 ppm), cross-parity pairs
+    // overlap 150/400 = 375000 ppm — below the 500000 threshold, so
+    // both flag values appear. ------------------------------------------------
+    "q126_mirrors" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "lineitem").select(
+        concat(lit("h"), ($"l_orderkey" % 6).cast("string")).as("host"),
+        md5(($"l_partkey" % 400 + (($"l_orderkey" % 6) % 2) * 250)
+          .cast("string")).as("fp"))
+      graft.pipeline.WebGraph.mirrorCandidates(pages, $"host", $"fp",
+          maxHostsPerFp = 6L, minShared = 3L,
+          minContainmentPpm = 500000L)
+        .orderBy($"host_a", $"host_b")
+    }),
+
+    // --- per-source language consistency: dominant language share in
+    // integer percent, mixed-source flag. ------------------------------------
+    "q127_lang_consistency" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.TextAnalysis.languageConsistency(
+          t(s, dir, "documents"), $"source", $"lang", minSharePct = 80L)
+        .withColumnRenamed("grp", "source")
+        .orderBy($"source")
     })
   )
 
@@ -5012,6 +5089,127 @@ object SparkEntry {
            FROM u)
          SELECT host, CAST(depth AS INT) AS depth,
            CAST(count(*) AS BIGINT) AS n_urls
-         FROM p GROUP BY 1, 2 ORDER BY host, depth"""
+         FROM p GROUP BY 1, 2 ORDER BY host, depth""",
+
+    // domain rollup: same synthetic page edges, host = URL authority,
+    // links + distinct source pages per (src_host, dst_host).
+    "q122_domain_graph" ->
+      """WITH e AS (SELECT
+             'http://h' || CAST(l_suppkey % 20 AS VARCHAR) || '/p/' ||
+               CAST(l_orderkey % 500 AS VARCHAR) AS src_url,
+             'http://h' || CAST(l_partkey % 30 AS VARCHAR) || '/q/' ||
+               CAST(l_linenumber AS VARCHAR) AS dst_url
+           FROM lineitem)
+         SELECT regexp_extract(src_url, '^http://([^/]+)', 1) AS src_host,
+           regexp_extract(dst_url, '^http://([^/]+)', 1) AS dst_host,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_pages,
+           regexp_extract(src_url, '^http://([^/]+)', 1) =
+             regexp_extract(dst_url, '^http://([^/]+)', 1) AS internal
+         FROM e GROUP BY 1, 2 ORDER BY src_host, dst_host""",
+
+    // degree histogram: distinct edges, per-direction degree, bucket =
+    // binary-string length - 1 (integer-exact log2 floor).
+    "q123_degree_histogram" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey % 300 AS src,
+             l_partkey % 800 AS dst FROM lineitem),
+         degs AS (
+           SELECT 'out' AS direction, src AS node,
+             CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 2
+           UNION ALL
+           SELECT 'in' AS direction, dst AS node,
+             CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 2)
+         SELECT direction,
+           CAST(length(bin(deg)) - 1 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           min(deg) AS min_deg, max(deg) AS max_deg
+         FROM degs GROUP BY 1, 2 ORDER BY direction, bucket""",
+
+    // reciprocity: distinct non-loop edges whose reverse exists, ppm.
+    "q124_reciprocity" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey % 50 AS BIGINT) AS s,
+             CAST(l_partkey % 50 AS BIGINT) AS d
+           FROM lineitem WHERE l_suppkey % 50 <> l_partkey % 50),
+         r AS (SELECT count(*) AS n_reciprocal FROM e
+           WHERE EXISTS (SELECT 1 FROM e e2
+                         WHERE e2.s = e.d AND e2.d = e.s))
+         SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+           CAST(n_reciprocal * 1000000 //
+             (SELECT count(*) FROM e) AS BIGINT) AS reciprocity_ppm
+         FROM r""",
+
+    // URL parameter audit: first-'=' split, per-(host, key) URL and
+    // distinct-value counts, near-unique flag at >= 90% over >= 10 urls.
+    "q125_url_params" ->
+      """WITH u AS (SELECT
+             'http://h' || CAST(l_suppkey % 10 AS VARCHAR) ||
+               '/item?id=' || CAST(l_orderkey % 5000 AS VARCHAR) ||
+               '&page=' || CAST(l_linenumber % 5 AS VARCHAR) ||
+               '&sess=' || CAST((l_orderkey * 7919 + l_linenumber)
+                 % 1000000 AS VARCHAR) AS url
+           FROM lineitem),
+         kv AS (SELECT regexp_extract(url, '^http://([^/]+)', 1) AS host,
+             url,
+             unnest(list_filter(string_split(
+               regexp_extract(regexp_replace(url, '#.*$', ''),
+                 '\?(.*)$', 1), '&'), x -> x <> '')) AS pair
+           FROM u)
+         SELECT host, regexp_extract(pair, '^([^=]*)', 1) AS param,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT regexp_extract(pair, '^[^=]*=(.*)$', 1))
+             AS BIGINT) AS n_values,
+           (count(*) >= 10 AND
+            count(DISTINCT regexp_extract(pair, '^[^=]*=(.*)$', 1)) * 100
+              >= count(*) * 90) AS strip_candidate
+         FROM kv GROUP BY 1, 2 ORDER BY host, param""",
+
+    // mirror candidates: distinct (host, fp), hot fps (> 6 hosts)
+    // dropped before the pair join, totals pre-cap, containment over
+    // the smaller side in ppm.
+    "q126_mirrors" ->
+      """WITH d AS (SELECT DISTINCT
+             'h' || CAST(l_orderkey % 6 AS VARCHAR) AS host,
+             md5(CAST(l_partkey % 400 + ((l_orderkey % 6) % 2) * 250
+               AS VARCHAR)) AS fp
+           FROM lineitem),
+         totals AS (SELECT host, CAST(count(*) AS BIGINT) AS n_fps
+           FROM d GROUP BY 1),
+         capped AS (SELECT host, fp FROM (
+             SELECT host, fp, count(*) OVER (PARTITION BY fp) AS df
+             FROM d) WHERE df <= 6),
+         pairs AS (SELECT a.host AS host_a, b.host AS host_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM capped a JOIN capped b
+             ON a.fp = b.fp AND a.host < b.host
+           GROUP BY 1, 2)
+         SELECT host_a, host_b, n_shared,
+           ta.n_fps AS total_a, tb.n_fps AS total_b,
+           CAST(n_shared * 1000000 // least(ta.n_fps, tb.n_fps)
+             AS BIGINT) AS containment_ppm,
+           (n_shared >= 3 AND
+            n_shared * 1000000 // least(ta.n_fps, tb.n_fps) >= 500000)
+             AS mirror
+         FROM pairs
+         JOIN totals ta ON ta.host = pairs.host_a
+         JOIN totals tb ON tb.host = pairs.host_b
+         ORDER BY host_a, host_b""",
+
+    // language consistency: per-source dominant language (count desc,
+    // lang asc tie-break), share in integer percent, mixed flag.
+    "q127_lang_consistency" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+         r AS (SELECT source, lang, n,
+             CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+               AS n_langs,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n DESC, lang ASC) AS rk
+           FROM c)
+         SELECT source, n_docs, n_langs, lang AS top_lang,
+           CAST(n * 100 // n_docs AS BIGINT) AS top_share_pct,
+           (n * 100 // n_docs) < 80 AS mixed
+         FROM r WHERE rk = 1 ORDER BY source"""
   )
 }

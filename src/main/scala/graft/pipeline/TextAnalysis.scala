@@ -1320,6 +1320,40 @@ object TextAnalysis {
         col("stop_frac_fp"), col("digit_frac_fp"), col("upper_frac_fp"),
         col("punct_frac_fp"), col("ends_punct"), col("keep"))
   }
+
+  /** Per-group language-consistency report: for each `group` (a
+    * domain, a source feed) the document count, distinct languages,
+    * the dominant language (ties broken lang-asc, deterministic) and
+    * its share in integer percent — the mixed-language spam signal: a
+    * single site emitting five languages is scraped/generated content,
+    * and a corpus source whose dominant share drops between snapshots
+    * has been polluted. `mixed` flags groups whose dominant share is
+    * below `minSharePct`.
+    *
+    * ONE exchange on (group, lang) for the counts; the per-group
+    * dominant pick is a window over the already-partitioned counts
+    * (group cardinality rows, not documents). */
+  def languageConsistency(docs: DataFrame, group: Column, lang: Column,
+                          minSharePct: Long = 80L): DataFrame = {
+    require(minSharePct >= 0 && minSharePct <= 100,
+      "need 0 <= minSharePct <= 100")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("_n").desc, col("lang").asc)
+    docs.select(group.as("grp"), lang.as("lang"))
+      .groupBy(col("grp"), col("lang"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("n_docs", sum(col("_n")).over(w))
+      .withColumn("n_langs", count(lit(1)).over(w))
+      .withColumn("_rk", row_number().over(rank))
+      .filter(col("_rk") === 1)
+      .select(col("grp"), col("n_docs"), col("n_langs"),
+        col("lang").as("top_lang"),
+        expr("_n * 100L div n_docs").as("top_share_pct"))
+      .withColumn("mixed", col("top_share_pct") < minSharePct)
+  }
 }
 
 /** floorMod(Java String.hashCode, buckets) as a native codegen

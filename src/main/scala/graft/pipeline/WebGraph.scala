@@ -202,4 +202,162 @@ object WebGraph {
         (not(coalesce(col("_t"), lit(false))) ||
           col("steps") > maxHops).as("cycled"))
   }
+
+  /** Domain-level rollup of a page-level link graph: one row per
+    * (src_host, dst_host) with the link count and the distinct source
+    * pages behind it, plus the intra-domain flag — the standard
+    * compression step before any domain ranking (a 10^11-edge page
+    * graph folds to a 10^7-row domain graph, which is what PageRank /
+    * crawl-budget allocation actually consume at scale; the reference
+    * schedules per *domain* for exactly this reason, queue.py's
+    * per-domain queues).
+    *
+    * Scale shape: host extraction is a codegen'd projection (native
+    * url_host); ONE hash exchange on (src_host, dst_host) computes
+    * both aggregates (count + distinct-count partials combine
+    * map-side). Nothing is proportional to anything but the edge
+    * count. */
+  def domainGraph(edges: DataFrame, srcUrl: Column,
+                  dstUrl: Column): DataFrame = {
+    val sh = graft.urlops.UrlFunctions.url_host(srcUrl)
+    val dh = graft.urlops.UrlFunctions.url_host(dstUrl)
+    edges.select(sh.as("src_host"), dh.as("dst_host"),
+        srcUrl.as("_src"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("_src")).as("n_src_pages"))
+      .withColumn("internal", col("src_host") === col("dst_host"))
+  }
+
+  /** Log2-bucketed degree distribution of a directed graph: for each
+    * direction ("in", "out"), one row per bucket = floor(log2(degree))
+    * with the node count and the bucket's min/max observed degree —
+    * the power-law audit every web-graph paper opens with, and the
+    * skew forecast for any per-node shuffle (a bucket-20 node is a
+    * 10^6-fanout hub that needs the salted path).
+    *
+    * The bucket is computed as length(bin(degree)) − 1 — pure integer
+    * string length, bit-identical on any engine, instead of
+    * floor(log2(x)) whose float rounding flips nodes at exact powers
+    * of two. Two map-side-combinable exchanges (one per direction)
+    * plus a tiny bucket re-agg. */
+  def degreeHistogram(edges: DataFrame, src: String,
+                      dst: String): DataFrame = {
+    def side(key: String, dir: String): DataFrame =
+      edges.groupBy(col(key).as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .select(lit(dir).as("direction"),
+          (length(bin(col("deg"))) - 1).as("bucket"), col("deg"))
+    side(src, "out").unionByName(side(dst, "in"))
+      .groupBy(col("direction"), col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+  }
+
+  /** Edge reciprocity of a directed graph: the fraction of distinct
+    * non-loop edges whose reverse edge also exists — the classic
+    * link-spam / link-farm signal (organic webs are ~weakly
+    * reciprocal; a paid-link ring is near-1.0). One row:
+    * (n_edges, n_reciprocal, reciprocity_ppm) with the ratio in
+    * integer parts-per-million (div, order-free, oracle-exact).
+    *
+    * Scale shape: distinct + one self-semi-join, both hash-partitioned
+    * on the edge key — the semi join probes (dst, src) against
+    * (src, dst), so Catalyst plans a shuffled hash/merge join on the
+    * pair; no row ever fans out. */
+  def reciprocity(edges: DataFrame, src: String,
+                  dst: String): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("s"),
+        col(dst).cast("long").as("d"))
+      .filter(col("s") =!= col("d")).distinct()
+    val recip = e.join(e.select(col("d").as("s"), col("s").as("d")),
+      Seq("s", "d"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+      .withColumn("reciprocity_ppm",
+        expr("n_reciprocal * 1000000L div n_edges"))
+  }
+
+  /** URL query-parameter audit: per (host, param key) the URL count
+    * and distinct-value count, flagging strip candidates — parameters
+    * whose values are near-unique across URLs (session ids, cache
+    * busters, click trackers) are exactly what
+    * [[graft.urlops.UrlOps.canonicalizeUrl]]-style normalization
+    * should drop, and this report is how a crawl operator finds them
+    * (the aliasing behind most crawler traps that q116's digit-pattern
+    * detector can't see). A key is a strip candidate when it appears
+    * on ≥ `minUrls` URLs and its distinct values cover ≥
+    * `dominancePct`% of them.
+    *
+    * Key/value are split on the FIRST '=' only ('a=b=c' → ('a','b=c'),
+    * a bare 'flag' → ('flag','')); the fragment is stripped before the
+    * query. Explode is row-local (bounded by per-URL param count);
+    * ONE hash exchange on (host, key) computes both aggregates. */
+  def urlParamAudit(urls: DataFrame, url: Column, minUrls: Long = 10L,
+                    dominancePct: Long = 90L): DataFrame = {
+    require(minUrls >= 1 && dominancePct >= 0 && dominancePct <= 100,
+      "need minUrls >= 1 and 0 <= dominancePct <= 100")
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val host = graft.urlops.UrlFunctions.url_host(url)
+    urls.select(host.as("host"), url.as("_u"),
+        explode(filter(split(query, "&"), kv => kv =!= "")).as("_kv"))
+      .select(col("host"), col("_u"),
+        regexp_extract(col("_kv"), "^([^=]*)", 1).as("param"),
+        regexp_extract(col("_kv"), "^[^=]*=(.*)$", 1).as("_v"))
+      .groupBy(col("host"), col("param"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("_v")).as("n_values"))
+      .withColumn("strip_candidate",
+        col("n_urls") >= minUrls &&
+          col("n_values") * 100L >= col("n_urls") * dominancePct)
+  }
+
+  /** Mirror-site candidates: host pairs sharing a large fraction of
+    * content fingerprints — the cross-host twin of [[Dedup]]'s
+    * document-level near-dup, and the lever that removes whole
+    * duplicated SITES (mirrors, parked clones, CDN aliases) in one
+    * decision instead of 10^6 per-page ones. One row per unordered
+    * pair (host_a < host_b) with the shared-fp count, both hosts'
+    * distinct-fp totals, and containment in ppm of the SMALLER side
+    * (so a full mirror of a subset site still scores 10^6); `mirror`
+    * flags pairs at ≥ `minContainmentPpm` with ≥ `minShared` shared
+    * pages.
+    *
+    * Scale shape: the pair generation is a self-join on fp, which a
+    * template page shared by 10^5 hosts would turn quadratic — so fps
+    * on more than `maxHostsPerFp` hosts are dropped FIRST (the same
+    * hot-key cap as Dedup's shingle df cap; a fp that common is
+    * boilerplate, not site content, and carries no mirror signal).
+    * Totals are computed before the cap (true site sizes) and joined
+    * back onto the bounded pair aggregate. */
+  def mirrorCandidates(pages: DataFrame, host: Column, fp: Column,
+                       maxHostsPerFp: Long = 50L,
+                       minShared: Long = 3L,
+                       minContainmentPpm: Long = 500000L): DataFrame = {
+    val d = pages.select(host.as("host"), fp.as("fp")).distinct()
+    val totals = d.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_fps"))
+    val hostsPerFp = Window.partitionBy(col("fp"))
+    val capped = d.withColumn("_df", count(lit(1)).over(hostsPerFp))
+      .filter(col("_df") <= maxHostsPerFp).drop("_df")
+    val pairs = capped.as("a")
+      .join(capped.withColumnRenamed("host", "host_b").as("b"),
+        col("a.fp") === col("b.fp") && col("a.host") < col("host_b"))
+      .groupBy(col("a.host").as("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(totals.select(col("host").as("host_a"),
+        col("n_fps").as("total_a")), Seq("host_a"))
+      .join(totals.select(col("host").as("host_b"),
+        col("n_fps").as("total_b")), Seq("host_b"))
+      .withColumn("containment_ppm",
+        expr("n_shared * 1000000L div least(total_a, total_b)"))
+      .withColumn("mirror",
+        col("n_shared") >= minShared &&
+          col("containment_ppm") >= minContainmentPpm)
+      .select(col("host_a"), col("host_b"), col("n_shared"),
+        col("total_a"), col("total_b"), col("containment_ppm"),
+        col("mirror"))
+  }
 }

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{TextAnalysis, WebGraph}
+
+/** Crawl-audit operators: the domain-graph rollup, degree histogram,
+  * reciprocity, URL-parameter audit, mirror detection and language
+  * consistency — the q122-q127 operator family. */
+class WebAuditSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // --- domain graph rollup (q122) --------------------------------------------
+
+  test("domainGraph: link counts, distinct source pages, internal flag") {
+    val edges = Seq(
+      ("http://a/p1", "http://b/x"),
+      ("http://a/p1", "http://b/y"),  // same src page, 2 links a->b
+      ("http://a/p2", "http://b/x"),  // second src page a->b
+      ("http://a/p1", "http://a/p2"), // internal
+      ("http://c/q", "http://a/p1")
+    ).toDF("src_url", "dst_url")
+    val got = WebGraph.domainGraph(edges, $"src_url", $"dst_url")
+      .as[(String, String, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 3L, 2L, false),
+      ("a", "a", 1L, 1L, true),
+      ("c", "a", 1L, 1L, false)))
+  }
+
+  test("domainGraph plan: one exchange computes both aggregates " +
+       "(count + distinct partials combine map-side)") {
+    val edges = (1 to 100).map(i =>
+      (s"http://h${i % 5}/p$i", s"http://h${i % 7}/q$i"))
+      .toDF("src_url", "dst_url")
+    val plan = WebGraph.domainGraph(edges, $"src_url", $"dst_url")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"rollup must not shuffle more than the agg + distinct pair:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"needs map-side partials:\n$plan")
+  }
+
+  // --- degree histogram (q123) ------------------------------------------------
+
+  test("degreeHistogram: log2 buckets via binary length, min/max per " +
+       "bucket, both directions; exact at powers of two") {
+    // out-degrees: node 1 -> 4 edges (bucket 2), node 2 -> 1 (bucket 0),
+    // node 3 -> 2 (bucket 1); in-degrees: all 7 edges hit distinct dsts
+    val edges = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 14L),
+      (3L, 15L), (3L, 16L)
+    ).toDF("src", "dst")
+    val got = WebGraph.degreeHistogram(edges, "src", "dst")
+      .as[(String, Int, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("out", 2, 1L, 4L, 4L),   // deg 4: bin "100" -> bucket 2
+      ("out", 0, 1L, 1L, 1L),
+      ("out", 1, 1L, 2L, 2L),
+      ("in", 0, 7L, 1L, 1L)))
+  }
+
+  // --- reciprocity (q124) -------------------------------------------------------
+
+  test("reciprocity: reverse-edge fraction in ppm, loops and duplicate " +
+       "edges excluded") {
+    val edges = Seq(
+      (1L, 2L), (2L, 1L),       // reciprocal pair -> 2 edges count
+      (1L, 2L),                 // duplicate ignored
+      (3L, 4L),                 // one-way
+      (5L, 5L)                  // loop ignored
+    ).toDF("src", "dst")
+    val got = WebGraph.reciprocity(edges, "src", "dst")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((3L, 2L, 666666L)))
+  }
+
+  // --- URL parameter audit (q125) ----------------------------------------------
+
+  test("urlParamAudit: first-= split, fragments stripped, bare keys " +
+       "keep empty value, near-unique values flag strip candidates") {
+    val sess = (1 to 20).map(i => s"http://h/a?sess=s$i&page=1")
+    val extra = Seq(
+      "http://h/a?tag=x=y#frag",  // value keeps second '='; #frag dropped
+      "http://h/a?flag",          // bare key -> empty value
+      "http://h/b?noq")
+    val got = WebGraph.urlParamAudit(
+        (sess ++ extra).toDF("url"), $"url",
+        minUrls = 10L, dominancePct = 90L)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(got("sess") == ((20L, 20L, true)))     // 20 distinct / 20 urls
+    assert(got("page") == ((20L, 1L, false)))     // constant value
+    assert(got("tag") == ((1L, 1L, false)))       // below minUrls
+    assert(got("flag") == ((1L, 1L, false)))
+    assert(got("noq") == ((1L, 1L, false)))       // bare key on host h
+    assert(got.size == 5)
+  }
+
+  // --- mirror candidates (q126) ---------------------------------------------------
+
+  test("mirrorCandidates: containment over the smaller side, the hot-fp " +
+       "cap drops boilerplate fps, totals stay pre-cap") {
+    // h1 = {f1..f4}; h2 = {f1..f4} plus own f5 (subset mirror of h1);
+    // h3 = {f1} only; fb = boilerplate on ALL hosts, capped out at 2
+    val pages = Seq(
+      ("h1", "f1"), ("h1", "f2"), ("h1", "f3"), ("h1", "f4"), ("h1", "fb"),
+      ("h2", "f1"), ("h2", "f2"), ("h2", "f3"), ("h2", "f4"), ("h2", "f5"),
+      ("h2", "fb"),
+      ("h3", "f1"), ("h3", "fb")
+    ).toDF("host", "fp")
+    val got = WebGraph.mirrorCandidates(pages, $"host", $"fp",
+        maxHostsPerFp = 2L, minShared = 2L,
+        minContainmentPpm = 700000L)
+      .as[(String, String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    // fb (3 hosts > cap 2) and f1 (3 hosts) are dropped from pairing;
+    // h1-h2 share f2,f3,f4 -> 3 of min(5,6)=5 -> 600000 ppm, not mirror
+    assert(got(("h1", "h2")) == ((3L, 5L, 6L, 600000L, false)))
+    assert(!got.contains(("h1", "h3")), "f1/fb are capped out")
+    // raising the cap to 3 restores f1 AND fb (both on exactly 3
+    // hosts): h1-h2 share all 5 of h1's fps -> full mirror
+    val loose = WebGraph.mirrorCandidates(pages, $"host", $"fp",
+        maxHostsPerFp = 3L, minShared = 2L, minContainmentPpm = 700000L)
+      .as[(String, String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._7))).toMap
+    assert(loose(("h1", "h2")) == ((5L, true)))
+  }
+
+  // --- language consistency (q127) --------------------------------------------------
+
+  test("languageConsistency: dominant share in integer percent, " +
+       "count-desc lang-asc tie-break, mixed flag below threshold") {
+    val docs = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "en"), ("s1", "de"),
+      ("s2", "en"), ("s2", "de"),             // tie -> 'de' wins asc
+      ("s3", "fr")
+    ).toDF("source", "lang")
+    val got = TextAnalysis.languageConsistency(docs, $"source", $"lang",
+        minSharePct = 80L)
+      .as[(String, Long, Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("s1") == ((4L, 2L, "en", 75L, true)))   // 75 < 80
+    assert(got("s2") == ((2L, 2L, "de", 50L, true)))
+    assert(got("s3") == ((1L, 1L, "fr", 100L, false)))
+  }
+
+  test("languageConsistency plan: one exchange on the (group, lang) " +
+       "agg; the dominant pick reuses that partitioning") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextAnalysis.languageConsistency(docs, $"source", $"lang")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"group-consistency must not re-shuffle per window:\n$plan")
+  }
+}
