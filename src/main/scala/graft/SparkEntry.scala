@@ -1787,6 +1787,26 @@ object SparkEntry {
           t(s, dir, "documents"), $"source", $"lang", minSharePct = 80L)
         .withColumnRenamed("grp", "source")
         .orderBy($"source")
+    }),
+
+    // --- exact per-group percentiles (nearest rank — a selected value,
+    // bit-exact, the per-domain latency p50/p95/p99 report). -----------------
+    "q128_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      graft.stats.StatsJobs.exactPercentiles(t(s, dir, "lineitem"),
+          $"l_returnflag", $"l_extendedprice", Seq(50, 95, 99))
+        .withColumnRenamed("grp", "flag")
+        .orderBy($"flag", $"p")
+    }),
+
+    // --- triangle census by degree ordering: exact count + global
+    // clustering in ppm over the supplier-part projection graph. --------------
+    "q129_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .select((($"l_suppkey" * 7 + $"l_orderkey") % 500).as("src"),
+          (($"l_partkey" * 3 + $"l_linenumber") % 500).as("dst"))
+      graft.pipeline.GraphOps.triangleCensus(edges, "src", "dst")
     })
   )
 
@@ -5210,6 +5230,48 @@ object SparkEntry {
          SELECT source, n_docs, n_langs, lang AS top_lang,
            CAST(n * 100 // n_docs AS BIGINT) AS top_share_pct,
            (n * 100 // n_docs) < 80 AS mixed
-         FROM r WHERE rk = 1 ORDER BY source"""
+         FROM r WHERE rk = 1 ORDER BY source""",
+
+    // exact nearest-rank percentiles: value at rank ceil(n*p/100) of the
+    // ascending per-group sort — a selected value, tie-safe.
+    "q128_percentiles" ->
+      """WITH r AS (SELECT l_returnflag AS flag, l_extendedprice AS value,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice ASC) AS rk,
+             CAST(count(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+           FROM lineitem)
+         SELECT flag, CAST(p AS INT) AS p, n AS n_values, value
+         FROM r CROSS JOIN (SELECT unnest([50, 95, 99]) AS p) ps
+         WHERE rk = (n * p + 99) // 100
+         ORDER BY flag, p""",
+
+    // triangle census: canonical a<b<c triple join (orientation-free
+    // reference formulation), wedges from the degree sum, closure ppm.
+    "q129_triangles" ->
+      """WITH e0 AS (SELECT DISTINCT
+             least((l_suppkey * 7 + l_orderkey) % 500,
+                   (l_partkey * 3 + l_linenumber) % 500) AS a,
+             greatest((l_suppkey * 7 + l_orderkey) % 500,
+                      (l_partkey * 3 + l_linenumber) % 500) AS b
+           FROM lineitem
+           WHERE (l_suppkey * 7 + l_orderkey) % 500
+             <> (l_partkey * 3 + l_linenumber) % 500),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT a AS node FROM e0
+                 UNION ALL SELECT b AS node FROM e0) GROUP BY 1),
+         tri AS (SELECT CAST(count(*) AS BIGINT) AS n
+           FROM e0 e1
+           JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+           FROM deg)
+         SELECT n_nodes,
+           CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+           tri.n AS n_triangles, n_wedges,
+           CAST(CASE WHEN n_wedges > 0
+             THEN tri.n * 3000000 // n_wedges ELSE 0 END AS BIGINT)
+             AS closure_ppm
+         FROM agg, tri"""
   )
 }

@@ -142,4 +142,62 @@ object GraphOps {
         round(col("h") / lit(unit.toDouble), 6).as("hub"),
         round(col("a") / lit(unit.toDouble), 6).as("auth"))
   }
+
+  /** Global triangle census of an undirected graph: node/edge counts,
+    * the exact triangle count, and the global clustering coefficient
+    * (3·triangles / wedges) in integer ppm — the density/community
+    * audit of a link graph, and the classic spam-farm tell (organic
+    * link neighborhoods close triangles; generated ones don't).
+    *
+    * Counted by DEGREE ORDERING (the standard scalable formulation):
+    * each undirected edge is oriented from its lower-(degree, node)
+    * endpoint to the higher, every wedge is enumerated only at its
+    * minimum corner, and a triangle is a wedge whose far pair is
+    * itself an oriented edge — so the wedge fan-out per node is its
+    * ORIENTED out-degree, which degree-ordering bounds by O(sqrt(m))
+    * on any graph (a 10^6-degree hub contributes only edges pointing
+    * INTO it, never a 10^12-wedge explosion). Two hash-join rounds on
+    * edge keys; counts combine map-side; nothing is quadratic in any
+    * degree. */
+  def triangleCensus(edges: DataFrame, src: String,
+                     dst: String): DataFrame = {
+    val s = col(src).cast("long")
+    val d = col(dst).cast("long")
+    val und = edges.select(least(s, d).as("a"), greatest(s, d).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, node) lexicographic — a total order, so exactly
+    // one direction per edge and every triangle has a unique min corner
+    val withDegs = und
+      .join(deg.select(col("node").as("a"), col("deg").as("_da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("_db")), "b")
+    val oriented = withDegs.select(
+      when(struct(col("_da"), col("a")) < struct(col("_db"), col("b")),
+        struct(col("a").as("lo"), col("b").as("hi"),
+          struct(col("_db").as("k1"), col("b").as("k2")).as("hikey")))
+        .otherwise(struct(col("b").as("lo"), col("a").as("hi"),
+          struct(col("_da").as("k1"), col("a").as("k2")).as("hikey")))
+        .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"),
+        col("e.hikey").as("hikey"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") &&
+          col("e1.hikey") < col("e2.hikey"))
+      .select(col("e1.hi").as("lo"), col("e2.hi").as("hi"))
+    val tri = wedges.join(oriented.select(col("lo"), col("hi")),
+      Seq("lo", "hi"), "inner")
+    val wedgeTotal = deg.agg(
+      sum(expr("deg * (deg - 1L) div 2L")).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(wedgeTotal)
+      .withColumn("closure_ppm",
+        when(col("n_wedges") > 0,
+          expr("n_triangles * 3000000L div n_wedges")).otherwise(0L))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"), col("closure_ppm"))
+  }
 }

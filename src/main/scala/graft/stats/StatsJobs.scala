@@ -190,4 +190,42 @@ object StatsJobs {
         expr("(end_us - start_us) div 1000000L"))
       .orderBy(col("key"), col("session_idx"))
   }
+
+  /** Exact per-group percentiles by the nearest-rank method: for each
+    * group and each requested percentile p, the value at rank
+    * ceil(n·p/100) of the group's ascending sort — a SELECTED value,
+    * never an interpolation, so the result is bit-exact on any engine
+    * (the A12 median generalized to an arbitrary percentile list; the
+    * ops report behind per-domain latency p50/p95/p99).
+    *
+    * Output: one row per (group, p) with n_values and the value.
+    *
+    * Scale shape: ONE hash exchange on the group; rank + count are two
+    * windows on that same partitioning (a sort within each group's
+    * partition); the percentile targets are a row-local explode of the
+    * literal p list and a filter — nothing ships values twice, no
+    * driver collect. A group is one partition's sort, which is the
+    * exact-percentile floor: if a single group exceeds executor
+    * memory, pre-aggregate duplicates or accept sketch percentiles
+    * instead — this operator is the exact path. */
+  def exactPercentiles(df: DataFrame, group: Column, value: Column,
+                       ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "need percentiles in 1..100")
+    require(ps.distinct == ps, "duplicate percentiles")
+    val byGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    val rank = byGrp.orderBy(col("value").asc)
+    df.select(group.as("grp"), value.as("value"))
+      .withColumn("_rk", row_number().over(rank))
+      .withColumn("n_values", count(lit(1)).over(byGrp))
+      // cut to the <= |ps| hit rows per group BEFORE the explode, so
+      // the explode never multiplies the full input
+      .filter(ps.map(p =>
+        col("_rk") === expr(s"(n_values * ${p}L + 99L) div 100L"))
+        .reduce(_ || _))
+      .withColumn("p", explode(lit(ps.toArray)))
+      .filter(col("_rk") === expr("(n_values * p + 99L) div 100L"))
+      .select(col("grp"), col("p"), col("n_values"), col("value"))
+  }
 }

@@ -156,4 +156,77 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
       s"group-consistency must not re-shuffle per window:\n$plan")
   }
+
+  // --- exact percentiles (q128) ----------------------------------------------------
+
+  test("exactPercentiles: nearest-rank selection, tie-safe, single-" +
+       "value groups return that value for every p") {
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 1.0), ("b", 2.0), ("b", 2.0), ("b", 2.0), ("b", 3.0)) ++
+      Seq(("c", 42.0))).toDF("grp", "v")
+    val got = graft.stats.StatsJobs.exactPercentiles(df, $"grp", $"v",
+        Seq(50, 95, 99))
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // a: 1..10 -> p50 rank ceil(5.0)=5 -> 5; p95 rank 10; p99 rank 10
+    assert(got(("a", 50)) == ((10L, 5.0)))
+    assert(got(("a", 95)) == ((10L, 10.0)))
+    assert(got(("a", 99)) == ((10L, 10.0)))
+    // b: ties at the p50 boundary -> rank 3 of [1,2,2,2,3] = 2
+    assert(got(("b", 50)) == ((5L, 2.0)))
+    assert(got(("c", 50)) == ((1L, 42.0)))
+    assert(got(("c", 99)) == ((1L, 42.0)))
+    assert(got.size == 9)
+  }
+
+  test("exactPercentiles plan: one exchange on the group feeds rank, " +
+       "count and the target filter; the |ps| explode runs on the " +
+       "filtered hits only") {
+    val df = (1 to 1000).map(i => (s"g${i % 4}", i.toDouble))
+      .toDF("grp", "v")
+    val q = graft.stats.StatsJobs.exactPercentiles(df, $"grp", $"v",
+      Seq(50, 95, 99))
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"percentiles must shuffle once on the group:\n$plan")
+    // the pre-explode filter must appear BELOW the generate node
+    val gen = plan.indexOf("Generate explode")
+    val filt = plan.lastIndexOf("(_rk")
+    assert(gen >= 0 && filt > gen,
+      s"hit filter must run before the explode:\n$plan")
+  }
+
+  // --- triangle census (q129) --------------------------------------------------------
+
+  test("triangleCensus: one triangle + pendant edge, loops/dups/" +
+       "reversals collapse, wedges from full degrees") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),  // triangle
+      (3L, 4L),                      // pendant
+      (2L, 1L),                      // reverse dup
+      (1L, 1L),                      // loop
+      (1L, 2L)                       // exact dup
+    ).toDF("src", "dst")
+    val got = graft.pipeline.GraphOps.triangleCensus(edges, "src", "dst")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // degrees 2,2,3,1 -> wedges 1+1+3+0 = 5; closure = 3e6/5
+    assert(got == ((4L, 4L, 1L, 5L, 600000L)))
+  }
+
+  test("triangleCensus equals the canonical a<b<c triple-join reference " +
+       "on a pseudo-random graph") {
+    val edges = (1 to 600).map(i =>
+      ((i * 37 % 97).toLong, (i * 61 % 97).toLong)).toDF("src", "dst")
+    val got = graft.pipeline.GraphOps.triangleCensus(edges, "src", "dst")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val und = edges.select(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().cache()
+    val ref = und.as("e1")
+      .join(und.as("e2"), $"e2.a" === $"e1.a" && $"e2.b" > $"e1.b")
+      .join(und.as("e3"), $"e3.a" === $"e1.b" && $"e3.b" === $"e2.b")
+      .count()
+    assert(got._3 == ref, s"degree-ordered count must equal reference")
+    assert(got._2 == und.count())
+  }
 }
