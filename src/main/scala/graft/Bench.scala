@@ -74,7 +74,8 @@ object Bench {
     "q120_politeness_schedule", "q121_host_depth_profile",
     "q122_domain_graph", "q123_degree_histogram", "q124_reciprocity",
     "q125_url_params", "q126_mirrors", "q127_lang_consistency",
-    "q128_percentiles", "q129_triangles")
+    "q128_percentiles", "q129_triangles", "q130_hll_distinct",
+    "q131_cms_estimates")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

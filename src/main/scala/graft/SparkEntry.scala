@@ -1807,6 +1807,32 @@ object SparkEntry {
         .select((($"l_suppkey" * 7 + $"l_orderkey") % 500).as("src"),
           (($"l_partkey" * 3 + $"l_linenumber") % 500).as("dst"))
       graft.pipeline.GraphOps.triangleCensus(edges, "src", "dst")
+    }),
+
+    // --- HyperLogLog distinct sketch per source: md5-derived 60-bit
+    // hash, 256 registers, integer-exact raw estimate, the standard
+    // linear-counting correction below 5m/2 (rounded once). -------------------
+    "q130_hll_distinct" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Sketches.hllDistinct(t(s, dir, "orders"),
+          $"o_orderpriority", $"o_custkey", b = 8)
+        .withColumnRenamed("grp", "priority")
+        .orderBy($"priority")
+    }),
+
+    // --- Count-Min frequency estimates for probe keys: d=4 x w=1024
+    // counters, min-over-rows point estimate, exact counts joined for
+    // the overestimate audit. --------------------------------------------------
+    "q131_cms_estimates" -> ((s, dir) => {
+      import s.implicits._
+      val keys = t(s, dir, "lineitem")
+        .select(concat(lit("k"), ($"l_partkey" % 3000).cast("string"))
+          .as("key"))
+      graft.pipeline.Sketches.cmsEstimates(keys, $"key",
+          probes = Seq("k0", "k1", "k7", "k42", "k100", "k2999",
+            "k_absent"),
+          depth = 4, width = 1024)
+        .orderBy($"key")
     })
   )
 
@@ -5272,6 +5298,72 @@ object SparkEntry {
            CAST(CASE WHEN n_wedges > 0
              THEN tri.n * 3000000 // n_wedges ELSE 0 END AS BIGINT)
              AS closure_ppm
-         FROM agg, tri"""
+         FROM agg, tri""",
+
+    // HyperLogLog per group: the md5 hex fold to a 60-bit hash, 256
+    // registers (bucket = h % 256, rho = 53 - bitlength(h // 256)),
+    // HUGEINT-exact raw estimate, linear counting below 5m/2.
+    "q130_hll_distinct" ->
+      """WITH h AS (SELECT o_orderpriority AS grp,
+             list_reduce(list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1
+                 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+           FROM orders),
+         r0 AS (SELECT grp, h % 256 AS bucket, h // 256 AS w FROM h),
+         regs AS (SELECT grp, bucket,
+             max(CASE WHEN w = 0 THEN 53
+                 ELSE 53 - length(bin(w)) END) AS rho
+           FROM r0 GROUP BY 1, 2),
+         rw AS (SELECT grp, rho,
+             max(rho) OVER (PARTITION BY grp) AS r FROM regs),
+         g AS (SELECT grp, max(r) AS rr,
+             CAST(count(*) AS BIGINT) AS n_nonzero,
+             sum(1::BIGINT << (r - rho)) AS s0
+           FROM rw GROUP BY 1),
+         e AS (SELECT grp, n_nonzero,
+             CAST((718273::HUGEINT * 65536 * (1::BIGINT << rr)) //
+               ((s0 + (256 - n_nonzero) * (1::BIGINT << rr))::HUGEINT
+                 * 1000000) AS BIGINT) AS raw_est
+           FROM g)
+         SELECT grp AS priority, n_nonzero, raw_est,
+           CASE WHEN raw_est <= 640 AND n_nonzero < 256
+             THEN round(256.0 * ln(256.0 / (256 - n_nonzero)), 6)
+             ELSE CAST(raw_est AS DOUBLE) END AS estimate
+         FROM e ORDER BY priority""",
+
+    // Count-Min: d=4 row hashes from md5(key || ':' || row), w=1024
+    // cells, min-over-rows estimate, exact counts joined for the audit.
+    "q131_cms_estimates" ->
+      """WITH keys AS (SELECT 'k' || CAST(l_partkey % 3000 AS VARCHAR)
+             AS k FROM lineitem),
+         dr AS (SELECT unnest([0, 1, 2, 3]) AS row),
+         cells AS (SELECT dr.row,
+             list_reduce(list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef',
+                 substr(md5(k || ':' || CAST(dr.row AS VARCHAR)), i, 1))
+                 - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 1024 AS cell
+           FROM keys CROSS JOIN dr),
+         counters AS (SELECT row, cell, CAST(count(*) AS BIGINT) AS cnt
+           FROM cells GROUP BY 1, 2),
+         probes AS (SELECT unnest(['k0', 'k1', 'k7', 'k42', 'k100',
+             'k2999', 'k_absent']) AS key),
+         pc AS (SELECT key, dr.row,
+             list_reduce(list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef',
+                 substr(md5(key || ':' || CAST(dr.row AS VARCHAR)),
+                   i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 1024 AS cell
+           FROM probes CROSS JOIN dr),
+         est AS (SELECT key, min(coalesce(cnt, 0)) AS est
+           FROM pc LEFT JOIN counters USING (row, cell) GROUP BY 1),
+         ex AS (SELECT k AS key, CAST(count(*) AS BIGINT) AS n_exact
+           FROM keys WHERE k IN ('k0', 'k1', 'k7', 'k42', 'k100',
+             'k2999', 'k_absent') GROUP BY 1)
+         SELECT key, est, coalesce(n_exact, 0) AS n_exact,
+           est - coalesce(n_exact, 0) AS overestimate
+         FROM est LEFT JOIN ex USING (key) ORDER BY key"""
   )
 }

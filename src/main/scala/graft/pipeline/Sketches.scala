@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cardinality / frequency sketches — the sub-linear-state primitives a
+  * 100 TB engine reaches for when the exact answer (countDistinct, a
+  * full frequency table) is itself the bottleneck: a distinct count
+  * over 10^11 URLs is a full shuffle of every key, while the HLL
+  * register table below is 256 longs per group, mergeable, and one
+  * map-side-combinable aggregation. The reference's analogue is the
+  * seen-set scale problem (dd_crawler/dupefilter.py keeps exact
+  * fingerprints in Redis; our [[graft.frontier.BloomSeen]] already
+  * trades exactness for space on membership — this module does the
+  * same trade for COUNTING).
+  *
+  * Everything here is deterministic and cross-engine exact by
+  * construction: hashes derive from md5 hex (bit-identical anywhere),
+  * register math is pure integer, and the only float — the standard
+  * linear-counting correction's ln — is rounded once to 6dp, the same
+  * accepted libm boundary as the q56/q44 oracles.
+  */
+object Sketches {
+
+  /** 60-bit uniform hash from the first 15 md5 hex chars of the key's
+    * string form — the cross-engine replacement for xxhash64 (DuckDB
+    * can't replay xxhash64; it CAN replay md5 + a hex fold). */
+  private def md5Hash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** HyperLogLog distinct-count estimate per group (Flajolet et al.
+    * 2007), with the standard small-range linear-counting correction.
+    *
+    * Register layout: m = 2^b registers; bucket = h mod m, and the
+    * remaining w = h div m (a (60−b)-bit value) contributes
+    * rho = (61−b) − bitlength(w) (bitlength via binary-string length —
+    * integer-exact, the q123 trick; w = 0 means all-zeros, rho = 61−b).
+    * Raw estimate: alpha_m·m²/Σ 2^(−rho_j) over ALL m registers, the
+    * empty ones at rho = 0. Kept integer-exact by clearing the
+    * denominator: with R = max rho,
+    *   S = Σ_(nonempty) 2^(R−rho_j) + (m − n_nonempty)·2^R
+    *   raw_est = (ALPHA_PPM · m² · 2^R) div (S · 10^6)
+    * in DECIMAL(38,0) — every operand exact, every engine identical.
+    * When raw_est ≤ 5m/2 and empty registers remain, the published
+    * correction applies: estimate = round(m·ln(m/V), 6) with V = empty
+    * registers — the one float, rounded once.
+    *
+    * Output: (grp, n_nonzero, raw_est, estimate).
+    *
+    * Scale shape: ONE map-side-combinable exchange builds the
+    * (grp, bucket) → max-rho registers (the sketch is 256 rows per
+    * group no matter how many keys feed it — THE point); the per-group
+    * fold is a window + re-agg on the register table's own
+    * partitioning. Nothing downstream of the first aggregate is
+    * proportional to the data. */
+  def hllDistinct(df: DataFrame, group: Column, key: Column,
+                  b: Int = 8, alphaPpm: Long = 718273L): DataFrame = {
+    require(b >= 4 && b <= 16, "need 4 <= b <= 16")
+    val m = 1 << b
+    val maxRho = 61 - b
+    val h = md5Hash60(key)
+    val regs = df.select(group.as("grp"), h.as("_h"))
+      .select(col("grp"), (col("_h") % m).as("bucket"),
+        expr(s"_h div ${m}L").as("_w"))
+      .withColumn("rho",
+        when(col("_w") === 0, lit(maxRho))
+          .otherwise(lit(61 - b) - length(bin(col("_w")))))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+    val byGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    regs.withColumn("_r", max(col("rho")).over(byGrp))
+      .groupBy(col("grp"))
+      .agg(max(col("_r")).as("_R"),
+        count(lit(1)).as("n_nonzero"),
+        sum(expr("shiftleft(1L, CAST(_r - rho AS INT))")).as("_s0"))
+      // empty registers enter the sum at rho = 0, i.e. 2^R each
+      .withColumn("_s", expr(
+        s"_s0 + (${m.toLong}L - n_nonzero) * " +
+          "shiftleft(1L, CAST(_R AS INT))"))
+      .withColumn("raw_est", expr(
+        s"CAST(CAST(${alphaPpm}L AS DECIMAL(38,0)) * ${m.toLong * m}L * " +
+          s"shiftleft(1L, CAST(_R AS INT)) div " +
+          s"(CAST(_s AS DECIMAL(38,0)) * 1000000L) AS BIGINT)"))
+      // linear counting below 5m/2 while empty registers remain —
+      // the one float, rounded once to 6dp (the accepted libm boundary)
+      .withColumn("estimate",
+        when(col("raw_est") <= lit(5L * m / 2) &&
+             col("n_nonzero") < m,
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m.toLong) - col("n_nonzero"))), 6))
+          .otherwise(col("raw_est").cast("double")))
+      .select(col("grp"), col("n_nonzero"), col("raw_est"),
+        col("estimate"))
+  }
+
+  /** Count-Min point estimates (Cormode & Muthukrishnan 2005) for a
+    * literal set of probe keys: d = depth hash rows × w = width
+    * counters, estimate(k) = min over rows of counter[row][h_row(k)] —
+    * always ≥ the true count, with the overestimate bounded by the
+    * sketch width. The frequency-side twin of [[hllDistinct]]: the
+    * counter table is d·w longs regardless of input size, mergeable
+    * across shards by plain addition.
+    *
+    * Row hashes reuse the md5-hex fold with the row index baked into
+    * the hashed string (key + ':' + row) so each row is an independent
+    * function on any engine. Output: one row per probe key —
+    * (key, est, n_exact, overestimate) with n_exact joined from the
+    * true counts for the audit.
+    *
+    * Scale shape: the counter build is ONE map-side-combinable
+    * aggregate over d·|input| hash projections (d is 3-5 — a row-local
+    * explode of a literal range); probing joins the d·|probes| needed
+    * cells only, broadcast. The exact counts for the audit are the
+    * expensive leg and exist only to report the error — a production
+    * probe skips them. */
+  def cmsEstimates(df: DataFrame, key: Column, probes: Seq[String],
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 16,
+      "need 1 <= depth <= 8, width >= 16")
+    require(probes.nonEmpty, "need probe keys")
+    val cell = (k: Column, row: Column) =>
+      conv(substring(md5(concat(k.cast("string"), lit(":"),
+        row.cast("string"))), 1, 15), 16, 10).cast("long") % width
+    val rows = df.select(key.cast("string").as("k"),
+        explode(lit((0 until depth).toArray)).as("row"))
+      .select(col("row"), cell(col("k"), col("row")).as("cell"))
+      .groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probeCells = probes.toDF("key")
+      .select(col("key"), explode(lit((0 until depth).toArray)).as("row"))
+      .select(col("key"), col("row"),
+        cell(col("key"), col("row")).as("cell"))
+    val est = probeCells
+      .join(rows, Seq("row", "cell"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(col("key")).agg(min(col("cnt")).as("est"))
+    val exact = df.select(key.cast("string").as("key"))
+      .filter(col("key").isin(probes: _*))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("key"), "left")
+      .na.fill(0L, Seq("n_exact"))
+      .withColumn("overestimate", col("est") - col("n_exact"))
+  }
+}

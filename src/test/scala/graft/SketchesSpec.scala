@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Sketches
+
+/** Cardinality/frequency sketches (q130-q131): HLL registers +
+  * integer-exact estimator, Count-Min point estimates. */
+class SketchesSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // --- HyperLogLog (q130) -------------------------------------------------------
+
+  test("hllDistinct: estimate within the published error band on " +
+       "known cardinalities, duplicate keys do not move it") {
+    // m=256 -> stderr ~ 1.04/sqrt(256) = 6.5%; assert a generous 3-sigma
+    val n = 5000
+    val df = (1 to n).map(i => ("g", s"key$i")).toDF("grp", "k")
+    val est = Sketches.hllDistinct(df, $"grp", $"k", b = 8)
+      .select($"estimate").as[Double].head()
+    assert(math.abs(est - n) < 0.20 * n,
+      s"estimate $est too far from $n")
+    // duplicates are invisible: tripling every key changes nothing
+    val dup = df.union(df).union(df)
+    val est2 = Sketches.hllDistinct(dup, $"grp", $"k", b = 8)
+      .select($"estimate").as[Double].head()
+    assert(est2 == est, "HLL must depend only on the distinct key set")
+  }
+
+  test("hllDistinct: small groups take the linear-counting branch and " +
+       "land near-exact; register table is bounded by m") {
+    val df = ((1 to 40).map(i => ("small", s"k$i")) ++
+      (1 to 9000).map(i => ("big", s"x$i"))).toDF("grp", "k")
+    val got = Sketches.hllDistinct(df, $"grp", $"k", b = 8)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (smallNz, _, smallEst) = got("small")
+    assert(smallNz <= 40 && smallNz < 256)
+    assert(math.abs(smallEst - 40) <= 4,
+      s"linear counting should be near-exact at 40: $smallEst")
+    val (bigNz, bigRaw, _) = got("big")
+    assert(bigNz <= 256, "register count can never exceed m")
+    assert(bigRaw > 640, "9000 keys must be past the correction range")
+  }
+
+  test("hllDistinct plan: the register build is ONE map-side-combined " +
+       "exchange; state after it is <= m rows per group") {
+    val df = (1 to 2000).map(i => (s"g${i % 3}", s"k$i")).toDF("grp", "k")
+    val q = Sketches.hllDistinct(df, $"grp", $"k", b = 8)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"),
+      s"register max must combine map-side:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"must stay built-in:\n$plan")
+  }
+
+  // --- Count-Min (q131) -----------------------------------------------------------
+
+  test("cmsEstimates: never underestimates, exact on a sparse sketch, " +
+       "absent keys allowed to floor at zero") {
+    val keys = ((1 to 100).map(_ => "hot") ++ (1 to 7).map(_ => "warm") ++
+      Seq("cold")).toDF("key")
+    val got = Sketches.cmsEstimates(keys, $"key",
+        probes = Seq("hot", "warm", "cold", "nope"),
+        depth = 4, width = 1024)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 3 distinct keys in 4x1024 cells: no collisions -> exact
+    assert(got("hot") == ((100L, 100L, 0L)))
+    assert(got("warm") == ((7L, 7L, 0L)))
+    assert(got("cold") == ((1L, 1L, 0L)))
+    val (estAbsent, exactAbsent, _) = got("nope")
+    assert(exactAbsent == 0L && estAbsent >= 0L)
+    // the CMS guarantee: est >= exact, always
+    got.values.foreach { case (est, exact, over) =>
+      assert(est >= exact && over == est - exact)
+    }
+  }
+
+  test("cmsEstimates: a saturated sketch overestimates but never " +
+       "underestimates (the one-sided error contract)") {
+    // 3000 distinct keys into width 64: collisions guaranteed
+    val keys = (1 to 9000).map(i => s"k${i % 3000}").toDF("key")
+    val got = Sketches.cmsEstimates(keys, $"key",
+        probes = Seq("k0", "k1", "k2999"), depth = 4, width = 64)
+      .as[(String, Long, Long, Long)].collect()
+    got.foreach { case (k, est, exact, over) =>
+      assert(exact == 3L, s"$k true count")
+      assert(est >= exact, s"$k: CMS must never underestimate")
+      assert(over >= 0L)
+    }
+    assert(got.exists(_._4 > 0),
+      "width 64 under 3000 keys must collide somewhere")
+  }
+}
