@@ -1833,6 +1833,38 @@ object SparkEntry {
             "k_absent"),
           depth = 4, width = 1024)
         .orderBy($"key")
+    }),
+
+    // --- typosquat candidates: deletion-neighborhood blocking + exact
+    // Levenshtein <= 1; deletion and insertion variants planted. -------------
+    "q132_typosquats" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val hosts = li.select(concat(lit("domain"),
+          ($"l_suppkey" % 40).cast("string"), lit(".com")).as("host"))
+        .union(li.filter($"l_suppkey" % 4 === 0)
+          .select(concat(lit("domin"),
+            ($"l_suppkey" % 40).cast("string"), lit(".com")).as("host")))
+        .union(li.filter($"l_suppkey" % 8 === 0)
+          .select(concat(lit("xdomain"),
+            ($"l_suppkey" % 40).cast("string"), lit(".com")).as("host")))
+      graft.pipeline.WebGraph.typosquatPairs(hosts, $"host")
+        .orderBy($"host_a", $"host_b")
+    }),
+
+    // --- per-type daily fetch-burst report: windows at >= 1.5x the
+    // key's own nearest-rank median flagged. Every 7th day's events are
+    // tripled so real bursts exist to catch (the synthetic base is
+    // near-uniform). ---------------------------------------------------------
+    "q133_burst_windows" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+      val boost = e.filter(
+        expr("(unix_timestamp(ts) div 86400L) % 7 = 3"))
+      graft.pipeline.Temporal.burstWindows(e.union(boost).union(boost),
+          $"event_type", $"ts", stepSec = 86400, num = 3L, den = 2L)
+        .withColumnRenamed("key", "event_type")
+        .orderBy($"event_type", $"window")
     })
   )
 
@@ -5364,6 +5396,63 @@ object SparkEntry {
              'k2999', 'k_absent') GROUP BY 1)
          SELECT key, est, coalesce(n_exact, 0) AS n_exact,
            est - coalesce(n_exact, 0) AS overestimate
-         FROM est LEFT JOIN ex USING (key) ORDER BY key"""
+         FROM est LEFT JOIN ex USING (key) ORDER BY key""",
+
+    // typosquats: same deletion-signature blocking (sig 0 = the host,
+    // sig i = host minus char i), candidate join, exact levenshtein.
+    "q132_typosquats" ->
+      """WITH hosts AS (
+           SELECT DISTINCT h FROM (
+             SELECT 'domain' || CAST(l_suppkey % 40 AS VARCHAR) || '.com'
+               AS h FROM lineitem
+             UNION ALL
+             SELECT 'domin' || CAST(l_suppkey % 40 AS VARCHAR) || '.com'
+               AS h FROM lineitem WHERE l_suppkey % 4 = 0
+             UNION ALL
+             SELECT 'xdomain' || CAST(l_suppkey % 40 AS VARCHAR) || '.com'
+               AS h FROM lineitem WHERE l_suppkey % 8 = 0)
+           WHERE length(h) >= 5),
+         sigs AS (SELECT DISTINCT h, unnest(list_transform(
+             generate_series(0, length(h)),
+             i -> CASE WHEN i = 0 THEN h
+                  ELSE substr(h, 1, i - 1) ||
+                       substr(h, i + 1, length(h)) END)) AS sig
+           FROM hosts),
+         cand AS (SELECT DISTINCT a.h AS host_a, b.h AS host_b
+           FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.h < b.h)
+         SELECT host_a, host_b,
+           CAST(levenshtein(host_a, host_b) AS INT) AS dist
+         FROM cand WHERE levenshtein(host_a, host_b) <= 1
+         ORDER BY host_a, host_b""",
+
+    // burst windows: daily buckets, nearest-rank median per key,
+    // integer 3/2 threshold.
+    "q133_burst_windows" ->
+      """WITH ev AS (SELECT event_type, ts FROM events
+           UNION ALL SELECT event_type, ts FROM events
+             WHERE (CAST(date_diff('second', TIMESTAMP '1970-01-01',
+               ts) AS BIGINT) // 86400) % 7 = 3
+           UNION ALL SELECT event_type, ts FROM events
+             WHERE (CAST(date_diff('second', TIMESTAMP '1970-01-01',
+               ts) AS BIGINT) // 86400) % 7 = 3),
+         b AS (SELECT event_type, CAST(date_diff('second',
+             TIMESTAMP '1970-01-01', ts) AS BIGINT) // 86400
+               AS "window",
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM ev GROUP BY 1, 2),
+         r AS (SELECT event_type, "window", n_events,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY n_events ASC, "window" ASC) AS rk,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS nw
+           FROM b),
+         m AS (SELECT event_type,
+             max(CASE WHEN rk = (nw + 1) // 2 THEN n_events END)
+               AS median_events
+           FROM r GROUP BY 1)
+         SELECT r.event_type, "window", n_events, median_events,
+           n_events * 2 >= median_events * 3 AS burst
+         FROM r JOIN m USING (event_type)
+         ORDER BY event_type, "window""""
   )
 }

@@ -137,4 +137,47 @@ object Temporal {
             lit("warm"))
           .otherwise(lit("cold")).as("bucket"))
   }
+
+  /** Per-key activity-burst detection: bucket events into
+    * `stepSec`-second windows, compare each window's count against the
+    * key's own MEDIAN window count (nearest-rank — a selected integer,
+    * the q128 method), and flag windows at ≥ num/den times the median
+    * (default 3/2). The crawl-ops anomaly report: a domain whose fetch
+    * rate triples against its own baseline is a trap firing, a
+    * misbehaving scheduler shard, or a site under churn — exactly what
+    * the reference's response-stats RPM plots are eyeballed for,
+    * mechanized.
+    *
+    * Pure integers end to end (counts, nearest-rank median, the
+    * num/den threshold cleared of division), so the flag replays
+    * exactly on any engine.
+    *
+    * Scale shape: ONE exchange on (key, window) for the counts; the
+    * median rank and the flag are windows over the per-key bucket rows
+    * (state per key = its distinct windows, never its events). */
+  def burstWindows(events: DataFrame, key: Column, ts: Column,
+                   stepSec: Int = 3600, num: Long = 3L,
+                   den: Long = 2L): DataFrame = {
+    require(stepSec >= 1 && num > 0 && den > 0,
+      "need stepSec >= 1 and a positive num/den threshold")
+    val byKey = Window.partitionBy(col("key"))
+    val rank = byKey.orderBy(col("n_events").asc, col("window").asc)
+    events
+      .select(key.as("key"), unix_timestamp(ts).as("_us"))
+      .select(col("key"), expr(s"_us div ${stepSec}L").as("window"))
+      .groupBy(col("key"), col("window"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("_rk", row_number().over(rank))
+      .withColumn("_nw", count(lit(1)).over(byKey))
+      // median = value at rank ceil(nw/2) of the (count, window) sort;
+      // carried to every row of the key by a max-over-partition of the
+      // hit row's value (exactly one row matches the rank)
+      .withColumn("median_events",
+        max(when(col("_rk") === expr("(_nw + 1L) div 2L"),
+          col("n_events"))).over(byKey))
+      .withColumn("burst",
+        col("n_events") * den >= col("median_events") * num)
+      .select(col("key"), col("window"), col("n_events"),
+        col("median_events"), col("burst"))
+  }
 }

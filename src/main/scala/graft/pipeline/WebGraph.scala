@@ -360,4 +360,42 @@ object WebGraph {
         col("total_a"), col("total_b"), col("containment_ppm"),
         col("mirror"))
   }
+
+  /** Typosquat candidates: distinct host pairs within Levenshtein
+    * distance 1 — lookalike domains one edit from each other
+    * (exampel.com, examp1e.com), the classic phishing/squatting
+    * audit over a crawl's discovered-host set.
+    *
+    * Exact, never all-pairs: SymSpell's deletion-neighborhood blocking
+    * — each host emits its ≤1-deletion variants as signatures, and two
+    * hosts at distance ≤ 1 provably share one (deleting the
+    * edited/inserted position maps both to the same string). Pairs
+    * join on the signature, dedup, and the real Levenshtein runs ONLY
+    * on candidates. Signature fan-out is len+1 per host — linear in
+    * total host bytes — versus the O(n²) naive pair matrix; the
+    * signature join's hot keys are bounded by how many real hosts
+    * collapse to one deletion variant (a length-ish bucket, not a
+    * corpus-wide explosion). Hosts shorter than `minLen` are skipped
+    * (every 2-char string is within one edit of every other).
+    *
+    * Output: (host_a, host_b, dist) with host_a < host_b, dist ≤ 1. */
+  def typosquatPairs(hosts: DataFrame, host: Column,
+                     minLen: Int = 5): DataFrame = {
+    require(minLen >= 3, "need minLen >= 3")
+    val d = hosts.select(host.as("h")).filter(length(col("h")) >= minLen)
+      .distinct()
+    // signature 0 = the host itself; signature i = host minus char i
+    val sigs = d.select(col("h"), explode(expr(
+      "transform(sequence(0, length(h)), i -> CASE WHEN i = 0 THEN h " +
+        "ELSE concat(substring(h, 1, i - 1), " +
+        "substring(h, i + 1, length(h))) END)")).as("sig"))
+      .distinct()
+    sigs.as("a")
+      .join(sigs.withColumnRenamed("h", "h2").as("b"),
+        col("a.sig") === col("b.sig") && col("a.h") < col("h2"))
+      .select(col("a.h").as("host_a"), col("h2").as("host_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("host_a"), col("host_b")))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -229,4 +229,90 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
     assert(got._3 == ref, s"degree-ordered count must equal reference")
     assert(got._2 == und.count())
   }
+
+  // --- typosquat candidates (q132) -----------------------------------------------
+
+  test("typosquatPairs: deletion/insertion/substitution at distance 1 " +
+       "caught, transpositions (distance 2) and short hosts excluded") {
+    val hosts = Seq(
+      "github.com",
+      "githb.com",    // deletion of 'u' -> dist 1
+      "xgithub.com",  // insertion -> dist 1
+      "githab.com",   // substitution u->a -> dist 1
+      "gitbuh.com",   // transposition-ish -> dist 2, excluded
+      "ab.c",         // below minLen, excluded entirely
+      "unrelated.org"
+    ).toDF("host")
+    val got = WebGraph.typosquatPairs(hosts, $"host")
+      .as[(String, String, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(got.contains(("githb.com", "github.com")))
+    assert(got.contains(("github.com", "xgithub.com")))
+    assert(got.contains(("githab.com", "github.com")))
+    // githb vs githab: insertion -> dist 1, also a legitimate pair
+    assert(got.contains(("githab.com", "githb.com")))
+    assert(!got.exists(p => p._1 == "gitbuh.com" || p._2 == "gitbuh.com"),
+      "distance-2 pairs must not appear")
+    assert(!got.exists(p => p._1 == "ab.c" || p._2 == "ab.c"))
+    assert(!got.exists(p => p._1.startsWith("unrelated") ||
+      p._2.startsWith("unrelated")))
+  }
+
+  test("typosquatPairs equals the brute-force all-pairs filter on a " +
+       "generated host set (the blocking loses nothing at distance 1)") {
+    val hosts = (0 until 60).map(i => s"site${i % 20}x${i % 7}.net")
+      .toDF("host")
+    val got = WebGraph.typosquatPairs(hosts, $"host")
+      .as[(String, String, Int)].collect().map(r => (r._1, r._2)).toSet
+    val d = hosts.distinct().as[String].collect()
+    val brute = (for {
+      a <- d; b <- d if a < b
+      if graft.Lev.dist(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got == brute, s"blocking must be exact: ${got.size} vs " +
+      s"${brute.size}")
+  }
+
+  // --- burst windows (q133) ---------------------------------------------------------
+
+  test("burstWindows: nearest-rank median per key, integer 3/2 " +
+       "threshold, single-window keys never burst") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events =
+      ((1 to 4).map(_ => ("a", ts(5))) ++        // window 0: 4
+        (1 to 4).map(_ => ("a", ts(15))) ++      // window 1: 4
+        (1 to 4).map(_ => ("a", ts(25))) ++      // window 2: 4
+        (1 to 12).map(_ => ("a", ts(35))) ++     // window 3: 12 -> burst
+        (1 to 7).map(_ => ("b", ts(5))))         // one window, no burst
+        .toDF("k", "ts")
+    val got = graft.pipeline.Temporal.burstWindows(events, $"k", $"ts",
+        stepSec = 10, num = 3L, den = 2L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("a", 0L)) == ((4L, 4L, false)))
+    assert(got(("a", 3L)) == ((12L, 4L, true)))
+    assert(got(("b", 0L)) == ((7L, 7L, false)))
+    assert(got.size == 5)
+    // even window count: median is the LOWER middle (rank ceil(n/2))
+    val even = (Seq.fill(2)(("c", ts(5))) ++ Seq.fill(4)(("c", ts(15))) ++
+      Seq.fill(6)(("c", ts(25))) ++ Seq.fill(9)(("c", ts(35))))
+      .toDF("k", "ts")
+    val m = graft.pipeline.Temporal.burstWindows(even, $"k", $"ts",
+        stepSec = 10, num = 3L, den = 2L)
+      .select($"median_events").distinct().as[Long].collect()
+    assert(m.toSeq == Seq(4L), "rank ceil(4/2)=2 of [2,4,6,9] is 4")
+  }
+}
+
+/** Sequential Levenshtein reference for the typosquat blocking test. */
+object Lev {
+  def dist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
