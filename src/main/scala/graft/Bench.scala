@@ -75,7 +75,8 @@ object Bench {
     "q122_domain_graph", "q123_degree_histogram", "q124_reciprocity",
     "q125_url_params", "q126_mirrors", "q127_lang_consistency",
     "q128_percentiles", "q129_triangles", "q130_hll_distinct",
-    "q131_cms_estimates", "q132_typosquats", "q133_burst_windows")
+    "q131_cms_estimates", "q132_typosquats", "q133_burst_windows",
+    "q134_personalized_pagerank")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

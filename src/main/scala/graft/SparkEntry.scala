@@ -60,6 +60,40 @@ object SparkEntry {
        |FROM r5 ORDER BY node""".stripMargin
   }
 
+  /** q134's DuckDB oracle: personalizedPageRank's integer recurrence
+    * unrolled to 5 iterations — q48's chain with the restart mass
+    * conditional on seed membership (node % 10 == 0). */
+  private def pprOracleSql: String = {
+    val iters = (1 to 5).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (SELECT nd.node,
+         |    CAST(CASE WHEN nd.node % 10 = 0
+         |        THEN 150000000000 // p.ns ELSE 0 END
+         |      + coalesce(m.s, 0) AS BIGINT) AS r
+         |  FROM nodes nd CROSS JOIN p
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |      CAST(sum((r.r * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+         |    FROM edges e JOIN $prev r ON r.node = e.src
+         |    JOIN deg d ON d.src = e.src GROUP BY 1) m
+         |  ON m.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src,
+       |    l_partkey*2+1 AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY 1),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM nodes
+       |  WHERE node % 10 = 0),
+       |r0 AS (SELECT node, CAST(CASE WHEN node % 10 = 0
+       |    THEN 1000000000000 // ns ELSE 0 END AS BIGINT) AS r
+       |  FROM nodes, p),
+       |$iters
+       |SELECT node, r AS rank_fp, round(r / 1000000000000.0, 6) AS rank
+       |FROM r5 ORDER BY node""".stripMargin
+  }
+
   /** q101's DuckDB oracle: GraphOps.hitsFixedPoint's integer max-norm
     * recurrence unrolled to 3 iterations (an a-step and an h-step each)
     * over the directed supplier→part graph. */
@@ -1865,6 +1899,22 @@ object SparkEntry {
           $"event_type", $"ts", stepSec = 86400, num = 3L, den = 2L)
         .withColumnRenamed("key", "event_type")
         .orderBy($"event_type", $"window")
+    }),
+
+    // --- personalized PageRank: all restart mass returns to the seed
+    // set (node % 10 == 0) — proximity-to-seeds over the q48 graph. ----------
+    "q134_personalized_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = t(s, dir, "lineitem")
+        .select(($"l_suppkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = edges.select($"src".as("node"))
+        .union(edges.select($"dst".as("node")))
+        .distinct().filter($"node" % 10 === 0)
+      graft.pipeline.GraphOps.personalizedPageRank(edges, seeds,
+          iters = 5)
+        .orderBy($"node")
     })
   )
 
@@ -5453,6 +5503,8 @@ object SparkEntry {
          SELECT r.event_type, "window", n_events, median_events,
            n_events * 2 >= median_events * 3 AS burst
          FROM r JOIN m USING (event_type)
-         ORDER BY event_type, "window""""
+         ORDER BY event_type, "window"""",
+
+    "q134_personalized_pagerank" -> pprOracleSql
   )
 }

@@ -77,6 +77,67 @@ object GraphOps {
       round(col("r") / lit(unit.toDouble), 6).as("rank"))
   }
 
+  /** Fixed-point PERSONALIZED PageRank (topic-sensitive / TrustRank
+    * form): identical integer recurrence to [[pageRankFixedPoint]],
+    * but ALL restart mass returns to the `seeds` set (uniformly)
+    * instead of to every node — scores become "proximity to the
+    * seeds", which is exactly a focused crawler's domain prior: seed
+    * the trusted/topical domains and the fixpoint ranks every
+    * discovered domain by how reachable it is from them (the
+    * deep-deep link model's role, computed from structure alone;
+    * TrustRank is this with trusted seeds).
+    *
+    *   r_0(v)     = unit div |S|                        if v ∈ S else 0
+    *   c_t(u→v)   = (r_t(u) · dampNum) div (dampDen · outdeg(u))
+    *   r_{t+1}(v) = [v ∈ S] · ((dampDen−dampNum)·unit div dampDen)
+    *                div |S|  +  Σ_{u→v} c_t(u→v)
+    *
+    * Same BIGINT micro-unit arithmetic, same oracle-replayable
+    * truncation points, same per-iteration scale shape (one static
+    * edge join + one map-side-combined dst sum + a left join back;
+    * the seed flag rides the cached node table). Mass leaving through
+    * dangling nodes or truncation simply decays — standard for PPR,
+    * where only relative proximity matters. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int,
+                           dampNum: Long = 85L, dampDen: Long = 100L,
+                           unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(dampNum > 0 && dampDen > dampNum, "0 < damping < 1")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val s = seeds.select(col("node")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(s.withColumn("_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    val nSeeds = nodes.filter(col("is_seed")).count()
+    require(nSeeds > 0, "no seed appears in the graph")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(outdeg, "src").localCheckpoint(true)
+    val base = ((dampDen - dampNum) * unit) / dampDen / nSeeds
+    var ranks = nodes.select(col("node"),
+      when(col("is_seed"), lit(unit / nSeeds)).otherwise(lit(0L))
+        .as("r"))
+    for (i <- 1 to iters) {
+      if (i > 1) ranks = ranks.localCheckpoint(true)
+      val msgs = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(msgs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            coalesce(col("s"), lit(0L))).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"),
+      round(col("r") / lit(unit.toDouble), 6).as("rank"))
+  }
+
   /** Fixed-point HITS (Kleinberg 1999) — hub and authority scores,
     * deterministic to the last bit on any engine.
     *

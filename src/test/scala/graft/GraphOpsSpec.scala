@@ -41,6 +41,58 @@ class GraphOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got == ref(e, 5))
   }
 
+  /** Sequential reference of the personalized (seed-restart) variant. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+                     iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val ns = nodes.count(seeds)
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = (15L * Unit12) / 100L / ns
+    var r = nodes.map(v =>
+      v -> (if (seeds(v)) Unit12 / ns else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val msgs = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => (r(s) * 85L) / (100L * outdeg(s)) }.sum
+      }
+      r = nodes.map(v =>
+        v -> ((if (seeds(v)) base else 0L) + msgs.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank equals the sequential seed-restart " +
+       "reference bit-for-bit; with ALL nodes as seeds it IS PageRank") {
+    val e = bidirect(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      5L -> 1L, 2L -> 5L))
+    val seeds = Seq(1L, 3L)
+    val got = GraphOps.personalizedPageRank(e.toDF("src", "dst"),
+        seeds.toDF("node"), iters = 5)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(got == refPpr(e, seeds.toSet, 5))
+    // S = V degenerates to plain PageRank, bit for bit
+    val all = (1L to 5L).toDF("node")
+    val ppr = GraphOps.personalizedPageRank(e.toDF("src", "dst"), all, 5)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val pr = GraphOps.pageRankFixedPoint(e.toDF("src", "dst"), 5)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(ppr == pr)
+  }
+
+  test("personalizedPageRank: a component unreachable from the seeds " +
+       "holds rank exactly zero; seeds outrank symmetric non-seeds") {
+    // two disjoint bidirected triangles; seeds only in the first
+    val e = bidirect(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L))
+    val got = GraphOps.personalizedPageRank(e.toDF("src", "dst"),
+        Seq(1L).toDF("node"), iters = 4)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 0L),
+      "no restart and no inflow means exactly zero")
+    assert(got(1L) > got(2L) && got(1L) > got(3L),
+      "the seed holds the restart mass")
+    assert(got(2L) == got(3L), "symmetric non-seeds tie exactly")
+  }
+
   test("ring graph: perfect symmetry gives every node the identical " +
        "rank, and total mass stays within truncation loss of unit") {
     val ring = (0L until 12L).map(i => i -> ((i + 1) % 12))
