@@ -94,6 +94,48 @@ object SparkEntry {
        |FROM r5 ORDER BY node""".stripMargin
   }
 
+  /** q135's DuckDB oracle: the composed crawl planner — the sparse
+    * host-pair rollup, the seed-restart integer PPR recurrence
+    * unrolled to 4 iterations over STRING host nodes (seeds
+    * h0/h1/h2), and the q117 integer budget split, all in one chain. */
+  private def crawlPlannerOracleSql: String = {
+    val iters = (1 to 4).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (SELECT nd.node,
+         |    CAST(CASE WHEN nd.node IN ('h0', 'h1', 'h2')
+         |        THEN 150000000000 // p.ns ELSE 0 END
+         |      + coalesce(m.s, 0) AS BIGINT) AS r
+         |  FROM nodes nd CROSS JOIN p
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |      CAST(sum((r.r * 85) // (100 * d.outdeg)) AS BIGINT) AS s
+         |    FROM edges e JOIN $prev r ON r.node = e.src
+         |    JOIN deg d ON d.src = e.src GROUP BY 1) m
+         |  ON m.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT
+       |    'h' || CAST(l_suppkey % 25 AS VARCHAR) AS src,
+       |    'h' || CAST(l_partkey % 25 AS VARCHAR) AS dst
+       |  FROM lineitem
+       |  WHERE ((l_suppkey % 25) * 31 + l_partkey % 25) % 7 < 2
+       |    AND l_suppkey % 25 <> l_partkey % 25),
+       |edges AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY 1),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM nodes
+       |  WHERE node IN ('h0', 'h1', 'h2')),
+       |r0 AS (SELECT node, CAST(CASE WHEN node IN ('h0', 'h1', 'h2')
+       |    THEN 1000000000000 // ns ELSE 0 END AS BIGINT) AS r
+       |  FROM nodes, p),
+       |$iters
+       |SELECT node AS host, r AS rank_fp,
+       |  CAST((r * 50000) // greatest(t.s, 1) AS BIGINT) AS budget
+       |FROM r4 CROSS JOIN (SELECT sum(r) AS s FROM r4) t
+       |ORDER BY host""".stripMargin
+  }
+
   /** q101's DuckDB oracle: GraphOps.hitsFixedPoint's integer max-norm
     * recurrence unrolled to 3 iterations (an a-step and an h-step each)
     * over the directed supplier→part graph. */
@@ -1915,6 +1957,37 @@ object SparkEntry {
       graft.pipeline.GraphOps.personalizedPageRank(edges, seeds,
           iters = 5)
         .orderBy($"node")
+    }),
+
+    // --- the composed crawl planner: page links -> domain rollup ->
+    // seed-restart PageRank over the host graph -> integer budget
+    // split. The end-to-end path a recrawl epoch actually runs; the
+    // pair-hash filter keeps the host graph sparse (~29% of pairs). ----------
+    "q135_crawl_planner" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .filter(($"l_suppkey" % 25 * 31 + $"l_partkey" % 25) % 7 < 2)
+      val pageEdges = li.select(
+        concat(lit("http://h"), ($"l_suppkey" % 25).cast("string"),
+          lit("/p/"), ($"l_orderkey" % 300).cast("string")).as("src_url"),
+        concat(lit("http://h"), ($"l_partkey" % 25).cast("string"),
+          lit("/q/"), $"l_linenumber".cast("string")).as("dst_url"))
+      val dg = graft.pipeline.WebGraph.domainGraph(
+        pageEdges, $"src_url", $"dst_url")
+      val hostEdges = dg.filter(!$"internal")
+        .select($"src_host".as("src"), $"dst_host".as("dst"))
+      val edges = hostEdges
+        .union(hostEdges.select($"dst".as("src"), $"src".as("dst")))
+        .distinct()
+      val seeds = edges.select($"src".as("node"))
+        .union(edges.select($"dst".as("node"))).distinct()
+        .filter($"node".isin("h0", "h1", "h2"))
+      val ppr = graft.pipeline.GraphOps.personalizedPageRank(
+        edges, seeds, iters = 4)
+      graft.pipeline.WebGraph.crawlBudget(ppr, "node", "rank_fp",
+          totalBudget = 50000L)
+        .withColumnRenamed("node", "host")
+        .orderBy($"host")
     })
   )
 
@@ -5505,6 +5578,8 @@ object SparkEntry {
          FROM r JOIN m USING (event_type)
          ORDER BY event_type, "window"""",
 
-    "q134_personalized_pagerank" -> pprOracleSql
+    "q134_personalized_pagerank" -> pprOracleSql,
+
+    "q135_crawl_planner" -> crawlPlannerOracleSql
   )
 }

@@ -302,6 +302,34 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
       .select($"median_events").distinct().as[Long].collect()
     assert(m.toSeq == Seq(4L), "rank ceil(4/2)=2 of [2,4,6,9] is 4")
   }
+
+  // --- composed crawl planner (q135) ----------------------------------------------
+
+  test("crawl planner composition: rollup -> seed PPR -> budget split; " +
+       "budgets sum to <= total, monotone in rank, seeds funded first") {
+    val edges = Seq(
+      ("http://s/a", "http://x/1"), ("http://s/a", "http://y/1"),
+      ("http://x/1", "http://y/2"), ("http://y/2", "http://z/1"),
+      ("http://z/1", "http://s/b")
+    ).toDF("src_url", "dst_url")
+    val dg = WebGraph.domainGraph(edges, $"src_url", $"dst_url")
+      .filter(!$"internal")
+      .select($"src_host".as("src"), $"dst_host".as("dst"))
+    val bi = dg.union(dg.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    val ppr = graft.pipeline.GraphOps.personalizedPageRank(
+      bi, Seq("s").toDF("node"), iters = 3)
+    val got = WebGraph.crawlBudget(ppr, "node", "rank_fp", 1000L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got.values.map(_._2).sum <= 1000L)
+    val seedBudget = got("s")._2
+    assert(got.values.forall(_._2 <= seedBudget),
+      "the seed host must hold the largest budget share")
+    // monotone: higher rank never gets a smaller budget
+    val sorted = got.values.toSeq.sortBy(_._1)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a._2 <= b._2 })
+  }
 }
 
 /** Sequential Levenshtein reference for the typosquat blocking test. */
