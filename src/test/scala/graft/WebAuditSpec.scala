@@ -196,6 +196,44 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
       s"hit filter must run before the explode:\n$plan")
   }
 
+  test("exactPercentiles equals the sequential nearest-rank reference " +
+       "on seeded random data (ties, skew, tiny groups)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 2000).map { _ =>
+      (s"g${rnd.nextInt(7)}", rnd.nextInt(50).toDouble)
+    }
+    val ps = Seq(10, 50, 90, 100)
+    val got = graft.stats.StatsJobs.exactPercentiles(
+        rows.toDF("grp", "v"), $"grp", $"v", ps)
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val ref = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      ps.map(p => (g, p) ->
+        sorted(((sorted.size.toLong * p + 99) / 100).toInt - 1))
+    }
+    assert(got == ref)
+  }
+
+  test("politenessSchedule on seeded random batches: every url " +
+       "scheduled exactly once, rounds dense, cap never exceeded") {
+    val rnd = new scala.util.Random(7)
+    val urls = (1 to 800).map { i =>
+      (s"h${rnd.nextInt(13)}", f"http://x/p$i%04d", rnd.nextInt(40))
+    }.toDF("host", "url", "priority")
+    val sched = WebGraph.politenessSchedule(urls, $"host", $"url",
+      $"priority", rpm = 4).cache()
+    assert(sched.count() == 800 &&
+      sched.select($"url").distinct().count() == 800)
+    assert(sched.groupBy($"host", $"round")
+      .agg(count(lit(1)).as("n")).filter($"n" > 4).count() == 0)
+    // rounds dense per host: max(round)+1 == ceil(n_host / rpm)
+    val dense = sched.groupBy($"host")
+      .agg(max($"round").as("mr"), count(lit(1)).as("n"))
+      .filter($"mr" =!= expr("(n + 3) div 4 - 1")).count()
+    assert(dense == 0, "rounds must be dense from 0")
+  }
+
   // --- triangle census (q129) --------------------------------------------------------
 
   test("triangleCensus: one triangle + pendant edge, loops/dups/" +
