@@ -48,15 +48,30 @@ object GraphOps {
     require(iters >= 1, "need at least one iteration")
     require(dampNum > 0 && dampDen > dampNum, "0 < damping < 1")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // plain PageRank IS the seeded loop with every node a seed
+    // (restart mass uniform over V) — one recurrence, maintained once
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().withColumn("is_seed", lit(true))
+      .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
+    seededRankLoop(e, nodes, n, iters, dampNum, dampDen, unit)
+  }
+
+  /** The shared integer PageRank fixpoint over a node table carrying
+    * an `is_seed` flag: restart mass returns uniformly to the seeds.
+    * Both public variants delegate here — S = V is plain PageRank
+    * (pinned bit-for-bit in GraphOpsSpec). */
+  private def seededRankLoop(e: DataFrame, nodes: DataFrame,
+                             nSeeds: Long, iters: Int, dampNum: Long,
+                             dampDen: Long, unit: Long): DataFrame = {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(outdeg, "src").localCheckpoint(true)
-    val base = ((dampDen - dampNum) * unit) / dampDen / n
-    var ranks = nodes.withColumn("r", lit(unit / n))
+    val base = ((dampDen - dampNum) * unit) / dampDen / nSeeds
+    var ranks = nodes.select(col("node"),
+      when(col("is_seed"), lit(unit / nSeeds)).otherwise(lit(0L))
+        .as("r"))
     for (i <- 1 to iters) {
       // cut lineage of completed iterations (O(1) plan depth at any
       // iteration count); the in-flight step stays declarative so its
@@ -71,7 +86,8 @@ object GraphOps {
       ranks = nodes
         .join(msgs.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            coalesce(col("s"), lit(0L))).as("r"))
     }
     ranks.select(col("node"), col("r").as("rank_fp"),
       round(col("r") / lit(unit.toDouble), 6).as("rank"))
@@ -115,27 +131,7 @@ object GraphOps {
       .localCheckpoint(true)
     val nSeeds = nodes.filter(col("is_seed")).count()
     require(nSeeds > 0, "no seed appears in the graph")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(outdeg, "src").localCheckpoint(true)
-    val base = ((dampDen - dampNum) * unit) / dampDen / nSeeds
-    var ranks = nodes.select(col("node"),
-      when(col("is_seed"), lit(unit / nSeeds)).otherwise(lit(0L))
-        .as("r"))
-    for (i <- 1 to iters) {
-      if (i > 1) ranks = ranks.localCheckpoint(true)
-      val msgs = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"),
-          expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes
-        .join(msgs.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
-            coalesce(col("s"), lit(0L))).as("r"))
-    }
-    ranks.select(col("node"), col("r").as("rank_fp"),
-      round(col("r") / lit(unit.toDouble), 6).as("rank"))
+    seededRankLoop(e, nodes, nSeeds, iters, dampNum, dampDen, unit)
   }
 
   /** Fixed-point HITS (Kleinberg 1999) — hub and authority scores,
@@ -222,8 +218,10 @@ object GraphOps {
     * degree. */
   def triangleCensus(edges: DataFrame, src: String,
                      dst: String): DataFrame = {
-    val s = col(src).cast("long")
-    val d = col(dst).cast("long")
+    // node ids stay their own (orderable) type — a silent cast("long")
+    // would null out string hosts and report an empty census
+    val s = col(src)
+    val d = col(dst)
     val und = edges.select(least(s, d).as("a"), greatest(s, d).as("b"))
       .filter(col("a") =!= col("b")).distinct()
     val deg = und.select(col("a").as("node"))
@@ -250,7 +248,8 @@ object GraphOps {
     val tri = wedges.join(oriented.select(col("lo"), col("hi")),
       Seq("lo", "hi"), "inner")
     val wedgeTotal = deg.agg(
-      sum(expr("deg * (deg - 1L) div 2L")).as("n_wedges"),
+      coalesce(sum(expr("deg * (deg - 1L) div 2L")), lit(0L))
+        .as("n_wedges"),
       count(lit(1)).as("n_nodes"))
     und.agg(count(lit(1)).as("n_edges"))
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))

@@ -28,6 +28,20 @@ object Sketches {
   private def md5Hash60(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** The published HLL bias constant alpha_m in ppm for m = 2^b:
+    * the Flajolet et al. 2007 small-m constants, then the closed form
+    * 0.7213/(1 + 1.079/m) — computed once per call site, a literal in
+    * the plan, so cross-engine parity is untouched (b = 8 gives the
+    * 718273 the q130 oracle pins). */
+  private def alphaPpmFor(b: Int): Long = b match {
+    case 4 => 673000L
+    case 5 => 697000L
+    case 6 => 709000L
+    case _ =>
+      val m = (1 << b).toDouble
+      math.round(0.7213 / (1.0 + 1.079 / m) * 1e6)
+  }
+
   /** HyperLogLog distinct-count estimate per group (Flajolet et al.
     * 2007), with the standard small-range linear-counting correction.
     *
@@ -54,12 +68,18 @@ object Sketches {
     * partitioning. Nothing downstream of the first aggregate is
     * proportional to the data. */
   def hllDistinct(df: DataFrame, group: Column, key: Column,
-                  b: Int = 8, alphaPpm: Long = 718273L): DataFrame = {
+                  b: Int = 8, alphaPpm: Long = -1L): DataFrame = {
     require(b >= 4 && b <= 16, "need 4 <= b <= 16")
     val m = 1 << b
     val maxRho = 61 - b
+    // the bias constant tracks b unless the caller pins one explicitly
+    val alpha = if (alphaPpm > 0) alphaPpm else alphaPpmFor(b)
     val h = md5Hash60(key)
+    // null keys are ignored, matching countDistinct semantics (a
+    // null-key row would otherwise corrupt the register fold: counted
+    // by n_nonzero, skipped by the rho sum)
     val regs = df.select(group.as("grp"), h.as("_h"))
+      .filter(col("_h").isNotNull)
       .select(col("grp"), (col("_h") % m).as("bucket"),
         expr(s"_h div ${m}L").as("_w"))
       .withColumn("rho",
@@ -79,7 +99,7 @@ object Sketches {
         s"_s0 + (${m.toLong}L - n_nonzero) * " +
           "shiftleft(1L, CAST(_R AS INT))"))
       .withColumn("raw_est", expr(
-        s"CAST(CAST(${alphaPpm}L AS DECIMAL(38,0)) * ${m.toLong * m}L * " +
+        s"CAST(CAST(${alpha}L AS DECIMAL(38,0)) * ${m.toLong * m}L * " +
           s"shiftleft(1L, CAST(_R AS INT)) div " +
           s"(CAST(_s AS DECIMAL(38,0)) * 1000000L) AS BIGINT)"))
       // linear counting below 5m/2 while empty registers remain —
@@ -120,8 +140,8 @@ object Sketches {
       "need 1 <= depth <= 8, width >= 16")
     require(probes.nonEmpty, "need probe keys")
     val cell = (k: Column, row: Column) =>
-      conv(substring(md5(concat(k.cast("string"), lit(":"),
-        row.cast("string"))), 1, 15), 16, 10).cast("long") % width
+      md5Hash60(concat(k.cast("string"), lit(":"),
+        row.cast("string"))) % width
     val rows = df.select(key.cast("string").as("k"),
         explode(lit((0 until depth).toArray)).as("row"))
       .select(col("row"), cell(col("k"), col("row")).as("cell"))

@@ -164,7 +164,12 @@ object Temporal {
     val rank = byKey.orderBy(col("n_events").asc, col("window").asc)
     events
       .select(key.as("key"), unix_timestamp(ts).as("_us"))
-      .select(col("key"), expr(s"_us div ${stepSec}L").as("window"))
+      // FLOOR division (Spark's `div` truncates toward zero): a
+      // pre-1970 timestamp must land in window -1, not 0, to match
+      // the oracle's `//` and sessionize's floor
+      .select(col("key"),
+        expr(s"(_us - pmod(_us, ${stepSec}L)) div ${stepSec}L")
+          .as("window"))
       .groupBy(col("key"), col("window"))
       .agg(count(lit(1)).as("n_events"))
       .withColumn("_rk", row_number().over(rank))

@@ -216,7 +216,11 @@ object StatsJobs {
     val byGrp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp"))
     val rank = byGrp.orderBy(col("value").asc)
+    // percentiles are over the NON-NULL values (countDistinct-style
+    // null semantics): Spark's ASC sort puts nulls first, so a null
+    // would otherwise occupy the low ranks and leak out of low ps
     df.select(group.as("grp"), value.as("value"))
+      .filter(col("value").isNotNull)
       .withColumn("_rk", row_number().over(rank))
       .withColumn("n_values", count(lit(1)).over(byGrp))
       // cut to the <= |ps| hit rows per group BEFORE the explode, so

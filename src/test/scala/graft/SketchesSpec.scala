@@ -54,6 +54,24 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("ScalaUDF"), s"must stay built-in:\n$plan")
   }
 
+  test("hllDistinct: null keys are ignored (countDistinct semantics) " +
+       "and the alpha constant tracks b") {
+    val df = Seq(("g", "a"), ("g", "b"), ("g", null), ("g", null))
+      .toDF("grp", "k")
+    val withNulls = Sketches.hllDistinct(df, $"grp", $"k", b = 8)
+      .as[(String, Long, Long, Double)].collect().head
+    val without = Sketches.hllDistinct(df.filter($"k".isNotNull),
+        $"grp", $"k", b = 8)
+      .as[(String, Long, Long, Double)].collect().head
+    assert(withNulls == without, "null keys must not touch the registers")
+    // a small-b sketch still estimates sanely because alpha follows b
+    val big = (1 to 3000).map(i => ("g", s"k$i")).toDF("grp", "k")
+    val est4 = Sketches.hllDistinct(big, $"grp", $"k", b = 4)
+      .select($"estimate").as[Double].head()
+    assert(math.abs(est4 - 3000) < 0.9 * 3000,
+      s"b=4 (m=16, stderr ~26%) should still be the right magnitude: $est4")
+  }
+
   // --- Count-Min (q131) -----------------------------------------------------------
 
   test("cmsEstimates: never underestimates, exact on a sparse sketch, " +

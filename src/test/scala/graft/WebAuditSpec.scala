@@ -215,6 +215,18 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
     assert(got == ref)
   }
 
+  test("exactPercentiles: null values are excluded from ranks and " +
+       "counts (countDistinct-style null semantics)") {
+    val df = Seq(("g", Some(10.0)), ("g", None), ("g", None),
+      ("g", Some(20.0))).toDF("grp", "v")
+    val got = graft.stats.StatsJobs.exactPercentiles(df, $"grp", $"v",
+        Seq(50, 100))
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(got(50) == ((2L, 10.0)), "nulls must not occupy low ranks")
+    assert(got(100) == ((2L, 20.0)))
+  }
+
   test("politenessSchedule on seeded random batches: every url " +
        "scheduled exactly once, rounds dense, cap never exceeded") {
     val rnd = new scala.util.Random(7)
@@ -266,6 +278,20 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
       .count()
     assert(got._3 == ref, s"degree-ordered count must equal reference")
     assert(got._2 == und.count())
+  }
+
+  test("triangleCensus works on STRING node ids (no silent long cast) " +
+       "and an all-loop edge set yields zero wedges, not null") {
+    val hosts = Seq(("a.com", "b.com"), ("b.com", "c.com"),
+      ("c.com", "a.com")).toDF("src", "dst")
+    val got = graft.pipeline.GraphOps.triangleCensus(hosts, "src", "dst")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((3L, 3L, 1L, 3L, 1000000L)),
+      "string hosts must count, not null out")
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    val empty = graft.pipeline.GraphOps.triangleCensus(loops, "src", "dst")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(empty == ((0L, 0L, 0L, 0L, 0L)), "wedges must be 0, not null")
   }
 
   // --- typosquat candidates (q132) -----------------------------------------------
@@ -339,6 +365,18 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
         stepSec = 10, num = 3L, den = 2L)
       .select($"median_events").distinct().as[Long].collect()
     assert(m.toSeq == Seq(4L), "rank ceil(4/2)=2 of [2,4,6,9] is 4")
+  }
+
+  test("burstWindows: pre-1970 timestamps floor into window -1 " +
+       "(matching the oracle's // and sessionize's floor)") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(("a", ts(-3600L)), ("a", ts(5L)), ("a", ts(15L)))
+      .toDF("k", "ts")
+    val windows = graft.pipeline.Temporal.burstWindows(events, $"k",
+        $"ts", stepSec = 86400, num = 3L, den = 2L)
+      .select($"window").as[Long].collect().sorted.toSeq
+    assert(windows == Seq(-1L, 0L),
+      "truncate-toward-zero would merge -3600 into window 0")
   }
 
   // --- composed crawl planner (q135) ----------------------------------------------
