@@ -76,7 +76,8 @@ object Bench {
     "q125_url_params", "q126_mirrors", "q127_lang_consistency",
     "q128_percentiles", "q129_triangles", "q130_hll_distinct",
     "q131_cms_estimates", "q132_typosquats", "q133_burst_windows",
-    "q134_personalized_pagerank", "q135_crawl_planner")
+    "q134_personalized_pagerank", "q135_crawl_planner",
+    "q136_hll_merge")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -1959,6 +1959,24 @@ object SparkEntry {
         .orderBy($"node")
     }),
 
+    // --- mergeable HLL: registers built per half (o_orderkey parity),
+    // max-merged, then estimated — must equal the one-shot q130 sketch
+    // exactly (max is associative), which is the oracle. --------------------
+    "q136_hll_merge" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val regsA = graft.pipeline.Sketches.hllRegisters(
+        o.filter($"o_orderkey" % 2 === 0), $"o_orderpriority",
+        $"o_custkey", b = 8)
+      val regsB = graft.pipeline.Sketches.hllRegisters(
+        o.filter($"o_orderkey" % 2 =!= 0), $"o_orderpriority",
+        $"o_custkey", b = 8)
+      graft.pipeline.Sketches.hllEstimate(
+          graft.pipeline.Sketches.hllMerge(regsA, regsB), b = 8)
+        .withColumnRenamed("grp", "priority")
+        .orderBy($"priority")
+    }),
+
     // --- the composed crawl planner: page links -> domain rollup ->
     // seed-restart PageRank over the host graph -> integer budget
     // split. The end-to-end path a recrawl epoch actually runs; the
@@ -5459,6 +5477,39 @@ object SparkEntry {
     // registers (bucket = h % 256, rho = 53 - bitlength(h // 256)),
     // HUGEINT-exact raw estimate, linear counting below 5m/2.
     "q130_hll_distinct" ->
+      """WITH h AS (SELECT o_orderpriority AS grp,
+             list_reduce(list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1
+                 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+           FROM orders),
+         r0 AS (SELECT grp, h % 256 AS bucket, h // 256 AS w FROM h),
+         regs AS (SELECT grp, bucket,
+             max(CASE WHEN w = 0 THEN 53
+                 ELSE 53 - length(bin(w)) END) AS rho
+           FROM r0 GROUP BY 1, 2),
+         rw AS (SELECT grp, rho,
+             max(rho) OVER (PARTITION BY grp) AS r FROM regs),
+         g AS (SELECT grp, max(r) AS rr,
+             CAST(count(*) AS BIGINT) AS n_nonzero,
+             sum(1::BIGINT << (r - rho)) AS s0
+           FROM rw GROUP BY 1),
+         e AS (SELECT grp, n_nonzero,
+             CAST((718273::HUGEINT * 65536 * (1::BIGINT << rr)) //
+               ((s0 + (256 - n_nonzero) * (1::BIGINT << rr))::HUGEINT
+                 * 1000000) AS BIGINT) AS raw_est
+           FROM g)
+         SELECT grp AS priority, n_nonzero, raw_est,
+           CASE WHEN raw_est <= 640 AND n_nonzero < 256
+             THEN round(256.0 * ln(256.0 / (256 - n_nonzero)), 6)
+             ELSE CAST(raw_est AS DOUBLE) END AS estimate
+         FROM e ORDER BY priority""",
+
+    // merged-halves HLL == the one-shot sketch (register max is
+    // associative), so the oracle is q130's chain verbatim — the
+    // merge path must land on the identical registers and estimate.
+    "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,
              list_reduce(list_transform(generate_series(1, 15),
                i -> CAST(strpos('0123456789abcdef',

@@ -68,17 +68,25 @@ object Sketches {
     * partitioning. Nothing downstream of the first aggregate is
     * proportional to the data. */
   def hllDistinct(df: DataFrame, group: Column, key: Column,
-                  b: Int = 8, alphaPpm: Long = -1L): DataFrame = {
+                  b: Int = 8, alphaPpm: Long = -1L): DataFrame =
+    hllEstimate(hllRegisters(df, group, key, b), b, alphaPpm)
+
+  /** The HLL register table alone: (grp, bucket, rho) with at most 2^b
+    * rows per group — the MERGEABLE sketch state. This is the whole
+    * reason sketches matter at 100 TB: registers built per day / per
+    * shard / per source are unioned and max-folded by [[hllMerge]]
+    * into the registers of the union of the inputs EXACTLY (max is
+    * associative/commutative/idempotent), so distinct counts compose
+    * incrementally without ever revisiting raw keys. One
+    * map-side-combinable exchange; null keys ignored (countDistinct
+    * semantics). */
+  def hllRegisters(df: DataFrame, group: Column, key: Column,
+                   b: Int = 8): DataFrame = {
     require(b >= 4 && b <= 16, "need 4 <= b <= 16")
     val m = 1 << b
     val maxRho = 61 - b
-    // the bias constant tracks b unless the caller pins one explicitly
-    val alpha = if (alphaPpm > 0) alphaPpm else alphaPpmFor(b)
     val h = md5Hash60(key)
-    // null keys are ignored, matching countDistinct semantics (a
-    // null-key row would otherwise corrupt the register fold: counted
-    // by n_nonzero, skipped by the rho sum)
-    val regs = df.select(group.as("grp"), h.as("_h"))
+    df.select(group.as("grp"), h.as("_h"))
       .filter(col("_h").isNotNull)
       .select(col("grp"), (col("_h") % m).as("bucket"),
         expr(s"_h div ${m}L").as("_w"))
@@ -87,6 +95,28 @@ object Sketches {
           .otherwise(lit(61 - b) - length(bin(col("_w")))))
       .groupBy(col("grp"), col("bucket"))
       .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Merge register tables from [[hllRegisters]]: union + per-(grp,
+    * bucket) max. merge(registers(A), registers(B)) == registers(A ∪ B)
+    * register-for-register (pinned in tests) — the incremental-sketch
+    * contract. */
+  def hllMerge(regs: DataFrame*): DataFrame = {
+    require(regs.nonEmpty, "need at least one register table")
+    regs.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Fold a register table into per-group estimates — the second half
+    * of [[hllDistinct]], exposed so merged sketches estimate the same
+    * way. Output: (grp, n_nonzero, raw_est, estimate). */
+  def hllEstimate(regs: DataFrame, b: Int = 8,
+                  alphaPpm: Long = -1L): DataFrame = {
+    require(b >= 4 && b <= 16, "need 4 <= b <= 16")
+    val m = 1 << b
+    // the bias constant tracks b unless the caller pins one explicitly
+    val alpha = if (alphaPpm > 0) alphaPpm else alphaPpmFor(b)
     val byGrp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp"))
     regs.withColumn("_r", max(col("rho")).over(byGrp))

@@ -72,6 +72,27 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
       s"b=4 (m=16, stderr ~26%) should still be the right magnitude: $est4")
   }
 
+  test("hllMerge: merged shard registers equal the union's registers " +
+       "register-for-register, so estimates compose incrementally") {
+    val df = (1 to 4000).map(i => (s"g${i % 3}", s"k$i")).toDF("grp", "k")
+    val whole = Sketches.hllRegisters(df, $"grp", $"k")
+      .as[(String, Long, Int)].collect().toSet
+    val merged = Sketches.hllMerge(
+        Sketches.hllRegisters(df.filter($"k".substr(2, 9).cast("long")
+          % 2 === 0), $"grp", $"k"),
+        Sketches.hllRegisters(df.filter($"k".substr(2, 9).cast("long")
+          % 2 =!= 0), $"grp", $"k"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(merged == whole, "max-merge must reproduce the union sketch")
+    // three-way merge with an overlapping shard is idempotent too
+    val threeWay = Sketches.hllMerge(
+        Sketches.hllRegisters(df, $"grp", $"k"),
+        Sketches.hllRegisters(df.limit(500), $"grp", $"k"),
+        Sketches.hllRegisters(df, $"grp", $"k"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(threeWay == whole, "idempotent under overlap")
+  }
+
   // --- Count-Min (q131) -----------------------------------------------------------
 
   test("cmsEstimates: never underestimates, exact on a sparse sketch, " +
