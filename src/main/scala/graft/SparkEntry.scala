@@ -136,6 +136,59 @@ object SparkEntry {
        |ORDER BY host""".stripMargin
   }
 
+  /** q137's DuckDB oracle: exact out-balls by unrolled reachability
+    * joins (t = 0..3), then the q130 register/estimate chain applied
+    * per (node, ball) — HLL merge IS set union on registers, so the
+    * iterated Spark sketch must equal registers of the TRUE balls. */
+  private def neighborhoodOracleSql: String = {
+    val balls = (1 to 3).map { t =>
+      s"""b$t AS (SELECT node, member FROM b${t - 1}
+         |  UNION SELECT e.src AS node, b.member
+         |  FROM e0 e JOIN b${t - 1} b ON b.node = e.dst)""".stripMargin
+    }.mkString(",\n")
+    val ests = (0 to 3).map { t =>
+      s"""h$t AS (SELECT node, list_reduce(list_transform(
+         |    generate_series(1, 15),
+         |    i -> CAST(strpos('0123456789abcdef',
+         |      substr(md5(CAST(member AS VARCHAR)), i, 1)) - 1
+         |      AS BIGINT)),
+         |    (a, b) -> a * 16 + b) AS h
+         |  FROM b$t),
+         |regs$t AS (SELECT node, h % 256 AS bucket,
+         |    max(CASE WHEN h // 256 = 0 THEN 53
+         |        ELSE 53 - length(bin(h // 256)) END) AS rho
+         |  FROM h$t GROUP BY 1, 2),
+         |rw$t AS (SELECT node, rho,
+         |    max(rho) OVER (PARTITION BY node) AS r FROM regs$t),
+         |g$t AS (SELECT node, max(r) AS rr,
+         |    CAST(count(*) AS BIGINT) AS n_nonzero,
+         |    sum(1::BIGINT << (r - rho)) AS s0
+         |  FROM rw$t GROUP BY 1),
+         |est$t AS (SELECT node, n_nonzero,
+         |    CAST((718273::HUGEINT * 65536 * (1::BIGINT << rr)) //
+         |      ((s0 + (256 - n_nonzero) * (1::BIGINT << rr))::HUGEINT
+         |        * 1000000) AS BIGINT) AS raw_est
+         |  FROM g$t)""".stripMargin
+    }.mkString(",\n")
+    val selects = (0 to 3).map { t =>
+      s"""SELECT node, $t AS t, n_nonzero, raw_est,
+         |  CASE WHEN raw_est <= 640 AND n_nonzero < 256
+         |    THEN round(256.0 * ln(256.0 / (256 - n_nonzero)), 6)
+         |    ELSE CAST(raw_est AS DOUBLE) END AS estimate
+         |FROM est$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_suppkey % 80 AS src,
+       |    l_partkey % 80 AS dst
+       |  FROM lineitem
+       |  WHERE ((l_suppkey % 80) * 17 + (l_partkey % 80) * 23) % 97 < 20
+       |    AND l_suppkey % 80 <> l_partkey % 80),
+       |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+       |b0 AS (SELECT node, node AS member FROM nodes),
+       |$balls,
+       |$ests
+       |SELECT * FROM ($selects) ORDER BY node, t""".stripMargin
+  }
+
   /** q101's DuckDB oracle: GraphOps.hitsFixedPoint's integer max-norm
     * recurrence unrolled to 3 iterations (an a-step and an h-step each)
     * over the directed supplier→part graph. */
@@ -1975,6 +2028,20 @@ object SparkEntry {
           graft.pipeline.Sketches.hllMerge(regsA, regsB), b = 8)
         .withColumnRenamed("grp", "priority")
         .orderBy($"priority")
+    }),
+
+    // --- HyperBall neighborhood function: per-node HLL-estimated
+    // out-ball sizes for t = 0..3 over a sparse 80-node graph. ---------------
+    "q137_neighborhood_function" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .filter(($"l_suppkey" % 80 * 17 + $"l_partkey" % 80 * 23)
+          % 97 < 20)
+        .filter($"l_suppkey" % 80 =!= $"l_partkey" % 80)
+        .select(($"l_suppkey" % 80).as("src"), ($"l_partkey" % 80).as("dst"))
+      graft.pipeline.Sketches.neighborhoodFunction(edges, "src", "dst",
+          hops = 3, b = 8)
+        .orderBy($"node", $"t")
     }),
 
     // --- the composed crawl planner: page links -> domain rollup ->
@@ -5509,6 +5576,8 @@ object SparkEntry {
     // merged-halves HLL == the one-shot sketch (register max is
     // associative), so the oracle is q130's chain verbatim — the
     // merge path must land on the identical registers and estimate.
+    "q137_neighborhood_function" -> neighborhoodOracleSql,
+
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,
              list_reduce(list_transform(generate_series(1, 15),

@@ -144,6 +144,55 @@ object Sketches {
         col("estimate"))
   }
 
+  /** HyperBall-style neighborhood function (Boldi & Vigna 2013): for
+    * every node and every radius t = 0..hops, the HLL-estimated size
+    * of its OUT-ball |{w : dist(v, w) <= t}| — the sketch that makes
+    * web-graph distance distributions (average distance, effective
+    * diameter) computable at 10^10 nodes, where exact per-node
+    * reachability sets are hopeless.
+    *
+    * The recurrence is pure register algebra on [[hllRegisters]]
+    * state: ball_0(v) = {v}; regs_t(v) = merge(regs_{t-1}(v),
+    * regs_{t-1}(w) for every edge v→w). Because HLL merge is exactly
+    * set union on registers, regs_t(v) ARE the registers of the true
+    * ball — pinned in tests against exact reachability sets, and the
+    * estimate fold is [[hllEstimate]] verbatim.
+    *
+    * Output: (node, t, n_nonzero, raw_est, estimate) for every t.
+    *
+    * Scale shape: each hop is one edges⋈registers hash join plus one
+    * map-side-combinable (node, bucket) max — register rows per node
+    * are capped at 2^b, so the join ships at most |E|·2^b slim rows a
+    * hop, independent of ball sizes (the entire point: exact sets grow
+    * to |V| per node, registers never do). Lineage is cut per hop.
+    * Production HyperBall packs registers into byte arrays; the
+    * relational form trades constant factor for Catalyst planning and
+    * needs no custom state. */
+  def neighborhoodFunction(edges: DataFrame, src: String, dst: String,
+                           hops: Int, b: Int = 8): DataFrame = {
+    require(hops >= 1 && hops <= 16, "need 1 <= hops <= 16")
+    val e = edges.select(col(src).as("_s"), col(dst).as("_d"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("_s").as("node"))
+      .union(e.select(col("_d").as("node"))).distinct()
+    // ball_0(v) = {v}: one register row per node from its own id
+    var regs = hllRegisters(nodes, col("node"), col("node"), b)
+      .localCheckpoint(true)
+    var out = hllEstimate(regs, b)
+      .select(col("grp").as("node"), lit(0).as("t"), col("n_nonzero"),
+        col("raw_est"), col("estimate"))
+    for (t <- 1 to hops) {
+      val fromNeighbors = e
+        .join(regs.withColumnRenamed("grp", "_d"), "_d")
+        .select(col("_s").as("grp"), col("bucket"), col("rho"))
+      regs = hllMerge(regs, fromNeighbors).localCheckpoint(true)
+      out = out.unionByName(hllEstimate(regs, b)
+        .select(col("grp").as("node"), lit(t).as("t"),
+          col("n_nonzero"), col("raw_est"), col("estimate")))
+    }
+    out
+  }
+
   /** Count-Min point estimates (Cormode & Muthukrishnan 2005) for a
     * literal set of probe keys: d = depth hash rows × w = width
     * counters, estimate(k) = min over rows of counter[row][h_row(k)] —

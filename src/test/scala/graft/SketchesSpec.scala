@@ -93,6 +93,49 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(threeWay == whole, "idempotent under overlap")
   }
 
+  // --- neighborhood function (q137) -----------------------------------------------
+
+  test("neighborhoodFunction: iterated registers equal the sketch of " +
+       "the EXACT reachability ball at every t (merge == set union)") {
+    val rnd = new scala.util.Random(3)
+    val edgeSeq = (1 to 150).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val nodes = (edgeSeq.map(_._1) ++ edgeSeq.map(_._2)).distinct
+    val adj = edgeSeq.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    // exact balls by sequential BFS-style closure
+    var ball = nodes.map(v => v -> Set(v)).toMap
+    val exactBalls = (1 to 3).map { _ =>
+      ball = nodes.map(v => v ->
+        (ball(v) ++ adj.getOrElse(v, Nil).flatMap(ball))).toMap
+      ball
+    }
+    val got = Sketches.neighborhoodFunction(
+        edgeSeq.toDF("src", "dst"), "src", "dst", hops = 3)
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    // spot-check a third of the nodes per level (each ref is its own
+    // tiny job); the register algebra is identical for the rest
+    for (t <- 1 to 3; v <- nodes if v % 3 == 0) {
+      val members = exactBalls(t - 1)(v).toSeq
+        .map(m => ("x", m.toString))
+      val ref = Sketches.hllDistinct(members.toDF("grp", "k"),
+          $"grp", $"k")
+        .select($"estimate").as[Double].head()
+      assert(got((v, t)) == ref,
+        s"node $v t=$t: iterated sketch must equal the exact ball's")
+    }
+    // t-monotone register counts: balls only grow
+    val nz = Sketches.neighborhoodFunction(
+        edgeSeq.toDF("src", "dst"), "src", "dst", hops = 3)
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .groupBy(_._1).values
+    nz.foreach { rows =>
+      val byT = rows.sortBy(_._2).map(_._3)
+      assert(byT.zip(byT.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   // --- Count-Min (q131) -----------------------------------------------------------
 
   test("cmsEstimates: never underestimates, exact on a sparse sketch, " +
