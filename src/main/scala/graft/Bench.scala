@@ -77,7 +77,8 @@ object Bench {
     "q128_percentiles", "q129_triangles", "q130_hll_distinct",
     "q131_cms_estimates", "q132_typosquats", "q133_burst_windows",
     "q134_personalized_pagerank", "q135_crawl_planner",
-    "q136_hll_merge", "q137_neighborhood_function")
+    "q136_hll_merge", "q137_neighborhood_function",
+    "q138_weighted_pagerank")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -136,6 +136,40 @@ object SparkEntry {
        |ORDER BY host""".stripMargin
   }
 
+  /** q138's DuckDB oracle: the weighted-PageRank integer recurrence
+    * ((r·85·w) // (100·W(u))) unrolled to 4 iterations over the
+    * link-count-weighted sparse domain graph. */
+  private def weightedPrOracleSql: String = {
+    val iters = (1 to 4).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (SELECT nd.node,
+         |    CAST(150000000000 // p.n + coalesce(m.s, 0) AS BIGINT) AS r
+         |  FROM nodes nd CROSS JOIN p
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |      CAST(sum((r.r * 85 * e.w) // (100 * d.outw)) AS BIGINT)
+         |        AS s
+         |    FROM edges e JOIN $prev r ON r.node = e.src
+         |    JOIN outw d ON d.src = e.src GROUP BY 1) m
+         |  ON m.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pe AS (SELECT
+       |    'h' || CAST(l_suppkey % 25 AS VARCHAR) AS src,
+       |    'h' || CAST(l_partkey % 25 AS VARCHAR) AS dst
+       |  FROM lineitem
+       |  WHERE ((l_suppkey % 25) * 31 + l_partkey % 25) % 7 < 2),
+       |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM pe WHERE src <> dst GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw
+       |  FROM edges GROUP BY 1),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r
+       |  FROM nodes, p),
+       |$iters
+       |SELECT node, r AS rank_fp, round(r / 1000000000000.0, 6) AS rank
+       |FROM r4 ORDER BY node""".stripMargin
+  }
+
   /** q137's DuckDB oracle: exact out-balls by unrolled reachability
     * joins (t = 0..3), then the q130 register/estimate chain applied
     * per (node, ball) — HLL merge IS set union on registers, so the
@@ -2028,6 +2062,26 @@ object SparkEntry {
           graft.pipeline.Sketches.hllMerge(regsA, regsB), b = 8)
         .withColumnRenamed("grp", "priority")
         .orderBy($"priority")
+    }),
+
+    // --- weighted PageRank over the domain graph: transition mass
+    // proportional to the rollup's link counts. ------------------------------
+    "q138_weighted_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .filter(($"l_suppkey" % 25 * 31 + $"l_partkey" % 25) % 7 < 2)
+      val pageEdges = li.select(
+        concat(lit("http://h"), ($"l_suppkey" % 25).cast("string"),
+          lit("/p/"), ($"l_orderkey" % 300).cast("string")).as("src_url"),
+        concat(lit("http://h"), ($"l_partkey" % 25).cast("string"),
+          lit("/q/"), $"l_linenumber".cast("string")).as("dst_url"))
+      val dg = graft.pipeline.WebGraph.domainGraph(
+          pageEdges, $"src_url", $"dst_url")
+        .filter(!$"internal")
+        .select($"src_host".as("src"), $"dst_host".as("dst"), $"n_links")
+      graft.pipeline.GraphOps.weightedPageRank(dg, "src", "dst",
+          "n_links", iters = 4)
+        .orderBy($"node")
     }),
 
     // --- HyperBall neighborhood function: per-node HLL-estimated
@@ -5577,6 +5631,8 @@ object SparkEntry {
     // associative), so the oracle is q130's chain verbatim — the
     // merge path must land on the identical registers and estimate.
     "q137_neighborhood_function" -> neighborhoodOracleSql,
+
+    "q138_weighted_pagerank" -> weightedPrOracleSql,
 
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

@@ -134,6 +134,60 @@ object GraphOps {
     seededRankLoop(e, nodes, nSeeds, iters, dampNum, dampDen, unit)
   }
 
+  /** Fixed-point WEIGHTED PageRank: transition mass proportional to an
+    * integer edge weight — the natural rank over [[WebGraph.domainGraph]]
+    * output, where an edge carrying 10^5 actual links should pull
+    * proportionally more rank than a single stray link (plain PageRank
+    * treats them identically).
+    *
+    *   c_t(u→v)   = (r_t(u) · dampNum · w(u→v))
+    *                div (dampDen · W(u)),  W(u) = Σ_v w(u→v)
+    *   r_{t+1}(v) = ((dampDen−dampNum)·unit div dampDen) div N
+    *                + Σ_{u→v} c_t(u→v)
+    *
+    * Same BIGINT micro-unit discipline as [[pageRankFixedPoint]] (which
+    * this reproduces exactly when every weight is equal), same
+    * per-iteration shape. Overflow bound: r·dampNum·w < 2^63 needs
+    * w < ~10^5 at unit = 10^12 — pass a smaller unit when edge weights
+    * run hotter (the q138 oracle replays whatever is passed).
+    * Non-positive weights are rejected. */
+  def weightedPageRank(edges: DataFrame, src: String, dst: String,
+                       weight: String, iters: Int,
+                       dampNum: Long = 85L, dampDen: Long = 100L,
+                       unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(dampNum > 0 && dampDen > dampNum, "0 < damping < 1")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"),
+        col(weight).cast("long").as("w"))
+      .localCheckpoint(true)
+    require(e.filter(col("w") <= 0 || col("w").isNull).isEmpty,
+      "edge weights must be positive")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val eW = e.join(outW, "src").localCheckpoint(true)
+    val base = ((dampDen - dampNum) * unit) / dampDen / n
+    var ranks = nodes.withColumn("r", lit(unit / n))
+    for (i <- 1 to iters) {
+      if (i > 1) ranks = ranks.localCheckpoint(true)
+      val msgs = eW
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          expr(s"(r * ${dampNum}L * w) div (${dampDen}L * outw)")
+            .as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(msgs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"),
+      round(col("r") / lit(unit.toDouble), 6).as("rank"))
+  }
+
   /** Fixed-point HITS (Kleinberg 1999) — hub and authority scores,
     * deterministic to the last bit on any engine.
     *

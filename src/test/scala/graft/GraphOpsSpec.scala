@@ -78,6 +78,31 @@ class GraphOpsSpec extends AnyFunSuite with SparkSuite {
     assert(ppr == pr)
   }
 
+  test("weightedPageRank: equal weights reproduce plain PageRank " +
+       "bit-for-bit; a heavier edge pulls strictly more rank") {
+    val e = bidirect(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      5L -> 1L, 2L -> 5L))
+    val unitW = e.map { case (s, d) => (s, d, 1L) }
+      .toDF("src", "dst", "w")
+    val got = GraphOps.weightedPageRank(unitW, "src", "dst", "w", 5)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val plain = GraphOps.pageRankFixedPoint(e.toDF("src", "dst"), 5)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(got == plain)
+    // star: hub 0 -> {1, 2}, edge to 1 carries 9x weight -> node 1
+    // strictly outranks node 2 (plain PageRank would tie them)
+    val star = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 1L),
+      (2L, 0L, 1L)).toDF("src", "dst", "w")
+    val r = GraphOps.weightedPageRank(star, "src", "dst", "w", 4)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x._2).toMap
+    assert(r(1L) > r(2L), "the 9x edge must pull more rank")
+    // non-positive weights rejected
+    intercept[IllegalArgumentException] {
+      GraphOps.weightedPageRank(
+        Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), "src", "dst", "w", 1)
+    }
+  }
+
   test("personalizedPageRank: a component unreachable from the seeds " +
        "holds rank exactly zero; seeds outrank symmetric non-seeds") {
     // two disjoint bidirected triangles; seeds only in the first
