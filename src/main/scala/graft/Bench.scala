@@ -78,7 +78,8 @@ object Bench {
     "q131_cms_estimates", "q132_typosquats", "q133_burst_windows",
     "q134_personalized_pagerank", "q135_crawl_planner",
     "q136_hll_merge", "q137_neighborhood_function",
-    "q138_weighted_pagerank")
+    "q138_weighted_pagerank", "q139_bowtie", "q140_kcore",
+    "q141_label_communities")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -223,6 +223,138 @@ object SparkEntry {
        |SELECT * FROM ($selects) ORDER BY node, t""".stripMargin
   }
 
+  /** q139's DuckDB oracle: the full bowtie classification recomputed
+    * with recursive-CTE reachability — fwd/bwd closure from the same
+    * deterministic pivot (max degree, min id), set algebra for
+    * CORE/IN/OUT, closures from IN and to OUT for TUBE/TENDRIL, and
+    * the undirected closure for DISCONNECTED. */
+  private def bowtieOracleSql: String =
+    """WITH RECURSIVE e0 AS (
+      |  SELECT l_suppkey % 12 AS src, (l_suppkey % 12 + 1) % 12 AS dst
+      |    FROM lineitem
+      |  UNION ALL SELECT l_partkey % 20 + 100, l_partkey % 20 % 12
+      |    FROM lineitem
+      |  UNION ALL SELECT l_partkey % 20 % 12, l_partkey % 20 + 200
+      |    FROM lineitem
+      |  UNION ALL SELECT l_orderkey % 5 + 100, l_orderkey % 5 + 300
+      |    FROM lineitem
+      |  UNION ALL SELECT l_orderkey % 5 + 300, l_orderkey % 5 + 200
+      |    FROM lineitem
+      |  UNION ALL SELECT l_orderkey % 7 + 100, l_orderkey % 7 + 400
+      |    FROM lineitem
+      |  UNION ALL SELECT l_linenumber % 6 + 500, l_linenumber % 6 + 200
+      |    FROM lineitem
+      |  UNION ALL SELECT l_suppkey % 5 * 2 + 600, l_suppkey % 5 * 2 + 601
+      |    FROM lineitem
+      |  UNION ALL SELECT l_suppkey % 5 * 2 + 601, l_suppkey % 5 * 2 + 600
+      |    FROM lineitem),
+      |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      |und AS (SELECT DISTINCT a, b FROM (
+      |  SELECT src AS a, dst AS b FROM edges
+      |  UNION ALL SELECT dst, src FROM edges)),
+      |pv AS (SELECT node FROM (
+      |    SELECT node, count(*) AS d FROM (
+      |      SELECT src AS node FROM edges
+      |      UNION ALL SELECT dst FROM edges) GROUP BY 1)
+      |  ORDER BY d DESC, node ASC LIMIT 1),
+      |fwd(node) AS (SELECT node FROM pv
+      |  UNION SELECT e.dst FROM edges e JOIN fwd f ON e.src = f.node),
+      |bwd(node) AS (SELECT node FROM pv
+      |  UNION SELECT e.src FROM edges e JOIN bwd f ON e.dst = f.node),
+      |core AS (SELECT f.node FROM fwd f JOIN bwd b ON b.node = f.node),
+      |inn AS (SELECT b.node FROM bwd b
+      |  LEFT JOIN core c ON c.node = b.node WHERE c.node IS NULL),
+      |outt AS (SELECT f.node FROM fwd f
+      |  LEFT JOIN core c ON c.node = f.node WHERE c.node IS NULL),
+      |tfrom(node) AS (SELECT node FROM inn
+      |  UNION SELECT e.dst FROM edges e JOIN tfrom f ON e.src = f.node),
+      |tto(node) AS (SELECT node FROM outt
+      |  UNION SELECT e.src FROM edges e JOIN tto f ON e.dst = f.node),
+      |weak(node) AS (SELECT node FROM pv
+      |  UNION SELECT u.b FROM und u JOIN weak w ON u.a = w.node)
+      |SELECT n.node,
+      |  CASE WHEN c.node IS NOT NULL THEN 'CORE'
+      |       WHEN i.node IS NOT NULL THEN 'IN'
+      |       WHEN o.node IS NOT NULL THEN 'OUT'
+      |       WHEN w.node IS NULL THEN 'DISCONNECTED'
+      |       WHEN tf.node IS NOT NULL AND tt.node IS NOT NULL THEN 'TUBE'
+      |       ELSE 'TENDRIL' END AS cls
+      |FROM nodes n
+      |LEFT JOIN core c ON c.node = n.node
+      |LEFT JOIN inn i ON i.node = n.node
+      |LEFT JOIN outt o ON o.node = n.node
+      |LEFT JOIN tfrom tf ON tf.node = n.node
+      |LEFT JOIN tto tt ON tt.node = n.node
+      |LEFT JOIN weak w ON w.node = n.node
+      |ORDER BY n.node""".stripMargin
+
+  /** q140's DuckDB oracle: the k=3 peel unrolled to 8 rounds (the
+    * fixture's longest cascade — the 7-rung ladder — settles in 5;
+    * extra unrolled rounds are no-ops at the fixpoint, so 8 is safe
+    * slack, and the spec pins Spark's own convergence). */
+  private def kcoreOracleSql: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""g$r AS MATERIALIZED (SELECT node FROM (
+         |    SELECT a AS node FROM p${r - 1}
+         |    UNION ALL SELECT b FROM p${r - 1})
+         |  GROUP BY node HAVING count(*) >= 3),
+         |p$r AS MATERIALIZED (SELECT a, b FROM p${r - 1}
+         |  WHERE a IN (SELECT node FROM g$r)
+         |    AND b IN (SELECT node FROM g$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT l_suppkey % 5 AS src, l_partkey % 5 AS dst FROM lineitem
+       |  UNION ALL SELECT l_suppkey % 4 + 50, l_partkey % 4 + 50
+       |    FROM lineitem
+       |  UNION ALL SELECT l_orderkey % 8 + 10, l_orderkey % 8 + 11
+       |    FROM lineitem
+       |  UNION ALL SELECT 0, 10 FROM lineitem
+       |  UNION ALL SELECT l_partkey % 6 + 20, l_partkey % 6 + 21
+       |    FROM lineitem
+       |  UNION ALL SELECT l_partkey % 6 + 30, l_partkey % 6 + 31
+       |    FROM lineitem
+       |  UNION ALL SELECT l_suppkey % 7 + 20, l_suppkey % 7 + 30
+       |    FROM lineitem),
+       |p0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+       |    greatest(src, dst) AS b FROM e0 WHERE src <> dst),
+       |$rounds
+       |SELECT DISTINCT node FROM (
+       |  SELECT a AS node FROM p8 UNION ALL SELECT b FROM p8)
+       |ORDER BY node""".stripMargin
+  }
+
+  /** q141's DuckDB oracle: the deterministic sync label-propagation
+    * recurrence (neighbor votes + one self vote, ties to the smallest
+    * label) unrolled to 4 rounds with QUALIFY top-1 per node. */
+  private def lpaOracleSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""v$r AS (SELECT node, lbl, count(*) AS c FROM (
+         |    SELECT u.node, l.lbl FROM und u
+         |    JOIN l${r - 1} l ON l.node = u.nbr
+         |    UNION ALL SELECT node, lbl FROM l${r - 1})
+         |  GROUP BY 1, 2),
+         |l$r AS (SELECT node, lbl FROM v$r
+         |  QUALIFY row_number() OVER (PARTITION BY node
+         |    ORDER BY c DESC, lbl ASC) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT l_suppkey % 6 AS src, l_partkey % 6 AS dst FROM lineitem
+       |  UNION ALL SELECT l_suppkey % 6 + 10, l_partkey % 6 + 10
+       |    FROM lineitem
+       |  UNION ALL SELECT l_orderkey % 2 * 10, 100 FROM lineitem
+       |  UNION ALL SELECT l_orderkey % 3 + 20, l_orderkey % 3 + 21
+       |    FROM lineitem
+       |  UNION ALL SELECT 0, 20 FROM lineitem),
+       |und AS (SELECT DISTINCT node, nbr FROM (
+       |  SELECT src AS node, dst AS nbr FROM e0 WHERE src <> dst
+       |  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+       |l0 AS (SELECT DISTINCT node, node AS lbl FROM und),
+       |$rounds
+       |SELECT node, lbl AS community FROM l4 ORDER BY node""".stripMargin
+  }
+
   /** q101's DuckDB oracle: GraphOps.hitsFixedPoint's integer max-norm
     * recurrence unrolled to 3 iterations (an a-step and an h-step each)
     * over the directed supplier→part graph. */
@@ -2127,6 +2259,78 @@ object SparkEntry {
           totalBudget = 50000L)
         .withColumnRenamed("node", "host")
         .orderBy($"host")
+    }),
+
+    // --- bowtie decomposition (Broder et al. 2000): the fixture plants
+    // all six classes — a 12-cycle CORE, 20 IN feeders, 20 OUT sinks,
+    // 5 TUBE waypoints (IN→t→OUT bypassing core), dead-end and
+    // source-only TENDRILs, and 5 disconnected 2-cycles. ---------------------
+    "q139_bowtie" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(($"l_suppkey" % 12).as("src"),
+          (($"l_suppkey" % 12 + 1) % 12).as("dst"))
+        .union(li.select(($"l_partkey" % 20 + 100).as("src"),
+          ($"l_partkey" % 20 % 12).as("dst")))
+        .union(li.select(($"l_partkey" % 20 % 12).as("src"),
+          ($"l_partkey" % 20 + 200).as("dst")))
+        .union(li.select(($"l_orderkey" % 5 + 100).as("src"),
+          ($"l_orderkey" % 5 + 300).as("dst")))
+        .union(li.select(($"l_orderkey" % 5 + 300).as("src"),
+          ($"l_orderkey" % 5 + 200).as("dst")))
+        .union(li.select(($"l_orderkey" % 7 + 100).as("src"),
+          ($"l_orderkey" % 7 + 400).as("dst")))
+        .union(li.select(($"l_linenumber" % 6 + 500).as("src"),
+          ($"l_linenumber" % 6 + 200).as("dst")))
+        .union(li.select(($"l_suppkey" % 5 * 2 + 600).as("src"),
+          ($"l_suppkey" % 5 * 2 + 601).as("dst")))
+        .union(li.select(($"l_suppkey" % 5 * 2 + 601).as("src"),
+          ($"l_suppkey" % 5 * 2 + 600).as("dst")))
+      graft.pipeline.GraphOps.bowtie(edges, "src", "dst")
+        .orderBy($"node")
+    }),
+
+    // --- 3-core membership: K5 and K4 survive; a pendant chain, its
+    // clique attachment, and a 7-rung ladder (a multi-round peel
+    // cascade — interior degree 3, ends 2) all peel away. --------------------
+    "q140_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(($"l_suppkey" % 5).as("src"),
+          ($"l_partkey" % 5).as("dst"))
+        .union(li.select(($"l_suppkey" % 4 + 50).as("src"),
+          ($"l_partkey" % 4 + 50).as("dst")))
+        .union(li.select(($"l_orderkey" % 8 + 10).as("src"),
+          ($"l_orderkey" % 8 + 11).as("dst")))
+        .union(li.select(lit(0).as("src"), lit(10).as("dst")))
+        .union(li.select(($"l_partkey" % 6 + 20).as("src"),
+          ($"l_partkey" % 6 + 21).as("dst")))
+        .union(li.select(($"l_partkey" % 6 + 30).as("src"),
+          ($"l_partkey" % 6 + 31).as("dst")))
+        .union(li.select(($"l_suppkey" % 7 + 20).as("src"),
+          ($"l_suppkey" % 7 + 30).as("dst")))
+      graft.pipeline.GraphOps.kCore(edges, "src", "dst", k = 3)
+        .orderBy($"node")
+    }),
+
+    // --- deterministic label-propagation communities (4 sync rounds,
+    // self-vote, min-label ties): two K6 cliques, a bridge node tied to
+    // both, and a pendant chain off clique A. --------------------------------
+    "q141_label_communities" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(($"l_suppkey" % 6).as("src"),
+          ($"l_partkey" % 6).as("dst"))
+        .union(li.select(($"l_suppkey" % 6 + 10).as("src"),
+          ($"l_partkey" % 6 + 10).as("dst")))
+        .union(li.select(($"l_orderkey" % 2 * 10).as("src"),
+          lit(100).as("dst")))
+        .union(li.select(($"l_orderkey" % 3 + 20).as("src"),
+          ($"l_orderkey" % 3 + 21).as("dst")))
+        .union(li.select(lit(0).as("src"), lit(20).as("dst")))
+      graft.pipeline.GraphOps.labelPropagation(edges, "src", "dst",
+          iters = 4)
+        .orderBy($"node")
     })
   )
 
@@ -5633,6 +5837,12 @@ object SparkEntry {
     "q137_neighborhood_function" -> neighborhoodOracleSql,
 
     "q138_weighted_pagerank" -> weightedPrOracleSql,
+
+    "q139_bowtie" -> bowtieOracleSql,
+
+    "q140_kcore" -> kcoreOracleSql,
+
+    "q141_label_communities" -> lpaOracleSql,
 
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

@@ -1,7 +1,10 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.util.Eager
 
 /** Link-graph operators. A discovery crawler ranks domains to decide
   * where to spend its crawl budget (the reference keeps a per-domain
@@ -313,5 +316,223 @@ object GraphOps {
           expr("n_triangles * 3000000L div n_wedges")).otherwise(0L))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         col("n_wedges"), col("closure_ppm"))
+  }
+
+  /** Multi-source BFS reachability fixpoint: every node reachable from
+    * `seeds` (a 1-column `node` frame, included in the result) along
+    * src→dst edges. Frontier-based — each round joins only the NEW
+    * frontier against the static edge table and anti-joins out settled
+    * nodes, so a node is expanded exactly once and the loop runs
+    * O(diameter) rounds; the per-round driver state is one scalar (the
+    * frontier size, observed on the checkpoint job itself). */
+  private def reach(edges: DataFrame, seeds: DataFrame,
+                    maxRounds: Int = 300): DataFrame = {
+    var reached = Eager.ckpt(seeds.select(col("node")).distinct())
+    var frontier = reached
+    var grew = true
+    var round = 0
+    while (grew && round < maxRounds) {
+      val (next, n) = Eager.ckptCount(
+        edges.join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(reached, Seq("node"), "left_anti"))
+      grew = n > 0
+      if (grew) {
+        reached = Eager.ckpt(reached.union(next))
+        frontier = next
+      }
+      round += 1
+    }
+    reached
+  }
+
+  /** Bowtie decomposition of a directed graph (Broder et al., "Graph
+    * structure in the Web", WWW 2000): every node classified against
+    * the SCC of a deterministic pivot — the max-total-degree node,
+    * ties to the smallest id (the standard FW–BW heuristic start,
+    * which lands in the giant component of any web-shaped graph).
+    *
+    *   CORE          fwd(pivot) ∩ bwd(pivot)   (the pivot's SCC)
+    *   IN            reaches CORE, not in it
+    *   OUT           reachable from CORE, not in it
+    *   TUBE          on an IN→…→OUT path that bypasses CORE
+    *   TENDRIL       anything else weakly attached to CORE (includes
+    *                 Broder's tendrils-of-tendrils)
+    *   DISCONNECTED  not in CORE's weak component
+    *
+    * A node reachable from IN *through* CORE is already CORE/OUT, so
+    * for unclassified nodes "reachable from IN" automatically means
+    * via a core-avoiding path — TUBE needs no subgraph restriction.
+    * Self-loops are dropped (they never change reachability).
+    *
+    * Scale shape: six frontier BFS fixpoints ([[reach]] — fwd, bwd,
+    * from-IN, to-OUT, weak, each O(diameter) rounds of frontier-sized
+    * joins) plus one degree aggregate; the pivot is a 1-row DataFrame
+    * joined in, never a driver collect. This is how the original study
+    * measured AltaVista's 200M-node graph — BFS from pivots, not
+    * transitive closure. */
+  def bowtie(edgesIn: DataFrame, src: String, dst: String): DataFrame = {
+    val edges = Eager.ckpt(
+      edgesIn.select(col(src).as("src"), col(dst).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val nodes = Eager.ckpt(edges.select(col("src").as("node"))
+      .union(rev.select(col("src").as("node"))).distinct())
+    val pivot = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("node").asc).limit(1)
+      .select(col("node"))
+    val fwd = reach(edges, pivot)
+    val bwd = reach(rev, pivot)
+    val core = Eager.ckpt(fwd.join(bwd, Seq("node"), "left_semi"))
+    val inn = Eager.ckpt(bwd.join(core, Seq("node"), "left_anti"))
+    val out = Eager.ckpt(fwd.join(core, Seq("node"), "left_anti"))
+    val tFrom = reach(edges, inn)
+    val tTo = reach(rev, out)
+    val weak = reach(edges.union(rev), pivot)
+    def flag(s: DataFrame, name: String): DataFrame =
+      s.withColumn(name, lit(true))
+    def set(name: String) = coalesce(col(name), lit(false))
+    nodes
+      .join(flag(core, "_core"), Seq("node"), "left")
+      .join(flag(inn, "_in"), Seq("node"), "left")
+      .join(flag(out, "_out"), Seq("node"), "left")
+      .join(flag(tFrom, "_tfrom"), Seq("node"), "left")
+      .join(flag(tTo, "_tto"), Seq("node"), "left")
+      .join(flag(weak, "_weak"), Seq("node"), "left")
+      .select(col("node"),
+        when(set("_core"), lit("CORE"))
+          .when(set("_in"), lit("IN"))
+          .when(set("_out"), lit("OUT"))
+          .when(!set("_weak"), lit("DISCONNECTED"))
+          .when(set("_tfrom") && set("_tto"), lit("TUBE"))
+          .otherwise(lit("TENDRIL")).as("cls"))
+  }
+
+  /** Nodes of the k-core: the maximal subgraph in which every node has
+    * undirected degree ≥ k (Seidman 1983) — the standard "densely
+    * interlinked nucleus" cut of a link graph (spam farms and genuine
+    * hub communities survive; pendant chains and crawl tendrils peel
+    * away). Iterative peel to fixpoint: each round is one map-side-
+    * combinable degree aggregate plus two semi-joins dropping edges
+    * with an under-degree endpoint; rounds are bounded by the longest
+    * peel cascade. Edges are canonicalized (lo, hi) so each undirected
+    * edge counts once; self-loops are dropped. */
+  def kCore(edgesIn: DataFrame, src: String, dst: String, k: Int,
+            maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val s = col(src)
+    val d = col(dst)
+    var (e, m) = Eager.ckptCount(
+      edgesIn.select(least(s, d).as("a"), greatest(s, d).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    var changed = m > 0
+    var round = 0
+    while (changed && round < maxRounds) {
+      val good = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("node"))
+      val (next, m2) = Eager.ckptCount(
+        e.join(good.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(good.withColumnRenamed("node", "b"), Seq("b"),
+            "left_semi"))
+      changed = m2 != m
+      m = m2
+      e = next
+      round += 1
+    }
+    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .distinct()
+  }
+
+  /** Full coreness (degeneracy ordering): coreness(v) = the largest k
+    * for which v survives the k-core peel. Computed by successive
+    * peeling — the level-k peel starts from the (k−1)-core's surviving
+    * edge set, so total work telescopes down the shrinking graph and
+    * the loop runs O(degeneracy) levels. (At true web degeneracies the
+    * distributed h-index iteration converges in fewer passes; the
+    * telescoping peel is the simpler shape and every pass here is the
+    * same two-semi-join round as [[kCore]].) */
+  def coreness(edgesIn: DataFrame, src: String, dst: String,
+               maxK: Int = 64): DataFrame = {
+    val s = col(src)
+    val d = col(dst)
+    var e = Eager.ckpt(
+      edgesIn.select(least(s, d).as("a"), greatest(s, d).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    var cor = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+      .withColumn("coreness", lit(1))
+    var k = 2
+    var alive = true
+    while (alive && k <= maxK) {
+      // peel e down to the k-core, starting from the (k-1)-core edges
+      var m = -1L
+      var changed = true
+      while (changed) {
+        val good = e.select(col("a").as("node"))
+          .union(e.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("node"))
+        val (next, m2) = Eager.ckptCount(
+          e.join(good.withColumnRenamed("node", "a"), Seq("a"),
+            "left_semi")
+            .join(good.withColumnRenamed("node", "b"), Seq("b"),
+              "left_semi"))
+        changed = m2 != m
+        m = m2
+        e = next
+      }
+      alive = m > 0
+      if (alive) {
+        val members = e.select(col("a").as("node"))
+          .union(e.select(col("b").as("node"))).distinct()
+          .withColumn("_k", lit(k))
+        cor = Eager.ckpt(cor.join(members, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("_k"), col("coreness")).as("coreness")))
+        k += 1
+      }
+    }
+    cor
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007), made fully deterministic: every node starts as its own
+    * label; each round it adopts the most frequent label among its
+    * undirected neighbors plus ONE self vote (the self vote breaks the
+    * classic 2-cycle oscillation), ties broken by smallest label. A
+    * fixed `iters` rounds — deterministic end state, replayed exactly
+    * by the q141 oracle.
+    *
+    * Scale shape per round: one map-side-combinable (node, label)
+    * count and one per-node top-1 window over ≤ degree distinct-label
+    * rows — a hub with 10^6 neighbors contributes at most its distinct
+    * neighbor-label count to the window, and lineage is cut per round. */
+  def labelPropagation(edgesIn: DataFrame, src: String, dst: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val e = edgesIn.select(col(src).as("node"), col(dst).as("nbr"))
+      .filter(col("node") =!= col("nbr"))
+    val und = Eager.ckpt(
+      e.union(e.select(col("nbr").as("node"), col("node").as("nbr")))
+        .distinct())
+    var labels = und.select(col("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val top = Window.partitionBy(col("node"))
+      .orderBy(col("c").desc, col("lbl").asc)
+    for (i <- 1 to iters) {
+      if (i > 1) labels = Eager.ckpt(labels)
+      val votes = und
+        .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .select(col("node"), col("lbl"))
+        .union(labels.select(col("node"), col("lbl")))
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+      labels = votes.withColumn("_rk", row_number().over(top))
+        .filter(col("_rk") === 1).select(col("node"), col("lbl"))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
   }
 }

@@ -227,4 +227,83 @@ class GraphOpsSpec extends AnyFunSuite with SparkSuite {
     assert(plan.contains("partial_sum"),
       s"message sum needs a map-side partial:\n$plan")
   }
+
+  // --- bowtie (q139) ---------------------------------------------------------
+
+  test("bowtie: every class lands exactly where Broder's definitions " +
+       "put it on a handcrafted graph, and self-loops change nothing") {
+    // core 1<->2; 10 -> core -> 20; tube 10->30->20; dead-end tendril
+    // 10->40; source-only tendril 50->20; disconnected pair 60<->61
+    val e = Seq(1L -> 2L, 2L -> 1L, 10L -> 1L, 2L -> 20L,
+      10L -> 30L, 30L -> 20L, 10L -> 40L, 50L -> 20L,
+      60L -> 61L, 61L -> 60L, 2L -> 2L)
+    val got = GraphOps.bowtie(e.toDF("src", "dst"), "src", "dst")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "CORE", 2L -> "CORE", 10L -> "IN",
+      20L -> "OUT", 30L -> "TUBE", 40L -> "TENDRIL", 50L -> "TENDRIL",
+      60L -> "DISCONNECTED", 61L -> "DISCONNECTED"))
+  }
+
+  test("bowtie: deterministic under repartitioning (pivot is a total " +
+       "order, reachability is exact)") {
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 5L -> 1L,
+      4L -> 6L, 5L -> 7L)
+    val a = GraphOps.bowtie(e.toDF("src", "dst"), "src", "dst")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = GraphOps.bowtie(e.toDF("src", "dst").repartition(7),
+        "src", "dst")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.count(_._2 == "CORE") == 3, "the triangle is the core")
+  }
+
+  // --- k-core / coreness (q140) ---------------------------------------------
+
+  test("kCore: K4 survives k=3; an attached chain and a floating " +
+       "triangle peel away; a pure peel-cascade ladder empties") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield a -> b
+    val e = k4 ++ Seq(4L -> 5L, 5L -> 6L, 7L -> 8L, 8L -> 9L, 9L -> 7L)
+    val got = GraphOps.kCore(e.toDF("src", "dst"), "src", "dst", k = 3)
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L))
+    // triangle IS the 2-core together with K4 (chain still peels)
+    val got2 = GraphOps.kCore(e.toDF("src", "dst"), "src", "dst", k = 2)
+      .as[Long].collect().sorted.toSeq
+    assert(got2 == Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L))
+    // 5-rung ladder: interior degree 3 but ends degree 2 — the peel
+    // must cascade the whole structure away over multiple rounds
+    val rails = (0L until 4L).flatMap(j =>
+      Seq((20L + j) -> (21L + j), (30L + j) -> (31L + j)))
+    val rungs = (0L until 5L).map(j => (20L + j) -> (30L + j))
+    val lad = GraphOps.kCore((rails ++ rungs).toDF("src", "dst"),
+      "src", "dst", k = 3)
+    assert(lad.isEmpty, "ladder must peel to nothing at k=3")
+  }
+
+  test("coreness: successive peel gives each node its maximal " +
+       "surviving level on a K4 + triangle + pendant graph") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield a -> b
+    val e = k4 ++ Seq(4L -> 5L, 5L -> 6L, 6L -> 7L, 7L -> 5L, 1L -> 8L)
+    val got = GraphOps.coreness(e.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3,
+      5L -> 2, 6L -> 2, 7L -> 2, 8L -> 1))
+  }
+
+  // --- label propagation (q141) ---------------------------------------------
+
+  test("labelPropagation: two bridged triangles settle into their own " +
+       "min-label communities, deterministically under repartitioning") {
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L, 3L -> 10L)
+    val got = GraphOps.labelPropagation(e.toDF("src", "dst"),
+        "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val again = GraphOps.labelPropagation(
+        e.toDF("src", "dst").repartition(7), "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
 }
