@@ -79,7 +79,8 @@ object Bench {
     "q134_personalized_pagerank", "q135_crawl_planner",
     "q136_hll_merge", "q137_neighborhood_function",
     "q138_weighted_pagerank", "q139_bowtie", "q140_kcore",
-    "q141_label_communities")
+    "q141_label_communities", "q142_kmv_distinct",
+    "q143_bottomk_jaccard")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

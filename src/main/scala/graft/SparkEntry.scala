@@ -355,6 +355,67 @@ object SparkEntry {
        |SELECT node, lbl AS community FROM l4 ORDER BY node""".stripMargin
   }
 
+  /** q142's DuckDB oracle: the KMV chain replayed — md5-hex-fold
+    * 60-bit hashes, distinct per group, bottom-64 by row_number, then
+    * the exact-below-k / (k−1)·2^60 // h_(k) estimator in HUGEINT. */
+  private def kmvOracleSql: String =
+    """WITH h AS (SELECT
+      |    CASE WHEN o_orderkey % 2000 = 17 THEN '6-TINY'
+      |      ELSE o_orderpriority END AS grp,
+      |    list_reduce(list_transform(generate_series(1, 15),
+      |      i -> CAST(strpos('0123456789abcdef',
+      |        substr(md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1
+      |        AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS h
+      |  FROM orders),
+      |hs AS (SELECT DISTINCT grp, h FROM h),
+      |bk AS (SELECT grp, h FROM hs
+      |  QUALIFY row_number() OVER (PARTITION BY grp ORDER BY h) <= 64)
+      |SELECT grp AS priority, count(*) AS n_sketch,
+      |  max(h) AS kth_hash,
+      |  CASE WHEN count(*) < 64 THEN count(*)
+      |    ELSE CAST((63::HUGEINT * 1152921504606846976)
+      |      // greatest(max(h), 1) AS BIGINT) END AS estimate
+      |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q143's DuckDB oracle: coordinated bottom-k Jaccard — per-source
+    * bottom-256 sketches, per-pair union bottom-256 with membership
+    * flags, match fraction in integer ppm, union-cardinality fold. */
+  private def bottomkJaccardOracleSql: String =
+    """WITH h AS (SELECT 's' || CAST(l_suppkey % 4 AS VARCHAR) AS grp,
+      |    list_reduce(list_transform(generate_series(1, 15),
+      |      i -> CAST(strpos('0123456789abcdef',
+      |        substr(md5(CAST(l_partkey % (500 + l_suppkey % 4 * 100)
+      |          AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS h
+      |  FROM lineitem),
+      |hs AS (SELECT DISTINCT grp, h FROM h),
+      |bk AS MATERIALIZED (SELECT grp, h FROM hs
+      |  QUALIFY row_number() OVER (PARTITION BY grp ORDER BY h) <= 256),
+      |grps AS (SELECT DISTINCT grp FROM bk),
+      |pairs AS (SELECT a.grp AS ga, b.grp AS gb
+      |  FROM grps a, grps b WHERE a.grp < b.grp),
+      |m AS (SELECT ga, gb, h, max(ia) AS ia, max(ib) AS ib FROM (
+      |    SELECT p.ga, p.gb, s.h, 1 AS ia, 0 AS ib
+      |    FROM pairs p JOIN bk s ON s.grp = p.ga
+      |    UNION ALL
+      |    SELECT p.ga, p.gb, s.h, 0, 1
+      |    FROM pairs p JOIN bk s ON s.grp = p.gb)
+      |  GROUP BY 1, 2, 3),
+      |r AS (SELECT * FROM m
+      |  QUALIFY row_number() OVER (PARTITION BY ga, gb ORDER BY h)
+      |    <= 256)
+      |SELECT ga AS grp_a, gb AS grp_b,
+      |  count(*) AS k_eff,
+      |  CAST(coalesce(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 END), 0)
+      |    AS BIGINT) AS matches,
+      |  CAST((coalesce(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 END), 0)
+      |    * 1000000) // count(*) AS BIGINT) AS jaccard_ppm,
+      |  CASE WHEN count(*) < 256 THEN count(*)
+      |    ELSE CAST((255::HUGEINT * 1152921504606846976)
+      |      // greatest(max(h), 1) AS BIGINT) END AS union_est
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q101's DuckDB oracle: GraphOps.hitsFixedPoint's integer max-norm
     * recurrence unrolled to 3 iterations (an a-step and an h-step each)
     * over the directed supplier→part graph. */
@@ -2331,6 +2392,36 @@ object SparkEntry {
       graft.pipeline.GraphOps.labelPropagation(edges, "src", "dst",
           iters = 4)
         .orderBy($"node")
+    }),
+
+    // --- KMV bottom-k distinct estimate per priority (same data as the
+    // q130 HLL sketch, so the two estimators are directly comparable);
+    // a planted '6-TINY' sliver exercises the exact small-set branch. --------
+    "q142_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").select(
+        when($"o_orderkey" % 2000 === 17, lit("6-TINY"))
+          .otherwise($"o_orderpriority").as("grp"),
+        $"o_custkey")
+      graft.pipeline.Sketches.kmvEstimate(
+          graft.pipeline.Sketches.kmvSketch(o, $"grp", $"o_custkey",
+            k = 64), k = 64)
+        .withColumnRenamed("grp", "priority")
+        .orderBy($"priority")
+    }),
+
+    // --- coordinated bottom-k Jaccard between sources: nested key
+    // pools ([0,500) ⊂ [0,600) ⊂ [0,700) ⊂ [0,800)) give known true
+    // overlaps for the sketch estimates to track. ----------------------------
+    "q143_bottomk_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val keyed = t(s, dir, "lineitem").select(
+        concat(lit("s"), ($"l_suppkey" % 4).cast("string")).as("src"),
+        ($"l_partkey" % (lit(500) + $"l_suppkey" % 4 * 100)).as("k"))
+      graft.pipeline.Sketches.kmvJaccard(
+          graft.pipeline.Sketches.kmvSketch(keyed, $"src", $"k",
+            k = 256), k = 256)
+        .orderBy($"grp_a", $"grp_b")
     })
   )
 
@@ -5843,6 +5934,10 @@ object SparkEntry {
     "q140_kcore" -> kcoreOracleSql,
 
     "q141_label_communities" -> lpaOracleSql,
+
+    "q142_kmv_distinct" -> kmvOracleSql,
+
+    "q143_bottomk_jaccard" -> bottomkJaccardOracleSql,
 
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

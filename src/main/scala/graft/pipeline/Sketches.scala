@@ -193,6 +193,118 @@ object Sketches {
     out
   }
 
+  /** KMV (bottom-k / k-minimum-values) distinct sketch (Bar-Yossef et
+    * al. 2002; Beyer et al. 2007): per group, the k smallest DISTINCT
+    * 60-bit key hashes — the order-statistics twin of [[hllRegisters]].
+    * Where HLL trades all structure for 2^b registers, the KMV sketch
+    * keeps actual hash values, which buys two things HLL cannot do:
+    * the sketch doubles as a deterministic coordinated SAMPLE of the
+    * keys, and two groups' sketches support set-operation estimates
+    * ([[kmvJaccard]]) because the same key hashes identically
+    * everywhere.
+    *
+    * Scale shape: dense_rank over (grp ORDER BY h) filtered to ≤ k —
+    * Catalyst's InferWindowGroupLimit turns that into a map-side
+    * per-partition bottom-k BEFORE the exchange (pinned in tests), so
+    * the shuffle carries ~k rows per (partition, group), never the raw
+    * key stream; the trailing distinct collapses duplicate-key rows
+    * that survive inside the bottom-k window. Mergeable by
+    * [[kmvMerge]]: bottom-k of a union == bottom-k of the union of
+    * bottom-k's (order statistics compose), pinned in tests. */
+  def kmvSketch(df: DataFrame, group: Column, key: Column,
+                k: Int = 256): DataFrame = {
+    require(k >= 2 && k <= 65536, "need 2 <= k <= 65536")
+    val byGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h").asc)
+    df.select(group.as("grp"), md5Hash60(key).as("h"))
+      .filter(col("h").isNotNull)
+      .withColumn("_rk", dense_rank().over(byGrp))
+      .filter(col("_rk") <= k)
+      .select(col("grp"), col("h")).distinct()
+  }
+
+  /** Merge KMV sketches: union, then bottom-k per group again. Exactly
+    * the sketch of the unioned inputs — order statistics compose. */
+  def kmvMerge(k: Int, sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    val byGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h").asc)
+    sketches.reduce(_ unionByName _).distinct()
+      .withColumn("_rk", row_number().over(byGrp))
+      .filter(col("_rk") <= k)
+      .select(col("grp"), col("h"))
+  }
+
+  /** Fold a KMV sketch into per-group distinct estimates. With fewer
+    * than k distinct hashes the sketch IS the distinct set, so the
+    * count is exact; otherwise the standard unbiased estimator
+    * (k−1)·2^60 div h_(k) on the k-th smallest hash — pure integer
+    * (DECIMAL(38,0) clears the product), replayed exactly by the q142
+    * oracle. Output: (grp, n_sketch, kth_hash, estimate). */
+  def kmvEstimate(sketch: DataFrame, k: Int = 256): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    sketch.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+      .withColumn("estimate",
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(expr(
+            s"CAST(CAST(${(k - 1).toLong}L AS DECIMAL(38,0)) * " +
+              "1152921504606846976L div " +
+              "CAST(greatest(kth_hash, 1L) AS DECIMAL(38,0)) " +
+              "AS BIGINT)")))
+  }
+
+  /** Pairwise Jaccard estimates between every two groups of one KMV
+    * sketch table (coordinated bottom-k signatures, Broder's union
+    * trick): for each group pair, take the bottom-k of the UNION of
+    * the two sketches — itself the union's true bottom-k, i.e. a
+    * uniform coordinated sample of A ∪ B — and count how many of those
+    * hashes sit in BOTH sketches; that fraction estimates |A∩B|/|A∪B|.
+    * Also folds the union-cardinality estimate from the same rows.
+    * Output: (grp_a, grp_b, k_eff, matches, jaccard_ppm, union_est)
+    * for grp_a < grp_b, jaccard in integer ppm.
+    *
+    * Scale shape: operates on SKETCHES only — every group pair costs
+    * ≤ 2k rows regardless of raw data size, which is the entire point
+    * of coordinated sampling for cross-corpus overlap audits (q91's
+    * exact leakage join scans the corpus; this answers the same
+    * "how much do sources overlap" question from k rows per source). */
+  def kmvJaccard(sketch: DataFrame, k: Int = 256): DataFrame = {
+    require(k >= 2, "need k >= 2")
+    val grps = sketch.select(col("grp")).distinct()
+    val pairs = grps.select(col("grp").as("grp_a"))
+      .crossJoin(grps.select(col("grp").as("grp_b")))
+      .filter(col("grp_a") < col("grp_b"))
+    val ua = pairs.join(sketch.withColumnRenamed("grp", "grp_a"), "grp_a")
+      .select(col("grp_a"), col("grp_b"), col("h"),
+        lit(1).as("ia"), lit(0).as("ib"))
+    val ub = pairs.join(sketch.withColumnRenamed("grp", "grp_b"), "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("h"),
+        lit(0).as("ia"), lit(1).as("ib"))
+    val byPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp_a"), col("grp_b")).orderBy(col("h").asc)
+    ua.unionByName(ub)
+      .groupBy(col("grp_a"), col("grp_b"), col("h"))
+      .agg(max(col("ia")).as("in_a"), max(col("ib")).as("in_b"))
+      .withColumn("_rk", row_number().over(byPair))
+      .filter(col("_rk") <= k)
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("k_eff"),
+        coalesce(sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)),
+          lit(0L)).as("matches"),
+        max(col("h")).as("_mx"))
+      .withColumn("jaccard_ppm",
+        expr("matches * 1000000L div k_eff"))
+      .withColumn("union_est",
+        when(col("k_eff") < k, col("k_eff"))
+          .otherwise(expr(
+            s"CAST(CAST(${(k - 1).toLong}L AS DECIMAL(38,0)) * " +
+              "1152921504606846976L div " +
+              "CAST(greatest(_mx, 1L) AS DECIMAL(38,0)) AS BIGINT)")))
+      .select(col("grp_a"), col("grp_b"), col("k_eff"), col("matches"),
+        col("jaccard_ppm"), col("union_est"))
+  }
+
   /** Count-Min point estimates (Cormode & Muthukrishnan 2005) for a
     * literal set of probe keys: d = depth hash rows × w = width
     * counters, estimate(k) = min over rows of counter[row][h_row(k)] —

@@ -174,4 +174,84 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(got.exists(_._4 > 0),
       "width 64 under 3000 keys must collide somewhere")
   }
+
+  // --- KMV bottom-k (q142/q143) ---------------------------------------------
+
+  test("kmvSketch/kmvEstimate: exact below k, estimator within band " +
+       "above k, duplicate rows change nothing") {
+    val small = (1 to 40).flatMap(i => Seq(s"k$i", s"k$i"))
+      .map(("g", _)).toDF("g", "key")
+    val se = Sketches.kmvEstimate(
+        Sketches.kmvSketch(small, $"g", $"key", k = 64), k = 64)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(se._2 == 40L && se._4 == 40L,
+      "below k the sketch IS the distinct set — exact")
+    // 10000 known-distinct keys at k = 256: the (k-1)/h_(k) estimator
+    // is deterministic (fixed hash), pinned to a generous ±20% band
+    val big = (1 to 10000).map(i => ("g", s"key$i")).toDF("g", "key")
+    val be = Sketches.kmvEstimate(
+        Sketches.kmvSketch(big, $"g", $"key", k = 256), k = 256)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(be._2 == 256L)
+    assert(be._4 > 8000L && be._4 < 12000L,
+      s"estimate ${be._4} must track 10000")
+    // tripling every row leaves the sketch untouched
+    val dup = Sketches.kmvEstimate(
+        Sketches.kmvSketch(big.union(big).union(big), $"g", $"key",
+          k = 256), k = 256)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(dup == be, "distinct semantics: duplicates are invisible")
+  }
+
+  test("kmvMerge: bottom-k of shard sketches equals the one-shot " +
+       "sketch hash-for-hash (order statistics compose)") {
+    val rows = (1 to 5000).map(i => (s"g${i % 3}", s"key$i"))
+      .toDF("g", "key")
+    val whole = Sketches.kmvSketch(rows, $"g", $"key", k = 128)
+    val even = Sketches.kmvSketch(
+      rows.filter($"key".substr(4, 10).cast("long") % 2 === 0),
+      $"g", $"key", k = 128)
+    val odd = Sketches.kmvSketch(
+      rows.filter($"key".substr(4, 10).cast("long") % 2 =!= 0),
+      $"g", $"key", k = 128)
+    val merged = Sketches.kmvMerge(128, even, odd)
+    val a = whole.as[(String, Long)].collect().toSet
+    val b = merged.as[(String, Long)].collect().toSet
+    assert(a == b, "merge must reproduce the one-shot sketch exactly")
+  }
+
+  test("kmvJaccard: identical sets hit exactly 10^6 ppm, disjoint " +
+       "sets exactly 0, a known 1/3 overlap lands near 333333") {
+    val a = (0 until 1000).map(i => ("A", s"v$i"))
+    val b = (500 until 1500).map(i => ("B", s"v$i"))
+    val c = (0 until 1000).map(i => ("C", s"v$i"))
+    val d = (5000 until 6000).map(i => ("D", s"v$i"))
+    val sk = Sketches.kmvSketch((a ++ b ++ c ++ d).toDF("g", "key"),
+      $"g", $"key", k = 256)
+    val got = Sketches.kmvJaccard(sk, k = 256)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._5, r._6))).toMap
+    val (_, acJ, _) = got(("A", "C"))
+    assert(acJ == 1000000L, "identical sets: every union hash matches")
+    val (_, adJ, _) = got(("A", "D"))
+    assert(adJ == 0L, "disjoint sets: no union hash matches")
+    val (_, abJ, abU) = got(("A", "B"))
+    assert(abJ > 230000L && abJ < 440000L,
+      s"J=1/3 estimate $abJ out of band")
+    assert(abU > 1200L && abU < 1800L,
+      s"union estimate $abU must track 1500")
+  }
+
+  test("kmvSketch plan: the bottom-k window becomes a map-side " +
+       "WindowGroupLimit before the exchange (never a raw-key " +
+       "shuffle) and stays UDF-free") {
+    val rows = (1 to 2000).map(i => (s"g${i % 4}", s"key$i"))
+      .toDF("g", "key")
+    val plan = Sketches.kmvSketch(rows, $"g", $"key", k = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"bottom-k must push a partial group limit:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      s"hash path must stay codegen:\n$plan")
+  }
 }
