@@ -80,7 +80,8 @@ object Bench {
     "q136_hll_merge", "q137_neighborhood_function",
     "q138_weighted_pagerank", "q139_bowtie", "q140_kcore",
     "q141_label_communities", "q142_kmv_distinct",
-    "q143_bottomk_jaccard")
+    "q143_bottomk_jaccard", "q144_containment",
+    "q145_distance_distribution", "q146_fairness")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -170,11 +170,13 @@ object SparkEntry {
        |FROM r4 ORDER BY node""".stripMargin
   }
 
-  /** q137's DuckDB oracle: exact out-balls by unrolled reachability
-    * joins (t = 0..3), then the q130 register/estimate chain applied
-    * per (node, ball) — HLL merge IS set union on registers, so the
-    * iterated Spark sketch must equal registers of the TRUE balls. */
-  private def neighborhoodOracleSql: String = {
+  /** The q137/q145 shared CTE chain (no WITH prefix): exact out-balls
+    * by unrolled reachability joins (t = 0..3), then the q130
+    * register/estimate chain applied per (node, ball) — HLL merge IS
+    * set union on registers, so the iterated Spark sketch must equal
+    * registers of the TRUE balls. Exposes est0..est3
+    * (node, n_nonzero, raw_est). */
+  private def neighborhoodCtes: String = {
     val balls = (1 to 3).map { t =>
       s"""b$t AS (SELECT node, member FROM b${t - 1}
          |  UNION SELECT e.src AS node, b.member
@@ -204,14 +206,7 @@ object SparkEntry {
          |        * 1000000) AS BIGINT) AS raw_est
          |  FROM g$t)""".stripMargin
     }.mkString(",\n")
-    val selects = (0 to 3).map { t =>
-      s"""SELECT node, $t AS t, n_nonzero, raw_est,
-         |  CASE WHEN raw_est <= 640 AND n_nonzero < 256
-         |    THEN round(256.0 * ln(256.0 / (256 - n_nonzero)), 6)
-         |    ELSE CAST(raw_est AS DOUBLE) END AS estimate
-         |FROM est$t""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH e0 AS (SELECT DISTINCT l_suppkey % 80 AS src,
+    s"""e0 AS (SELECT DISTINCT l_suppkey % 80 AS src,
        |    l_partkey % 80 AS dst
        |  FROM lineitem
        |  WHERE ((l_suppkey % 80) * 17 + (l_partkey % 80) * 23) % 97 < 20
@@ -219,8 +214,99 @@ object SparkEntry {
        |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
        |b0 AS (SELECT node, node AS member FROM nodes),
        |$balls,
-       |$ests
+       |$ests""".stripMargin
+  }
+
+  private def neighborhoodOracleSql: String = {
+    val selects = (0 to 3).map { t =>
+      s"""SELECT node, $t AS t, n_nonzero, raw_est,
+         |  CASE WHEN raw_est <= 640 AND n_nonzero < 256
+         |    THEN round(256.0 * ln(256.0 / (256 - n_nonzero)), 6)
+         |    ELSE CAST(raw_est AS DOUBLE) END AS estimate
+         |FROM est$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $neighborhoodCtes
        |SELECT * FROM ($selects) ORDER BY node, t""".stripMargin
+  }
+
+  /** q145's DuckDB oracle: the q137 chain folded to the HyperANF
+    * distance distribution — per-node estimates to integer micro-units
+    * (round once per row), integer-summed per radius, share and the
+    * 90% effective-diameter test in HUGEINT. */
+  private def distanceDistOracleSql: String = {
+    val ems = (0 to 3).map { t =>
+      s"""SELECT $t AS t, CAST(round((CASE
+         |    WHEN raw_est <= 640 AND n_nonzero < 256
+         |    THEN round(256.0 * ln(256.0 / (256 - n_nonzero)), 6)
+         |    ELSE CAST(raw_est AS DOUBLE) END) * 1000000) AS BIGINT)
+         |  AS em
+         |FROM est$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $neighborhoodCtes,
+       |pt AS (SELECT t, CAST(sum(em) AS BIGINT) AS pairs_micro
+       |  FROM ($ems) GROUP BY t),
+       |tot AS (SELECT pairs_micro AS tt FROM pt WHERE t = 3)
+       |SELECT t, pairs_micro,
+       |  CAST(pairs_micro::HUGEINT * 1000000 // tt AS BIGINT)
+       |    AS share_ppm,
+       |  pairs_micro::HUGEINT * 10 >= tt::HUGEINT * 9 AS reached_90
+       |FROM pt, tot ORDER BY t""".stripMargin
+  }
+
+  /** q144's DuckDB oracle: the q23 shingle-hash chain over the
+    * quote-augmented corpus, then the directional containment join —
+    * pre-cap per-doc totals, df-capped inverted index, ordered-pair
+    * common counts, integer ppm at the 60% threshold. */
+  private def containmentOracleSql: String = {
+    val aug = """SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, substr(text, 1, length(text) // 2)
+      FROM documents WHERE doc_id % 7 = 0"""
+    val ctes = shingleCtes.replace("FROM documents)", s"FROM ($aug))")
+    s"""WITH $ctes,
+       |pre AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+       |  FROM shing GROUP BY 1),
+       |capped AS (SELECT doc_id, sh FROM (
+       |  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df
+       |  FROM shing) WHERE df <= 400),
+       |cpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS common
+       |  FROM capped a JOIN capped b
+       |  ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.id_a, p.id_b, n.n_sh AS n_a, p.common,
+       |  CAST(p.common * 1000000 // n.n_sh AS BIGINT)
+       |    AS containment_ppm
+       |FROM cpairs p JOIN pre n ON n.doc_id = p.id_a
+       |WHERE p.common * 1000000 // n.n_sh >= 600000
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q146's DuckDB oracle: per-user counts, global (count, key)
+    * row_number rank, then Jain / Gini / max-share in HUGEINT ppm. */
+  private def fairnessOracleSql: String = {
+    val boosts = Seq.fill(7)(
+      "  UNION ALL SELECT user_id FROM events WHERE user_id % 150 < 8")
+      .mkString("\n")
+    s"""WITH base AS (SELECT user_id FROM events
+      |$boosts),
+      |c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS x
+      |  FROM base GROUP BY 1),
+      |r AS (SELECT k, x,
+      |  row_number() OVER (ORDER BY x, k) AS rnk FROM c),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(x) AS BIGINT) AS n_events,
+      |    sum(x::HUGEINT * x) AS s2,
+      |    sum(rnk::HUGEINT * x) AS rx,
+      |    CAST(max(x) AS BIGINT) AS mx
+      |  FROM r)
+      |SELECT n_keys, n_events,
+      |  CAST(n_events::HUGEINT * n_events * 1000000
+      |    // (n_keys * s2) AS BIGINT) AS jain_ppm,
+      |  CAST((2 * rx - (n_keys::HUGEINT + 1) * n_events) * 1000000
+      |    // (n_keys::HUGEINT * n_events) AS BIGINT) AS gini_ppm,
+      |  CAST(mx::HUGEINT * 1000000 // n_events AS BIGINT)
+      |    AS max_share_ppm
+      |FROM a""".stripMargin
   }
 
   /** q139's DuckDB oracle: the full bowtie classification recomputed
@@ -2422,6 +2508,46 @@ object SparkEntry {
           graft.pipeline.Sketches.kmvSketch(keyed, $"src", $"k",
             k = 256), k = 256)
         .orderBy($"grp_a", $"grp_b")
+    }),
+
+    // --- directional n-gram containment: every 7th doc gets a planted
+    // half-length excerpt (id + 10^6) — quote→source containment ≈ 1,
+    // source→quote ≈ 0.5, so only one direction fires at 60%. ----------------
+    "q144_containment" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"text")
+      val quotes = d.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          expr("substring(text, 1, length(text) div 2)").as("text"))
+      graft.pipeline.Dedup.ngramContainmentPairs(d.union(quotes),
+          $"doc_id", $"text", shingleK = 3, thresholdPpm = 600000L,
+          maxShingleDf = 400)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // --- HyperANF distance distribution over the q137 graph: per-radius
+    // neighborhood totals, cumulative share, effective-diameter flag. --------
+    "q145_distance_distribution" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "lineitem")
+        .filter(($"l_suppkey" % 80 * 17 + $"l_partkey" % 80 * 23)
+          % 97 < 20)
+        .filter($"l_suppkey" % 80 =!= $"l_partkey" % 80)
+        .select(($"l_suppkey" % 80).as("src"), ($"l_partkey" % 80).as("dst"))
+      graft.pipeline.Sketches.distanceDistribution(edges, "src", "dst",
+          hops = 3, b = 8)
+        .orderBy($"t")
+    }),
+
+    // --- crawl-fairness audit: Jain index, Gini, hottest-key share in
+    // integer ppm over per-user event counts (A10 prefix-scan rank);
+    // users 0-7 get their events 8x so the audit sees real hoarding. ---------
+    "q146_fairness" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+      val hot = e.filter($"user_id" % 150 < 8)
+      val boosted = (1 to 7).map(_ => hot).foldLeft(e)(_ union _)
+      graft.stats.StatsJobs.fairnessReport(boosted, $"user_id")
     })
   )
 
@@ -5938,6 +6064,12 @@ object SparkEntry {
     "q142_kmv_distinct" -> kmvOracleSql,
 
     "q143_bottomk_jaccard" -> bottomkJaccardOracleSql,
+
+    "q144_containment" -> containmentOracleSql,
+
+    "q145_distance_distribution" -> distanceDistOracleSql,
+
+    "q146_fairness" -> fairnessOracleSql,
 
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

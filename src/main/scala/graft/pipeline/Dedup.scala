@@ -365,6 +365,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Directional n-gram CONTAINMENT pairs: C(A→B) = |S_A ∩ S_B| / |S_A|
+    * in integer ppm — Broder's (1997) second resemblance measure, the
+    * asymmetric relation [[ngramJaccardPairs]] cannot see: a short doc
+    * quoted wholesale inside a long one has containment ≈ 1 but Jaccard
+    * ≈ |A|/|B|, so quote/excerpt/wrapper duplication slips every
+    * symmetric near-dup net. Emits ORDERED pairs (id_a contained in
+    * id_b) at `thresholdPpm`, so A-in-B and B-in-A are independent
+    * verdicts.
+    *
+    * Same inverted-index shape as Jaccard: explode distinct shingles,
+    * df-cap hot shingles BEFORE the self-join (denominators stay
+    * pre-cap — the q126 mirror-audit convention: capped common counts
+    * can only UNDER-estimate containment, never fabricate it), one
+    * shingle-keyed join, map-side-combinable pair counts, integer ppm. */
+  def ngramContainmentPairs(df: DataFrame, id: Column, text: Column,
+                            shingleK: Int = 3,
+                            thresholdPpm: Long = 800000L,
+                            maxShingleDf: Int = 1000): DataFrame = {
+    val base = df.select(id.as("doc_id"),
+      shinglesUdf(shingleK)(text).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv = base.select(col("doc_id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val capped = inv.withColumn("_df",
+      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("_df") <= maxShingleDf).drop("_df")
+    val l = capped.select(col("shingle"), col("doc_id").as("id_a"),
+      col("n_sh").as("n_a"))
+    val r = capped.select(col("shingle"), col("doc_id").as("id_b"))
+    l.join(r, Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment_ppm",
+        expr("common * 1000000L div n_a"))
+      .filter(col("containment_ppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("common"),
+        col("containment_ppm"))
+  }
+
   // --- embedding cosine near-dup ---------------------------------------------------
 
   /** Exact cosine similarity of two float-array columns (built-ins only —

@@ -193,6 +193,43 @@ object Sketches {
     out
   }
 
+  /** HyperANF distance distribution (Boldi, Rosa & Vigna 2011): the
+    * neighborhood function N(t) = Σ_v |ball_t(v)| folded from
+    * [[neighborhoodFunction]]'s per-node sketches, per radius — the
+    * scalar curve behind "average distance" and the EFFECTIVE DIAMETER
+    * of a web graph (the famous "four degrees of separation"
+    * measurements are exactly this computation).
+    *
+    * Determinism: each node's estimate (already deterministic, the one
+    * rounded float) is converted to integer MICRO-units per row
+    * (round(est·10^6) — one more per-row round, no float ever summed),
+    * then integer-summed per t; the share and the 90%-threshold test
+    * run in DECIMAL(38,0) so nothing overflows below ~10^32 micro-pair
+    * totals. `reached_90` flags radii where N(t) ≥ 0.9·N(hops); the
+    * smallest such t is the standard effective-diameter estimate at
+    * the computed horizon. Output: (t, pairs_micro, share_ppm,
+    * reached_90), one row per radius.
+    *
+    * Scale shape: everything after the (already sub-linear) register
+    * iteration is a (hops+1)-row aggregate; the total joins back
+    * broadcast, never a driver collect. */
+  def distanceDistribution(edges: DataFrame, src: String, dst: String,
+                           hops: Int, b: Int = 8): DataFrame = {
+    val perT = neighborhoodFunction(edges, src, dst, hops, b)
+      .select(col("t"),
+        expr("CAST(round(estimate * 1000000D) AS BIGINT)")
+          .as("est_micro"))
+      .groupBy(col("t")).agg(sum(col("est_micro")).as("pairs_micro"))
+    val total = perT.filter(col("t") === hops)
+      .select(col("pairs_micro").as("_tot"))
+    perT.crossJoin(broadcast(total))
+      .select(col("t"), col("pairs_micro"),
+        expr("CAST(CAST(pairs_micro AS DECIMAL(38,0)) * 1000000 " +
+          "div _tot AS BIGINT)").as("share_ppm"),
+        expr("CAST(pairs_micro AS DECIMAL(38,0)) * 10 >= " +
+          "CAST(_tot AS DECIMAL(38,0)) * 9").as("reached_90"))
+  }
+
   /** KMV (bottom-k / k-minimum-values) distinct sketch (Bar-Yossef et
     * al. 2002; Beyer et al. 2007): per group, the k smallest DISTINCT
     * 60-bit key hashes — the order-statistics twin of [[hllRegisters]].

@@ -232,4 +232,40 @@ object StatsJobs {
       .filter(col("_rk") === expr("(n_values * p + 99L) div 100L"))
       .select(col("grp"), col("p"), col("n_values"), col("value"))
   }
+
+  /** Crawl-fairness audit over per-key event counts — the politeness
+    * KPI behind "is the crawler's budget spread or hoarded": Jain's
+    * fairness index (Σx)²/(n·Σx²) (1 = perfectly even, 1/n = one key
+    * has everything), the Gini coefficient (2·Σ rank·x − (n+1)·Σx) /
+    * (n·Σx) over the ascending count order (0 = even, →1 = hoarded),
+    * and the hottest key's share — all in integer ppm, every product
+    * cleared through DECIMAL(38,0) so 10^10-key × 10^12-event scales
+    * cannot overflow.
+    *
+    * The Gini rank is a GLOBAL total order — computed with the A10
+    * distributed prefix scan ([[Cumulative.runningTotals]] on
+    * (count, key)), never a single-partition window; ties are safe
+    * because equal counts contribute the same Σ rank·x under any
+    * permutation of a tied block. Output: one row — (n_keys, n_events,
+    * jain_ppm, gini_ppm, max_share_ppm). */
+  def fairnessReport(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("x"))
+    val (ranked, _, _) = Cumulative.runningTotals(counts,
+      Seq(col("x"), col("k")), lit(0), "rank", "_cs")
+    ranked
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("x")).as("n_events"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("_s2"),
+        sum(expr("CAST(rank AS DECIMAL(38,0)) * x")).as("_rx"),
+        max(col("x")).as("_mx"))
+      .select(col("n_keys"), col("n_events"),
+        expr("CAST(CAST(n_events AS DECIMAL(38,0)) * n_events " +
+          "* 1000000 div (n_keys * _s2) AS BIGINT)").as("jain_ppm"),
+        expr("CAST((2 * _rx - (CAST(n_keys AS DECIMAL(38,0)) + 1) " +
+          "* n_events) * 1000000 div " +
+          "(CAST(n_keys AS DECIMAL(38,0)) * n_events) AS BIGINT)")
+          .as("gini_ppm"),
+        expr("CAST(CAST(_mx AS DECIMAL(38,0)) * 1000000 " +
+          "div n_events AS BIGINT)").as("max_share_ppm"))
+  }
 }

@@ -93,6 +93,33 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngram containment pairs are DIRECTIONAL: a quote is contained " +
+       "in its source at ~10^6 ppm while the source is not contained " +
+       "in the quote, and the df cap only shrinks common counts") {
+    val src = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, src), (2L, quote), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(docs, $"doc_id", $"text",
+        shingleK = 3, thresholdPpm = 600000L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val (nQ, commonQ, ppmQ) = got((2L, 1L))
+    assert(ppmQ == 1000000L && commonQ == nQ,
+      "every quote shingle sits in the source")
+    assert(!got.contains((1L, 2L)),
+      "source->quote containment is ~6/18 — below threshold")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc shares nothing")
+    // a df cap of 1 kills every shared shingle -> no pairs at all,
+    // but never fabricates higher containment
+    val capped = Dedup.ngramContainmentPairs(docs, $"doc_id", $"text",
+      shingleK = 3, thresholdPpm = 1L, maxShingleDf = 1)
+    assert(capped.isEmpty)
+  }
+
   test("embedding cosine near-dup pairs via hyperplane LSH") {
     val base = embeddings.limit(20)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()

@@ -242,6 +242,21 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
       s"union estimate $abU must track 1500")
   }
 
+  test("distanceDistribution: on a 12-node directed path the " +
+       "neighborhood totals grow monotonically, the horizon share is " +
+       "exactly 10^6, and the 90% effective-diameter flag flips once " +
+       "at t=3 (true N = 12/23/33/42)") {
+    val e = (0L until 11L).map(i => i -> (i + 1)).toDF("src", "dst")
+    val got = Sketches.distanceDistribution(e, "src", "dst", hops = 3)
+      .as[(Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(got.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      "ball totals never shrink")
+    assert(got.last._3 == 1000000L, "horizon share is the total")
+    assert(got.map(_._4).toSeq == Seq(false, false, false, true),
+      "42 * 0.9 = 37.8 > 33, so only the horizon reaches 90%")
+  }
+
   test("kmvSketch plan: the bottom-k window becomes a map-side " +
        "WindowGroupLimit before the exchange (never a raw-key " +
        "shuffle) and stays UDF-free") {

@@ -406,6 +406,34 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
     val sorted = got.values.toSeq.sortBy(_._1)
     assert(sorted.zip(sorted.tail).forall { case (a, b) => a._2 <= b._2 })
   }
+
+  // --- fairness report (q146) ------------------------------------------------------
+
+  test("fairnessReport: perfectly even counts score Jain exactly 10^6 " +
+       "and Gini exactly 0; a hand-computed hoarded distribution " +
+       "lands on its exact integer ppm values") {
+    val even = (1 to 40).map(i => s"k${i % 8}").toDF("k")
+    val e = graft.stats.StatsJobs.fairnessReport(even, $"k")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(e == ((8L, 40L, 1000000L, 0L, 125000L)))
+    // nine keys with 1 event, one key with 91: n=10, s1=100, s2=8290,
+    // jain = 10^7*10^6/(10*8290*10^3)... = 120627; gini = 810000;
+    // max share = 910000
+    val skew = ((1 to 9).map(i => s"one$i") ++
+      (1 to 91).map(_ => "hog")).toDF("k")
+    val s = graft.stats.StatsJobs.fairnessReport(skew, $"k")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(s._1 == 10L && s._2 == 100L)
+    assert(s._3 == 100L * 100L * 1000000L / (10L * 8290L),
+      "Jain index exact integer arithmetic")
+    assert(s._4 == 810000L, "Gini: (2*955 - 11*100)*10^6 / (10*100)")
+    assert(s._5 == 910000L)
+    // deterministic under repartitioning (the A10 rank is a total order)
+    val again = graft.stats.StatsJobs.fairnessReport(
+        skew.repartition(7), $"k")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(again == s)
+  }
 }
 
 /** Sequential Levenshtein reference for the typosquat blocking test. */
