@@ -81,7 +81,8 @@ object Bench {
     "q138_weighted_pagerank", "q139_bowtie", "q140_kcore",
     "q141_label_communities", "q142_kmv_distinct",
     "q143_bottomk_jaccard", "q144_containment",
-    "q145_distance_distribution", "q146_fairness")
+    "q145_distance_distribution", "q146_fairness", "q147_dust_rules",
+    "q148_zipf_fit")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

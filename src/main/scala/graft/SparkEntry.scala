@@ -309,6 +309,76 @@ object SparkEntry {
       |FROM a""".stripMargin
   }
 
+  /** q147's DuckDB oracle: the DUST chain replayed — capped fp pair
+    * join, reversed-prefix-count longest common suffix, prefix-rule
+    * normalization, support ≥ 3. */
+  private def dustOracleSql: String =
+    """WITH p0 AS (
+      |  SELECT 'http://hA.com/p/' || CAST(l_orderkey % 300 AS VARCHAR)
+      |      AS url,
+      |    md5(CAST(l_orderkey % 300 AS VARCHAR)) AS fp FROM lineitem
+      |  UNION ALL SELECT
+      |    'http://www.hA.com/p/' || CAST(l_orderkey % 300 AS VARCHAR),
+      |    md5(CAST(l_orderkey % 300 AS VARCHAR)) FROM lineitem
+      |  UNION ALL SELECT
+      |    'http://hC.com/item?id=' || CAST(l_orderkey % 300 AS VARCHAR),
+      |    md5(CAST(l_orderkey % 300 AS VARCHAR)) FROM lineitem
+      |  UNION ALL SELECT
+      |    'http://hD.com/a-' || CAST(l_suppkey % 200 AS VARCHAR),
+      |    md5('d' || CAST(l_suppkey % 200 AS VARCHAR)) FROM lineitem
+      |  UNION ALL SELECT
+      |    'http://hD.com/b-' || CAST(l_suppkey % 200 * 7 % 1000
+      |      AS VARCHAR),
+      |    md5('d' || CAST(l_suppkey % 200 AS VARCHAR)) FROM lineitem
+      |  UNION ALL SELECT
+      |    'http://hE' || CAST(l_partkey % 20 AS VARCHAR) || '.com/',
+      |    md5('hot') FROM lineitem),
+      |d AS (SELECT DISTINCT url, fp FROM p0 WHERE length(url) > 0),
+      |capped AS (SELECT url, fp FROM (
+      |  SELECT url, fp, count(*) OVER (PARTITION BY fp) AS n FROM d)
+      |  WHERE n <= 6),
+      |pr AS (SELECT a.url AS u1, b.url AS u2
+      |  FROM capped a JOIN capped b
+      |  ON a.fp = b.fp AND a.url < b.url),
+      |lc AS (SELECT u1, u2,
+      |  len(list_filter(generate_series(1,
+      |    least(length(u1), length(u2))),
+      |    i -> substr(reverse(u1), 1, i) = substr(reverse(u2), 1, i)))
+      |  AS lcs FROM pr),
+      |rules AS (SELECT
+      |  least(substr(u1, 1, length(u1) - lcs),
+      |    substr(u2, 1, length(u2) - lcs)) AS rule_from,
+      |  greatest(substr(u1, 1, length(u1) - lcs),
+      |    substr(u2, 1, length(u2) - lcs)) AS rule_to FROM lc)
+      |SELECT rule_from, rule_to, CAST(count(*) AS BIGINT) AS support
+      |FROM rules GROUP BY 1, 2 HAVING count(*) >= 3
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q148's DuckDB oracle: the Zipf OLS replayed — whitespace tokens,
+    * per-source frequency ranks, micro-unit ln's (one round per row),
+    * HUGEINT sums, the negated-numerator integer division. */
+  private def zipfOracleSql: String =
+    """WITH toks AS (SELECT source,
+      |  unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+      |    '\s+'), x -> x <> '')) AS tok FROM documents),
+      |f AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY 1, 2),
+      |r AS (SELECT source, c, row_number() OVER (PARTITION BY source
+      |  ORDER BY c DESC, tok) AS rnk FROM f),
+      |m AS (SELECT source, c,
+      |  CAST(round(ln(rnk) * 1000000) AS BIGINT) AS x,
+      |  CAST(round(ln(c) * 1000000) AS BIGINT) AS y FROM r),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+      |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+      |  FROM m GROUP BY 1)
+      |SELECT source, n_types, n_tokens,
+      |  CAST(-((sx * sy - n_types * sxy) * 1000000
+      |    // greatest(n_types * sxx - sx * sx, 1)) AS BIGINT)
+      |    AS slope_micro
+      |FROM a ORDER BY source""".stripMargin
+
   /** q139's DuckDB oracle: the full bowtie classification recomputed
     * with recursive-CTE reachability — fwd/bwd closure from the same
     * deterministic pivot (max degree, min id), set algebra for
@@ -2548,6 +2618,46 @@ object SparkEntry {
       val hot = e.filter($"user_id" % 150 < 8)
       val boosted = (1 to 7).map(_ => hot).foldLeft(e)(_ union _)
       graft.stats.StatsJobs.fairnessReport(boosted, $"user_id")
+    }),
+
+    // --- DUST rules: three mirrored URL families (plain/www/query-form)
+    // produce three high-support rewrite rules; fp-collision noise pairs
+    // stay below support 3; a 20-URL hot fingerprint is capped away. ---------
+    "q147_dust_rules" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val n = ($"l_orderkey" % 300).cast("string")
+      val n2 = $"l_suppkey" % 200
+      val pages = li.select(concat(lit("http://hA.com/p/"), n).as("url"),
+          md5(n).as("fp"))
+        .union(li.select(concat(lit("http://www.hA.com/p/"), n).as("url"),
+          md5(n).as("fp")))
+        .union(li.select(
+          concat(lit("http://hC.com/item?id="), n).as("url"),
+          md5(n).as("fp")))
+        .union(li.select(
+          concat(lit("http://hD.com/a-"), n2.cast("string")).as("url"),
+          md5(concat(lit("d"), n2.cast("string"))).as("fp")))
+        .union(li.select(
+          concat(lit("http://hD.com/b-"),
+            (n2 * 7 % 1000).cast("string")).as("url"),
+          md5(concat(lit("d"), n2.cast("string"))).as("fp")))
+        .union(li.select(concat(lit("http://hE"),
+          ($"l_partkey" % 20).cast("string"), lit(".com/")).as("url"),
+          md5(lit("hot")).as("fp")))
+      graft.pipeline.WebGraph.dustRules(pages, $"url", $"fp",
+          maxUrlsPerFp = 6L, minSupport = 3L)
+        .orderBy($"rule_from", $"rule_to")
+    }),
+
+    // --- Zipf-slope corpus audit per source: OLS of ln(freq) on
+    // ln(rank) in integer micro-units over each source's vocabulary. ---------
+    "q148_zipf_fit" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.TextAnalysis.zipfFit(t(s, dir, "documents"),
+          $"source", $"text")
+        .withColumnRenamed("grp", "source")
+        .orderBy($"source")
     })
   )
 
@@ -6070,6 +6180,10 @@ object SparkEntry {
     "q145_distance_distribution" -> distanceDistOracleSql,
 
     "q146_fairness" -> fairnessOracleSql,
+
+    "q147_dust_rules" -> dustOracleSql,
+
+    "q148_zipf_fit" -> zipfOracleSql,
 
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

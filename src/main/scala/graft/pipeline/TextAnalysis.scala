@@ -27,6 +27,50 @@ object TextAnalysis {
   def token_count_ws(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > lit(0)))
 
+  /** Zipf-slope fit per group: ordinary least squares of ln(freq) on
+    * ln(rank) over the group's full token frequency table — natural
+    * text sits near slope −1 (Zipf's law); machine-generated spam,
+    * template soup, and keyword stuffing bend the curve, so the slope
+    * is a one-number corpus-quality audit per source (the frequency-
+    * curve companion of [[vocabGrowth]]'s Heaps fit).
+    *
+    * Determinism: ln(rank) and ln(freq) are converted to integer
+    * MICRO-units per row (one round each — the accepted libm
+    * boundary), the OLS sums run in DECIMAL(38,0), and the final
+    * slope is one integer division. Because ranks are ordered by
+    * freq DESC, the OLS numerator n·Σxy − Σx·Σy is ≤ 0 by
+    * construction, so the division runs on its negation (both
+    * engines truncate positive quotients identically) and is negated
+    * back. Output: (grp, n_types, n_tokens, slope_micro) — slope in
+    * millionths, ≈ −1000000 for clean natural text.
+    *
+    * Scale shape: one token-count exchange, one per-group rank window
+    * over the VOCABULARY (types, not the corpus stream), one
+    * map-side-combinable sum — nothing downstream of the frequency
+    * table touches raw tokens. */
+  def zipfFit(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val byGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("c").desc, col("tok").asc)
+    df.select(group.as("grp"), explode(tokensWs(text)).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("_rnk", row_number().over(byGrp))
+      .select(col("grp"), col("c"),
+        expr("CAST(round(ln(_rnk) * 1000000D) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(c) * 1000000D) AS BIGINT)").as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("_sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("_sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("_sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("_sxx"))
+      .select(col("grp"), col("n_types"), col("n_tokens"),
+        expr("CAST(-((_sx * _sy - n_types * _sxy) * 1000000 " +
+          "div greatest(n_types * _sxx - _sx * _sx, 1)) AS BIGINT)")
+          .as("slope_micro"))
+  }
+
   /** BPE-ish token count: letter runs, digit runs, and single
     * punctuation marks each count as one token (a cheap proxy for
     * subword tokenizers' pre-tokenization split). */

@@ -398,4 +398,50 @@ object WebGraph {
       .withColumn("dist", levenshtein(col("host_a"), col("host_b")))
       .filter(col("dist") <= 1)
   }
+
+  /** DUST rules (Bar-Yossef et al. 2009, "Do not crawl in the DUST:
+    * different URLs with similar text"): mine the systematic URL
+    * rewrite rules a site exposes (http://x.com ↔ http://www.x.com,
+    * /p/ ↔ /index.php?p=) from pairs of URLs that served identical
+    * content. Each fingerprint-equal URL pair is reduced to a
+    * candidate PREFIX rule by stripping the pair's longest common
+    * suffix; a rule supported by ≥ `minSupport` independent instances
+    * is a real rewrite, the rest is fingerprint-collision noise. A
+    * crawler that learns these rules canonicalizes before fetching —
+    * the highest-leverage dedup there is, because it prevents the
+    * fetch instead of discarding it.
+    *
+    * Scale shape: the pair join is keyed on the fingerprint with hot
+    * fps capped BEFORE the self-join (`maxUrlsPerFp`, the q126
+    * convention — a viral boilerplate fp must not quadratically
+    * explode); the common-suffix scan is a codegen'd higher-order
+    * filter over ≤ |url| positions (prefix equality is monotone, so
+    * counting equal reversed prefixes IS the suffix length — no UDF);
+    * rule support aggregates map-side. Output: (rule_from, rule_to,
+    * support) with rule_from < rule_to, support = distinct instances. */
+  def dustRules(pages: DataFrame, url: Column, fp: Column,
+                maxUrlsPerFp: Long = 6L,
+                minSupport: Long = 3L): DataFrame = {
+    val d = pages.select(url.cast("string").as("url"), fp.as("fp"))
+      .filter(length(col("url")) > 0).distinct()
+    val urlsPerFp = Window.partitionBy(col("fp"))
+    val capped = d.withColumn("_n", count(lit(1)).over(urlsPerFp))
+      .filter(col("_n") <= maxUrlsPerFp).drop("_n")
+    val pairs = capped.as("a")
+      .join(capped.withColumnRenamed("url", "u2").as("b"),
+        col("a.fp") === col("b.fp") && col("a.url") < col("u2"))
+      .select(col("a.url").as("u1"), col("u2"))
+    pairs
+      .withColumn("_lcs", expr(
+        "size(filter(sequence(1, least(length(u1), length(u2))), " +
+          "i -> substr(reverse(u1), 1, i) = substr(reverse(u2), 1, i)))"))
+      .select(
+        expr("substring(u1, 1, length(u1) - _lcs)").as("p1"),
+        expr("substring(u2, 1, length(u2) - _lcs)").as("p2"))
+      .select(least(col("p1"), col("p2")).as("rule_from"),
+        greatest(col("p1"), col("p2")).as("rule_to"))
+      .groupBy(col("rule_from"), col("rule_to"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
 }

@@ -1367,6 +1367,32 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
       rep(id) == h && (k == 1L) == (h == 0L) })
   }
 
+  // --- Zipf-slope fit (q148) ---------------------------------------------------
+
+  test("zipfFit: a planted 1/rank frequency curve fits slope ≈ -10^6, " +
+       "uniform frequencies fit exactly 0, deterministic under " +
+       "repartitioning") {
+    // token t_i repeated floor(600/i) times -> ln f ≈ ln 600 - ln rank
+    val zipfy = (1 to 20).flatMap(i =>
+      Seq.fill(600 / i)(s"t$i")).mkString(" ")
+    val uniform = (1 to 15).flatMap(i => Seq.fill(4)(s"u$i"))
+      .mkString(" ")
+    val df = Seq(("z", zipfy), ("u", uniform)).toDF("src", "text")
+    val got = TA.zipfFit(df, $"src", $"text")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (zt, ztok, zs) = got("z")
+    assert(zt == 20L && ztok == (1 to 20).map(600 / _).sum.toLong)
+    assert(zs > -1100000L && zs < -900000L,
+      s"1/rank curve must fit near -10^6, got $zs")
+    assert(got("u") == ((15L, 60L, 0L)),
+      "constant frequencies have exactly zero slope")
+    val again = TA.zipfFit(df.repartition(7), $"src", $"text")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again == got)
+  }
+
   // --- vocabulary growth curve (q88) -------------------------------------------
 
   test("vocabGrowth: equals a local first-occurrence reference and the " +

@@ -407,6 +407,31 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
     assert(sorted.zip(sorted.tail).forall { case (a, b) => a._2 <= b._2 })
   }
 
+  // --- DUST rules (q147) -----------------------------------------------------------
+
+  test("dustRules: a mirrored URL family yields ONE high-support " +
+       "prefix rule (including the empty-prefix www rule), collision " +
+       "noise stays below support, and hot fingerprints are capped") {
+    val mirrored = (1 to 5).flatMap(i => Seq(
+      (s"x.com/p/$i", s"f$i"), (s"www.x.com/p/$i", s"f$i")))
+    val noise = Seq(("a.com/only", "nz"), ("b.org/other", "nz"))
+    val hot = (1 to 9).map(i => (s"h$i.com/", "hot"))
+    val got = WebGraph.dustRules(
+        (mirrored ++ noise ++ hot).toDF("url", "fp"),
+        $"url", $"fp", maxUrlsPerFp = 6L, minSupport = 3L)
+      .as[(String, String, Long)].collect()
+    assert(got.toSeq == Seq(("", "www.", 5L)),
+      s"exactly the www rule with full support, got ${got.toSeq}")
+    // dropping the support floor surfaces the collision pair too
+    val all = WebGraph.dustRules(
+        (mirrored ++ noise).toDF("url", "fp"),
+        $"url", $"fp", maxUrlsPerFp = 6L, minSupport = 1L)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(all.contains(("a.com/only", "b.org/other")),
+      "zero-overlap suffix degrades to the whole-URL pair at support 1")
+  }
+
   // --- fairness report (q146) ------------------------------------------------------
 
   test("fairnessReport: perfectly even counts score Jain exactly 10^6 " +
