@@ -82,7 +82,8 @@ object Bench {
     "q141_label_communities", "q142_kmv_distinct",
     "q143_bottomk_jaccard", "q144_containment",
     "q145_distance_distribution", "q146_fairness", "q147_dust_rules",
-    "q148_zipf_fit")
+    "q148_zipf_fit", "q149_sitemap_urls", "q150_sample_quantiles",
+    "q151_cocitation")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

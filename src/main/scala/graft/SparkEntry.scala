@@ -379,6 +379,89 @@ object SparkEntry {
       |    AS slope_micro
       |FROM a ORDER BY source""".stripMargin
 
+  /** q149's DuckDB oracle: regexp loc extraction + trim + the
+    * sitemapindex flag + the seen left join. */
+  private def sitemapOracleSql: String =
+    """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 25 = 0),
+      |p0 AS (SELECT DISTINCT
+      |  'http://h' || CAST(l_suppkey % 10 AS VARCHAR) || '/sitemap.xml'
+      |    AS url,
+      |  CASE WHEN l_orderkey % 5 = 0 AND l_linenumber = 1
+      |    THEN '<sitemapindex><sitemap><loc>http://h'
+      |      || CAST(l_suppkey % 10 AS VARCHAR) || '/sm-'
+      |      || CAST(l_orderkey % 500 AS VARCHAR)
+      |      || '.xml</loc></sitemap></sitemapindex>'
+      |    ELSE '<urlset><url><loc> http://h'
+      |      || CAST(l_suppkey % 10 AS VARCHAR) || '/p/'
+      |      || CAST(l_orderkey % 500 AS VARCHAR)
+      |      || ' </loc></url><url><loc>http://h'
+      |      || CAST(l_suppkey % 10 AS VARCHAR) || '/q/'
+      |      || CAST(l_partkey % 500 AS VARCHAR)
+      |      || '</loc></url></urlset>' END AS body
+      |  FROM li),
+      |locs AS (SELECT sitemap_url, trim(l) AS loc, is_index FROM (
+      |  SELECT url AS sitemap_url,
+      |    contains(body, '<sitemapindex') AS is_index,
+      |    unnest(regexp_extract_all(body, '<loc>([^<]+)</loc>', 1)) AS l
+      |  FROM p0)),
+      |seen AS (SELECT DISTINCT 'http://h'
+      |    || CAST(l_suppkey % 10 AS VARCHAR) || '/p/'
+      |    || CAST(l_orderkey % 500 AS VARCHAR) AS u
+      |  FROM li WHERE l_orderkey % 2 = 0)
+      |SELECT l.sitemap_url, l.loc, l.is_index, s.u IS NULL AS is_new
+      |FROM locs l LEFT JOIN seen s ON s.u = l.loc
+      |ORDER BY sitemap_url, loc, is_index""".stripMargin
+
+  /** q150's DuckDB oracle: the value-sample chain replayed — md5 key
+    * hashes, per-group bottom-256 by dense_rank, min-value collapse,
+    * nearest-rank quantiles over (v, h) order. */
+  private def sampleQuantilesOracleSql: String =
+    """WITH h AS (SELECT l_returnflag AS grp,
+      |  list_reduce(list_transform(generate_series(1, 15),
+      |    i -> CAST(strpos('0123456789abcdef', substr(md5(
+      |      CAST(l_orderkey AS VARCHAR) || '-'
+      |      || CAST(l_linenumber AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+      |    (a, b) -> a * 16 + b) AS h,
+      |  l_extendedprice AS v FROM lineitem),
+      |dk AS (SELECT grp, h, min(v) AS v FROM (
+      |  SELECT grp, h, v FROM (
+      |    SELECT grp, h, v,
+      |      dense_rank() OVER (PARTITION BY grp ORDER BY h) AS rk
+      |    FROM h) WHERE rk <= 256) GROUP BY 1, 2),
+      |r AS (SELECT grp, h, v,
+      |  row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rk,
+      |  count(*) OVER (PARTITION BY grp) AS n_sample FROM dk)
+      |SELECT grp AS flag, p, n_sample, v AS value_est
+      |FROM r CROSS JOIN (SELECT unnest([50, 95, 99]) AS p)
+      |WHERE rk = (n_sample * p + 99) // 100
+      |ORDER BY flag, p""".stripMargin
+
+  /** q151's DuckDB oracle: the co-citation chain — distinct edges,
+    * out-degree cap BEFORE the src self-join, pre-cap in-degrees,
+    * common counts, Jaccard-of-in-link-sets in integer ppm. */
+  private def cocitationOracleSql: String =
+    """WITH e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT l_orderkey % 3000 AS src, l_partkey % 60 AS dst
+      |  FROM lineitem
+      |  UNION ALL SELECT 99999, l_partkey % 60 FROM lineitem)),
+      |ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS ind
+      |  FROM e GROUP BY 1),
+      |capped AS (SELECT src, dst FROM (
+      |  SELECT src, dst, count(*) OVER (PARTITION BY src) AS od
+      |  FROM e) WHERE od <= 25),
+      |p AS (SELECT a.dst AS dst_a, b.dst AS dst_b,
+      |    CAST(count(*) AS BIGINT) AS common
+      |  FROM capped a JOIN capped b
+      |  ON a.src = b.src AND a.dst < b.dst
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT p.dst_a, p.dst_b, p.common, ia.ind AS in_a,
+      |  ib.ind AS in_b,
+      |  CAST(p.common * 1000000 // (ia.ind + ib.ind - p.common)
+      |    AS BIGINT) AS score_ppm
+      |FROM p JOIN ind ia ON ia.dst = p.dst_a
+      |JOIN ind ib ON ib.dst = p.dst_b
+      |ORDER BY dst_a, dst_b""".stripMargin
+
   /** q139's DuckDB oracle: the full bowtie classification recomputed
     * with recursive-CTE reachability — fwd/bwd closure from the same
     * deterministic pivot (max degree, min id), set algebra for
@@ -2658,6 +2741,59 @@ object SparkEntry {
           $"source", $"text")
         .withColumnRenamed("grp", "source")
         .orderBy($"source")
+    }),
+
+    // --- sitemap <loc> extraction: urlset bodies (with a planted
+    // whitespace-padded loc) + every 5th a sitemapindex; is_new joins
+    // against a seen set covering the even-orderkey /p/ urls. ----------------
+    "q149_sitemap_urls" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").filter($"l_orderkey" % 25 === 0)
+      val h = ($"l_suppkey" % 10).cast("string")
+      val n1 = ($"l_orderkey" % 500).cast("string")
+      val n2 = ($"l_partkey" % 500).cast("string")
+      val body = when($"l_orderkey" % 5 === 0 && $"l_linenumber" === 1,
+        concat(lit("<sitemapindex><sitemap><loc>http://h"), h,
+          lit("/sm-"), n1, lit(".xml</loc></sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit("<urlset><url><loc> http://h"), h, lit("/p/"), n1,
+          lit(" </loc></url><url><loc>http://h"), h, lit("/q/"), n2,
+          lit("</loc></url></urlset>")))
+      val pages = li.select(concat(lit("http://h"), h,
+        lit("/sitemap.xml")).as("url"), body.as("body")).distinct()
+      val seen = li.filter($"l_orderkey" % 2 === 0)
+        .select(concat(lit("http://h"), h, lit("/p/"), n1).as("url"))
+      graft.pipeline.WebGraph.sitemapUrls(pages, $"url", $"body", seen)
+        .orderBy($"sitemap_url", $"loc", $"is_index")
+    }),
+
+    // --- mergeable hash-sample quantiles: per-flag p50/p95/p99 from a
+    // deterministic bottom-256 coordinated row sample. -----------------------
+    "q150_sample_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val sample = graft.pipeline.Sketches.kmvValueSample(li,
+        $"l_returnflag",
+        concat($"l_orderkey".cast("string"), lit("-"),
+          $"l_linenumber".cast("string")),
+        $"l_extendedprice", k = 256)
+      graft.pipeline.Sketches.sampleQuantiles(sample, Seq(50, 95, 99))
+        .withColumnRenamed("grp", "flag")
+        .orderBy($"flag", $"p")
+    }),
+
+    // --- co-citation (related-pages) pairs over the order→part graph;
+    // a planted 60-target hub source is capped away pre-join. ----------------
+    "q151_cocitation" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(($"l_orderkey" % 3000).as("src"),
+          ($"l_partkey" % 60).as("dst"))
+        .union(li.select(lit(99999).as("src"),
+          ($"l_partkey" % 60).as("dst")))
+      graft.pipeline.WebGraph.cocitationPairs(edges, "src", "dst",
+          maxOutDeg = 25L, minCommon = 3L)
+        .orderBy($"dst_a", $"dst_b")
     })
   )
 
@@ -6184,6 +6320,12 @@ object SparkEntry {
     "q147_dust_rules" -> dustOracleSql,
 
     "q148_zipf_fit" -> zipfOracleSql,
+
+    "q149_sitemap_urls" -> sitemapOracleSql,
+
+    "q150_sample_quantiles" -> sampleQuantilesOracleSql,
+
+    "q151_cocitation" -> cocitationOracleSql,
 
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

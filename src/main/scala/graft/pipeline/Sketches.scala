@@ -291,6 +291,67 @@ object Sketches {
               "AS BIGINT)")))
   }
 
+  /** Value-carrying KMV sample: the bottom-k rows per group by their
+    * KEY hash, keeping a value payload — a deterministic coordinated
+    * uniform sample (every engine, every shard, every day picks the
+    * SAME rows for the same keys). `key` must uniquely identify a row
+    * within its group; duplicate keys collapse to one sample slot
+    * (min value wins the tie deterministically). Mergeable exactly
+    * like [[kmvSketch]]: bottom-k of a union of shard samples IS the
+    * one-shot sample. Same map-side WindowGroupLimit shape. */
+  def kmvValueSample(df: DataFrame, group: Column, key: Column,
+                     value: Column, k: Int = 256): DataFrame = {
+    require(k >= 2 && k <= 65536, "need 2 <= k <= 65536")
+    val byGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h").asc)
+    df.select(group.as("grp"), md5Hash60(key).as("h"),
+        value.cast("double").as("v"))
+      .filter(col("h").isNotNull)
+      .withColumn("_rk", dense_rank().over(byGrp))
+      .filter(col("_rk") <= k)
+      .groupBy(col("grp"), col("h")).agg(min(col("v")).as("v"))
+  }
+
+  /** Merge value samples from [[kmvValueSample]]: union, collapse
+    * duplicate keys (min value — same rule as the builder), bottom-k
+    * per group again. Exactly the one-shot sample of the unioned
+    * inputs, pinned in tests. */
+  def kmvValueMerge(k: Int, samples: DataFrame*): DataFrame = {
+    require(samples.nonEmpty, "need at least one sample")
+    val byGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h").asc)
+    samples.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("h")).agg(min(col("v")).as("v"))
+      .withColumn("_rk", row_number().over(byGrp))
+      .filter(col("_rk") <= k)
+      .select(col("grp"), col("h"), col("v"))
+  }
+
+  /** Quantile estimates from a [[kmvValueSample]]: nearest-rank
+    * selection over the sample's value order — value at rank
+    * ceil(n_s·p/100) per percentile, the q128 convention (a SELECTED
+    * value, never an interpolation), so the whole chain replays
+    * bit-for-bit in the q150 oracle. With the sample being a uniform
+    * k-subset, the rank error is O(n/√k) — the mergeable trade that
+    * answers per-group p50/p95/p99 at 10^12 rows from k values per
+    * group, where the exact q128 path must shuffle every row. Output:
+    * (grp, p, n_sample, value_est). */
+  def sampleQuantiles(sample: DataFrame, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "percentiles in 1..100")
+    val byGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v").asc, col("h").asc)
+    sample
+      .withColumn("_rk", row_number().over(byGrp))
+      .withColumn("n_sample",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp"))))
+      .withColumn("p", explode(lit(ps.toArray)))
+      .filter(col("_rk") === expr("(n_sample * p + 99L) div 100L"))
+      .select(col("grp"), col("p"), col("n_sample"),
+        col("v").as("value_est"))
+  }
+
   /** Pairwise Jaccard estimates between every two groups of one KMV
     * sketch table (coordinated bottom-k signatures, Broder's union
     * trick): for each group pair, take the bottom-k of the UNION of

@@ -399,6 +399,69 @@ object WebGraph {
       .filter(col("dist") <= 1)
   }
 
+  /** Sitemap URL extraction: pull every `<loc>` entry out of
+    * sitemap/sitemapindex XML bodies (sitemaps.org protocol) and flag
+    * which targets are already in the seen set — the crawler's
+    * cheapest discovery channel (a site hands over its URL inventory;
+    * the delta against seen IS the frontier contribution). Entries
+    * are whitespace-trimmed per the protocol; `is_index` marks
+    * sitemapindex documents whose locs are MORE sitemaps to fetch,
+    * not content URLs.
+    *
+    * Pure codegen built-ins: regexp_extract_all + explode + trim, one
+    * broadcast-able anti/left join against seen — no XML parser
+    * needed because `<loc>` bodies cannot contain `<`. Output:
+    * (sitemap_url, loc, is_index, is_new). */
+  def sitemapUrls(pages: DataFrame, url: Column, body: Column,
+                  seenUrls: DataFrame): DataFrame = {
+    val locs = pages.select(url.as("sitemap_url"), body.as("_b"))
+      .withColumn("is_index", col("_b").contains("<sitemapindex"))
+      .select(col("sitemap_url"), col("is_index"),
+        explode(expr("regexp_extract_all(_b, '<loc>([^<]+)</loc>', 1)"))
+          .as("_loc"))
+      .select(col("sitemap_url"), trim(col("_loc")).as("loc"),
+        col("is_index"))
+    locs.join(seenUrls.select(col("url").as("loc"))
+        .distinct().withColumn("_seen", lit(true)),
+        Seq("loc"), "left")
+      .select(col("sitemap_url"), col("loc"), col("is_index"),
+        coalesce(!col("_seen"), lit(true)).as("is_new"))
+  }
+
+  /** Co-citation pairs (Dean & Henzinger 1999's "related pages"
+    * signal): target pairs sharing ≥ `minCommon` in-links, scored by
+    * the Jaccard of their in-link sets in integer ppm — pages the web
+    * itself files together. The transpose twin of [[mirrorCandidates]]
+    * with the same skew discipline: sources with out-degree >
+    * `maxOutDeg` are dropped BEFORE the pair join (a directory page
+    * linking 10^4 targets would contribute 10^8 pairs and co-cites
+    * nothing specific), and in-degree totals are taken pre-cap so the
+    * cap only under-counts. Output: (dst_a, dst_b, common, in_a,
+    * in_b, score_ppm). */
+  def cocitationPairs(edges: DataFrame, src: String, dst: String,
+                      maxOutDeg: Long = 100L,
+                      minCommon: Long = 3L): DataFrame = {
+    val e = edges.select(col(src).as("s"), col(dst).as("d")).distinct()
+    val inDeg = e.groupBy(col("d")).agg(count(lit(1)).as("ind"))
+    val perSrc = Window.partitionBy(col("s"))
+    val capped = e.withColumn("_od", count(lit(1)).over(perSrc))
+      .filter(col("_od") <= maxOutDeg).drop("_od")
+    capped.as("a")
+      .join(capped.withColumnRenamed("d", "dst_b").as("b"),
+        col("a.s") === col("b.s") && col("a.d") < col("dst_b"))
+      .groupBy(col("a.d").as("dst_a"), col("dst_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .join(inDeg.select(col("d").as("dst_a"), col("ind").as("in_a")),
+        Seq("dst_a"))
+      .join(inDeg.select(col("d").as("dst_b"), col("ind").as("in_b")),
+        Seq("dst_b"))
+      .withColumn("score_ppm",
+        expr("common * 1000000L div (in_a + in_b - common)"))
+      .select(col("dst_a"), col("dst_b"), col("common"), col("in_a"),
+        col("in_b"), col("score_ppm"))
+  }
+
   /** DUST rules (Bar-Yossef et al. 2009, "Do not crawl in the DUST:
     * different URLs with similar text"): mine the systematic URL
     * rewrite rules a site exposes (http://x.com ↔ http://www.x.com,

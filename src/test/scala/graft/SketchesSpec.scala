@@ -257,6 +257,42 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
       "42 * 0.9 = 37.8 > 33, so only the horizon reaches 90%")
   }
 
+  test("kmvValueSample/sampleQuantiles: below k the sample IS the " +
+       "data so quantiles are exact; at 10000 rows the p50/p95 " +
+       "estimates track truth; shard merge equals one-shot") {
+    // 100 rows < k=256: nearest-rank over the sample == exact
+    val small = (1 to 100).map(i => ("g", s"k$i", i.toDouble))
+      .toDF("g", "key", "v")
+    val sq = Sketches.sampleQuantiles(
+        Sketches.kmvValueSample(small, $"g", $"key", $"v", k = 256),
+        Seq(50, 95, 99))
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(sq == Map(50 -> 50.0, 95 -> 95.0, 99 -> 99.0),
+      "exact nearest-rank when the sample holds everything")
+    // 10000 uniform values, k=256: estimates within a generous band
+    // (deterministic — fixed hash, pinned once verified)
+    val big = (1 to 10000).map(i => ("g", s"k$i", i.toDouble))
+      .toDF("g", "key", "v")
+    val bq = Sketches.sampleQuantiles(
+        Sketches.kmvValueSample(big, $"g", $"key", $"v", k = 256),
+        Seq(50, 95))
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(bq(50) > 4000 && bq(50) < 6000, s"p50 ${bq(50)} vs 5000")
+    assert(bq(95) > 9000 && bq(95) <= 10000, s"p95 ${bq(95)} vs 9500")
+    // merge: shard samples re-bottom-k'd == the one-shot sample
+    val even = Sketches.kmvValueSample(
+      big.filter($"v" % 2 === 0), $"g", $"key", $"v", k = 256)
+    val odd = Sketches.kmvValueSample(
+      big.filter($"v" % 2 =!= 0), $"g", $"key", $"v", k = 256)
+    val merged = Sketches.kmvValueMerge(256, even, odd)
+      .as[(String, Long, Double)].collect().toSet
+    val whole = Sketches.kmvValueSample(big, $"g", $"key", $"v", 256)
+      .as[(String, Long, Double)].collect().toSet
+    assert(merged == whole)
+  }
+
   test("kmvSketch plan: the bottom-k window becomes a map-side " +
        "WindowGroupLimit before the exchange (never a raw-key " +
        "shuffle) and stays UDF-free") {

@@ -432,6 +432,45 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
       "zero-overlap suffix degrades to the whole-URL pair at support 1")
   }
 
+  // --- sitemap extraction (q149) ---------------------------------------------------
+
+  test("sitemapUrls: locs extracted and trimmed, sitemapindex flagged, " +
+       "seen join splits is_new, loc-free bodies vanish") {
+    val pages = Seq(
+      ("http://a.com/sitemap.xml",
+        "<urlset><url><loc> http://a.com/1 </loc></url>" +
+          "<url><loc>http://a.com/2</loc></url></urlset>"),
+      ("http://a.com/index.xml",
+        "<sitemapindex><sitemap><loc>http://a.com/sm2.xml</loc>" +
+          "</sitemap></sitemapindex>"),
+      ("http://a.com/empty.xml", "<urlset></urlset>"))
+      .toDF("url", "body")
+    val seen = Seq("http://a.com/2").toDF("url")
+    val got = WebGraph.sitemapUrls(pages, $"url", $"body", seen)
+      .as[(String, String, Boolean, Boolean)].collect().toSet
+    assert(got == Set(
+      ("http://a.com/sitemap.xml", "http://a.com/1", false, true),
+      ("http://a.com/sitemap.xml", "http://a.com/2", false, false),
+      ("http://a.com/index.xml", "http://a.com/sm2.xml", true, true)))
+  }
+
+  // --- co-citation (q151) ----------------------------------------------------------
+
+  test("cocitationPairs: shared in-links count exactly, the in-link " +
+       "Jaccard score is integer ppm, sub-threshold pairs drop, and " +
+       "a directory hub is capped away before pairing") {
+    val core = for (s <- 1L to 3L; d <- Seq("a", "b")) yield (s, d)
+    val extra = Seq((4L, "a"), (4L, "c"))
+    val hub = (10L to 19L).map(i => (99L, s"d$i"))
+    val got = WebGraph.cocitationPairs(
+        (core ++ extra ++ hub).toDF("src", "dst"), "src", "dst",
+        maxOutDeg = 5L, minCommon = 3L)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(("a", "b", 3L, 4L, 3L, 750000L)),
+      s"exactly the (a,b) pair: common 3, J = 3/(4+3-3), got " +
+        s"${got.toSeq}")
+  }
+
   // --- fairness report (q146) ------------------------------------------------------
 
   test("fairnessReport: perfectly even counts score Jain exactly 10^6 " +
