@@ -462,6 +462,55 @@ object SparkEntry {
       |JOIN ind ib ON ib.dst = p.dst_b
       |ORDER BY dst_a, dst_b""".stripMargin
 
+  /** q152's DuckDB oracle: day-bucket ages per key (ephemeral keys
+    * mirrored), reverse cumulative survivors, integer ppm. */
+  private def survivalOracleSql: String =
+    """WITH ev AS (SELECT user_id, ts FROM events
+      |  UNION ALL SELECT user_id + 1000, ts FROM events
+      |  WHERE (CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+      |    AS BIGINT) // 86400) % 7 = user_id % 7),
+      |b AS (SELECT user_id AS k,
+      |  CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+      |    AS BIGINT) // 86400 AS bk FROM ev),
+      |lt AS (SELECT k, max(bk) - min(bk) AS age FROM b GROUP BY 1),
+      |ag AS (SELECT age, CAST(count(*) AS BIGINT) AS n_keys
+      |  FROM lt GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_keys) AS BIGINT) AS t FROM ag),
+      |sc AS (SELECT age, n_keys,
+      |  CAST(sum(n_keys) OVER (ORDER BY age DESC) AS BIGINT)
+      |    AS surviving FROM ag)
+      |SELECT age, n_keys, surviving,
+      |  CAST(surviving * 1000000 // t AS BIGINT) AS survival_ppm
+      |FROM sc, tot ORDER BY age""".stripMargin
+
+  /** q153's DuckDB oracle: the Newman assortativity moments in
+    * HUGEINT, the single rounded sqrt/divide float boundary, the
+    * regular-graph null guard. */
+  private def assortativityOracleSql: String =
+    """WITH e0 AS (SELECT DISTINCT
+      |    least(l_suppkey * 2, l_partkey * 2 + 1) AS a,
+      |    greatest(l_suppkey * 2, l_partkey * 2 + 1) AS b
+      |  FROM lineitem WHERE l_suppkey * 2 <> l_partkey * 2 + 1),
+      |bo AS (SELECT a AS x, b AS y FROM e0
+      |  UNION ALL SELECT b, a FROM e0),
+      |deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS deg
+      |  FROM bo GROUP BY 1),
+      |ends AS (SELECT dj.deg AS j, dk.deg AS k
+      |  FROM bo JOIN deg dj ON dj.node = bo.x
+      |  JOIN deg dk ON dk.node = bo.y),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |  sum(j::HUGEINT) AS sj, sum(k::HUGEINT) AS sk,
+      |  sum(j::HUGEINT * k) AS sjk, sum(j::HUGEINT * j) AS sjj,
+      |  sum(k::HUGEINT * k) AS skk FROM ends),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+      |SELECT n_nodes, m // 2 AS n_edges,
+      |  CASE WHEN m * sjj - sj * sj > 0 AND m * skk - sk * sk > 0
+      |    THEN round(CAST(m * sjk - sj * sk AS DOUBLE) /
+      |      sqrt(CAST(m * sjj - sj * sj AS DOUBLE) *
+      |        CAST(m * skk - sk * sk AS DOUBLE)), 6)
+      |    ELSE NULL END AS r_assortativity
+      |FROM mm, nn""".stripMargin
+
   /** q139's DuckDB oracle: the full bowtie classification recomputed
     * with recursive-CTE reachability — fwd/bwd closure from the same
     * deterministic pivot (max degree, min id), set algebra for
@@ -2794,6 +2843,29 @@ object SparkEntry {
       graft.pipeline.WebGraph.cocitationPairs(edges, "src", "dst",
           maxOutDeg = 25L, minCommon = 3L)
         .orderBy($"dst_a", $"dst_b")
+    }),
+
+    // --- URL-lifetime survival curve: day-bucket ages per key; planted
+    // ephemeral keys (id+1000, active one weekday) add short lifetimes
+    // so the curve has real churn to show. ------------------------------------
+    "q152_url_survival" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events").select($"user_id", $"ts")
+      val ephemeral = e.filter(
+          expr("unix_timestamp(ts) div 86400 % 7 = user_id % 7"))
+        .select(($"user_id" + 1000L).as("user_id"), $"ts")
+      graft.pipeline.Temporal.survivalCurve(e.union(ephemeral),
+          $"user_id", $"ts", stepSec = 86400L)
+        .orderBy($"age")
+    }),
+
+    // --- degree assortativity over the q48 bidirected graph: the
+    // Newman structural fingerprint (web-shaped graphs run negative). --------
+    "q153_assortativity" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "lineitem")
+        .select(($"l_suppkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
+      graft.pipeline.GraphOps.assortativity(e, "src", "dst")
     })
   )
 
@@ -6326,6 +6398,10 @@ object SparkEntry {
     "q150_sample_quantiles" -> sampleQuantilesOracleSql,
 
     "q151_cocitation" -> cocitationOracleSql,
+
+    "q152_url_survival" -> survivalOracleSql,
+
+    "q153_assortativity" -> assortativityOracleSql,
 
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

@@ -499,6 +499,59 @@ object GraphOps {
     cor
   }
 
+  /** Degree assortativity coefficient (Newman 2002): the Pearson
+    * correlation of endpoint degrees over the undirected edge list —
+    * web graphs run DISASSORTATIVE (hubs link to leaves, r < 0) while
+    * social/citation graphs run assortative, so r is a one-number
+    * structural fingerprint (and a crawl-synthesis sanity check: a
+    * generator that produces r > 0 did not build a web).
+    *
+    * Each undirected edge contributes both orientations (the standard
+    * symmetric formulation), j = deg(src), k = deg(dst):
+    *   r = (M·Σjk − Σj·Σk) / sqrt((M·Σj² − (Σj)²)·(M·Σk² − (Σk)²))
+    * All moments accumulate in DECIMAL(38,0) (order-free integer
+    * sums); the single float boundary is the final sqrt + divide,
+    * rounded once to 6dp — the ln/q137 convention. Output one row:
+    * (n_nodes, n_edges, r_assortativity).
+    *
+    * Scale shape: one degree aggregate, two degree joins onto the
+    * edge list, one map-side-combinable moment aggregate — no windows,
+    * no iteration. */
+  def assortativity(edgesIn: DataFrame, src: String,
+                    dst: String): DataFrame = {
+    val s = col(src)
+    val d = col(dst)
+    val und = edgesIn.select(least(s, d).as("a"), greatest(s, d).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val both = und.select(col("a").as("x"), col("b").as("y"))
+      .union(und.select(col("b").as("x"), col("a").as("y")))
+    val deg = both.groupBy(col("x").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val ends = both
+      .join(deg.select(col("node").as("x"), col("deg").as("j")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("k")), "y")
+    ends.agg(
+        count(lit(1)).as("_m"),
+        sum(expr("CAST(j AS DECIMAL(38,0))")).as("_sj"),
+        sum(expr("CAST(k AS DECIMAL(38,0))")).as("_sk"),
+        sum(expr("CAST(j AS DECIMAL(38,0)) * k")).as("_sjk"),
+        sum(expr("CAST(j AS DECIMAL(38,0)) * j")).as("_sjj"),
+        sum(expr("CAST(k AS DECIMAL(38,0)) * k")).as("_skk"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_nodes"), expr("_m div 2L").as("n_edges"),
+        // a REGULAR graph has zero degree variance — r is undefined
+        // (0/0), reported as null rather than a NaN that no engine
+        // hashes alike
+        when(expr("_m * _sjj - _sj * _sj > 0 AND " +
+            "_m * _skk - _sk * _sk > 0"),
+          round(
+            expr("CAST(_m * _sjk - _sj * _sk AS DOUBLE)") /
+              sqrt(expr("CAST((_m * _sjj - _sj * _sj) AS DOUBLE)") *
+                expr("CAST((_m * _skk - _sk * _sk) AS DOUBLE)")),
+            6)).otherwise(lit(null).cast("double"))
+          .as("r_assortativity"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007), made fully deterministic: every node starts as its own
     * label; each round it adopts the most frequent label among its

@@ -185,4 +185,42 @@ object Temporal {
       .select(col("key"), col("window"), col("n_events"),
         col("median_events"), col("burst"))
   }
+
+  /** Per-key lifetime survival curve: bucket observations into
+    * `stepSec` epochs, age(key) = last epoch − first epoch, then for
+    * every observed age the share of keys that lived AT LEAST that
+    * long — the empirical survival function S(a) behind URL-lifetime /
+    * recrawl-horizon planning (how much of the frontier is still worth
+    * revisiting after a month is literally S(30d)). Right-censoring
+    * caveat: keys still alive at the observation edge count as dying
+    * at their last sighting — the standard uncorrected empirical
+    * curve; read the tail accordingly.
+    *
+    * Output: (age, n_keys, surviving, survival_ppm) per observed age,
+    * ages ascending; survival_ppm = surviving·10^6 div total keys.
+    *
+    * Scale shape: one (key) min/max aggregate (map-side combinable)
+    * over the event stream, one tiny (age) re-agg, and a reverse
+    * running sum over the DISTINCT-age rows — a table bounded by the
+    * observation window in steps (days of history, not keys), so the
+    * unpartitioned window is a constant-size driver-adjacent stage,
+    * the q42 top-K convention. */
+  def survivalCurve(df: DataFrame, key: Column, ts: Column,
+                    stepSec: Long = 86400L): DataFrame = {
+    require(stepSec > 0, "positive step")
+    val lifetimes = df
+      .select(key.as("k"), unix_timestamp(ts).as("_t"))
+      .select(col("k"), expr(s"_t div ${stepSec}L").as("_b"))
+      .groupBy(col("k"))
+      .agg((max(col("_b")) - min(col("_b"))).as("age"))
+      .groupBy(col("age")).agg(count(lit(1)).as("n_keys"))
+    val revCum = Window.orderBy(col("age").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val total = lifetimes.agg(sum(col("n_keys")).as("_tot"))
+    lifetimes
+      .withColumn("surviving", sum(col("n_keys")).over(revCum))
+      .crossJoin(broadcast(total))
+      .select(col("age"), col("n_keys"), col("surviving"),
+        expr("surviving * 1000000L div _tot").as("survival_ppm"))
+  }
 }

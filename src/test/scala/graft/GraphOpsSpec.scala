@@ -290,6 +290,33 @@ class GraphOpsSpec extends AnyFunSuite with SparkSuite {
       5L -> 2, 6L -> 2, 7L -> 2, 8L -> 1))
   }
 
+  // --- assortativity (q153) -------------------------------------------------
+
+  test("assortativity: a star is perfectly disassortative (r = -1), " +
+       "a regular graph has undefined r (null), chained triangles " +
+       "give a finite negative value deterministically") {
+    val star = (1L to 6L).map(i => 0L -> i)
+    val rs = GraphOps.assortativity(star.toDF("src", "dst"),
+        "src", "dst")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(rs == ((7L, 6L, Some(-1.0))),
+      "every star edge pairs degree 6 with degree 1")
+    // K4 is 3-regular: zero degree variance, r undefined -> null
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield a -> b
+    val rk = GraphOps.assortativity(k4.toDF("src", "dst"),
+        "src", "dst")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(rk._1 == 4L && rk._2 == 6L && rk._3.isEmpty)
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L,
+      5L -> 6L, 6L -> 4L)
+    val a = GraphOps.assortativity(chain.toDF("src", "dst"),
+      "src", "dst").as[(Long, Long, Option[Double])].collect().head
+    val b = GraphOps.assortativity(
+        chain.toDF("src", "dst").repartition(7), "src", "dst")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(a == b && a._3.exists(r => r < 0 && r > -1))
+  }
+
   // --- label propagation (q141) ---------------------------------------------
 
   test("labelPropagation: two bridged triangles settle into their own " +

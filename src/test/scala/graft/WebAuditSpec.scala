@@ -471,6 +471,22 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
         s"${got.toSeq}")
   }
 
+  // --- survival curve (q152) -------------------------------------------------------
+
+  test("survivalCurve: day-bucket lifetimes, reverse-cumulative " +
+       "survivors, exact ppm on a hand fixture") {
+    def at(day: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(day * 86400000L + 3600000L)
+    val ev = Seq(("k1", at(0)), ("k2", at(0)), ("k2", at(3)),
+      ("k3", at(1)), ("k3", at(4)), ("k4", at(0)), ("k4", at(10)))
+      .toDF("k", "ts")
+    val got = graft.pipeline.Temporal.survivalCurve(ev, $"k", $"ts")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 1L, 4L, 1000000L), (3L, 2L, 3L, 750000L),
+      (10L, 1L, 1L, 250000L)),
+      s"ages {0, 3, 3, 10} -> survivors 4/3/1, got $got")
+  }
+
   // --- fairness report (q146) ------------------------------------------------------
 
   test("fairnessReport: perfectly even counts score Jain exactly 10^6 " +
