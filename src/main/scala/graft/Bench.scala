@@ -83,7 +83,8 @@ object Bench {
     "q143_bottomk_jaccard", "q144_containment",
     "q145_distance_distribution", "q146_fairness", "q147_dust_rules",
     "q148_zipf_fit", "q149_sitemap_urls", "q150_sample_quantiles",
-    "q151_cocitation", "q152_url_survival", "q153_assortativity")
+    "q151_cocitation", "q152_url_survival", "q153_assortativity",
+    "q154_component_census")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

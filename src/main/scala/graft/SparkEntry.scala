@@ -25,6 +25,32 @@ import graft.urlops.{UrlFunctions => UF}
   */
 object SparkEntry {
 
+  /** The q139/q154 shared fixture: the six-class bowtie graph built
+    * from lineitem mods (mirrored verbatim by `bowtieGraphCtes`). */
+  private def bowtieFixtureEdges(s: SparkSession,
+                                 dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    li.select(($"l_suppkey" % 12).as("src"),
+        (($"l_suppkey" % 12 + 1) % 12).as("dst"))
+      .union(li.select(($"l_partkey" % 20 + 100).as("src"),
+        ($"l_partkey" % 20 % 12).as("dst")))
+      .union(li.select(($"l_partkey" % 20 % 12).as("src"),
+        ($"l_partkey" % 20 + 200).as("dst")))
+      .union(li.select(($"l_orderkey" % 5 + 100).as("src"),
+        ($"l_orderkey" % 5 + 300).as("dst")))
+      .union(li.select(($"l_orderkey" % 5 + 300).as("src"),
+        ($"l_orderkey" % 5 + 200).as("dst")))
+      .union(li.select(($"l_orderkey" % 7 + 100).as("src"),
+        ($"l_orderkey" % 7 + 400).as("dst")))
+      .union(li.select(($"l_linenumber" % 6 + 500).as("src"),
+        ($"l_linenumber" % 6 + 200).as("dst")))
+      .union(li.select(($"l_suppkey" % 5 * 2 + 600).as("src"),
+        ($"l_suppkey" % 5 * 2 + 601).as("dst")))
+      .union(li.select(($"l_suppkey" % 5 * 2 + 601).as("src"),
+        ($"l_suppkey" % 5 * 2 + 600).as("dst")))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -511,13 +537,11 @@ object SparkEntry {
       |    ELSE NULL END AS r_assortativity
       |FROM mm, nn""".stripMargin
 
-  /** q139's DuckDB oracle: the full bowtie classification recomputed
-    * with recursive-CTE reachability — fwd/bwd closure from the same
-    * deterministic pivot (max degree, min id), set algebra for
-    * CORE/IN/OUT, closures from IN and to OUT for TUBE/TENDRIL, and
-    * the undirected closure for DISCONNECTED. */
-  private def bowtieOracleSql: String =
-    """WITH RECURSIVE e0 AS (
+  /** The q139/q154 shared fixture graph CTEs (no WITH prefix): the
+    * six-class bowtie edge list, distinct edges, nodes, undirected
+    * pairs. */
+  private val bowtieGraphCtes: String =
+    """e0 AS (
       |  SELECT l_suppkey % 12 AS src, (l_suppkey % 12 + 1) % 12 AS dst
       |    FROM lineitem
       |  UNION ALL SELECT l_partkey % 20 + 100, l_partkey % 20 % 12
@@ -541,7 +565,33 @@ object SparkEntry {
       |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
       |und AS (SELECT DISTINCT a, b FROM (
       |  SELECT src AS a, dst AS b FROM edges
-      |  UNION ALL SELECT dst, src FROM edges)),
+      |  UNION ALL SELECT dst, src FROM edges))""".stripMargin
+
+  /** q154's DuckDB oracle: the undirected label closure per node (the
+    * accumulated reachable-label set, min per node = component id)
+    * over the q139 fixture, then the census aggregates. */
+  private def componentCensusOracleSql: String =
+    s"""WITH RECURSIVE $bowtieGraphCtes,""" +
+    """
+      |cc(node, lbl) AS (SELECT node, node FROM nodes
+      |  UNION SELECT u.b, c.lbl FROM und u JOIN cc c ON u.a = c.node),
+      |comp AS (SELECT node, min(lbl) AS comp FROM cc GROUP BY 1),
+      |sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS n
+      |  FROM comp GROUP BY 1)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_nodes,
+      |  CAST(count(*) AS BIGINT) AS n_components,
+      |  CAST(max(n) AS BIGINT) AS giant_nodes,
+      |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS giant_share_ppm
+      |FROM sizes""".stripMargin
+
+  /** q139's DuckDB oracle: the full bowtie classification recomputed
+    * with recursive-CTE reachability — fwd/bwd closure from the same
+    * deterministic pivot (max degree, min id), set algebra for
+    * CORE/IN/OUT, closures from IN and to OUT for TUBE/TENDRIL, and
+    * the undirected closure for DISCONNECTED. */
+  private def bowtieOracleSql: String =
+    s"""WITH RECURSIVE $bowtieGraphCtes,""".stripMargin +
+    """
       |pv AS (SELECT node FROM (
       |    SELECT node, count(*) AS d FROM (
       |      SELECT src AS node FROM edges
@@ -2616,26 +2666,8 @@ object SparkEntry {
     // source-only TENDRILs, and 5 disconnected 2-cycles. ---------------------
     "q139_bowtie" -> ((s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
-      val edges = li.select(($"l_suppkey" % 12).as("src"),
-          (($"l_suppkey" % 12 + 1) % 12).as("dst"))
-        .union(li.select(($"l_partkey" % 20 + 100).as("src"),
-          ($"l_partkey" % 20 % 12).as("dst")))
-        .union(li.select(($"l_partkey" % 20 % 12).as("src"),
-          ($"l_partkey" % 20 + 200).as("dst")))
-        .union(li.select(($"l_orderkey" % 5 + 100).as("src"),
-          ($"l_orderkey" % 5 + 300).as("dst")))
-        .union(li.select(($"l_orderkey" % 5 + 300).as("src"),
-          ($"l_orderkey" % 5 + 200).as("dst")))
-        .union(li.select(($"l_orderkey" % 7 + 100).as("src"),
-          ($"l_orderkey" % 7 + 400).as("dst")))
-        .union(li.select(($"l_linenumber" % 6 + 500).as("src"),
-          ($"l_linenumber" % 6 + 200).as("dst")))
-        .union(li.select(($"l_suppkey" % 5 * 2 + 600).as("src"),
-          ($"l_suppkey" % 5 * 2 + 601).as("dst")))
-        .union(li.select(($"l_suppkey" % 5 * 2 + 601).as("src"),
-          ($"l_suppkey" % 5 * 2 + 600).as("dst")))
-      graft.pipeline.GraphOps.bowtie(edges, "src", "dst")
+      graft.pipeline.GraphOps.bowtie(bowtieFixtureEdges(s, dir),
+          "src", "dst")
         .orderBy($"node")
     }),
 
@@ -2857,6 +2889,13 @@ object SparkEntry {
       graft.pipeline.Temporal.survivalCurve(e.union(ephemeral),
           $"user_id", $"ts", stepSec = 86400L)
         .orderBy($"age")
+    }),
+
+    // --- weak-component census over the bowtie fixture: one giant
+    // (70 nodes) + five disconnected pairs -> 6 components, 875000 ppm. ------
+    "q154_component_census" -> ((s, dir) => {
+      graft.pipeline.GraphOps.componentCensus(
+        bowtieFixtureEdges(s, dir), "src", "dst")
     }),
 
     // --- degree assortativity over the q48 bidirected graph: the
@@ -6402,6 +6441,8 @@ object SparkEntry {
     "q152_url_survival" -> survivalOracleSql,
 
     "q153_assortativity" -> assortativityOracleSql,
+
+    "q154_component_census" -> componentCensusOracleSql,
 
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

@@ -499,6 +499,29 @@ object GraphOps {
     cor
   }
 
+  /** Weakly-connected component census: component count, giant-
+    * component size, and the giant's share of all nodes in integer
+    * ppm — the "is this one web or many islands" summary (Broder et
+    * al. measured ~91% of the web in one weak component; a crawl
+    * whose giant share drops is fragmenting or being walled off).
+    * Built on [[Dedup.connectedComponents]] (min-label propagation
+    * with pointer doubling, O(log diameter) rounds); everything after
+    * the labels is two tiny aggregates. Output one row:
+    * (n_nodes, n_components, giant_nodes, giant_share_ppm). */
+  def componentCensus(edges: DataFrame, src: String,
+                      dst: String): DataFrame = {
+    val comps = Dedup.connectedComponents(
+      edges.filter(col(src) =!= col(dst)), src, dst)
+    val sizes = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("n"))
+    sizes.agg(sum(col("n")).as("n_nodes"),
+        count(lit(1)).as("n_components"),
+        max(col("n")).as("giant_nodes"))
+      .select(col("n_nodes"), col("n_components"), col("giant_nodes"),
+        expr("giant_nodes * 1000000L div n_nodes")
+          .as("giant_share_ppm"))
+  }
+
   /** Degree assortativity coefficient (Newman 2002): the Pearson
     * correlation of endpoint degrees over the undirected edge list —
     * web graphs run DISASSORTATIVE (hubs link to leaves, r < 0) while

@@ -290,6 +290,18 @@ class GraphOpsSpec extends AnyFunSuite with SparkSuite {
       5L -> 2, 6L -> 2, 7L -> 2, 8L -> 1))
   }
 
+  // --- component census (q154) ----------------------------------------------
+
+  test("componentCensus: a triangle plus two disconnected pairs give " +
+       "3 components, giant 3 of 7, exact ppm; direction is ignored") {
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 10L -> 11L, 21L -> 20L,
+      2L -> 2L)
+    val got = GraphOps.componentCensus(e.toDF("src", "dst"),
+        "src", "dst")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((7L, 3L, 3L, 428571L)))
+  }
+
   // --- assortativity (q153) -------------------------------------------------
 
   test("assortativity: a star is perfectly disassortative (r = -1), " +
