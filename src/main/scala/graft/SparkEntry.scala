@@ -584,6 +584,75 @@ object SparkEntry {
       |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS giant_share_ppm
       |FROM sizes""".stripMargin
 
+  /** q155's DuckDB oracle: the composed profile with every leg
+    * recomputed by an independent formulation — recursive label
+    * closure for the census, the orientation-free a<b<c triple join
+    * for triangles (vs Spark's degree ordering), a reverse-edge
+    * equi-join for reciprocity, recursive fwd∩bwd from the
+    * max-degree pivot for the core. */
+  private def webgraphProfileOracleSql: String =
+    s"""WITH RECURSIVE $bowtieGraphCtes,""" +
+    """
+      |t0 AS (
+      |  SELECT l_orderkey % 4 * 3 + 700 AS src,
+      |    l_orderkey % 4 * 3 + 701 AS dst FROM lineitem
+      |  UNION ALL SELECT l_orderkey % 4 * 3 + 701,
+      |    l_orderkey % 4 * 3 + 702 FROM lineitem
+      |  UNION ALL SELECT l_orderkey % 4 * 3 + 702,
+      |    l_orderkey % 4 * 3 + 700 FROM lineitem),
+      |pe AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT src, dst FROM edges UNION ALL SELECT src, dst FROM t0)
+      |  WHERE src <> dst),
+      |pn AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM pe UNION ALL SELECT dst FROM pe)),
+      |pu AS (SELECT DISTINCT a, b FROM (
+      |  SELECT src AS a, dst AS b FROM pe
+      |  UNION ALL SELECT dst, src FROM pe)),
+      |cc2(node, lbl) AS (SELECT node, node FROM pn
+      |  UNION SELECT u.b, c.lbl FROM pu u JOIN cc2 c ON u.a = c.node),
+      |comp2 AS (SELECT node, min(lbl) AS comp FROM cc2 GROUP BY 1),
+      |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS n
+      |  FROM comp2 GROUP BY 1),
+      |cen AS (SELECT CAST(sum(n) AS BIGINT) AS n_nodes,
+      |  CAST(count(*) AS BIGINT) AS n_components,
+      |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS giant_share_ppm
+      |  FROM sz),
+      |ce AS (SELECT DISTINCT least(src, dst) AS a,
+      |  greatest(src, dst) AS b FROM pe),
+      |ue AS (SELECT CAST(count(*) AS BIGINT) AS n_und_edges FROM ce),
+      |tric AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM ce e1 JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+      |  JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |degc AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |  SELECT a AS node FROM ce UNION ALL SELECT b FROM ce)
+      |  GROUP BY 1),
+      |wed AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+      |  AS n_wedges FROM degc),
+      |rc AS (SELECT CAST(count(*) AS BIGINT) AS n_dir_edges FROM pe),
+      |rcp AS (SELECT CAST(count(*) AS BIGINT) AS n_recip
+      |  FROM pe p JOIN pe r ON r.src = p.dst AND r.dst = p.src),
+      |pv2 AS (SELECT node FROM (
+      |    SELECT node, count(*) AS d FROM (
+      |      SELECT src AS node FROM pe UNION ALL SELECT dst FROM pe)
+      |    GROUP BY 1) ORDER BY d DESC, node ASC LIMIT 1),
+      |fw2(node) AS (SELECT node FROM pv2
+      |  UNION SELECT e.dst FROM pe e JOIN fw2 f ON e.src = f.node),
+      |bw2(node) AS (SELECT node FROM pv2
+      |  UNION SELECT e.src FROM pe e JOIN bw2 f ON e.dst = f.node),
+      |cr AS (SELECT CAST(count(*) AS BIGINT) AS core_nodes
+      |  FROM fw2 f JOIN bw2 b ON b.node = f.node)
+      |SELECT cen.n_nodes, rc.n_dir_edges, ue.n_und_edges,
+      |  cen.n_components, cen.giant_share_ppm, tric.n_triangles,
+      |  CASE WHEN wed.n_wedges > 0
+      |    THEN CAST(tric.n_triangles * 3000000 // wed.n_wedges
+      |      AS BIGINT) ELSE CAST(0 AS BIGINT) END AS closure_ppm,
+      |  CAST(rcp.n_recip * 1000000 // rc.n_dir_edges AS BIGINT)
+      |    AS reciprocity_ppm,
+      |  cr.core_nodes,
+      |  CAST(cr.core_nodes * 1000000 // cen.n_nodes AS BIGINT)
+      |    AS core_share_ppm
+      |FROM cen, ue, tric, wed, rc, rcp, cr""".stripMargin
+
   /** q139's DuckDB oracle: the full bowtie classification recomputed
     * with recursive-CTE reachability — fwd/bwd closure from the same
     * deterministic pivot (max degree, min id), set algebra for
@@ -2896,6 +2965,36 @@ object SparkEntry {
     "q154_component_census" -> ((s, dir) => {
       graft.pipeline.GraphOps.componentCensus(
         bowtieFixtureEdges(s, dir), "src", "dst")
+    }),
+
+    // --- the composed one-row webgraph profile: component census +
+    // triangle closure + reciprocity + bowtie core share over the
+    // fixture graph plus four planted directed triangles; every leg is
+    // recomputed by an INDEPENDENT SQL formulation in the oracle. ------------
+    "q155_webgraph_profile" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      def tj(off: Int) = li.select(
+        ($"l_orderkey" % 4 * 3 + (700 + off)).as("src"),
+        ($"l_orderkey" % 4 * 3 + (700 + (off + 1) % 3)).as("dst"))
+      val edges = bowtieFixtureEdges(s, dir)
+        .union(tj(0)).union(tj(1)).union(tj(2))
+      val census = graft.pipeline.GraphOps.componentCensus(edges,
+        "src", "dst")
+      val tri = graft.pipeline.GraphOps.triangleCensus(edges,
+          "src", "dst")
+        .select($"n_edges".as("n_und_edges"), $"n_triangles",
+          $"closure_ppm")
+      val rec = graft.pipeline.WebGraph.reciprocity(edges, "src", "dst")
+        .select($"n_edges".as("n_dir_edges"), $"reciprocity_ppm")
+      val core = graft.pipeline.GraphOps.bowtie(edges, "src", "dst")
+        .agg(count(when($"cls" === "CORE", 1)).as("core_nodes"))
+      census.crossJoin(tri).crossJoin(rec).crossJoin(core)
+        .select($"n_nodes", $"n_dir_edges", $"n_und_edges",
+          $"n_components", $"giant_share_ppm", $"n_triangles",
+          $"closure_ppm", $"reciprocity_ppm", $"core_nodes",
+          expr("core_nodes * 1000000L div n_nodes")
+            .as("core_share_ppm"))
     }),
 
     // --- degree assortativity over the q48 bidirected graph: the
@@ -6443,6 +6542,8 @@ object SparkEntry {
     "q153_assortativity" -> assortativityOracleSql,
 
     "q154_component_census" -> componentCensusOracleSql,
+
+    "q155_webgraph_profile" -> webgraphProfileOracleSql,
 
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,
