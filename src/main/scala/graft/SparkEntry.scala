@@ -2794,7 +2794,7 @@ object SparkEntry {
         $"o_custkey")
       graft.pipeline.Sketches.kmvEstimate(
           graft.pipeline.Sketches.kmvSketch(o, $"grp", $"o_custkey",
-            k = 64), k = 64)
+            k = 64))
         .withColumnRenamed("grp", "priority")
         .orderBy($"priority")
     }),
@@ -2809,7 +2809,7 @@ object SparkEntry {
         ($"l_partkey" % (lit(500) + $"l_suppkey" % 4 * 100)).as("k"))
       graft.pipeline.Sketches.kmvJaccard(
           graft.pipeline.Sketches.kmvSketch(keyed, $"src", $"k",
-            k = 256), k = 256)
+            k = 256))
         .orderBy($"grp_a", $"grp_b")
     }),
 

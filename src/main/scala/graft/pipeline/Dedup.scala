@@ -339,17 +339,28 @@ object Dedup {
     * (stopword-shingle skew cap — they cannot create high-jaccard pairs
     * alone but quadratically inflate the join).
     */
-  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-                        shingleK: Int = 3, threshold: Double = 0.5,
-                        maxShingleDf: Int = 1000): DataFrame = {
+  /** The df-capped inverted shingle index shared by the Jaccard and
+    * containment pair joins: (shingle, doc_id, n_sh) with `n_sh` the
+    * PRE-cap distinct-shingle count per doc and shingles hotter than
+    * `maxShingleDf` docs dropped before any self-join. */
+  private def invertedShingleIndex(df: DataFrame, id: Column,
+                                   text: Column, shingleK: Int,
+                                   maxShingleDf: Int): DataFrame = {
     val base = df.select(id.as("doc_id"),
       shinglesUdf(shingleK)(text).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val inv = base.select(col("doc_id"), col("n_sh"),
-      explode(col("sh")).as("shingle"))
-    val capped = inv.withColumn("_df",
-      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    base.select(col("doc_id"), col("n_sh"),
+        explode(col("sh")).as("shingle"))
+      .withColumn("_df",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("_df") <= maxShingleDf).drop("_df")
+  }
+
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+                        shingleK: Int = 3, threshold: Double = 0.5,
+                        maxShingleDf: Int = 1000): DataFrame = {
+    val capped = invertedShingleIndex(df, id, text, shingleK,
+      maxShingleDf)
     val l = capped.select(col("shingle"), col("doc_id").as("id_a"),
       col("n_sh").as("n_a"))
     val r = capped.select(col("shingle"), col("doc_id").as("id_b"),
@@ -383,14 +394,8 @@ object Dedup {
                             shingleK: Int = 3,
                             thresholdPpm: Long = 800000L,
                             maxShingleDf: Int = 1000): DataFrame = {
-    val base = df.select(id.as("doc_id"),
-      shinglesUdf(shingleK)(text).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val inv = base.select(col("doc_id"), col("n_sh"),
-      explode(col("sh")).as("shingle"))
-    val capped = inv.withColumn("_df",
-      count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("_df") <= maxShingleDf).drop("_df")
+    val capped = invertedShingleIndex(df, id, text, shingleK,
+      maxShingleDf)
     val l = capped.select(col("shingle"), col("doc_id").as("id_a"),
       col("n_sh").as("n_a"))
     val r = capped.select(col("shingle"), col("doc_id").as("id_b"))

@@ -326,7 +326,7 @@ object GraphOps {
     * O(diameter) rounds; the per-round driver state is one scalar (the
     * frontier size, observed on the checkpoint job itself). */
   private def reach(edges: DataFrame, seeds: DataFrame,
-                    maxRounds: Int = 300): DataFrame = {
+                    maxRounds: Int): DataFrame = {
     var reached = Eager.ckpt(seeds.select(col("node")).distinct())
     var frontier = reached
     var grew = true
@@ -343,6 +343,10 @@ object GraphOps {
       }
       round += 1
     }
+    // never return a silently-truncated closure: a >maxRounds-diameter
+    // graph must fail loudly, not misclassify the horizon as TENDRIL
+    require(!grew,
+      s"BFS did not converge within $maxRounds rounds — raise maxRounds")
     reached
   }
 
@@ -370,8 +374,10 @@ object GraphOps {
     * joins) plus one degree aggregate; the pivot is a 1-row DataFrame
     * joined in, never a driver collect. This is how the original study
     * measured AltaVista's 200M-node graph — BFS from pivots, not
-    * transitive closure. */
-  def bowtie(edgesIn: DataFrame, src: String, dst: String): DataFrame = {
+    * transitive closure. A graph whose directed diameter exceeds
+    * `maxRounds` fails loudly rather than misclassifying the horizon. */
+  def bowtie(edgesIn: DataFrame, src: String, dst: String,
+             maxRounds: Int = 300): DataFrame = {
     val edges = Eager.ckpt(
       edgesIn.select(col(src).as("src"), col(dst).as("dst"))
         .filter(col("src") =!= col("dst")).distinct())
@@ -383,14 +389,14 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node").asc).limit(1)
       .select(col("node"))
-    val fwd = reach(edges, pivot)
-    val bwd = reach(rev, pivot)
+    val fwd = reach(edges, pivot, maxRounds)
+    val bwd = reach(rev, pivot, maxRounds)
     val core = Eager.ckpt(fwd.join(bwd, Seq("node"), "left_semi"))
     val inn = Eager.ckpt(bwd.join(core, Seq("node"), "left_anti"))
     val out = Eager.ckpt(fwd.join(core, Seq("node"), "left_anti"))
-    val tFrom = reach(edges, inn)
-    val tTo = reach(rev, out)
-    val weak = reach(edges.union(rev), pivot)
+    val tFrom = reach(edges, inn, maxRounds)
+    val tTo = reach(rev, out, maxRounds)
+    val weak = reach(edges.union(rev), pivot, maxRounds)
     def flag(s: DataFrame, name: String): DataFrame =
       s.withColumn(name, lit(true))
     def set(name: String) = coalesce(col(name), lit(false))
@@ -419,14 +425,22 @@ object GraphOps {
     * with an under-degree endpoint; rounds are bounded by the longest
     * peel cascade. Edges are canonicalized (lo, hi) so each undirected
     * edge counts once; self-loops are dropped. */
-  def kCore(edgesIn: DataFrame, src: String, dst: String, k: Int,
-            maxRounds: Int = 100): DataFrame = {
-    require(k >= 1, "k must be positive")
-    val s = col(src)
-    val d = col(dst)
-    var (e, m) = Eager.ckptCount(
-      edgesIn.select(least(s, d).as("a"), greatest(s, d).as("b"))
-        .filter(col("a") =!= col("b")).distinct())
+  /** Canonical undirected edge set: (lo, hi) pairs, self-loops
+    * dropped, distinct. */
+  private def canonicalUndirected(edgesIn: DataFrame, src: String,
+                                  dst: String): DataFrame =
+    edgesIn.select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+  /** Peel a canonical (a, b) edge set to its k-core fixpoint: each
+    * round one map-side-combinable degree aggregate plus two
+    * semi-joins. Returns (surviving edges, edge count). Fails loudly
+    * if the cascade has not settled within `maxRounds` — a truncated
+    * peel would silently report a SUPERSET of the k-core. */
+  private def peelToKCore(edges: DataFrame, k: Int, maxRounds: Int)
+      : (DataFrame, Long) = {
+    var (e, m) = Eager.ckptCount(edges)
     var changed = m > 0
     var round = 0
     while (changed && round < maxRounds) {
@@ -443,6 +457,17 @@ object GraphOps {
       e = next
       round += 1
     }
+    require(!changed,
+      s"k-core peel did not settle within $maxRounds rounds — " +
+        "raise maxRounds")
+    (e, m)
+  }
+
+  def kCore(edgesIn: DataFrame, src: String, dst: String, k: Int,
+            maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val (e, _) = peelToKCore(canonicalUndirected(edgesIn, src, dst),
+      k, maxRounds)
     e.select(col("a").as("node")).union(e.select(col("b").as("node")))
       .distinct()
   }
@@ -453,15 +478,15 @@ object GraphOps {
     * edge set, so total work telescopes down the shrinking graph and
     * the loop runs O(degeneracy) levels. (At true web degeneracies the
     * distributed h-index iteration converges in fewer passes; the
-    * telescoping peel is the simpler shape and every pass here is the
-    * same two-semi-join round as [[kCore]].) */
+    * telescoping peel is the simpler shape and every pass is one
+    * [[peelToKCore]] call — kCore and coreness share the round body.)
+    *
+    * Reported coreness SATURATES at `maxK`: nodes in deeper cores
+    * (degeneracy > maxK — 100-cliques, dense spam farms) are reported
+    * as exactly maxK. Raise maxK when auditing graphs that dense. */
   def coreness(edgesIn: DataFrame, src: String, dst: String,
-               maxK: Int = 64): DataFrame = {
-    val s = col(src)
-    val d = col(dst)
-    var e = Eager.ckpt(
-      edgesIn.select(least(s, d).as("a"), greatest(s, d).as("b"))
-        .filter(col("a") =!= col("b")).distinct())
+               maxK: Int = 64, maxRounds: Int = 100): DataFrame = {
+    var e = Eager.ckpt(canonicalUndirected(edgesIn, src, dst))
     var cor = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node"))).distinct()
       .withColumn("coreness", lit(1))
@@ -469,22 +494,8 @@ object GraphOps {
     var alive = true
     while (alive && k <= maxK) {
       // peel e down to the k-core, starting from the (k-1)-core edges
-      var m = -1L
-      var changed = true
-      while (changed) {
-        val good = e.select(col("a").as("node"))
-          .union(e.select(col("b").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= k).select(col("node"))
-        val (next, m2) = Eager.ckptCount(
-          e.join(good.withColumnRenamed("node", "a"), Seq("a"),
-            "left_semi")
-            .join(good.withColumnRenamed("node", "b"), Seq("b"),
-              "left_semi"))
-        changed = m2 != m
-        m = m2
-        e = next
-      }
+      val (ek, m) = peelToKCore(e, k, maxRounds)
+      e = ek
       alive = m > 0
       if (alive) {
         val members = e.select(col("a").as("node"))
@@ -542,10 +553,7 @@ object GraphOps {
     * no iteration. */
   def assortativity(edgesIn: DataFrame, src: String,
                     dst: String): DataFrame = {
-    val s = col(src)
-    val d = col(dst)
-    val und = edgesIn.select(least(s, d).as("a"), greatest(s, d).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val und = canonicalUndirected(edgesIn, src, dst)
     val both = und.select(col("a").as("x"), col("b").as("y"))
       .union(und.select(col("b").as("x"), col("a").as("y")))
     val deg = both.groupBy(col("x").as("node"))

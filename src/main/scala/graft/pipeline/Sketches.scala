@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cardinality / frequency sketches — the sub-linear-state primitives a
@@ -203,11 +204,16 @@ object Sketches {
     * Determinism: each node's estimate (already deterministic, the one
     * rounded float) is converted to integer MICRO-units per row
     * (round(est·10^6) — one more per-row round, no float ever summed),
-    * then integer-summed per t; the share and the 90%-threshold test
-    * run in DECIMAL(38,0) so nothing overflows below ~10^32 micro-pair
-    * totals. `reached_90` flags radii where N(t) ≥ 0.9·N(hops); the
-    * smallest such t is the standard effective-diameter estimate at
-    * the computed horizon. Output: (t, pairs_micro, share_ppm,
+    * then summed per t in DECIMAL(38,0) — exact to ~10^32 micro-pair
+    * totals, so a 10^10-node graph cannot wrap the accumulator the way
+    * a LongType sum would. The share and the 90%-threshold test run on
+    * the decimal totals; the emitted `pairs_micro` is the decimal cast
+    * to BIGINT, exact while N(t) < 9.2·10^12 whole pairs (larger
+    * totals keep correct share_ppm/reached_90 but saturate the output
+    * column — read the share, not the count, at that scale).
+    * `reached_90` flags radii where N(t) ≥ 0.9·N(hops); the smallest
+    * such t is the standard effective-diameter estimate at the
+    * computed horizon. Output: (t, pairs_micro, share_ppm,
     * reached_90), one row per radius.
     *
     * Scale shape: everything after the (already sub-linear) register
@@ -219,15 +225,15 @@ object Sketches {
       .select(col("t"),
         expr("CAST(round(estimate * 1000000D) AS BIGINT)")
           .as("est_micro"))
-      .groupBy(col("t")).agg(sum(col("est_micro")).as("pairs_micro"))
+      .groupBy(col("t"))
+      .agg(sum(expr("CAST(est_micro AS DECIMAL(38,0))")).as("_pm"))
     val total = perT.filter(col("t") === hops)
-      .select(col("pairs_micro").as("_tot"))
+      .select(col("_pm").as("_tot"))
     perT.crossJoin(broadcast(total))
-      .select(col("t"), col("pairs_micro"),
-        expr("CAST(CAST(pairs_micro AS DECIMAL(38,0)) * 1000000 " +
-          "div _tot AS BIGINT)").as("share_ppm"),
-        expr("CAST(pairs_micro AS DECIMAL(38,0)) * 10 >= " +
-          "CAST(_tot AS DECIMAL(38,0)) * 9").as("reached_90"))
+      .select(col("t"),
+        expr("CAST(_pm AS BIGINT)").as("pairs_micro"),
+        expr("CAST(_pm * 1000000 div _tot AS BIGINT)").as("share_ppm"),
+        expr("_pm * 10 >= _tot * 9").as("reached_90"))
   }
 
   /** KMV (bottom-k / k-minimum-values) distinct sketch (Bar-Yossef et
@@ -251,45 +257,59 @@ object Sketches {
   def kmvSketch(df: DataFrame, group: Column, key: Column,
                 k: Int = 256): DataFrame = {
     require(k >= 2 && k <= 65536, "need 2 <= k <= 65536")
-    val byGrp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("grp")).orderBy(col("h").asc)
+    val byGrp = Window.partitionBy(col("grp")).orderBy(col("h").asc)
     df.select(group.as("grp"), md5Hash60(key).as("h"))
       .filter(col("h").isNotNull)
       .withColumn("_rk", dense_rank().over(byGrp))
       .filter(col("_rk") <= k)
       .select(col("grp"), col("h")).distinct()
+      // the sketch carries its own k so the fold side can never be
+      // asked with a mismatched one (build-64/fold-256 would silently
+      // report 64-cardinality groups as "exact")
+      .withColumn("k", lit(k))
   }
 
-  /** Merge KMV sketches: union, then bottom-k per group again. Exactly
-    * the sketch of the unioned inputs — order statistics compose. */
-  def kmvMerge(k: Int, sketches: DataFrame*): DataFrame = {
+  /** The (k−1)·2^60 div h_(k) unbiased KMV estimator as a Column —
+    * pure integer, DECIMAL(38,0)-cleared, shared by every fold. */
+  private def kmvEstimator(kCol: String, hCol: String): Column =
+    expr(s"CAST(CAST($kCol - 1 AS DECIMAL(38,0)) * " +
+      "1152921504606846976L div " +
+      s"CAST(greatest($hCol, 1L) AS DECIMAL(38,0)) AS BIGINT)")
+
+  /** Merge KMV sketches: union, then bottom-k per group again — with
+    * k taken from the DATA as the per-group minimum of the input
+    * sketches' k (a bottom-64 sketch cannot be upgraded to bottom-256
+    * by merging). Exactly the k-trimmed sketch of the unioned inputs —
+    * order statistics compose. */
+  def kmvMerge(sketches: DataFrame*): DataFrame = {
     require(sketches.nonEmpty, "need at least one sketch")
-    val byGrp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("grp")).orderBy(col("h").asc)
-    sketches.reduce(_ unionByName _).distinct()
+    val byGrp = Window.partitionBy(col("grp")).orderBy(col("h").asc)
+    sketches.reduce(_ unionByName _)
+      // collapse on (grp, h) — the same hash arriving from sketches of
+      // DIFFERENT k must fill one slot, not two
+      .groupBy(col("grp"), col("h")).agg(min(col("k")).as("_k0"))
+      .withColumn("k", min(col("_k0")).over(Window.partitionBy(col("grp"))))
       .withColumn("_rk", row_number().over(byGrp))
-      .filter(col("_rk") <= k)
-      .select(col("grp"), col("h"))
+      .filter(col("_rk") <= col("k"))
+      .select(col("grp"), col("h"), col("k"))
   }
 
-  /** Fold a KMV sketch into per-group distinct estimates. With fewer
-    * than k distinct hashes the sketch IS the distinct set, so the
-    * count is exact; otherwise the standard unbiased estimator
-    * (k−1)·2^60 div h_(k) on the k-th smallest hash — pure integer
-    * (DECIMAL(38,0) clears the product), replayed exactly by the q142
-    * oracle. Output: (grp, n_sketch, kth_hash, estimate). */
-  def kmvEstimate(sketch: DataFrame, k: Int = 256): DataFrame = {
-    require(k >= 2, "need k >= 2")
+  /** Fold a KMV sketch into per-group distinct estimates, k read from
+    * the sketch itself. With fewer than k distinct hashes the sketch
+    * IS the distinct set, so the count is exact; otherwise the
+    * standard unbiased estimator (k−1)·2^60 div h_(k) on the k-th
+    * smallest hash — pure integer (DECIMAL(38,0) clears the product),
+    * replayed exactly by the q142 oracle. Output: (grp, n_sketch,
+    * kth_hash, estimate). */
+  def kmvEstimate(sketch: DataFrame): DataFrame =
     sketch.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"),
+        max(col("k")).as("_k"))
       .withColumn("estimate",
-        when(col("n_sketch") < k, col("n_sketch"))
-          .otherwise(expr(
-            s"CAST(CAST(${(k - 1).toLong}L AS DECIMAL(38,0)) * " +
-              "1152921504606846976L div " +
-              "CAST(greatest(kth_hash, 1L) AS DECIMAL(38,0)) " +
-              "AS BIGINT)")))
-  }
+        when(col("n_sketch") < col("_k"), col("n_sketch"))
+          .otherwise(kmvEstimator("_k", "kth_hash")))
+      .select(col("grp"), col("n_sketch"), col("kth_hash"),
+        col("estimate"))
 
   /** Value-carrying KMV sample: the bottom-k rows per group by their
     * KEY hash, keeping a value payload — a deterministic coordinated
@@ -302,29 +322,31 @@ object Sketches {
   def kmvValueSample(df: DataFrame, group: Column, key: Column,
                      value: Column, k: Int = 256): DataFrame = {
     require(k >= 2 && k <= 65536, "need 2 <= k <= 65536")
-    val byGrp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("grp")).orderBy(col("h").asc)
+    val byGrp = Window.partitionBy(col("grp")).orderBy(col("h").asc)
     df.select(group.as("grp"), md5Hash60(key).as("h"),
         value.cast("double").as("v"))
       .filter(col("h").isNotNull)
       .withColumn("_rk", dense_rank().over(byGrp))
       .filter(col("_rk") <= k)
       .groupBy(col("grp"), col("h")).agg(min(col("v")).as("v"))
+      .withColumn("k", lit(k))
   }
 
   /** Merge value samples from [[kmvValueSample]]: union, collapse
     * duplicate keys (min value — same rule as the builder), bottom-k
-    * per group again. Exactly the one-shot sample of the unioned
-    * inputs, pinned in tests. */
-  def kmvValueMerge(k: Int, samples: DataFrame*): DataFrame = {
+    * per group again with k = the per-group minimum of the inputs' k.
+    * Exactly the one-shot sample of the unioned inputs, pinned in
+    * tests. */
+  def kmvValueMerge(samples: DataFrame*): DataFrame = {
     require(samples.nonEmpty, "need at least one sample")
-    val byGrp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("grp")).orderBy(col("h").asc)
+    val byGrp = Window.partitionBy(col("grp")).orderBy(col("h").asc)
     samples.reduce(_ unionByName _)
-      .groupBy(col("grp"), col("h")).agg(min(col("v")).as("v"))
+      .groupBy(col("grp"), col("h"))
+      .agg(min(col("v")).as("v"), min(col("k")).as("_k0"))
+      .withColumn("k", min(col("_k0")).over(Window.partitionBy(col("grp"))))
       .withColumn("_rk", row_number().over(byGrp))
-      .filter(col("_rk") <= k)
-      .select(col("grp"), col("h"), col("v"))
+      .filter(col("_rk") <= col("k"))
+      .select(col("grp"), col("h"), col("v"), col("k"))
   }
 
   /** Quantile estimates from a [[kmvValueSample]]: nearest-rank
@@ -339,13 +361,12 @@ object Sketches {
   def sampleQuantiles(sample: DataFrame, ps: Seq[Int]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
       "percentiles in 1..100")
-    val byGrp = org.apache.spark.sql.expressions.Window
+    val byGrp = Window
       .partitionBy(col("grp")).orderBy(col("v").asc, col("h").asc)
     sample
       .withColumn("_rk", row_number().over(byGrp))
       .withColumn("n_sample",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("grp"))))
+        count(lit(1)).over(Window.partitionBy(col("grp"))))
       .withColumn("p", explode(lit(ps.toArray)))
       .filter(col("_rk") === expr("(n_sample * p + 99L) div 100L"))
       .select(col("grp"), col("p"), col("n_sample"),
@@ -367,38 +388,39 @@ object Sketches {
     * of coordinated sampling for cross-corpus overlap audits (q91's
     * exact leakage join scans the corpus; this answers the same
     * "how much do sources overlap" question from k rows per source). */
-  def kmvJaccard(sketch: DataFrame, k: Int = 256): DataFrame = {
-    require(k >= 2, "need k >= 2")
+  def kmvJaccard(sketch: DataFrame): DataFrame = {
     val grps = sketch.select(col("grp")).distinct()
     val pairs = grps.select(col("grp").as("grp_a"))
       .crossJoin(grps.select(col("grp").as("grp_b")))
       .filter(col("grp_a") < col("grp_b"))
     val ua = pairs.join(sketch.withColumnRenamed("grp", "grp_a"), "grp_a")
-      .select(col("grp_a"), col("grp_b"), col("h"),
+      .select(col("grp_a"), col("grp_b"), col("h"), col("k"),
         lit(1).as("ia"), lit(0).as("ib"))
     val ub = pairs.join(sketch.withColumnRenamed("grp", "grp_b"), "grp_b")
-      .select(col("grp_a"), col("grp_b"), col("h"),
+      .select(col("grp_a"), col("grp_b"), col("h"), col("k"),
         lit(0).as("ia"), lit(1).as("ib"))
-    val byPair = org.apache.spark.sql.expressions.Window
+    val byPair = Window
       .partitionBy(col("grp_a"), col("grp_b")).orderBy(col("h").asc)
     ua.unionByName(ub)
       .groupBy(col("grp_a"), col("grp_b"), col("h"))
-      .agg(max(col("ia")).as("in_a"), max(col("ib")).as("in_b"))
+      .agg(max(col("ia")).as("in_a"), max(col("ib")).as("in_b"),
+        min(col("k")).as("_k0"))
+      // the pair's k is the smaller side's k (a 64-sketch cannot
+      // witness 256 union order statistics)
+      .withColumn("_k", min(col("_k0")).over(
+        Window.partitionBy(col("grp_a"), col("grp_b"))))
       .withColumn("_rk", row_number().over(byPair))
-      .filter(col("_rk") <= k)
+      .filter(col("_rk") <= col("_k"))
       .groupBy(col("grp_a"), col("grp_b"))
       .agg(count(lit(1)).as("k_eff"),
         coalesce(sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)),
           lit(0L)).as("matches"),
-        max(col("h")).as("_mx"))
+        max(col("h")).as("_mx"), max(col("_k")).as("_k"))
       .withColumn("jaccard_ppm",
         expr("matches * 1000000L div k_eff"))
       .withColumn("union_est",
-        when(col("k_eff") < k, col("k_eff"))
-          .otherwise(expr(
-            s"CAST(CAST(${(k - 1).toLong}L AS DECIMAL(38,0)) * " +
-              "1152921504606846976L div " +
-              "CAST(greatest(_mx, 1L) AS DECIMAL(38,0)) AS BIGINT)")))
+        when(col("k_eff") < col("_k"), col("k_eff"))
+          .otherwise(kmvEstimator("_k", "_mx")))
       .select(col("grp_a"), col("grp_b"), col("k_eff"), col("matches"),
         col("jaccard_ppm"), col("union_est"))
   }

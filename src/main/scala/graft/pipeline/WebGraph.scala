@@ -413,7 +413,8 @@ object WebGraph {
     * needed because `<loc>` bodies cannot contain `<`. Output:
     * (sitemap_url, loc, is_index, is_new). */
   def sitemapUrls(pages: DataFrame, url: Column, body: Column,
-                  seenUrls: DataFrame): DataFrame = {
+                  seenUrls: DataFrame,
+                  seenUrl: Column = col("url")): DataFrame = {
     val locs = pages.select(url.as("sitemap_url"), body.as("_b"))
       .withColumn("is_index", col("_b").contains("<sitemapindex"))
       .select(col("sitemap_url"), col("is_index"),
@@ -421,11 +422,11 @@ object WebGraph {
           .as("_loc"))
       .select(col("sitemap_url"), trim(col("_loc")).as("loc"),
         col("is_index"))
-    locs.join(seenUrls.select(col("url").as("loc"))
+    locs.join(seenUrls.select(seenUrl.as("loc"))
         .distinct().withColumn("_seen", lit(true)),
         Seq("loc"), "left")
       .select(col("sitemap_url"), col("loc"), col("is_index"),
-        coalesce(!col("_seen"), lit(true)).as("is_new"))
+        col("_seen").isNull.as("is_new"))
   }
 
   /** Co-citation pairs (Dean & Henzinger 1999's "related pages"

@@ -182,7 +182,7 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     val small = (1 to 40).flatMap(i => Seq(s"k$i", s"k$i"))
       .map(("g", _)).toDF("g", "key")
     val se = Sketches.kmvEstimate(
-        Sketches.kmvSketch(small, $"g", $"key", k = 64), k = 64)
+        Sketches.kmvSketch(small, $"g", $"key", k = 64))
       .as[(String, Long, Long, Long)].collect().head
     assert(se._2 == 40L && se._4 == 40L,
       "below k the sketch IS the distinct set — exact")
@@ -190,7 +190,7 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     // is deterministic (fixed hash), pinned to a generous ±20% band
     val big = (1 to 10000).map(i => ("g", s"key$i")).toDF("g", "key")
     val be = Sketches.kmvEstimate(
-        Sketches.kmvSketch(big, $"g", $"key", k = 256), k = 256)
+        Sketches.kmvSketch(big, $"g", $"key", k = 256))
       .as[(String, Long, Long, Long)].collect().head
     assert(be._2 == 256L)
     assert(be._4 > 8000L && be._4 < 12000L,
@@ -198,7 +198,7 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     // tripling every row leaves the sketch untouched
     val dup = Sketches.kmvEstimate(
         Sketches.kmvSketch(big.union(big).union(big), $"g", $"key",
-          k = 256), k = 256)
+          k = 256))
       .as[(String, Long, Long, Long)].collect().head
     assert(dup == be, "distinct semantics: duplicates are invisible")
   }
@@ -214,10 +214,18 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     val odd = Sketches.kmvSketch(
       rows.filter($"key".substr(4, 10).cast("long") % 2 =!= 0),
       $"g", $"key", k = 128)
-    val merged = Sketches.kmvMerge(128, even, odd)
-    val a = whole.as[(String, Long)].collect().toSet
-    val b = merged.as[(String, Long)].collect().toSet
+    val merged = Sketches.kmvMerge(even, odd)
+    val a = whole.as[(String, Long, Int)].collect().toSet
+    val b = merged.as[(String, Long, Int)].collect().toSet
     assert(a == b, "merge must reproduce the one-shot sketch exactly")
+    // a merge of MIXED-k sketches trims to the smaller k per group
+    val small = Sketches.kmvSketch(rows, $"g", $"key", k = 16)
+    val mixed = Sketches.kmvMerge(whole, small)
+      .as[(String, Long, Int)].collect()
+    assert(mixed.forall(_._3 == 16), "merged k is the minimum")
+    val sm = small.as[(String, Long, Int)].collect().toSet
+    assert(mixed.toSet == sm,
+      "128-merge-16 must equal the straight bottom-16 sketch")
   }
 
   test("kmvJaccard: identical sets hit exactly 10^6 ppm, disjoint " +
@@ -228,7 +236,7 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     val d = (5000 until 6000).map(i => ("D", s"v$i"))
     val sk = Sketches.kmvSketch((a ++ b ++ c ++ d).toDF("g", "key"),
       $"g", $"key", k = 256)
-    val got = Sketches.kmvJaccard(sk, k = 256)
+    val got = Sketches.kmvJaccard(sk)
       .as[(String, String, Long, Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> ((r._3, r._5, r._6))).toMap
     val (_, acJ, _) = got(("A", "C"))
@@ -286,10 +294,10 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
       big.filter($"v" % 2 === 0), $"g", $"key", $"v", k = 256)
     val odd = Sketches.kmvValueSample(
       big.filter($"v" % 2 =!= 0), $"g", $"key", $"v", k = 256)
-    val merged = Sketches.kmvValueMerge(256, even, odd)
-      .as[(String, Long, Double)].collect().toSet
+    val merged = Sketches.kmvValueMerge(even, odd)
+      .as[(String, Long, Double, Int)].collect().toSet
     val whole = Sketches.kmvValueSample(big, $"g", $"key", $"v", 256)
-      .as[(String, Long, Double)].collect().toSet
+      .as[(String, Long, Double, Int)].collect().toSet
     assert(merged == whole)
   }
 
