@@ -84,7 +84,8 @@ object Bench {
     "q145_distance_distribution", "q146_fairness", "q147_dust_rules",
     "q148_zipf_fit", "q149_sitemap_urls", "q150_sample_quantiles",
     "q151_cocitation", "q152_url_survival", "q153_assortativity",
-    "q154_component_census", "q155_webgraph_profile")
+    "q154_component_census", "q155_webgraph_profile",
+    "q156_powerlaw_alpha", "q157_weighted_sample")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -584,6 +584,55 @@ object SparkEntry {
       |  CAST(max(n) * 1000000 // sum(n) AS BIGINT) AS giant_share_ppm
       |FROM sizes""".stripMargin
 
+  /** q156's DuckDB oracle: degrees of the canonical undirected q48
+    * graph, per-node micro ln(deg/dmin), HUGEINT sum, the Hill
+    * 1 + n/Σ integer fold with the zero-variance null guard. */
+  private def powerLawOracleSql: String =
+    """WITH e0 AS (SELECT DISTINCT
+      |    least(l_suppkey * 2, l_partkey * 2 + 1) AS a,
+      |    greatest(l_suppkey * 2, l_partkey * 2 + 1) AS b
+      |  FROM lineitem WHERE l_suppkey * 2 <> l_partkey * 2 + 1),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |  SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+      |  GROUP BY 1),
+      |m AS (SELECT CAST(round(ln(CAST(deg AS DOUBLE) / 2) * 1000000)
+      |    AS BIGINT) AS x
+      |  FROM deg WHERE deg >= 2),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+      |  sum(x::HUGEINT) AS sx FROM m)
+      |SELECT n_tail, CAST(2 AS BIGINT) AS dmin,
+      |  CASE WHEN sx > 0 THEN CAST(1000000 +
+      |    n_tail::HUGEINT * 1000000000000 // sx AS BIGINT)
+      |  ELSE NULL END AS alpha_micro
+      |FROM a""".stripMargin
+
+  /** q157's DuckDB oracle: the Efraimidis–Spirakis chain replayed —
+    * md5 key hashes, one-round micro −ln(u/2^60), integer division by
+    * the weight, per-group smallest-k by (priority, h). */
+  private def weightedSampleOracleSql: String =
+    """WITH r AS (SELECT
+      |  CASE WHEN l_orderkey % 2000 = 17 THEN 'T'
+      |    ELSE l_returnflag END AS grp,
+      |  CAST(l_orderkey AS VARCHAR) || '-'
+      |    || CAST(l_linenumber AS VARCHAR) AS key,
+      |  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+      |h AS (SELECT grp, key, w,
+      |  list_reduce(list_transform(generate_series(1, 15),
+      |    i -> CAST(strpos('0123456789abcdef',
+      |      substr(md5(key), i, 1)) - 1 AS BIGINT)),
+      |    (a, b) -> a * 16 + b) AS h
+      |  FROM r WHERE w > 0),
+      |p AS (SELECT grp, key, w, h,
+      |  CAST(round((ln(1152921504606846976) -
+      |    ln(CAST(greatest(h, 1) AS DOUBLE))) * 1000000) AS BIGINT)
+      |    // w AS priority
+      |  FROM h),
+      |s AS (SELECT grp, key, w, priority, h FROM p
+      |  QUALIFY row_number() OVER (PARTITION BY grp
+      |    ORDER BY priority, h) <= 100)
+      |SELECT grp AS flag, key, w, priority FROM s
+      |ORDER BY flag, priority, key""".stripMargin
+
   /** q155's DuckDB oracle: the composed profile with every leg
     * recomputed by an independent formulation — recursive label
     * closure for the census, the orientation-free a<b<c triple join
@@ -3004,6 +3053,31 @@ object SparkEntry {
       val e = t(s, dir, "lineitem")
         .select(($"l_suppkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
       graft.pipeline.GraphOps.assortativity(e, "src", "dst")
+    }),
+
+    // --- Hill power-law tail exponent over the q48 graph's degrees. ---------
+    "q156_powerlaw_alpha" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "lineitem")
+        .select(($"l_suppkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
+      graft.pipeline.GraphOps.powerLawAlpha(e, "src", "dst", dmin = 2L)
+    }),
+
+    // --- quantity-weighted sampling without replacement per flag
+    // (Efraimidis-Spirakis); the 'T' sliver exercises the under-k
+    // everything-selected boundary. ------------------------------------------
+    "q157_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select(
+        when($"l_orderkey" % 2000 === 17, lit("T"))
+          .otherwise($"l_returnflag").as("grp"),
+        concat($"l_orderkey".cast("string"), lit("-"),
+          $"l_linenumber".cast("string")).as("k"),
+        $"l_quantity")
+      graft.pipeline.Sketches.weightedSample(li, $"grp", $"k",
+          $"l_quantity", k = 100)
+        .withColumnRenamed("grp", "flag")
+        .orderBy($"flag", $"priority", $"key")
     })
   )
 
@@ -6544,6 +6618,10 @@ object SparkEntry {
     "q154_component_census" -> componentCensusOracleSql,
 
     "q155_webgraph_profile" -> webgraphProfileOracleSql,
+
+    "q156_powerlaw_alpha" -> powerLawOracleSql,
+
+    "q157_weighted_sample" -> weightedSampleOracleSql,
 
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

@@ -583,6 +583,40 @@ object GraphOps {
           .as("r_assortativity"))
   }
 
+  /** Power-law tail exponent of the degree distribution via the Hill
+    * estimator: α̂ = 1 + n·[Σ ln(dᵢ/d_min)]⁻¹ over nodes with degree
+    * ≥ `dmin` — THE scale-free-graph fingerprint (web in/out-degrees
+    * measure α ≈ 2.1/2.7 in Broder et al.; a synthetic graph that
+    * fits α ≈ 4 has no real hubs, one that fits α < 2 has infinite
+    * mean). Complements [[assortativity]] (correlation) and the q123
+    * histogram (the raw shape) with the one-number tail law.
+    *
+    * Determinism: ln(deg/dmin) goes to integer micro-units per node
+    * (one round each), the sum runs in DECIMAL(38,0), and α̂ comes
+    * back as one integer division — alpha_micro = 10^6 +
+    * n·10^12 div Σ. A degree-regular tail (Σ = 0 — every tail degree
+    * equals dmin) has no defined exponent and returns null. Output
+    * one row: (n_tail, dmin, alpha_micro). */
+  def powerLawAlpha(edgesIn: DataFrame, src: String, dst: String,
+                    dmin: Long = 2L): DataFrame = {
+    require(dmin >= 1, "dmin must be positive")
+    val und = canonicalUndirected(edgesIn, src, dst)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= dmin)
+    deg
+      .select(expr(s"CAST(round(ln(CAST(deg AS DOUBLE) / ${dmin}D) " +
+        "* 1000000D) AS BIGINT)").as("x"))
+      .agg(count(lit(1)).as("n_tail"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("_sx"))
+      .select(col("n_tail"), lit(dmin).as("dmin"),
+        when(col("_sx") > 0, expr(
+          "CAST(1000000 + CAST(n_tail AS DECIMAL(38,0)) * " +
+            "1000000000000 div _sx AS BIGINT)"))
+          .otherwise(lit(null).cast("long")).as("alpha_micro"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007), made fully deterministic: every node starts as its own
     * label; each round it adopts the most frequent label among its

@@ -425,6 +425,46 @@ object Sketches {
         col("jaccard_ppm"), col("union_est"))
   }
 
+  /** Weighted sampling WITHOUT replacement per group (Efraimidis &
+    * Spirakis 2006, the exponential-jumps formulation): each row draws
+    * priority −ln(u)/w from its deterministic key hash u and the k
+    * SMALLEST priorities win — inclusion probability tracks weight,
+    * no replacement, and the same keys win on every engine, every
+    * shard, every run (the coordinated-sampling property the KMV
+    * family is built on, with weights). This is the scale answer to
+    * "sample the mix by quality/size weight": a 10^12-row corpus
+    * yields k rows per source in one pass.
+    *
+    * Determinism: u = the 60-bit key hash; −ln(u/2^60) goes to
+    * integer micro-units with ONE round, then an integer division by
+    * the weight (truncation quantizes priorities — ties break on the
+    * hash, and the quantization bias is < 1 micro-unit per row).
+    * Weights are positive integers; rows with non-positive or null
+    * weight are excluded (they have no sampling mass). Output: the
+    * sampled rows (grp, key, w, priority).
+    *
+    * Scale shape: the top-k-smallest window is rank ≤ k — Catalyst
+    * lowers it to a map-side WindowGroupLimit exactly like
+    * [[kmvSketch]], so the shuffle carries ~k rows per (partition,
+    * group). */
+  def weightedSample(df: DataFrame, group: Column, key: Column,
+                     weight: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val byGrp = Window.partitionBy(col("grp"))
+      .orderBy(col("priority").asc, col("h").asc)
+    df.select(group.as("grp"), key.cast("string").as("key"),
+        weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("h", md5Hash60(col("key")))
+      .withColumn("priority", expr(
+        "CAST(round((ln(1152921504606846976D) - " +
+          "ln(CAST(greatest(h, 1L) AS DOUBLE))) * 1000000D) " +
+          "AS BIGINT) div w"))
+      .withColumn("_rk", row_number().over(byGrp))
+      .filter(col("_rk") <= k)
+      .select(col("grp"), col("key"), col("w"), col("priority"))
+  }
+
   /** Count-Min point estimates (Cormode & Muthukrishnan 2005) for a
     * literal set of probe keys: d = depth hash rows × w = width
     * counters, estimate(k) = min over rows of counter[row][h_row(k)] —

@@ -329,6 +329,29 @@ class GraphOpsSpec extends AnyFunSuite with SparkSuite {
     assert(a == b && a._3.exists(r => r < 0 && r > -1))
   }
 
+  // --- power-law tail (q156) ------------------------------------------------
+
+  test("powerLawAlpha: matches the local Hill computation on a star " +
+       "forest; a degree-regular tail has no defined exponent (null)") {
+    // two stars (hubs 0 and 100, degrees 8 and 4) + their leaves
+    val e = (1L to 8L).map(i => 0L -> i) ++
+      (101L to 104L).map(i => 100L -> i)
+    val got = GraphOps.powerLawAlpha(e.toDF("src", "dst"),
+        "src", "dst", dmin = 2L)
+      .as[(Long, Long, Option[Long])].collect().head
+    // tail = {deg 8, deg 4}; replicate the exact integer pipeline
+    val xs = Seq(8L, 4L).map(d =>
+      math.round(math.log(d.toDouble / 2.0) * 1000000.0))
+    val expected = 1000000L + 2L * 1000000000000L / xs.sum
+    assert(got == ((2L, 2L, Some(expected))))
+    // a pure cycle: every degree == dmin -> sum 0 -> null
+    val ring = (0L until 10L).map(i => i -> ((i + 1) % 10))
+    val r = GraphOps.powerLawAlpha(ring.toDF("src", "dst"),
+        "src", "dst", dmin = 2L)
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(r._1 == 10L && r._3.isEmpty)
+  }
+
   // --- label propagation (q141) ---------------------------------------------
 
   test("labelPropagation: two bridged triangles settle into their own " +

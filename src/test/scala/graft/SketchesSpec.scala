@@ -301,6 +301,45 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
     assert(merged == whole)
   }
 
+  test("weightedSample: under-k groups keep every positive-weight " +
+       "row, a dominant weight is always drawn, inclusion tracks " +
+       "weight, and shard-merge re-sampling equals the one-shot") {
+    val tiny = (1 to 5).map(i => ("t", s"k$i", 3L)) :+ (("t", "k0", 0L))
+    val ts = Sketches.weightedSample(tiny.toDF("g", "key", "w"),
+        $"g", $"key", $"w", k = 10)
+      .as[(String, String, Long, Long)].collect()
+    assert(ts.length == 5 && !ts.exists(_._2 == "k0"),
+      "all five positive rows kept; the zero-weight row has no mass")
+    // one 10^6-weight whale among 999 minnows: priority div w makes
+    // the whale's priority ~0 -> always sampled
+    val pool = (("g", "whale", 1000000L) +:
+      (1 to 999).map(i => ("g", s"m$i", 1L))).toDF("g", "key", "w")
+    val got = Sketches.weightedSample(pool, $"g", $"key", $"w", k = 10)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.exists(_._2 == "whale"), "the whale must be in the sample")
+    // inclusion tracks weight: half the pool at w=9, half at w=1
+    val mixed = ((1 to 1000).map(i => ("g", s"h$i", 9L)) ++
+      (1 to 1000).map(i => ("g", s"l$i", 1L))).toDF("g", "key", "w")
+    val m = Sketches.weightedSample(mixed, $"g", $"key", $"w", k = 200)
+      .as[(String, String, Long, Long)].collect()
+    val heavy = m.count(_._3 == 9L)
+    assert(heavy > 140, s"w=9 rows must dominate the sample: $heavy/200")
+    // ES top-k composes: re-sampling the union of shard samples
+    // equals the one-shot sample (same order statistics)
+    val even = Sketches.weightedSample(
+      mixed.filter($"key".substr(2, 9).cast("long") % 2 === 0),
+      $"g", $"key", $"w", 200)
+    val odd = Sketches.weightedSample(
+      mixed.filter($"key".substr(2, 9).cast("long") % 2 =!= 0),
+      $"g", $"key", $"w", 200)
+    val merged = Sketches.weightedSample(
+        even.select($"grp", $"key", $"w")
+          .union(odd.select($"grp", $"key", $"w")),
+        $"grp", $"key", $"w", 200)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(merged == m.toSet, "shard top-k merge == one-shot top-k")
+  }
+
   test("kmvSketch plan: the bottom-k window becomes a map-side " +
        "WindowGroupLimit before the exchange (never a raw-key " +
        "shuffle) and stays UDF-free") {
