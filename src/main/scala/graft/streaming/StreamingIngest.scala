@@ -75,6 +75,49 @@ object StreamingIngest {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** A keyed row for [[kmvDistinctStream]]: (group, 60-bit key hash). */
+  final case class KmvRow(grp: String, h: Long)
+
+  /** Streaming KMV estimate row: the sketch fold after each
+    * micro-batch a group appears in. */
+  final case class KmvEstimate(grp: String, n_sketch: Long,
+                               kth_hash: Long, estimate: Long)
+
+  /** Streaming KMV distinct counting: the [[graft.pipeline.Sketches]]
+    * bottom-k sketch as keyed streaming state — the point of a
+    * MERGEABLE sketch is exactly that a stream can fold into it
+    * incrementally: per-group state is the k smallest distinct key
+    * hashes ever seen (BOUNDED at k longs per group, forever), each
+    * micro-batch merges its new hashes in (order statistics compose —
+    * the same property the batch kmvMerge pins), and the emitted
+    * estimate after any prefix of batches equals the batch
+    * [[graft.pipeline.Sketches.kmvEstimate]] over that prefix's rows,
+    * pinned in StreamingSpec. Input needs (grp: string, h: long) —
+    * hash upstream with the same md5-fold the batch sketch uses so
+    * stream and batch agree bit-for-bit. Update mode; one estimate
+    * row per group per micro-batch it appears in. */
+  def kmvDistinctStream(rows: Dataset[KmvRow],
+                        k: Int): Dataset[KmvEstimate] = {
+    require(k >= 2 && k <= 65536, "need 2 <= k <= 65536")
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.grp)
+      .mapGroupsWithState[Array[Long], KmvEstimate](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (grp, evs, state) =>
+          val merged = (state.getOption.getOrElse(Array.empty[Long])
+            ++ evs.map(_.h)).distinct.sorted.take(k)
+          state.update(merged)
+          val n = merged.length.toLong
+          val kth = if (merged.isEmpty) 0L else merged.last
+          val est =
+            if (n < k) n
+            else ((BigInt(k - 1) * BigInt(1152921504606846976L)) /
+              BigInt(math.max(kth, 1L))).toLong
+          KmvEstimate(grp, n, kth, est)
+      }
+  }
+
   /** Per-domain fetch outcome event (the DomainStatusMiddleware input —
     * dd_crawler/middleware/domain_status.py:41-58). */
   final case class DomainEvent(domain: String, ok: Boolean)

@@ -241,4 +241,49 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       assert(ids2 == Set(1L, 2L, 4L, 5L))
     } finally q.stop()
   }
+
+  test("streaming KMV distinct: after any prefix of micro-batches the " +
+       "emitted estimate equals the batch sketch over that prefix " +
+       "(mergeable state), and state stays bounded at k") {
+    import graft.streaming.StreamingIngest.{KmvEstimate, KmvRow}
+    implicit val sqlCtx = spark.sqlContext
+    // pre-hash with the SAME md5 fold the batch sketch uses
+    def hashed(keys: Seq[String]): Seq[KmvRow] = {
+      val df = keys.map(("g", _)).toDF("g", "key")
+      graft.pipeline.Sketches.kmvSketch(df, $"g", $"key", k = 65536)
+        .select($"grp", $"h").as[(String, Long)].collect()
+        .map(r => KmvRow(r._1, r._2)).toSeq
+    }
+    def batchEstimate(keys: Seq[String]): (Long, Long, Long) = {
+      val df = keys.map(("g", _)).toDF("g", "key")
+      graft.pipeline.Sketches.kmvEstimate(
+          graft.pipeline.Sketches.kmvSketch(df, $"g", $"key", k = 32))
+        .as[(String, Long, Long, Long)].collect().head match {
+          case (_, n, kth, est) => (n, kth, est)
+        }
+    }
+    val b1 = (1 to 50).map(i => s"key$i")
+    val b2 = (30 to 120).map(i => s"key$i") // overlaps b1
+    val stream = MemoryStream[KmvRow]
+    val out = graft.streaming.StreamingIngest.kmvDistinctStream(
+      stream.toDS(), k = 32)
+    val q = out.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    try {
+      stream.addData(hashed(b1))
+      q.processAllAvailable()
+      val afterB1 = spark.sql("SELECT * FROM kmv_stream")
+        .as[KmvEstimate].collect().last
+      assert((afterB1.n_sketch, afterB1.kth_hash, afterB1.estimate) ==
+        batchEstimate(b1), "prefix 1 must equal the batch sketch")
+      stream.addData(hashed(b2))
+      q.processAllAvailable()
+      val afterB2 = spark.sql("SELECT * FROM kmv_stream")
+        .as[KmvEstimate].collect().last
+      assert((afterB2.n_sketch, afterB2.kth_hash, afterB2.estimate) ==
+        batchEstimate((b1 ++ b2).distinct),
+        "prefix 2 must equal the batch sketch of the union")
+      assert(afterB2.n_sketch <= 32, "state bounded at k")
+    } finally q.stop()
+  }
 }
