@@ -85,7 +85,8 @@ object Bench {
     "q148_zipf_fit", "q149_sitemap_urls", "q150_sample_quantiles",
     "q151_cocitation", "q152_url_survival", "q153_assortativity",
     "q154_component_census", "q155_webgraph_profile",
-    "q156_powerlaw_alpha", "q157_weighted_sample")
+    "q156_powerlaw_alpha", "q157_weighted_sample",
+    "q158_seed_distance", "q159_novelty_rate")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -633,6 +633,34 @@ object SparkEntry {
       |SELECT grp AS flag, key, w, priority FROM s
       |ORDER BY flag, priority, key""".stripMargin
 
+  /** q158's DuckDB oracle: min-hop labels from node 0 by a bounded
+    * recursive (node, d) closure over the shared fixture edges. */
+  private def seedDistanceOracleSql: String =
+    s"""WITH RECURSIVE $bowtieGraphCtes,""" +
+    """
+      |dd(node, d) AS (SELECT 0, 0
+      |  UNION SELECT e.dst, dd.d + 1
+      |  FROM edges e JOIN dd ON e.src = dd.node WHERE dd.d < 50)
+      |SELECT node, CAST(min(d) AS INT) AS hops
+      |FROM dd GROUP BY 1 ORDER BY node""".stripMargin
+
+  /** q159's DuckDB oracle: distinct (fp, day), per-fp first day,
+    * per-day first-seen share in integer ppm. */
+  private def noveltyOracleSql: String =
+    """WITH pr AS (SELECT DISTINCT
+      |    event_type || '-' || CAST(user_id % 50 AS VARCHAR) AS fp,
+      |    CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+      |      AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |f AS (SELECT fp, min(day) AS first_day FROM pr GROUP BY 1)
+      |SELECT p.day, CAST(count(*) AS BIGINT) AS n_seen,
+      |  CAST(coalesce(sum(CASE WHEN p.day = f.first_day THEN 1 END), 0)
+      |    AS BIGINT) AS n_new,
+      |  CAST(coalesce(sum(CASE WHEN p.day = f.first_day THEN 1 END), 0)
+      |    * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+      |FROM pr p JOIN f ON f.fp = p.fp
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q155's DuckDB oracle: the composed profile with every leg
     * recomputed by an independent formulation — recursive label
     * closure for the census, the orientation-free a<b<c triple join
@@ -3061,6 +3089,29 @@ object SparkEntry {
       val e = t(s, dir, "lineitem")
         .select(($"l_suppkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
       graft.pipeline.GraphOps.powerLawAlpha(e, "src", "dst", dmin = 2L)
+    }),
+
+    // --- hop distances from seed node 0 over the bowtie fixture: the
+    // directed ring unrolls to 1..11, OUT nodes sit one past their
+    // ring entry; IN/TUBE/TENDRIL/islands are absent (unreachable). ----------
+    "q158_seed_distance" -> ((s, dir) => {
+      import s.implicits._
+      val seeds = t(s, dir, "lineitem")
+        .select(($"l_suppkey" * 0).as("node")).distinct()
+      graft.pipeline.GraphOps.seedDistance(bowtieFixtureEdges(s, dir),
+          "src", "dst", seeds)
+        .orderBy($"node")
+    }),
+
+    // --- per-day content novelty: first-ever-seen fingerprint share;
+    // the bounded fp pool makes the curve decay from 10^6. -------------------
+    "q159_novelty_rate" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+      graft.pipeline.Temporal.noveltyRate(e,
+          concat($"event_type", lit("-"), ($"user_id" % 50).cast("string")),
+          $"ts")
+        .orderBy($"day")
     }),
 
     // --- quantity-weighted sampling without replacement per flag
@@ -6622,6 +6673,10 @@ object SparkEntry {
     "q156_powerlaw_alpha" -> powerLawOracleSql,
 
     "q157_weighted_sample" -> weightedSampleOracleSql,
+
+    "q158_seed_distance" -> seedDistanceOracleSql,
+
+    "q159_novelty_rate" -> noveltyOracleSql,
 
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

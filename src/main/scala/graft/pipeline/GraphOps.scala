@@ -350,6 +350,47 @@ object GraphOps {
     reached
   }
 
+  /** Exact hop distance from a seed set: (node, hops) for every node
+    * reachable from `seeds` along src→dst edges, hops = the shortest
+    * directed distance (seeds at 0) — the crawl-depth-from-seeds audit
+    * ("how many hops of link-following does the frontier actually
+    * sit at", the structural ground truth behind depth limits and the
+    * reference's depth-reset rule). Unreachable nodes are absent.
+    *
+    * Same frontier BFS as [[bowtie]]'s closures but carrying the
+    * round number as the distance label: each round joins only the
+    * new frontier, a node is labeled exactly once (its first —
+    * shortest — discovery), O(diameter) rounds, loud failure past
+    * `maxRounds`. */
+  def seedDistance(edgesIn: DataFrame, src: String, dst: String,
+                   seeds: DataFrame,
+                   maxRounds: Int = 300): DataFrame = {
+    val edges = Eager.ckpt(
+      edgesIn.select(col(src).as("src"), col(dst).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    var dist = Eager.ckpt(seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0)))
+    var frontier = dist.select(col("node"))
+    var grew = true
+    var round = 0
+    while (grew && round < maxRounds) {
+      round += 1
+      val (next, n) = Eager.ckptCount(
+        edges.join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(dist.select(col("node")), Seq("node"), "left_anti"))
+      grew = n > 0
+      if (grew) {
+        dist = Eager.ckpt(
+          dist.union(next.withColumn("hops", lit(round))))
+        frontier = next
+      }
+    }
+    require(!grew,
+      s"BFS did not converge within $maxRounds rounds — raise maxRounds")
+    dist
+  }
+
   /** Bowtie decomposition of a directed graph (Broder et al., "Graph
     * structure in the Web", WWW 2000): every node classified against
     * the SCC of a deterministic pivot — the max-total-degree node,

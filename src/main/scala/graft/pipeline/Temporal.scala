@@ -186,6 +186,37 @@ object Temporal {
         col("median_events"), col("burst"))
   }
 
+  /** Per-epoch content novelty rate: of the distinct fingerprints
+    * observed in each `stepSec` epoch, the share appearing for the
+    * FIRST time ever — the "how much genuinely new content did today's
+    * crawl find" curve that separates a discovering crawler from one
+    * re-fetching its own tail (the batch complement of the streaming
+    * dedup contract: this reads the history, that bounds state).
+    *
+    * Output: (day, n_seen, n_new, novelty_ppm) per epoch, novelty in
+    * integer ppm over the epoch's distinct fingerprints.
+    *
+    * Scale shape: one distinct over (fp, epoch), one map-side min
+    * aggregate for each fingerprint's first epoch, one join back on
+    * fp (co-partitioned — same key both sides), one tiny per-epoch
+    * re-agg. Nothing quadratic, nothing windowed over the corpus. */
+  def noveltyRate(df: DataFrame, fp: Column, ts: Column,
+                  stepSec: Long = 86400L): DataFrame = {
+    require(stepSec > 0, "positive step")
+    val pairs = df
+      .select(fp.as("fp"), unix_timestamp(ts).as("_t"))
+      .select(col("fp"), expr(s"_t div ${stepSec}L").as("day"))
+      .distinct()
+    val first = pairs.groupBy(col("fp"))
+      .agg(min(col("day")).as("first_day"))
+    pairs.join(first, "fp")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_seen"),
+        coalesce(sum(when(col("day") === col("first_day"), 1L)),
+          lit(0L)).as("n_new"))
+      .withColumn("novelty_ppm", expr("n_new * 1000000L div n_seen"))
+  }
+
   /** Per-key lifetime survival curve: bucket observations into
     * `stepSec` epochs, age(key) = last epoch − first epoch, then for
     * every observed age the share of keys that lived AT LEAST that

@@ -329,6 +329,27 @@ class GraphOpsSpec extends AnyFunSuite with SparkSuite {
     assert(a == b && a._3.exists(r => r < 0 && r > -1))
   }
 
+  // --- seed distance (q158) -------------------------------------------------
+
+  test("seedDistance: shortest hop labels from the seed set, " +
+       "unreachable nodes absent, multi-seed takes the minimum, and " +
+       "an unconverged BFS fails loudly") {
+    val e = Seq(0L -> 1L, 1L -> 2L, 2L -> 1L, 0L -> 3L, 4L -> 0L)
+    val got = GraphOps.seedDistance(e.toDF("src", "dst"), "src", "dst",
+        Seq(0L).toDF("node"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 1),
+      "node 4 only points INTO the seed — unreachable, absent")
+    val multi = GraphOps.seedDistance(e.toDF("src", "dst"), "src",
+        "dst", Seq(0L, 2L).toDF("node"))
+      .as[(Long, Int)].collect().toMap
+    assert(multi == Map(0L -> 0, 2L -> 0, 1L -> 1, 3L -> 1))
+    intercept[IllegalArgumentException] {
+      GraphOps.seedDistance(e.toDF("src", "dst"), "src", "dst",
+        Seq(0L).toDF("node"), maxRounds = 1)
+    }
+  }
+
   // --- power-law tail (q156) ------------------------------------------------
 
   test("powerLawAlpha: matches the local Hill computation on a star " +

@@ -487,6 +487,21 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
       s"ages {0, 3, 3, 10} -> survivors 4/3/1, got $got")
   }
 
+  // --- novelty rate (q159) ---------------------------------------------------------
+
+  test("noveltyRate: first-ever-seen share per day, exact ppm, " +
+       "within-day duplicates counted once") {
+    def at(day: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(day * 86400000L + 7200000L)
+    val ev = Seq(("a", at(0)), ("b", at(0)), ("b", at(0)),
+      ("a", at(1)), ("c", at(1)), ("b", at(2)), ("c", at(2)))
+      .toDF("fp", "ts")
+    val got = graft.pipeline.Temporal.noveltyRate(ev, $"fp", $"ts")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 2L, 2L, 1000000L), (1L, 2L, 1L, 500000L),
+      (2L, 2L, 0L, 0L)))
+  }
+
   // --- fairness report (q146) ------------------------------------------------------
 
   test("fairnessReport: perfectly even counts score Jain exactly 10^6 " +
