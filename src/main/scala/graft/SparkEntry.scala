@@ -661,6 +661,29 @@ object SparkEntry {
       |FROM pr p JOIN f ON f.fp = p.fp
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q160's DuckDB oracle: pre-distinct snapshots, full-outer edge
+    * join, per-src added/removed/kept counts, churn in ppm. */
+  private def graphChurnOracleSql: String =
+    """WITH b AS (SELECT 'h' || CAST(l_suppkey % 15 AS VARCHAR) AS src,
+      |  'd' || CAST(l_partkey % 40 AS VARCHAR) AS dst,
+      |  l_partkey % 40 AS bk FROM lineitem),
+      |p AS (SELECT DISTINCT src, dst FROM b WHERE bk < 30),
+      |c AS (SELECT DISTINCT src, dst FROM b WHERE bk >= 10),
+      |j AS (SELECT coalesce(p.src, c.src) AS src,
+      |  CASE WHEN p.src IS NULL THEN 1 ELSE 0 END AS added,
+      |  CASE WHEN c.src IS NULL THEN 1 ELSE 0 END AS removed,
+      |  CASE WHEN p.src IS NOT NULL AND c.src IS NOT NULL THEN 1
+      |    ELSE 0 END AS kept
+      |  FROM p FULL OUTER JOIN c
+      |  ON p.src = c.src AND p.dst = c.dst)
+      |SELECT src, CAST(sum(added) AS BIGINT) AS n_added,
+      |  CAST(sum(removed) AS BIGINT) AS n_removed,
+      |  CAST(sum(kept) AS BIGINT) AS n_kept,
+      |  CAST((sum(added) + sum(removed)) * 1000000 //
+      |    (sum(added) + sum(removed) + sum(kept)) AS BIGINT)
+      |    AS churn_ppm
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q155's DuckDB oracle: the composed profile with every leg
     * recomputed by an independent formulation — recursive label
     * closure for the census, the orientation-free a<b<c triple join
@@ -3101,6 +3124,20 @@ object SparkEntry {
       graft.pipeline.GraphOps.seedDistance(bowtieFixtureEdges(s, dir),
           "src", "dst", seeds)
         .orderBy($"node")
+    }),
+
+    // --- link-graph churn between two snapshots: per-src dst pools
+    // [0,30) -> [10,40) give exact added/removed/kept thirds. ----------------
+    "q160_graph_churn" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "lineitem").select(
+        concat(lit("h"), ($"l_suppkey" % 15).cast("string")).as("src"),
+        concat(lit("d"), ($"l_partkey" % 40).cast("string")).as("dst"),
+        ($"l_partkey" % 40).as("b"))
+      val prev = base.filter($"b" < 30).drop("b")
+      val cur = base.filter($"b" >= 10).drop("b")
+      graft.pipeline.WebGraph.graphChurn(prev, cur, "src", "dst")
+        .orderBy($"src")
     }),
 
     // --- per-day content novelty: first-ever-seen fingerprint share;
@@ -6677,6 +6714,8 @@ object SparkEntry {
     "q158_seed_distance" -> seedDistanceOracleSql,
 
     "q159_novelty_rate" -> noveltyOracleSql,
+
+    "q160_graph_churn" -> graphChurnOracleSql,
 
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

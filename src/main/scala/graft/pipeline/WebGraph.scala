@@ -463,6 +463,38 @@ object WebGraph {
         col("in_b"), col("score_ppm"))
   }
 
+  /** Link-graph churn between two crawl snapshots: per source host,
+    * how many of its distinct out-edges were added, removed, or kept
+    * since the previous snapshot, with churn = (added + removed) /
+    * union in integer ppm — the edge-level companion of the q118
+    * document snapshot diff (a site rewiring its outlinks wholesale is
+    * a redesign, a template swap, or a takeover; a crawl whose global
+    * churn spikes is looking at a different web than yesterday).
+    * Output: (src, n_added, n_removed, n_kept, churn_ppm) per source
+    * appearing in either snapshot.
+    *
+    * Scale shape: one full-outer join on the (src, dst) edge key —
+    * both sides pre-distinct — and one map-side-combinable per-src
+    * count; no windows. */
+  def graphChurn(prev: DataFrame, cur: DataFrame, src: String,
+                 dst: String): DataFrame = {
+    def canon(df: DataFrame, tag: String): DataFrame =
+      df.select(col(src).as("src"), col(dst).as("dst")).distinct()
+        .withColumn(tag, lit(true))
+    canon(prev, "_p").join(canon(cur, "_c"), Seq("src", "dst"),
+        "full_outer")
+      .groupBy(col("src"))
+      .agg(
+        coalesce(sum(when(col("_p").isNull, 1L)), lit(0L)).as("n_added"),
+        coalesce(sum(when(col("_c").isNull, 1L)), lit(0L))
+          .as("n_removed"),
+        coalesce(sum(when(col("_p").isNotNull && col("_c").isNotNull,
+          1L)), lit(0L)).as("n_kept"))
+      .withColumn("churn_ppm", expr(
+        "(n_added + n_removed) * 1000000L div " +
+          "(n_added + n_removed + n_kept)"))
+  }
+
   /** DUST rules (Bar-Yossef et al. 2009, "Do not crawl in the DUST:
     * different URLs with similar text"): mine the systematic URL
     * rewrite rules a site exposes (http://x.com ↔ http://www.x.com,

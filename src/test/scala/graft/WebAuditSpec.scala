@@ -487,6 +487,23 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
       s"ages {0, 3, 3, 10} -> survivors 4/3/1, got $got")
   }
 
+  // --- graph churn (q160) ----------------------------------------------------------
+
+  test("graphChurn: per-src added/removed/kept from the snapshot edge " +
+       "diff, exact ppm, vanished and newborn sources included") {
+    val prev = Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("s", "d")
+    val cur = Seq(("a", 2L), ("a", 3L), ("c", 1L), ("c", 1L))
+      .toDF("s", "d")
+    val got = WebGraph.graphChurn(prev, cur, "s", "d")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      "a" -> ((1L, 1L, 1L, 666666L)),
+      "b" -> ((0L, 1L, 0L, 1000000L)),
+      "c" -> ((1L, 0L, 0L, 1000000L))),
+      s"got $got")
+  }
+
   // --- novelty rate (q159) ---------------------------------------------------------
 
   test("noveltyRate: first-ever-seen share per day, exact ppm, " +
