@@ -616,12 +616,14 @@ object SparkEntry {
       |  CAST(l_orderkey AS VARCHAR) || '-'
       |    || CAST(l_linenumber AS VARCHAR) AS key,
       |  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+      |r2 AS (SELECT grp, key, max(w) AS w FROM r
+      |  WHERE w > 0 AND key IS NOT NULL GROUP BY 1, 2),
       |h AS (SELECT grp, key, w,
       |  list_reduce(list_transform(generate_series(1, 15),
       |    i -> CAST(strpos('0123456789abcdef',
       |      substr(md5(key), i, 1)) - 1 AS BIGINT)),
       |    (a, b) -> a * 16 + b) AS h
-      |  FROM r WHERE w > 0),
+      |  FROM r2),
       |p AS (SELECT grp, key, w, h,
       |  CAST(round((ln(1152921504606846976) -
       |    ln(CAST(greatest(h, 1) AS DOUBLE))) * 1000000) AS BIGINT)
@@ -3119,8 +3121,7 @@ object SparkEntry {
     // ring entry; IN/TUBE/TENDRIL/islands are absent (unreachable). ----------
     "q158_seed_distance" -> ((s, dir) => {
       import s.implicits._
-      val seeds = t(s, dir, "lineitem")
-        .select(($"l_suppkey" * 0).as("node")).distinct()
+      val seeds = s.range(1).select(lit(0L).as("node"))
       graft.pipeline.GraphOps.seedDistance(bowtieFixtureEdges(s, dir),
           "src", "dst", seeds)
         .orderBy($"node")
@@ -3163,7 +3164,7 @@ object SparkEntry {
           $"l_linenumber".cast("string")).as("k"),
         $"l_quantity")
       graft.pipeline.Sketches.weightedSample(li, $"grp", $"k",
-          $"l_quantity", k = 100)
+          $"l_quantity".cast("long"), k = 100)
         .withColumnRenamed("grp", "flag")
         .orderBy($"flag", $"priority", $"key")
     })

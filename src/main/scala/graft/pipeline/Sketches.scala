@@ -439,8 +439,12 @@ object Sketches {
     * integer micro-units with ONE round, then an integer division by
     * the weight (truncation quantizes priorities — ties break on the
     * hash, and the quantization bias is < 1 micro-unit per row).
-    * Weights are positive integers; rows with non-positive or null
-    * weight are excluded (they have no sampling mass). Output: the
+    * The weight column must be an INTEGRAL type (rejected loudly
+    * otherwise — a (0,1) quality score silently truncating to 0 would
+    * empty the sample; scale scores to integer ppm first); rows with
+    * non-positive weight or a null key are excluded, and duplicate
+    * (grp, key) rows collapse to ONE slot carrying their maximum
+    * weight — without-replacement means distinct keys. Output: the
     * sampled rows (grp, key, w, priority).
     *
     * Scale shape: the top-k-smallest window is rank ≤ k — Catalyst
@@ -450,11 +454,17 @@ object Sketches {
   def weightedSample(df: DataFrame, group: Column, key: Column,
                      weight: Column, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
+    val wType = df.select(weight).schema.head.dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(wType.typeName),
+      s"weight must be an integral type, got $wType — scale " +
+        "fractional scores to integer units (e.g. ppm) first")
     val byGrp = Window.partitionBy(col("grp"))
       .orderBy(col("priority").asc, col("h").asc)
     df.select(group.as("grp"), key.cast("string").as("key"),
         weight.cast("long").as("w"))
-      .filter(col("w") > 0)
+      .filter(col("w") > 0 && col("key").isNotNull)
+      .groupBy(col("grp"), col("key")).agg(max(col("w")).as("w"))
       .withColumn("h", md5Hash60(col("key")))
       .withColumn("priority", expr(
         "CAST(round((ln(1152921504606846976D) - " +

@@ -205,7 +205,10 @@ object Temporal {
     require(stepSec > 0, "positive step")
     val pairs = df
       .select(fp.as("fp"), unix_timestamp(ts).as("_t"))
-      .select(col("fp"), expr(s"_t div ${stepSec}L").as("day"))
+      // FLOOR division (the burstWindows rule): a pre-1970 timestamp
+      // must land in day -1, not 0, to match the oracle's `//`
+      .select(col("fp"),
+        expr(s"(_t - pmod(_t, ${stepSec}L)) div ${stepSec}L").as("day"))
       .distinct()
     val first = pairs.groupBy(col("fp"))
       .agg(min(col("day")).as("first_day"))
@@ -241,7 +244,10 @@ object Temporal {
     require(stepSec > 0, "positive step")
     val lifetimes = df
       .select(key.as("k"), unix_timestamp(ts).as("_t"))
-      .select(col("k"), expr(s"_t div ${stepSec}L").as("_b"))
+      // FLOOR division (the burstWindows rule) — oracle `//` parity
+      // for pre-1970 timestamps
+      .select(col("k"),
+        expr(s"(_t - pmod(_t, ${stepSec}L)) div ${stepSec}L").as("_b"))
       .groupBy(col("k"))
       .agg((max(col("_b")) - min(col("_b"))).as("age"))
       .groupBy(col("age")).agg(count(lit(1)).as("n_keys"))

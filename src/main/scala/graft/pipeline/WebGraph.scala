@@ -478,8 +478,13 @@ object WebGraph {
     * count; no windows. */
   def graphChurn(prev: DataFrame, cur: DataFrame, src: String,
                  dst: String): DataFrame = {
+    // null endpoints are dropped (a null never equi-joins, so a
+    // (src, null) edge present in BOTH snapshots would count as
+    // added+removed instead of kept)
     def canon(df: DataFrame, tag: String): DataFrame =
-      df.select(col(src).as("src"), col(dst).as("dst")).distinct()
+      df.select(col(src).as("src"), col(dst).as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
         .withColumn(tag, lit(true))
     canon(prev, "_p").join(canon(cur, "_c"), Seq("src", "dst"),
         "full_outer")

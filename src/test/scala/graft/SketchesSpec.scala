@@ -304,12 +304,22 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
   test("weightedSample: under-k groups keep every positive-weight " +
        "row, a dominant weight is always drawn, inclusion tracks " +
        "weight, and shard-merge re-sampling equals the one-shot") {
-    val tiny = (1 to 5).map(i => ("t", s"k$i", 3L)) :+ (("t", "k0", 0L))
+    val tiny = (1 to 5).map(i => ("t", s"k$i", 3L)) ++
+      Seq(("t", "k0", 0L), ("t", "k1", 1L))
     val ts = Sketches.weightedSample(tiny.toDF("g", "key", "w"),
         $"g", $"key", $"w", k = 10)
       .as[(String, String, Long, Long)].collect()
     assert(ts.length == 5 && !ts.exists(_._2 == "k0"),
-      "all five positive rows kept; the zero-weight row has no mass")
+      "five distinct positive keys; zero-weight row has no mass and " +
+        "the duplicate k1 fills ONE slot")
+    assert(ts.find(_._2 == "k1").get._3 == 3L,
+      "duplicate keys collapse to their maximum weight")
+    // fractional weight types are rejected loudly, never truncated
+    intercept[IllegalArgumentException] {
+      Sketches.weightedSample(
+        Seq(("t", "k1", 0.5)).toDF("g", "key", "w"),
+        $"g", $"key", $"w", k = 10)
+    }
     // one 10^6-weight whale among 999 minnows: priority div w makes
     // the whale's priority ~0 -> always sampled
     val pool = (("g", "whale", 1000000L) +:
