@@ -86,7 +86,8 @@ object Bench {
     "q151_cocitation", "q152_url_survival", "q153_assortativity",
     "q154_component_census", "q155_webgraph_profile",
     "q156_powerlaw_alpha", "q157_weighted_sample",
-    "q158_seed_distance", "q159_novelty_rate", "q160_graph_churn")
+    "q158_seed_distance", "q159_novelty_rate", "q160_graph_churn",
+    "q161_canonical_audit")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

@@ -663,6 +663,48 @@ object SparkEntry {
       |FROM pr p JOIN f ON f.fp = p.fp
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q161's DuckDB oracle: the canonical audit replayed — identical
+    * html synthesis, identical regexp extraction (RE2-safe pattern,
+    * '' on no match in both engines), per-host counts + ppm. */
+  private def canonicalAuditOracleSql: String =
+    """WITH base AS (SELECT
+      |  'http://h' || CAST(l_suppkey % 20 AS VARCHAR) AS hp,
+      |  l_suppkey % 20 AS hk, l_orderkey % 400 AS n FROM lineitem),
+      |b AS (SELECT hp || '/p/' || CAST(n AS VARCHAR) AS url,
+      |  CASE WHEN hk % 5 = 0
+      |    THEN 'http://master.com/p/' || CAST(n AS VARCHAR)
+      |  WHEN n % 3 = 0 THEN hp || '/p/' || CAST(n AS VARCHAR)
+      |  WHEN n % 3 = 1 THEN hp || '/canon/' || CAST(n AS VARCHAR)
+      |  ELSE NULL END AS canon FROM base),
+      |p AS (SELECT DISTINCT url,
+      |  CASE WHEN canon IS NOT NULL
+      |    THEN '<html><head><link rel="canonical" href="' || canon
+      |      || '"/></head><body>x</body></html>'
+      |    ELSE '<html><body>no canonical</body></html>' END AS html
+      |  FROM b),
+      |x AS (SELECT url, regexp_extract(html,
+      |  '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1) AS canon
+      |  FROM p),
+      |y AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+      |  url, canon,
+      |  regexp_extract(canon, '^https?://([^/]+)', 1) AS canon_host
+      |  FROM x)
+      |SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+      |  CAST(coalesce(sum(CASE WHEN canon <> '' THEN 1 END), 0)
+      |    AS BIGINT) AS n_declared,
+      |  CAST(coalesce(sum(CASE WHEN canon = url THEN 1 END), 0)
+      |    AS BIGINT) AS n_self,
+      |  CAST(coalesce(sum(CASE WHEN canon <> '' AND canon <> url
+      |    AND canon_host = host THEN 1 END), 0) AS BIGINT)
+      |    AS n_intra_host,
+      |  CAST(coalesce(sum(CASE WHEN canon <> '' AND canon_host <> host
+      |    THEN 1 END), 0) AS BIGINT) AS n_cross_host,
+      |  CAST(coalesce(sum(CASE WHEN canon <> '' AND canon_host <> host
+      |    THEN 1 END), 0) * 1000000 //
+      |    greatest(coalesce(sum(CASE WHEN canon <> '' THEN 1 END), 0),
+      |      1) AS BIGINT) AS offsite_ppm
+      |FROM y GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q160's DuckDB oracle: pre-distinct snapshots, full-outer edge
     * join, per-src added/removed/kept counts, churn in ppm. */
   private def graphChurnOracleSql: String =
@@ -3125,6 +3167,31 @@ object SparkEntry {
       graft.pipeline.GraphOps.seedDistance(bowtieFixtureEdges(s, dir),
           "src", "dst", seeds)
         .orderBy($"node")
+    }),
+
+    // --- rel=canonical audit: N%3 splits pages into self-canonical /
+    // intra-host-canonical / undeclared; every 5th host canonicalizes
+    // cross-host onto master.com (the self-reported mirror). -----------------
+    "q161_canonical_audit" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val hostK = $"l_suppkey" % 20
+      val n = $"l_orderkey" % 400
+      val u = concat(lit("http://h"), hostK.cast("string"), lit("/p/"),
+        n.cast("string"))
+      val canon = when(hostK % 5 === 0,
+          concat(lit("http://master.com/p/"), n.cast("string")))
+        .when(n % 3 === 0, u)
+        .when(n % 3 === 1, concat(lit("http://h"), hostK.cast("string"),
+          lit("/canon/"), n.cast("string")))
+        .otherwise(lit(null))
+      val html = when(canon.isNotNull, concat(
+          lit("<html><head><link rel=\"canonical\" href=\""), canon,
+          lit("\"/></head><body>x</body></html>")))
+        .otherwise(lit("<html><body>no canonical</body></html>"))
+      val pages = li.select(u.as("url"), html.as("html")).distinct()
+      graft.pipeline.WebGraph.canonicalAudit(pages, $"url", $"html")
+        .orderBy($"host")
     }),
 
     // --- link-graph churn between two snapshots: per-src dst pools
@@ -6717,6 +6784,8 @@ object SparkEntry {
     "q159_novelty_rate" -> noveltyOracleSql,
 
     "q160_graph_churn" -> graphChurnOracleSql,
+
+    "q161_canonical_audit" -> canonicalAuditOracleSql,
 
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,

@@ -463,6 +463,47 @@ object WebGraph {
         col("in_b"), col("score_ppm"))
   }
 
+  /** rel=canonical audit: per host, how pages declare their canonical
+    * URL — the dedup signal sites PUBLISH (a page pointing its
+    * canonical elsewhere is telling the crawler "index that one, not
+    * me"; a host whose canonicals point cross-host wholesale is a
+    * mirror consolidating onto its master, the self-reported version
+    * of what [[mirrorCandidates]] and [[dustRules]] infer from
+    * content). Extracts the FIRST `<link rel="canonical" href=…>` per
+    * page with a codegen regexp (no HTML parser — the href cannot
+    * contain an unescaped quote). Output per host: (host, n_pages,
+    * n_declared, n_self, n_intra_host, n_cross_host, offsite_ppm)
+    * with offsite = cross-host share of declared canonicals in ppm.
+    *
+    * Scale shape: row-local regexp extraction + one map-side-
+    * combinable host aggregate — nothing joins, nothing windows. */
+  def canonicalAudit(pages: DataFrame, url: Column,
+                     html: Column): DataFrame = {
+    val hostOf = (c: Column) =>
+      regexp_extract(c, "^https?://([^/]+)", 1)
+    pages
+      .select(url.as("url"), regexp_extract(html,
+        "<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"", 1)
+        .as("canon"))
+      .select(hostOf(col("url")).as("host"), col("url"), col("canon"),
+        hostOf(col("canon")).as("canon_host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"),
+        coalesce(sum(when(col("canon") =!= "", 1L)), lit(0L))
+          .as("n_declared"),
+        coalesce(sum(when(col("canon") === col("url"), 1L)), lit(0L))
+          .as("n_self"),
+        coalesce(sum(when(col("canon") =!= "" &&
+          col("canon") =!= col("url") &&
+          col("canon_host") === col("host"), 1L)), lit(0L))
+          .as("n_intra_host"),
+        coalesce(sum(when(col("canon") =!= "" &&
+          col("canon_host") =!= col("host"), 1L)), lit(0L))
+          .as("n_cross_host"))
+      .withColumn("offsite_ppm", expr(
+        "n_cross_host * 1000000L div greatest(n_declared, 1L)"))
+  }
+
   /** Link-graph churn between two crawl snapshots: per source host,
     * how many of its distinct out-edges were added, removed, or kept
     * since the previous snapshot, with churn = (added + removed) /

@@ -487,6 +487,28 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
       s"ages {0, 3, 3, 10} -> survivors 4/3/1, got $got")
   }
 
+  // --- canonical audit (q161) ------------------------------------------------------
+
+  test("canonicalAudit: self / intra-host / cross-host / undeclared " +
+       "canonicals counted per host, offsite share exact ppm") {
+    def page(canon: String): String =
+      if (canon == null) "<html><body>x</body></html>"
+      else s"""<html><head><link rel="canonical" href="$canon"/>""" +
+        "</head><body>x</body></html>"
+    val pages = Seq(
+      ("http://a.com/1", page("http://a.com/1")),
+      ("http://a.com/2", page("http://a.com/other")),
+      ("http://a.com/3", page(null)),
+      ("http://a.com/4", page("http://b.com/4")),
+      ("http://b.com/1", page(null))).toDF("url", "html")
+    val got = WebGraph.canonicalAudit(pages, $"url", $"html")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == Map(
+      "a.com" -> ((4L, 3L, 1L, 1L, 1L, 333333L)),
+      "b.com" -> ((1L, 0L, 0L, 0L, 0L, 0L))), s"got $got")
+  }
+
   // --- graph churn (q160) ----------------------------------------------------------
 
   test("graphChurn: per-src added/removed/kept from the snapshot edge " +
