@@ -664,31 +664,44 @@ object SparkEntry {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q161's DuckDB oracle: the canonical audit replayed — identical
-    * html synthesis, identical regexp extraction (RE2-safe pattern,
-    * '' on no match in both engines), per-host counts + ppm. */
+    * html synthesis (relative href-first links on the intra-host
+    * branch), identical two-order regexp extraction (RE2-safe
+    * pattern, '' on no match in both engines), relative canon ->
+    * page host, per-host counts + ppm. */
   private def canonicalAuditOracleSql: String =
     """WITH base AS (SELECT
       |  'http://h' || CAST(l_suppkey % 20 AS VARCHAR) AS hp,
       |  l_suppkey % 20 AS hk, l_orderkey % 400 AS n FROM lineitem),
-      |b AS (SELECT hp || '/p/' || CAST(n AS VARCHAR) AS url,
+      |b AS (SELECT hp || '/p/' || CAST(n AS VARCHAR) AS url, hk, n,
       |  CASE WHEN hk % 5 = 0
       |    THEN 'http://master.com/p/' || CAST(n AS VARCHAR)
       |  WHEN n % 3 = 0 THEN hp || '/p/' || CAST(n AS VARCHAR)
-      |  WHEN n % 3 = 1 THEN hp || '/canon/' || CAST(n AS VARCHAR)
+      |  WHEN n % 3 = 1 THEN '/canon/' || CAST(n AS VARCHAR)
       |  ELSE NULL END AS canon FROM base),
       |p AS (SELECT DISTINCT url,
-      |  CASE WHEN canon IS NOT NULL
-      |    THEN '<html><head><link rel="canonical" href="' || canon
-      |      || '"/></head><body>x</body></html>'
-      |    ELSE '<html><body>no canonical</body></html>' END AS html
+      |  CASE WHEN canon IS NULL
+      |    THEN '<html><body>no canonical</body></html>'
+      |  WHEN hk % 5 <> 0 AND n % 3 = 1
+      |    THEN '<html><head><link href="' || canon
+      |      || '" rel="canonical"/></head><body>x</body></html>'
+      |  ELSE '<html><head><link rel="canonical" href="' || canon
+      |      || '"/></head><body>x</body></html>' END AS html
       |  FROM b),
-      |x AS (SELECT url, regexp_extract(html,
-      |  '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1) AS canon
-      |  FROM p),
-      |y AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
-      |  url, canon,
-      |  regexp_extract(canon, '^https?://([^/]+)', 1) AS canon_host
-      |  FROM x)
+      |x AS (SELECT url,
+      |  CASE WHEN regexp_extract(html,
+      |      '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1) <> ''
+      |    THEN regexp_extract(html,
+      |      '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+      |    ELSE regexp_extract(html,
+      |      '<link[^>]*href="([^"]*)"[^>]*rel="canonical"', 1)
+      |    END AS canon FROM p),
+      |y AS (SELECT host, url, canon,
+      |  CASE WHEN canon <> '' AND ch = '' THEN host ELSE ch END
+      |    AS canon_host
+      |  FROM (SELECT regexp_extract(url, '^https?://([^/]+)', 1)
+      |      AS host, url, canon,
+      |    regexp_extract(canon, '^https?://([^/]+)', 1) AS ch
+      |    FROM x))
       |SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
       |  CAST(coalesce(sum(CASE WHEN canon <> '' THEN 1 END), 0)
       |    AS BIGINT) AS n_declared,
@@ -3170,8 +3183,10 @@ object SparkEntry {
     }),
 
     // --- rel=canonical audit: N%3 splits pages into self-canonical /
-    // intra-host-canonical / undeclared; every 5th host canonicalizes
-    // cross-host onto master.com (the self-reported mirror). -----------------
+    // intra-host-canonical (declared RELATIVE, href-first attribute
+    // order — exercising both real-HTML shapes) / undeclared; every
+    // 5th host canonicalizes cross-host onto master.com (the
+    // self-reported mirror). -------------------------------------------------
     "q161_canonical_audit" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
@@ -3179,16 +3194,20 @@ object SparkEntry {
       val n = $"l_orderkey" % 400
       val u = concat(lit("http://h"), hostK.cast("string"), lit("/p/"),
         n.cast("string"))
+      val relCanon = hostK % 5 =!= 0 && n % 3 === 1
       val canon = when(hostK % 5 === 0,
           concat(lit("http://master.com/p/"), n.cast("string")))
         .when(n % 3 === 0, u)
-        .when(n % 3 === 1, concat(lit("http://h"), hostK.cast("string"),
-          lit("/canon/"), n.cast("string")))
+        .when(n % 3 === 1, concat(lit("/canon/"), n.cast("string")))
         .otherwise(lit(null))
-      val html = when(canon.isNotNull, concat(
+      val html = when(canon.isNull,
+          lit("<html><body>no canonical</body></html>"))
+        .when(relCanon, concat(
+          lit("<html><head><link href=\""), canon,
+          lit("\" rel=\"canonical\"/></head><body>x</body></html>")))
+        .otherwise(concat(
           lit("<html><head><link rel=\"canonical\" href=\""), canon,
           lit("\"/></head><body>x</body></html>")))
-        .otherwise(lit("<html><body>no canonical</body></html>"))
       val pages = li.select(u.as("url"), html.as("html")).distinct()
       graft.pipeline.WebGraph.canonicalAudit(pages, $"url", $"html")
         .orderBy($"host")
@@ -6734,9 +6753,6 @@ object SparkEntry {
              ELSE CAST(raw_est AS DOUBLE) END AS estimate
          FROM e ORDER BY priority""",
 
-    // merged-halves HLL == the one-shot sketch (register max is
-    // associative), so the oracle is q130's chain verbatim — the
-    // merge path must land on the identical registers and estimate.
     "q137_neighborhood_function" -> neighborhoodOracleSql,
 
     "q138_weighted_pagerank" -> weightedPrOracleSql,
@@ -6787,6 +6803,9 @@ object SparkEntry {
 
     "q161_canonical_audit" -> canonicalAuditOracleSql,
 
+    // merged-halves HLL == the one-shot sketch (register max is
+    // associative), so the oracle is q130's chain verbatim — the
+    // merge path must land on the identical registers and estimate.
     "q136_hll_merge" ->
       """WITH h AS (SELECT o_orderpriority AS grp,
              list_reduce(list_transform(generate_series(1, 15),

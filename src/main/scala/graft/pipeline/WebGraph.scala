@@ -264,12 +264,17 @@ object WebGraph {
     * Scale shape: distinct + one self-semi-join, both hash-partitioned
     * on the edge key — the semi join probes (dst, src) against
     * (src, dst), so Catalyst plans a shuffled hash/merge join on the
-    * pair; no row ever fans out. */
+    * pair; no row ever fans out.
+    *
+    * Node ids keep their NATIVE type (like [[triangleCensus]]):
+    * string-host edges — the documented link-farm use case over
+    * [[domainGraph]] output — must not be cast to long, which would
+    * null them out and silently report an empty census. */
   def reciprocity(edges: DataFrame, src: String,
                   dst: String): DataFrame = {
-    val e = edges.select(col(src).cast("long").as("s"),
-        col(dst).cast("long").as("d"))
-      .filter(col("s") =!= col("d")).distinct()
+    val e = edges.select(col(src).as("s"), col(dst).as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull &&
+        col("s") =!= col("d")).distinct()
     val recip = e.join(e.select(col("d").as("s"), col("s").as("d")),
       Seq("s", "d"), "left_semi")
     e.agg(count(lit(1)).as("n_edges"))
@@ -471,7 +476,11 @@ object WebGraph {
     * of what [[mirrorCandidates]] and [[dustRules]] infer from
     * content). Extracts the FIRST `<link rel="canonical" href=…>` per
     * page with a codegen regexp (no HTML parser — the href cannot
-    * contain an unescaped quote). Output per host: (host, n_pages,
+    * contain an unescaped quote); BOTH attribute orders match
+    * (`rel=… href=…` and `href=… rel=…`, each common in real HTML).
+    * A RELATIVE canonical href (`href="/p/1"`, no scheme+host) is by
+    * definition same-host, so it counts as intra-host rather than
+    * inflating offsite_ppm. Output per host: (host, n_pages,
     * n_declared, n_self, n_intra_host, n_cross_host, offsite_ppm)
     * with offsite = cross-host share of declared canonicals in ppm.
     *
@@ -481,12 +490,19 @@ object WebGraph {
                      html: Column): DataFrame = {
     val hostOf = (c: Column) =>
       regexp_extract(c, "^https?://([^/]+)", 1)
+    val relFirst = regexp_extract(html,
+      "<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"", 1)
+    val hrefFirst = regexp_extract(html,
+      "<link[^>]*href=\"([^\"]*)\"[^>]*rel=\"canonical\"", 1)
     pages
-      .select(url.as("url"), regexp_extract(html,
-        "<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"", 1)
-        .as("canon"))
-      .select(hostOf(col("url")).as("host"), col("url"), col("canon"),
-        hostOf(col("canon")).as("canon_host"))
+      .select(url.as("url"),
+        when(relFirst =!= "", relFirst).otherwise(hrefFirst)
+          .as("canon"))
+      .select(hostOf(col("url")).as("host"), col("url"), col("canon"))
+      // relative declared canonical -> the page's own host
+      .withColumn("canon_host",
+        when(col("canon") =!= "" && hostOf(col("canon")) === "",
+          col("host")).otherwise(hostOf(col("canon"))))
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_pages"),
         coalesce(sum(when(col("canon") =!= "", 1L)), lit(0L))

@@ -250,6 +250,21 @@ class SketchesSpec extends AnyFunSuite with SparkSuite {
       s"union estimate $abU must track 1500")
   }
 
+  test("kmvJaccard plan: the group-pair seed is broadcast — no " +
+       "shuffled CartesianProduct anywhere in the physical plan") {
+    val rows = (0 until 50).flatMap(i =>
+      Seq(("A", s"v$i"), ("B", s"w$i"), ("C", s"v$i")))
+    val sk = Sketches.kmvSketch(rows.toDF("g", "key"), $"g", $"key",
+      k = 16)
+    val plan = Sketches.kmvJaccard(sk)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pair build must not plan a shuffled cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "grp_a x grp_b should be a broadcast nested-loop over the " +
+        s"tiny distinct-group list:\n$plan")
+  }
+
   test("distanceDistribution: on a 12-node directed path the " +
        "neighborhood totals grow monotonically, the horizon share is " +
        "exactly 10^6, and the 90% effective-diameter flag flips once " +

@@ -77,6 +77,19 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
     assert(got == ((3L, 2L, 666666L)))
   }
 
+  test("reciprocity: string-host edges keep their native type (no long " +
+       "cast nulling the domainGraph use case)") {
+    val edges = Seq(
+      ("a.com", "b.com"), ("b.com", "a.com"),  // reciprocal pair
+      ("a.com", "c.com"),                      // one-way
+      ("d.com", "d.com"),                      // loop ignored
+      (null.asInstanceOf[String], "e.com")     // null dropped
+    ).toDF("src", "dst")
+    val got = WebGraph.reciprocity(edges, "src", "dst")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((3L, 2L, 666666L)))
+  }
+
   // --- URL parameter audit (q125) ----------------------------------------------
 
   test("urlParamAudit: first-= split, fragments stripped, bare keys " +
@@ -507,6 +520,27 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
     assert(got == Map(
       "a.com" -> ((4L, 3L, 1L, 1L, 1L, 333333L)),
       "b.com" -> ((1L, 0L, 0L, 0L, 0L, 0L))), s"got $got")
+  }
+
+  test("canonicalAudit: relative hrefs count intra-host, not offsite; " +
+       "href-before-rel attribute order still declares") {
+    val pages = Seq(
+      // relative canonical -> same-host by definition
+      ("http://a.com/1",
+        """<html><head><link rel="canonical" href="/p/1"/></head>x"""),
+      // href first, rel second -> still a declared canonical
+      ("http://a.com/2",
+        """<html><head><link href="http://b.com/2" rel="canonical"/>x"""),
+      // relative + href-first combined
+      ("http://a.com/3",
+        """<html><head><link href="/p/3" rel="canonical"/></head>x"""))
+      .toDF("url", "html")
+    val got = WebGraph.canonicalAudit(pages, $"url", $"html")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    // 3 pages, 3 declared, 0 self, 2 intra (both relative), 1 cross
+    assert(got == Map("a.com" -> ((3L, 3L, 0L, 2L, 1L, 333333L))),
+      s"got $got")
   }
 
   // --- graph churn (q160) ----------------------------------------------------------
