@@ -256,12 +256,13 @@ final class CrawlJob(
         visiblePages.filter($"bucket".isin(bks: _*)).drop("bucket")
       } else if (cfg.fetchUrlPushdown > 0 &&
           nPopped <= cfg.fetchUrlPushdown) {
-        // unbucketed layout: push the (batch-bounded, already
-        // checkpointed) popped url set into the scan as an IN predicate
-        // so parquet row-group stats prune the read
-        val urls = popped.select($"url").as[String].collect()
+        // unbucketed layout: push the popped url set — already
+        // driver-side, observed on the pop-materialization job — into
+        // the scan as an IN predicate so parquet row-group stats prune
+        // the read (no extra collect job on the popped part)
+        val urls = pr.poppedUrls
         if (urls.isEmpty) visiblePages.limit(0)
-        else visiblePages.filter($"url".isin(urls.toSeq: _*))
+        else visiblePages.filter($"url".isin(urls: _*))
       } else visiblePages
     // INNER join, build side = broadcast(popped): the big table never
     // shuffles AND the join planner can actually honor the hint (a

@@ -473,6 +473,10 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   /** Domain of every popped row (multiset), observed on the pop
     * materialization — batch-bounded. */
   var lastPopDomains: Seq[String] = Nil
+  /** URL of every popped row, observed on the same pop materialization
+    * job (batch-bounded like the domain multiset) — feeds the epoch
+    * loop's fetch-scan pushdown without a second collect. */
+  var lastPopUrls: Seq[String] = Nil
 
   /** Politeness slot mock: domain → has free transfer slots. Domains not
     * present are considered free (queue.py:209-231, slots_mock in tests).
@@ -1113,8 +1117,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       // adaptive hot-domain repartitioning: salt count per domain from
       // the qlen vector already in hand — no extra job
       val popped = popRankedDf(counts
-        .map { case (d, n) => (d, n, saltsFor(qlens.getOrElse(d, 0L))) }
-        .toDF("domain", "n", "salts"))
+        .map { case (d, n) => (d, n, saltsFor(qlens.getOrElse(d, 0L))) })
       // deferred-by-politeness = rows left in the sampled domains beyond
       // their per-domain budget — driver arithmetic over the score vector
       // already in hand, no extra job
@@ -1139,8 +1142,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       lastScheduleDecision = Some(ScheduleDecision(clock,
         kept.map(_._1).toIndexedSeq, kept.map(_._2.toDouble), kept.map(_._1)))
       val popped = popRankedDf(kept
-        .map { case (d, _, ql, n) => (d, n, saltsFor(ql)) }
-        .toDF("domain", "n", "salts"))
+        .map { case (d, _, ql, n) => (d, n, saltsFor(ql)) })
       lastPopDeferred = kept.map(_._3).sum - lastPopCount
       lastPopShortfall = gumbelShortfall(kept)
       popped
@@ -1263,7 +1265,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       // single worker: the per-worker path IS the fused path
       val popped = popEpochDf(0)
       return EpochPopResult(popped, lastScheduleDecision.map(0 -> _).toSeq,
-        lastPopCount, lastPopDeferred, lastPopDomains)
+        lastPopCount, lastPopDeferred, lastPopDomains, lastPopUrls)
     }
     tryToRestrictDomains()
     val scored = domainScoresState.withColumn("_shard",
@@ -1297,11 +1299,11 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
           expectedDepth += qlens.getOrElse(dom, 0L)
         }
       }
-      val popped = popRankedDf(counts.result().toDF("domain", "n", "salts"))
+      val popped = popRankedDf(counts.result())
       lastPopDeferred = expectedDepth - lastPopCount
       lastPopShortfall = shortfall
       EpochPopResult(popped, decisions.result(), lastPopCount,
-        lastPopDeferred, lastPopDomains)
+        lastPopDeferred, lastPopDomains, lastPopUrls)
     } else {
       // distributed Gumbel: ONE per-shard ranking window; only each
       // shard's batch-bounded winner prefix (≤ gumbelLim rows) is
@@ -1337,11 +1339,11 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         }
         shortfall += gumbelShortfall(kept)
       }
-      val popped = popRankedDf(counts.result().toDF("domain", "n", "salts"))
+      val popped = popRankedDf(counts.result())
       lastPopDeferred = expectedDepth - lastPopCount
       lastPopShortfall = shortfall
       EpochPopResult(popped, decisions.result(), lastPopCount,
-        lastPopDeferred, lastPopDomains)
+        lastPopDeferred, lastPopDomains, lastPopUrls)
     }
   }
 
@@ -1355,12 +1357,6 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
           cfg.adaptiveSaltTarget)).toInt
     else math.max(cfg.popSalts, 1)
 
-  private def saltsForCol(qlen: Column): Column =
-    if (cfg.adaptiveSaltTarget > 0)
-      least(lit(1024L), greatest(lit(1L),
-        ceil(qlen.cast("double") / cfg.adaptiveSaltTarget))).cast("int")
-    else lit(math.max(cfg.popSalts, 1))
-
   /** A7/A8: top-n_q per sampled domain by (priority desc, url asc), then
     * delete popped rows. The semi-join on sampled domains prunes the
     * window to the touched partitions only.
@@ -1373,29 +1369,34 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     * sizes it to each domain's observed queue length, so cold domains
     * keep one partition while hot ones fan out. Correct because the
     * global top-n is contained in the union of per-salt top-n. */
-  private def popRankedDf(countsDf: DataFrame): DataFrame = {
+  private def popRankedDf(counts: Seq[(String, Int, Int)]): DataFrame = {
     val order = Seq($"priority".desc, $"url".asc, $"depth".asc)
-    val withSalts =
-      if (countsDf.columns.contains("salts")) countsDf
-      else countsDf.withColumn("salts", lit(math.max(cfg.popSalts, 1)))
+    // The sampled (domain, n, salts) vector is ALWAYS driver-side —
+    // batch-bounded on every selection path (driver vector, Gumbel
+    // winner prefix, test pops) — so attach n/salts as literal-map
+    // lookups instead of joining a broadcast countsDf: one fewer
+    // broadcast-exchange job per pop, and the store path prunes its
+    // scan without a re-collect.
+    val doms = counts.map(_._1)
+    val nMap = typedlit(counts.map(c => c._1 -> c._2).toMap)
+    val saltsMap = typedlit(counts.map(c => c._1 -> c._3).toMap)
     // store mode: prune the scan to the sampled domains' dbkt
     // partitions (PartitionFilters at the source — a batch-sized slice
-    // of a 10^10-row frontier) before subtracting tombstones; the
-    // domain list is driver-bounded on both selection paths (driver
-    // vector or Gumbel top-k)
+    // of a 10^10-row frontier) before subtracting tombstones
     val baseFrontier = frontierStore match {
       case Some(fs) =>
-        val doms = countsDf.select("domain").as[String].collect().toSeq
         val pruned = minusTombs(fs.slice(doms), fs.tombstones)
         if (didRestrict)
           pruned.join(broadcast(allowed), Seq("domain"), "left_semi")
         else pruned
       case None => visibleFrontier
     }
-    val selected = baseFrontier.join(broadcast(withSalts), Seq("domain"))
+    val selected = baseFrontier
+      .filter(if (doms.isEmpty) lit(false) else $"domain".isInCollection(doms))
+      .withColumn("n", element_at(nMap, $"domain"))
     val partial =
       if (cfg.popSalts <= 1 && cfg.adaptiveSaltTarget <= 0)
-        selected.drop("salts")
+        selected
       else {
         // keep rank n+1 per salt slice so the GLOBAL rank-(n+1) row is
         // guaranteed to survive into the exact phase (its slice rank is
@@ -1403,7 +1404,8 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         // priority for the incremental master-score delta
         val w1 = Window.partitionBy($"domain", $"_salt").orderBy(order: _*)
         val salted = selected
-          .withColumn("_salt", pmod(xxhash64($"url"), $"salts"))
+          .withColumn("_salt",
+            pmod(xxhash64($"url"), element_at(saltsMap, $"domain")))
         // store mode: the bucketed scan's HashPartitioning(domain)
         // already SATISFIES the salted window's required distribution
         // (subset rule), so the planner would insert no exchange and a
@@ -1417,7 +1419,7 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         distributed
           .withColumn("_r1", row_number().over(w1))
           .filter($"_r1" <= $"n" + 1)
-          .drop("_r1", "_salt", "salts")
+          .drop("_r1", "_salt")
       }
     val w = Window.partitionBy($"domain").orderBy(order: _*)
     // the per-url domain multiset rides the same materialization
@@ -1431,15 +1433,22 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       .filter($"_rank" <= $"n" + 1),
       "n" -> count(when($"_rank" <= $"n", 1)),
       "doms" -> collect_list(when($"_rank" <= $"n", $"domain")),
+      // the popped URL list rides the same job (batch-bounded, same
+      // cardinality as the domain multiset) — it feeds the epoch
+      // loop's fetch-scan IN-predicate pushdown without a second
+      // collect job on the popped part
+      "urls" -> collect_list(when($"_rank" <= $"n", $"url")),
       "next" -> collect_list(when($"_rank" === $"n" + 1,
         struct($"domain", $"priority"))))
     val popped = ranked.filter($"_rank" <= $"n").drop("_rank", "n")
     val nPopped = Eager.long(m, "n")
-    lastPopDomains = m("doms") match {
+    def strList(v: Any): Seq[String] = v match {
       case null => Nil
       case s: scala.collection.Seq[_] => s.map(_.toString).toSeq
       case other => Seq(other.toString)
     }
+    lastPopDomains = strList(m("doms"))
+    lastPopUrls = strList(m("urls"))
     val nextBest: Map[String, Long] = m("next") match {
       case s: scala.collection.Seq[_] =>
         s.collect { case r: Row => r.getString(0) -> r.getLong(1) }.toMap
@@ -1470,8 +1479,8 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
 
   private def popFromDomains(counts: Map[String, Int]): Seq[Popped] = {
     if (counts.isEmpty) return Nil
-    val countsDf = counts.toSeq.toDF("domain", "n")
-    popRankedDf(countsDf)
+    popRankedDf(counts.toSeq
+        .map { case (d, n) => (d, n, math.max(cfg.popSalts, 1)) })
       .select($"url", $"domain", $"priority", $"depth", $"parent")
       .collect()
       .map(r => Popped(r.getString(0), r.getString(1), r.getLong(2),
@@ -1600,4 +1609,5 @@ final case class EpochPopResult(
     decisions: Seq[(Int, ScheduleDecision)],
     nPopped: Long,
     nDeferred: Long,
-    poppedDomains: Seq[String])
+    poppedDomains: Seq[String],
+    poppedUrls: Seq[String])
