@@ -212,12 +212,77 @@ object Bench {
       }
       val totalPopped = perEpoch.map(_._3).sum
       val totalSec = perEpoch.map(_._2).sum
+      lastRehearsalEpochSecs = perEpoch.map(_._2)
+      lastRehearsalPoppedPerSec = totalPopped / totalSec
       s"""{"urls":$nUrls,"domains":$nDomains,"epochs":$epochs,""" +
         s""""jobs_per_epoch":${perEpoch.map(_._1).mkString("[", ",", "]")},""" +
         s""""epoch_sec":${perEpoch.map(e => fmt(e._2)).mkString("[", ",", "]")},""" +
         s""""popped":$totalPopped,""" +
         s""""popped_per_sec":${fmt(totalPopped / totalSec)}}"""
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  // Side-channel scalars from the most recent gumbelRehearsal call —
+  // lets the pinned multi-sample section aggregate without re-parsing
+  // its own JSON (bench-internal, single-threaded main).
+  private var lastRehearsalEpochSecs: Seq[Double] = Nil
+  private var lastRehearsalPoppedPerSec: Double = 0.0
+
+  /** Total JVM GC time in seconds (all collectors). */
+  private def gcSeconds(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
+  /** The r3/r4 artifacts' warm-epoch band for the memory-mode gumbel
+    * rehearsal (epochs 2+ once plans are JIT-compiled): ~3.3 s. The
+    * pinned section flags a sample median above 2× this so a
+    * regression reads loudly in the artifact instead of as a silent
+    * number drift (VERDICT r4 "What's wrong" #1). */
+  private val trailingWarmEpochSec = 3.3
+
+  /** VERDICT r4 #1: the memory-mode gumbel rehearsal pinned — run in
+    * a DEDICATED fresh session (isolated from the 140-query headline
+    * JVM whose heap/GC state confounded the r4 artifact), ≥3 samples
+    * with a fresh engine each, publishing every sample plus median /
+    * spread / per-sample GC-time deltas and a loud regression flag
+    * against the trailing-round warm-epoch band. */
+  def gumbelMemPinned(cpus: Int, nUrls: Long, nDomains: Int,
+                      epochs: Int, samples: Int): String = {
+    val spark = session(cpus, fixedPartitions = false)
+    try {
+      // untimed plan warmup at 1/100 scale: compiles the ingest /
+      // selection / ranking plans so sample 1's epochs measure the
+      // scheduling loop, not Catalyst+codegen JIT
+      try gumbelRehearsal(spark, math.max(nUrls / 100, 1000L),
+        math.max(nDomains / 100, 100), 2)
+      catch { case _: Throwable => () }
+      val runs = (1 to samples).map { _ =>
+        val gc0 = gcSeconds()
+        val json = gumbelRehearsal(spark, nUrls, nDomains, epochs)
+        val gcDelta = gcSeconds() - gc0
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(true))
+        System.gc()
+        (json, lastRehearsalPoppedPerSec, lastRehearsalEpochSecs, gcDelta)
+      }
+      val pps = runs.map(_._2).sorted
+      val ppsMedian = pps(pps.length / 2)
+      val ppsSpread = if (pps.head > 0) pps.last / pps.head else 0.0
+      // warm epochs = 2.. of every sample (epoch 1 still pays the
+      // first full-scale shuffle partitioning)
+      val warm = runs.flatMap(_._3.drop(1)).sorted
+      val warmMed = if (warm.nonEmpty) warm(warm.length / 2) else 0.0
+      val regressed = warmMed > 2.0 * trailingWarmEpochSec
+      s"""{"samples":${runs.map(_._1).mkString("[", ",", "]")},""" +
+        s""""gc_sec":${runs.map(r => fmt(r._4)).mkString("[", ",", "]")},""" +
+        s""""popped_per_sec_median":${fmt(ppsMedian)},""" +
+        s""""popped_per_sec_spread":${fmt(ppsSpread)},""" +
+        s""""warm_epoch_median_sec":${fmt(warmMed)},""" +
+        s""""trailing_warm_epoch_sec":${fmt(trailingWarmEpochSec)},""" +
+        s""""regression_vs_trailing":$regressed}"""
+    } finally spark.stop()
   }
 
   /** Multi-worker variant of the 100×-shape rehearsal: the FUSED epoch
@@ -279,16 +344,19 @@ object Bench {
     * from a stop-word-bearing vocabulary (the quality-gate target).
     * Correctness is the oracle/suite's job; THIS section is evidence
     * the shapes hold at volume. */
-  def pipelineScale(spark: SparkSession, nDocs: Long): String = {
+  /** The pipeline-scale synthetic corpus: deterministic, 64
+    * partitions, every 4th doc carrying a shared boilerplate run and a
+    * stop-word-bearing vocabulary — checkpointed so synth cost never
+    * lands in a stage timing. */
+  private def synthDocs(spark: SparkSession, nDocs: Long): DataFrame = {
     import spark.implicits._
-    import graft.pipeline.{Dedup, TextAnalysis, TrainingMix}
     val words = ("the of and to in data spark table scan merge query " +
       "row batch stream filter join sort hash key value fast slow big " +
       "small part group agg window order line word text page site link " +
       "crawl fetch store queue score rank token model train corpus " +
       "shard pack dedup clean mix").split(" ")
     val vocab = array(words.map(lit).toIndexedSeq: _*)
-    val docs = spark.range(0, nDocs, 1, 64).select(
+    spark.range(0, nDocs, 1, 64).select(
       $"id".as("doc_id"),
       concat(
         concat_ws(" ", transform(
@@ -299,7 +367,13 @@ object Bench {
           " the latest updates and offers today")).otherwise(lit("")))
         .as("text"),
       concat(lit("src"), pmod($"id", lit(64)).cast("string")).as("source"))
-      .localCheckpoint(true) // synth cost excluded from stage timings
+      .localCheckpoint(true)
+  }
+
+  def pipelineScale(spark: SparkSession, nDocs: Long): String = {
+    import spark.implicits._
+    import graft.pipeline.{Dedup, TextAnalysis, TrainingMix}
+    val docs = synthDocs(spark, nDocs)
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f
       ((System.nanoTime() - t0) / 1e9, n)
@@ -355,6 +429,103 @@ object Bench {
       s""""docs_per_sec_lex":${fmt(nDocs / tl)}}"""
   }
 
+  /** Graph fixpoints at real edge counts (VERDICT r4 #3): the oracle
+    * fixtures for bowtie / k-core / label propagation / component
+    * census collapse to ≤ ~60 nodes (right for checkability, silent
+    * on wall-time), so THIS section runs them on the q48-pattern
+    * lineitem-scale bipartite edge set (suppkey×partkey, ~200k
+    * directed edges at sf0.1, symmetrized) and reports wall-time plus
+    * observed rounds-to-settle vs each loop's loud cap. */
+  def graphScale(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    import graft.pipeline.GraphOps
+    val e0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(($"l_suppkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
+      .distinct()
+    val edges = graft.util.Eager.ckpt(
+      e0.union(e0.select($"dst".as("src"), $"src".as("dst"))))
+    val nEdges = edges.count()
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    GraphOps.lastRounds.clear()
+    val (tBow, bowRows) = time(
+      GraphOps.bowtie(edges.toDF, "src", "dst").count())
+    val bowReachRounds = GraphOps.lastRounds.getOrElse("reach", -1)
+    val (tCore, coreNodes) = time(
+      GraphOps.kCore(edges.toDF, "src", "dst", k = 3).count())
+    val peelRounds = GraphOps.lastRounds.getOrElse("peel", -1)
+    val (tLpa, lpaComms) = time(
+      GraphOps.labelPropagation(edges.toDF, "src", "dst", iters = 4)
+        .select($"community").distinct().count())
+    val (tCc, _) = time(
+      GraphOps.componentCensus(edges.toDF, "src", "dst").count())
+    val ccRounds = GraphOps.lastRounds.getOrElse("components", -1)
+    s"""{"edges":$nEdges,""" +
+      s""""bowtie_sec":${fmt(tBow)},"bowtie_nodes":$bowRows,""" +
+      s""""bowtie_last_bfs_rounds":$bowReachRounds,""" +
+      s""""bfs_round_cap":300,""" +
+      s""""kcore_sec":${fmt(tCore)},"kcore_nodes":$coreNodes,""" +
+      s""""kcore_peel_rounds":$peelRounds,"peel_round_cap":100,""" +
+      s""""lpa_sec":${fmt(tLpa)},"lpa_communities":$lpaComms,""" +
+      s""""census_sec":${fmt(tCc)},"cc_rounds":$ccRounds,""" +
+      s""""cc_round_cap":60}"""
+  }
+
+  /** North-rule pairing for the corpus pipeline (VERDICT r4 #7): the
+    * quality-gate and span-dedup legs run at two parallelism levels
+    * (N and 4N cores) on the IDENTICAL synthetic corpus with the same
+    * fixed 64-way decomposition, interleaved sessions, per-side min —
+    * the frontier section's protocol verbatim — reporting throughput
+    * at both plus scaling efficiency per leg. Each session times a
+    * second (warm) run of each leg so codegen JIT — the same absolute
+    * cost on both sides, i.e. a pure bias against the short side —
+    * stays out of the ratio. */
+  def pipelineEfficiency(nDocs: Long, coresN: Int): String = {
+    import graft.pipeline.{Dedup, TextAnalysis}
+    def legTimes(cores: Int): (Double, Double) = {
+      val s = session(cores, fixedPartitions = true)
+      try {
+        import s.implicits._
+        val docs = synthDocs(s, nDocs)
+        def qLeg(): Double = {
+          val t0 = System.nanoTime()
+          TextAnalysis.qualityRules(docs, $"doc_id", $"text",
+              minWords = 10, minStopWords = 1)
+            .filter($"keep" === 1).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def sLeg(): Double = {
+          val t0 = System.nanoTime()
+          Dedup.spanDedup(docs, $"doc_id", $"text", k = 10)
+            .agg(coalesce(sum($"n_removed"), lit(0L))).as[Long].head()
+          (System.nanoTime() - t0) / 1e9
+        }
+        qLeg(); sLeg() // untimed JIT warm pass
+        (qLeg(), sLeg())
+      } finally s.stop()
+    }
+    val schedule =
+      Seq(coresN, 4 * coresN, 4 * coresN, coresN, 4 * coresN)
+    val sides = schedule.map(c => c -> legTimes(c))
+    def minOf(c: Int, pick: ((Double, Double)) => Double): Double =
+      sides.collect { case (`c`, t) => pick(t) }.min
+    val qN = minOf(coresN, _._1); val q4 = minOf(4 * coresN, _._1)
+    val sN = minOf(coresN, _._2); val s4 = minOf(4 * coresN, _._2)
+    val qEff = qN / (4.0 * q4)
+    val sEff = sN / (4.0 * s4)
+    s"""{"docs":$nDocs,"cores_n":$coresN,"cores_4n":${4 * coresN},""" +
+      s""""quality_sec_n":${fmt(qN)},"quality_sec_4n":${fmt(q4)},""" +
+      s""""quality_docs_per_sec_n":${fmt(nDocs / qN)},""" +
+      s""""quality_docs_per_sec_4n":${fmt(nDocs / q4)},""" +
+      s""""quality_scaling_efficiency":${fmt(qEff)},""" +
+      s""""span_sec_n":${fmt(sN)},"span_sec_4n":${fmt(s4)},""" +
+      s""""span_docs_per_sec_n":${fmt(nDocs / sN)},""" +
+      s""""span_docs_per_sec_4n":${fmt(nDocs / s4)},""" +
+      s""""span_scaling_efficiency":${fmt(sEff)}}"""
+  }
+
   private def repTimes(spark: SparkSession, reps: Int, nUrls: Long,
                        nDomains: Int): Seq[Double] =
     (1 to reps).map { _ =>
@@ -375,6 +546,25 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val coresN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
     val nDomains = 20000
+
+    // 100×-shape rehearsal knobs (shared by the pinned section below
+    // and the in-session fused/store sections)
+    val gumbelUrls =
+      sys.env.getOrElse("SPARK_GRAFT_GUMBEL_URLS", "10000000").toLong
+    val gumbelDomains =
+      sys.env.getOrElse("SPARK_GRAFT_GUMBEL_DOMAINS", "1000000").toInt
+    val gumbelEpochs =
+      sys.env.getOrElse("SPARK_GRAFT_GUMBEL_EPOCHS", "5").toInt
+    val gumbelSamples =
+      sys.env.getOrElse("SPARK_GRAFT_GUMBEL_SAMPLES", "3").toInt
+    // memory-mode gumbel rehearsal FIRST, in its own fresh JVM-clean
+    // session — the r4 artifact measured it after ~24 min of headline
+    // queries and read 2.9× slow (GC/heap confound); pinned here with
+    // multi-sample median + spread + GC deltas (VERDICT r4 #1)
+    val gumbelJson =
+      try gumbelMemPinned(cpus, gumbelUrls, gumbelDomains, gumbelEpochs,
+        gumbelSamples)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
 
     val spark = session(cpus, fixedPartitions = false)
     // untimed session warmup (JVM + codegen + parquet footer reads) so
@@ -409,16 +599,6 @@ object Bench {
         name -> ((System.nanoTime() - t0) / 1e9, n)
       }
     }
-    // 100×-shape rehearsal on the same full-core session
-    val gumbelUrls =
-      sys.env.getOrElse("SPARK_GRAFT_GUMBEL_URLS", "10000000").toLong
-    val gumbelDomains =
-      sys.env.getOrElse("SPARK_GRAFT_GUMBEL_DOMAINS", "1000000").toInt
-    val gumbelEpochs =
-      sys.env.getOrElse("SPARK_GRAFT_GUMBEL_EPOCHS", "5").toInt
-    val gumbelJson =
-      try gumbelRehearsal(spark, gumbelUrls, gumbelDomains, gumbelEpochs)
-      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     // same shape, nWorkers=32 through the FUSED pop: jobs must stay
     // flat and near the single-worker count (the r4 headline property)
     val fusedJson =
@@ -451,7 +631,19 @@ object Bench {
     val pipelineJson =
       try pipelineScale(spark, pipeDocs)
       catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
+    // graph fixpoints at lineitem-scale edge counts (VERDICT r4 #3)
+    val graphJson =
+      try graphScale(spark, sfDir)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     spark.stop()
+
+    // corpus-pipeline north-rule pairing: quality + span-dedup at
+    // N vs 4N cores on the identical input (VERDICT r4 #7)
+    val pipeEffDocs =
+      sys.env.getOrElse("SPARK_GRAFT_PIPE_EFF_DOCS", "200000").toLong
+    val pipelineEffJson =
+      try pipelineEfficiency(pipeEffDocs, coresN)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
 
     // scaling protocol (north rule): identical input + identical 64-way
     // decomposition at N=1 and 4N=4 cores; efficiency = thr_4N/(4·thr_N).
@@ -512,6 +704,8 @@ object Bench {
       s""""frontier":$frontier,"gumbel":$gumbelJson,""" +
       s""""gumbel_fused":$fusedJson,""" +
       s""""gumbel_store":$gumbelStoreJson,""" +
-      s""""pipeline_scale":$pipelineJson}""")
+      s""""pipeline_scale":$pipelineJson,""" +
+      s""""graph_scale":$graphJson,""" +
+      s""""pipeline_efficiency":$pipelineEffJson}""")
   }
 }

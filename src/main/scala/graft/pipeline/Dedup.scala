@@ -524,6 +524,7 @@ object Dedup {
       changed = graft.util.Eager.long(m, "chg")
       round += 1
     }
+    GraphOps.lastRounds("components") = round
     labels
   }
 

@@ -15,6 +15,15 @@ import graft.util.Eager
   */
 object GraphOps {
 
+  /** Observed rounds-to-settle of the most recent fixpoint loop of
+    * each kind — a bench/diagnostic side channel (single-threaded
+    * callers), read by the graph_scale bench section to report how
+    * far below the loud `maxRounds` caps real graphs settle.
+    * Keys: "reach" (BFS closure), "seed_distance", "peel" (k-core),
+    * "components" (CC pointer-doubling). */
+  val lastRounds =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
   /** Fixed-point PageRank — deterministic to the last bit on any
     * engine.
     *
@@ -347,6 +356,7 @@ object GraphOps {
     // graph must fail loudly, not misclassify the horizon as TENDRIL
     require(!grew,
       s"BFS did not converge within $maxRounds rounds — raise maxRounds")
+    lastRounds("reach") = round
     reached
   }
 
@@ -388,6 +398,7 @@ object GraphOps {
     }
     require(!grew,
       s"BFS did not converge within $maxRounds rounds — raise maxRounds")
+    lastRounds("seed_distance") = round
     dist
   }
 
@@ -501,6 +512,7 @@ object GraphOps {
     require(!changed,
       s"k-core peel did not settle within $maxRounds rounds — " +
         "raise maxRounds")
+    lastRounds("peel") = round
     (e, m)
   }
 

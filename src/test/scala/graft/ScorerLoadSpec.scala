@@ -59,6 +59,66 @@ class ScorerLoadSpec extends AnyFunSuite with SparkSuite {
       "flipped weights must flip the crawl order")
   }
 
+  test("the full worked recipe: TRAIN a tiny logistic model, export " +
+       "JSON, reload via linearFromJson, and the crawl prefers the " +
+       "relevant cluster") {
+    // handful of labeled synth pages: relevant docs talk treasure,
+    // irrelevant docs are boilerplate filler
+    val labeled = Seq(
+      ("hidden treasure map with gold coins", 1.0),
+      ("the treasure chest holds gold", 1.0),
+      ("gold coins and a treasure hoard", 1.0),
+      ("pirate treasure buried with coins", 1.0),
+      ("boring filler about nothing much", 0.0),
+      ("plain boilerplate filler text here", 0.0),
+      ("nothing to see filler content", 0.0),
+      ("dull boring nothing text", 0.0)).toDF("text", "y")
+    val trained = graft.score.Scorers.trainLogistic(
+      labeled, $"text", $"y", iters = 40, lr = 1.0)
+    // the model separates its training set cleanly
+    assert(trained.scoreText("a treasure of gold coins") > 0.8,
+      s"relevant text must score high, got " +
+        trained.scoreText("a treasure of gold coins"))
+    assert(trained.scoreText("boring filler nothing") < 0.2,
+      s"irrelevant text must score low, got " +
+        trained.scoreText("boring filler nothing"))
+
+    // export -> reload: the round-trip preserves scores bit-exactly
+    val dir = Files.createTempDirectory("graft-trained")
+    val wf = dir.resolve("trained.json").toString
+    graft.score.Scorers.exportJson(trained, wf)
+    val loaded = graft.score.Scorers.linearFromJson(spark, wf)
+    assert(loaded.scoreText("gold treasure") ==
+      trained.scoreText("gold treasure"),
+      "export -> load must preserve the model exactly")
+
+    // the loaded model drives the crawl toward the relevant cluster:
+    // the root links both clusters; batchSize 1 pops the higher-
+    // priority (model-scored) link first
+    def p(path: String, html: String) = PageRow(
+      url = "http://t-site.com" + path,
+      warc_ts = new Timestamp(1735689600000L),
+      html = html.getBytes("UTF-8"),
+      text = graft.text.TextExtract.extractText(html),
+      lang = "en")
+    val pages = spark.createDataset(Seq(
+      p("/", """<a href="/gold">treasure gold coins</a>""" +
+        """<a href="/dull">boring filler nothing</a>"""),
+      p("/gold", "the treasure page"),
+      p("/dull", "the filler page"))).toDF()
+    val job = new CrawlJob(spark,
+      CrawlConfig(batchSize = 1, seed = 3L, depthPriority = 0), pages,
+      linkScorer = Some(loaded))
+    job.seed(Seq("http://t-site.com/"))
+    job.runEpoch()
+    job.runEpoch()
+    val second = job.crawledPages.filter($"epoch" === 2).select("url")
+      .as[String].head()
+    assert(second == "http://t-site.com/gold",
+      s"the trained model must steer the crawl to the relevant " +
+        s"cluster first, got $second")
+  }
+
   test("a null weight value fails at the load seam, naming the token") {
     val dir = Files.createTempDirectory("graft-badweights")
     val wf = dir.resolve("weights.json")
