@@ -401,20 +401,23 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       val afterPop =
         if (merged.isEmpty) scoresBase
         else {
-          import scala.jdk.CollectionConverters._
-          val rows: Seq[Row] = merged.toSeq.map { case (d, (n, nb)) =>
-            Row(d, n, nb.map(Long.box).orNull)
-          }
-          val popDf = spark.createDataFrame(rows.asJava, StructType(Seq(
-            StructField("domain", StringType),
-            StructField("_popped", LongType), StructField("_next", LongType))))
-          // pop deltas are batch-bounded (≤ sampled domains) → broadcast
-          scoresBase.join(broadcast(popDf), Seq("domain"), "left")
-            .withColumn("qlen", $"qlen" - coalesce($"_popped", lit(0L)))
+          // pop deltas are driver-side and batch-bounded (≤ sampled
+          // domains) → literal-map lookups, not a broadcast-join
+          // against a driver-built delta frame: same semantics, one
+          // fewer broadcast-exchange job per flush (a drained domain's
+          // next-best is absent from the map → null best, removed by
+          // the qlen filter exactly as the join's null column was)
+          val popN = typedlit(merged.toMap.view.mapValues(_._1).toMap)
+          val popNext = typedlit(merged.toSeq.collect {
+            case (d, (_, Some(nb))) => d -> nb
+          }.toMap)
+          val poppedN = element_at(popN, $"domain")
+          scoresBase
+            .withColumn("qlen", $"qlen" - coalesce(poppedN, lit(0L)))
             .filter($"qlen" > 0)
             .withColumn("best",
-              when($"_popped".isNotNull, $"_next").otherwise($"best"))
-            .drop("_popped", "_next")
+              when(poppedN.isNotNull, element_at(popNext, $"domain"))
+                .otherwise($"best"))
         }
       val withPush =
         if (pendingPushDeltas.isEmpty) afterPop
