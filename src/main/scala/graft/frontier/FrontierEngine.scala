@@ -400,13 +400,14 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
       }
       val afterPop =
         if (merged.isEmpty) scoresBase
-        else {
-          // pop deltas are driver-side and batch-bounded (≤ sampled
-          // domains) → literal-map lookups, not a broadcast-join
-          // against a driver-built delta frame: same semantics, one
-          // fewer broadcast-exchange job per flush (a drained domain's
-          // next-best is absent from the map → null best, removed by
-          // the qlen filter exactly as the join's null column was)
+        else if (merged.size <= literalMapMax) {
+          // small pop delta → literal-map lookups, not a broadcast
+          // join against a driver-built delta frame: same semantics,
+          // one fewer broadcast-exchange job per flush (a drained
+          // domain's next-best is absent from the map → null best,
+          // removed by the qlen filter exactly as the join's null
+          // column was). Bounded by literalMapMax because the map
+          // probe is a per-row linear key scan.
           val popN = typedlit(merged.toMap.view.mapValues(_._1).toMap)
           val popNext = typedlit(merged.toSeq.collect {
             case (d, (_, Some(nb))) => d -> nb
@@ -418,6 +419,22 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
             .withColumn("best",
               when(poppedN.isNotNull, element_at(popNext, $"domain"))
                 .otherwise($"best"))
+        } else {
+          import scala.jdk.CollectionConverters._
+          val rows: Seq[Row] = merged.toSeq.map { case (d, (n, nb)) =>
+            Row(d, n, nb.map(Long.box).orNull)
+          }
+          val popDf = spark.createDataFrame(rows.asJava, StructType(Seq(
+            StructField("domain", StringType),
+            StructField("_popped", LongType), StructField("_next", LongType))))
+          // past the literal-map bound: batch-bounded deltas → one
+          // broadcast hash join, O(1) probes on the big side
+          scoresBase.join(broadcast(popDf), Seq("domain"), "left")
+            .withColumn("qlen", $"qlen" - coalesce($"_popped", lit(0L)))
+            .filter($"qlen" > 0)
+            .withColumn("best",
+              when($"_popped".isNotNull, $"_next").otherwise($"best"))
+            .drop("_popped", "_next")
         }
       val withPush =
         if (pendingPushDeltas.isEmpty) afterPop
@@ -491,6 +508,16 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
   private val localBuffer = scala.collection.mutable.ArrayBuffer.empty[Popped]
 
   private def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** Above this many driver-side delta/count entries, per-row lookups
+    * switch from Catalyst map literals back to a broadcast hash join.
+    * A map literal probes by LINEAR key scan per row (GetMapValue has
+    * no hash index), so K keys × a 10^7-row scan side costs K·10^7
+    * string compares — measured 3-4× slower than the join at the
+    * 32-worker rehearsal's ~640-domain pops over 1M domains. At ≤ 32
+    * keys the scan is cheaper than the join's extra broadcast-exchange
+    * job on EVERY side size. */
+  private val literalMapMax = 32
 
   // --- introspection -------------------------------------------------------
 
@@ -1376,13 +1403,15 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
     val order = Seq($"priority".desc, $"url".asc, $"depth".asc)
     // The sampled (domain, n, salts) vector is ALWAYS driver-side —
     // batch-bounded on every selection path (driver vector, Gumbel
-    // winner prefix, test pops) — so attach n/salts as literal-map
-    // lookups instead of joining a broadcast countsDf: one fewer
-    // broadcast-exchange job per pop, and the store path prunes its
-    // scan without a re-collect.
+    // winner prefix, test pops). SMALL vectors attach n/salts as
+    // literal-map lookups (no broadcast-exchange job); past the
+    // threshold the lookup reverts to a broadcast hash join, because
+    // a Catalyst map literal probes by LINEAR key scan per row — at
+    // K sampled domains × a hot domain's 10^7 queued rows that scan
+    // IS the epoch (measured: the 32-worker rehearsal's ~640-domain
+    // pop at 1M domains ran 3-4× slower on map literals).
     val doms = counts.map(_._1)
-    val nMap = typedlit(counts.map(c => c._1 -> c._2).toMap)
-    val saltsMap = typedlit(counts.map(c => c._1 -> c._3).toMap)
+    val useMapLit = counts.size <= literalMapMax
     // store mode: prune the scan to the sampled domains' dbkt
     // partitions (PartitionFilters at the source — a batch-sized slice
     // of a 10^10-row frontier) before subtracting tombstones
@@ -1394,12 +1423,22 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         else pruned
       case None => visibleFrontier
     }
-    val selected = baseFrontier
-      .filter(if (doms.isEmpty) lit(false) else $"domain".isInCollection(doms))
-      .withColumn("n", element_at(nMap, $"domain"))
+    val (selected, saltOf) =
+      if (useMapLit) {
+        val nMap = typedlit(counts.map(c => c._1 -> c._2).toMap)
+        val sMap = typedlit(counts.map(c => c._1 -> c._3).toMap)
+        (baseFrontier
+          .filter(if (doms.isEmpty) lit(false)
+            else $"domain".isInCollection(doms))
+          .withColumn("n", element_at(nMap, $"domain")),
+          element_at(sMap, $"domain"))
+      } else
+        (baseFrontier.join(
+          broadcast(counts.toDF("domain", "n", "salts")), Seq("domain")),
+          col("salts"))
     val partial =
       if (cfg.popSalts <= 1 && cfg.adaptiveSaltTarget <= 0)
-        selected
+        selected.drop("salts")
       else {
         // keep rank n+1 per salt slice so the GLOBAL rank-(n+1) row is
         // guaranteed to survive into the exact phase (its slice rank is
@@ -1407,8 +1446,8 @@ final class FrontierEngine(val spark: SparkSession, val cfg: CrawlConfig) {
         // priority for the incremental master-score delta
         val w1 = Window.partitionBy($"domain", $"_salt").orderBy(order: _*)
         val salted = selected
-          .withColumn("_salt",
-            pmod(xxhash64($"url"), element_at(saltsMap, $"domain")))
+          .withColumn("_salt", pmod(xxhash64($"url"), saltOf))
+          .drop("salts")
         // store mode: the bucketed scan's HashPartitioning(domain)
         // already SATISFIES the salted window's required distribution
         // (subset rule), so the planner would insert no exchange and a
