@@ -250,6 +250,8 @@ object Bench {
     * against the trailing-round warm-epoch band. */
   def gumbelMemPinned(cpus: Int, nUrls: Long, nDomains: Int,
                       epochs: Int, samples: Int): String = {
+    require(samples >= 1,
+      s"SPARK_GRAFT_GUMBEL_SAMPLES must be >= 1, got $samples")
     val spark = session(cpus, fixedPartitions = false)
     try {
       // untimed plan warmup at 1/100 scale: compiles the ingest /

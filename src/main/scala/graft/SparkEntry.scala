@@ -665,16 +665,19 @@ object SparkEntry {
 
   /** q161's DuckDB oracle: the canonical audit replayed — identical
     * html synthesis (relative href-first links on the intra-host
-    * branch), identical two-order regexp extraction (RE2-safe
-    * pattern, '' on no match in both engines), relative canon ->
-    * page host, per-host counts + ppm. */
+    * branch, protocol-relative mirror declarations on even N),
+    * identical one-alternation first-declaration regexp extraction
+    * (RE2-safe pattern, '' on no match in both engines), relative
+    * canon -> page host, scheme-optional case-insensitive host
+    * extraction, per-host counts + ppm. */
   private def canonicalAuditOracleSql: String =
     """WITH base AS (SELECT
       |  'http://h' || CAST(l_suppkey % 20 AS VARCHAR) AS hp,
       |  l_suppkey % 20 AS hk, l_orderkey % 400 AS n FROM lineitem),
       |b AS (SELECT hp || '/p/' || CAST(n AS VARCHAR) AS url, hk, n,
-      |  CASE WHEN hk % 5 = 0
-      |    THEN 'http://master.com/p/' || CAST(n AS VARCHAR)
+      |  CASE WHEN hk % 5 = 0 THEN
+      |    CASE WHEN n % 2 = 0 THEN '//master.com/p/'
+      |      ELSE 'http://master.com/p/' END || CAST(n AS VARCHAR)
       |  WHEN n % 3 = 0 THEN hp || '/p/' || CAST(n AS VARCHAR)
       |  WHEN n % 3 = 1 THEN '/canon/' || CAST(n AS VARCHAR)
       |  ELSE NULL END AS canon FROM base),
@@ -689,18 +692,22 @@ object SparkEntry {
       |  FROM b),
       |x AS (SELECT url,
       |  CASE WHEN regexp_extract(html,
-      |      '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1) <> ''
+      |      '<link[^>]*?(?:rel="canonical"[^>]*?href="([^"]*)"|href="([^"]*)"[^>]*?rel="canonical")',
+      |      1) <> ''
       |    THEN regexp_extract(html,
-      |      '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+      |      '<link[^>]*?(?:rel="canonical"[^>]*?href="([^"]*)"|href="([^"]*)"[^>]*?rel="canonical")',
+      |      1)
       |    ELSE regexp_extract(html,
-      |      '<link[^>]*href="([^"]*)"[^>]*rel="canonical"', 1)
+      |      '<link[^>]*?(?:rel="canonical"[^>]*?href="([^"]*)"|href="([^"]*)"[^>]*?rel="canonical")',
+      |      2)
       |    END AS canon FROM p),
       |y AS (SELECT host, url, canon,
       |  CASE WHEN canon <> '' AND ch = '' THEN host ELSE ch END
       |    AS canon_host
-      |  FROM (SELECT regexp_extract(url, '^https?://([^/]+)', 1)
+      |  FROM (SELECT
+      |    regexp_extract(url, '^(?i)(?:https?:)?//([^/]+)', 1)
       |      AS host, url, canon,
-      |    regexp_extract(canon, '^https?://([^/]+)', 1) AS ch
+      |    regexp_extract(canon, '^(?i)(?:https?:)?//([^/]+)', 1) AS ch
       |    FROM x))
       |SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
       |  CAST(coalesce(sum(CASE WHEN canon <> '' THEN 1 END), 0)
@@ -3195,8 +3202,12 @@ object SparkEntry {
       val u = concat(lit("http://h"), hostK.cast("string"), lit("/p/"),
         n.cast("string"))
       val relCanon = hostK % 5 =!= 0 && n % 3 === 1
-      val canon = when(hostK % 5 === 0,
-          concat(lit("http://master.com/p/"), n.cast("string")))
+      // even-N mirror pages declare the canonical PROTOCOL-RELATIVE
+      // (//master.com/…) — still cross-host, the real-HTML shape that
+      // must not collapse to same-host
+      val canon = when(hostK % 5 === 0, concat(
+          when(n % 2 === 0, lit("//master.com/p/"))
+            .otherwise(lit("http://master.com/p/")), n.cast("string")))
         .when(n % 3 === 0, u)
         .when(n % 3 === 1, concat(lit("/canon/"), n.cast("string")))
         .otherwise(lit(null))

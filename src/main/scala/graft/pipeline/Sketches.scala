@@ -389,17 +389,18 @@ object Sketches {
     * exact leakage join scans the corpus; this answers the same
     * "how much do sources overlap" question from k rows per source). */
   def kmvJaccard(sketch: DataFrame): DataFrame = {
-    // The pair seed is the distinct-group list — small by
-    // construction (one row per SOURCE, not per document), so build
-    // grp_a × grp_b as a broadcast nested-loop (no shuffled
-    // cartesian) and probe the sketch sides with broadcast hash
-    // joins: at thousands of sources an unhinted crossJoin here
-    // would plan a cartesian over two exchanges.
+    // The pair seed is built from the distinct-group list — small by
+    // construction (one row per SOURCE, not per document) — so the
+    // grp_a × grp_b build broadcasts only the INNER group list (a
+    // broadcast nested-loop, no shuffled cartesian over two
+    // exchanges). The K²/2 pair frame itself is NOT broadcast-hinted:
+    // at thousands of sources it is millions of rows, and forcing it
+    // through one BroadcastExchange would cap the operator at driver
+    // memory — the planner joins it to the sketch sides by stats.
     val grps = sketch.select(col("grp")).distinct()
-    val pairs = broadcast(
-      grps.select(col("grp").as("grp_a"))
-        .crossJoin(broadcast(grps.select(col("grp").as("grp_b"))))
-        .filter(col("grp_a") < col("grp_b")))
+    val pairs = grps.select(col("grp").as("grp_a"))
+      .crossJoin(broadcast(grps.select(col("grp").as("grp_b"))))
+      .filter(col("grp_a") < col("grp_b"))
     val ua = pairs.join(sketch.withColumnRenamed("grp", "grp_a"), "grp_a")
       .select(col("grp_a"), col("grp_b"), col("h"), col("k"),
         lit(1).as("ia"), lit(0).as("ib"))

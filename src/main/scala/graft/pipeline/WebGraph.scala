@@ -476,28 +476,36 @@ object WebGraph {
     * of what [[mirrorCandidates]] and [[dustRules]] infer from
     * content). Extracts the FIRST `<link rel="canonical" href=…>` per
     * page with a codegen regexp (no HTML parser — the href cannot
-    * contain an unescaped quote); BOTH attribute orders match
-    * (`rel=… href=…` and `href=… rel=…`, each common in real HTML).
-    * A RELATIVE canonical href (`href="/p/1"`, no scheme+host) is by
+    * contain an unescaped quote); BOTH attribute orders match via one
+    * alternation (`rel=… href=…` and `href=… rel=…`, each common in
+    * real HTML), and FIRST means first in the document — a page with
+    * conflicting duplicate declarations (CMS + plugin stacks) keeps
+    * the earliest one, the rule browsers and crawlers apply. A
+    * RELATIVE canonical href (`href="/p/1"`, no scheme+host) is by
     * definition same-host, so it counts as intra-host rather than
-    * inflating offsite_ppm. Output per host: (host, n_pages,
-    * n_declared, n_self, n_intra_host, n_cross_host, offsite_ppm)
-    * with offsite = cross-host share of declared canonicals in ppm.
+    * inflating offsite_ppm; PROTOCOL-RELATIVE (`//mirror.com/p`) and
+    * case-insensitive-scheme hrefs keep their declared host — an
+    * all-offsite mirror must not read as 0 ppm. Output per host:
+    * (host, n_pages, n_declared, n_self, n_intra_host, n_cross_host,
+    * offsite_ppm) with offsite = cross-host share of declared
+    * canonicals in ppm.
     *
     * Scale shape: row-local regexp extraction + one map-side-
     * combinable host aggregate — nothing joins, nothing windows. */
   def canonicalAudit(pages: DataFrame, url: Column,
                      html: Column): DataFrame = {
     val hostOf = (c: Column) =>
-      regexp_extract(c, "^https?://([^/]+)", 1)
-    val relFirst = regexp_extract(html,
-      "<link[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"", 1)
-    val hrefFirst = regexp_extract(html,
-      "<link[^>]*href=\"([^\"]*)\"[^>]*rel=\"canonical\"", 1)
+      regexp_extract(c, "^(?i)(?:https?:)?//([^/]+)", 1)
+    // one alternation, evaluated twice for its two capture groups:
+    // both extracts see the SAME leftmost match, so whichever
+    // attribute order appears EARLIEST in the html wins
+    val linkRe = "<link[^>]*?(?:rel=\"canonical\"[^>]*?href=\"" +
+      "([^\"]*)\"|href=\"([^\"]*)\"[^>]*?rel=\"canonical\")"
+    val relG = regexp_extract(html, linkRe, 1)
+    val hrefG = regexp_extract(html, linkRe, 2)
     pages
       .select(url.as("url"),
-        when(relFirst =!= "", relFirst).otherwise(hrefFirst)
-          .as("canon"))
+        when(relG =!= "", relG).otherwise(hrefG).as("canon"))
       .select(hostOf(col("url")).as("host"), col("url"), col("canon"))
       // relative declared canonical -> the page's own host
       .withColumn("canon_host",

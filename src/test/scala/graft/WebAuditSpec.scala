@@ -543,6 +543,31 @@ class WebAuditSpec extends AnyFunSuite with SparkSuite {
       s"got $got")
   }
 
+  test("canonicalAudit: protocol-relative and uppercase-scheme hrefs " +
+       "keep their declared host (offsite, not intra); the FIRST " +
+       "declaration wins regardless of attribute order") {
+    val pages = Seq(
+      // protocol-relative cross-host -> cross, not intra
+      ("http://a.com/1",
+        """<link rel="canonical" href="//mirror.com/1"/>"""),
+      // uppercase scheme cross-host -> cross
+      ("http://a.com/2",
+        """<link rel="canonical" href="HTTP://B.COM/2"/>"""),
+      // conflicting duplicates: href-first tag comes FIRST in the
+      // document and must win over the later rel-first tag
+      ("http://a.com/3",
+        """<link href="/first" rel="canonical"/>""" +
+        """<link rel="canonical" href="http://late.com/3"/>"""))
+      .toDF("url", "html")
+    val got = WebGraph.canonicalAudit(pages, $"url", $"html")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    // 3 declared: 2 cross (//mirror.com, HTTP://B.COM) + 1 intra
+    // (the FIRST declaration /first, relative -> a.com)
+    assert(got == Map("a.com" -> ((3L, 3L, 0L, 1L, 2L, 666666L))),
+      s"got $got")
+  }
+
   // --- graph churn (q160) ----------------------------------------------------------
 
   test("graphChurn: per-src added/removed/kept from the snapshot edge " +
