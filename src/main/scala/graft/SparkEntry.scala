@@ -120,6 +120,63 @@ object SparkEntry {
        |FROM r5 ORDER BY node""".stripMargin
   }
 
+  /** q162's DuckDB oracle: both integer rank chains (q48's PageRank,
+    * q134's seeded TrustRank) embedded verbatim as subquery CTEs,
+    * joined by the clamped spam-mass formula — positive operands
+    * throughout, so `//` and Spark's `div` agree exactly. */
+  private def spamMassOracleSql: String =
+    "WITH pr AS (" + pagerankOracleSql.replace("ORDER BY node", "") +
+      "),\ntr AS (" + pprOracleSql.replace("ORDER BY node", "") + ")\n" +
+      """SELECT pr.node, pr.rank_fp, tr.rank_fp AS trusted_fp,
+        |  CAST(greatest(pr.rank_fp - tr.rank_fp, 0) * 1000000
+        |    // pr.rank_fp AS BIGINT) AS spam_mass_ppm
+        |FROM pr JOIN tr ON tr.node = pr.node
+        |ORDER BY pr.node""".stripMargin
+
+  /** q163's DuckDB oracle: BPE merge learning replayed round by round
+    * — pair counts from a positional unnest over the symbol lists,
+    * top-1 on (count desc, lhs, rhs), and the greedy left-to-right
+    * merge pass as a space-delimited `list_reduce` fold (tokens are
+    * whitespace-free by construction, so the delimiter is safe; the
+    * fold merges exactly when the accumulator's LAST symbol equals
+    * lhs — `ends_with(acc, ' ' || lhs)` needs the preceding space, so
+    * a longer symbol merely ending in lhs can never false-match). */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""p$i AS (SELECT syms, n,
+         |    unnest(range(1, len(syms))) AS i FROM $prev),
+         |c$i AS (SELECT syms[i] AS l, syms[i+1] AS r,
+         |    CAST(sum(n) AS BIGINT) AS cnt FROM p$i GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, l || r AS m, cnt FROM c$i
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$i AS (SELECT string_split(list_reduce(syms,
+         |      (acc, x) -> CASE
+         |        WHEN (acc = b.l OR ends_with(acc, ' ' || b.l))
+         |             AND x = b.r
+         |        THEN CASE WHEN acc = b.l THEN b.m
+         |          ELSE concat(left(acc, length(acc) - length(b.l) - 1),
+         |            ' ', b.m) END
+         |        ELSE acc || ' ' || x END), ' ') AS syms, n
+         |  FROM $prev, b$i b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to nMerges).map(i =>
+      s"""SELECT $i AS merge_no, l AS lhs, r AS rhs, m AS merged,
+         |  cnt AS pair_count FROM b$i""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (SELECT unnest(list_filter(string_split_regex(
+       |    coalesce(text, ''), '\\s+'), x -> x <> '')) AS word
+       |  FROM documents),
+       |vw AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+       |  FROM toks GROUP BY 1),
+       |v0 AS (SELECT list_append(list_transform(
+       |    range(1, length(word) + 1), i -> word[i]), '</w>') AS syms,
+       |    n FROM vw),
+       |$rounds
+       |SELECT * FROM ($out)
+       |ORDER BY merge_no""".stripMargin
+  }
+
   /** q135's DuckDB oracle: the composed crawl planner — the sparse
     * host-pair rollup, the seed-restart integer PPR recurrence
     * unrolled to 4 iterations over STRING host nodes (seeds
@@ -3194,6 +3251,34 @@ object SparkEntry {
     // order — exercising both real-HTML shapes) / undeclared; every
     // 5th host canonicalizes cross-host onto master.com (the
     // self-reported mirror). -------------------------------------------------
+    // --- relative link-spam mass (Gyöngyi et al. 2006): plain
+    // PageRank minus TrustRank over the q48 edge set, q134's seed set
+    // as the trusted core — both integer fixpoints replayed verbatim
+    // by the oracle, joined by the clamped ppm formula. -----------------------
+    "q162_spam_mass" -> ((s, dir) => {
+      import s.implicits._
+      val e0 = t(s, dir, "lineitem")
+        .select(($"l_suppkey" * 2).as("src"), ($"l_partkey" * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = edges.select($"src".as("node"))
+        .union(edges.select($"dst".as("node")))
+        .distinct().filter($"node" % 10 === 0)
+      graft.pipeline.GraphOps.spamMass(edges, seeds, iters = 5)
+        .orderBy($"node")
+    }),
+
+    // --- distributed BPE merge learning (Sennrich et al. 2016) over
+    // the documents word vocabulary: 8 weighted top-pair merges, each
+    // applied corpus-wide by a codegen'd array fold; the oracle
+    // replays every round with list folds in SQL. ----------------------------
+    "q163_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Bpe.bpeMerges(t(s, dir, "documents"), $"text",
+          nMerges = 8)
+        .orderBy($"merge_no")
+    }),
+
     "q161_canonical_audit" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
@@ -6811,6 +6896,10 @@ object SparkEntry {
     "q159_novelty_rate" -> noveltyOracleSql,
 
     "q160_graph_churn" -> graphChurnOracleSql,
+
+    "q162_spam_mass" -> spamMassOracleSql,
+
+    "q163_bpe_merges" -> bpeOracleSql(8),
 
     "q161_canonical_audit" -> canonicalAuditOracleSql,
 

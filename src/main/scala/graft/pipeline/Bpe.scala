@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.util.Eager
+
+/** Distributed BPE merge learning (Sennrich, Haddow, Birch, "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016) —
+  * the tokenizer-training step of an LLM data pipeline, run on the
+  * engine instead of a single-node trainer.
+  *
+  * Training operates on the corpus WORD VOCABULARY (the standard
+  * formulation): each distinct whitespace word, weighted by its corpus
+  * count, starts as its character sequence plus an end-of-word marker;
+  * every round counts adjacent symbol pairs (weighted), merges the
+  * most frequent pair everywhere, and records it. The merge list IS
+  * the trained tokenizer.
+  *
+  * Scale shape: the corpus is scanned ONCE (word count); every round
+  * after that runs on the |vocab|-row symbol table — a positional
+  * pair explode (bounded by word length, never corpus length), one
+  * map-side-combinable weighted count, a top-1 TakeOrdered, and one
+  * codegen'd array fold applying the merge. Driver state is the merge
+  * list itself: O(nMerges) rows of three short strings — the
+  * artifact being trained, not data. Lineage is cut per round.
+  */
+object Bpe {
+
+  /** Initial symbol sequence of one word: its code points plus the
+    * end-of-word marker. (?!^) splits between every code point (Java
+    * regex is code-point aware); the zero-width match at end-of-string
+    * yields a trailing empty element under Spark's limit=-1 split, so
+    * empties are filtered. */
+  private def charSyms(w: Column, endMark: String): Column =
+    concat(filter(split(w, "(?!^)"), c => length(c) > lit(0)),
+      array(lit(endMark)))
+
+  /** One greedy left-to-right merge pass: fold the symbol array,
+    * joining every adjacent (l, r) occurrence into `m`. Exactly
+    * Sennrich's single-pass semantics — a just-created merge result is
+    * never itself re-merged in the same pass (the fold compares the
+    * accumulator's LAST symbol, which after a merge is `m`, never `l`
+    * unless the text genuinely contains it). */
+  private def mergePass(syms: Column, l: String, r: String,
+                        m: String): Column =
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      array(element_at(syms, 1)),
+      (acc, x) =>
+        when(element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Learn `nMerges` BPE merges over the whitespace-word vocabulary of
+    * `text` ([[TextAnalysis.tokensWs]] is the tokenizer contract).
+    * Returns the ordered merge table — (merge_no, lhs, rhs, merged,
+    * pair_count), one row per learned merge, pair_count the weighted
+    * adjacent-pair frequency at the time of the merge. Ties break
+    * deterministically on (count desc, lhs asc, rhs asc) in binary
+    * string order (UTF-8 byte order == codepoint order, so any engine
+    * agrees). Stops early if no adjacent pair remains. */
+  def bpeMerges(df: DataFrame, text: Column, nMerges: Int,
+                endMark: String = "</w>"): DataFrame = {
+    require(nMerges >= 1, "need at least one merge")
+    require(endMark.nonEmpty && !endMark.exists(_.isWhitespace),
+      "end marker must be non-empty and whitespace-free")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(TextAnalysis.tokensWs(text)).as("word"))
+    var vocab = Eager.ckpt(
+      words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .select(charSyms(col("word"), endMark).as("syms"), col("n")))
+    val out = ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      val best = vocab.filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms)-1), " +
+            "i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"),
+          col("n"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = best.head
+        val m = l + r
+        out += ((round, l, r, m, cnt))
+        vocab = Eager.ckpt(vocab.select(
+          mergePass(col("syms"), l, r, m).as("syms"), col("n")))
+        round += 1
+      }
+    }
+    out.toSeq
+      .toDF("merge_no", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Apply a learned merge list to a corpus: segment every whitespace
+    * word of `text` into the subword units the merges produce, in
+    * merge order (the BPE ENCODE step, greedy by training rank).
+    * `merges` is the (lhs, rhs) list from [[bpeMerges]], applied as
+    * literal folds — tokenizer constants, not data, so they ride the
+    * closure instead of a join. Returns (id, subwords array<string>,
+    * n_subwords). */
+  def bpeSegment(df: DataFrame, id: Column, text: Column,
+                 merges: Seq[(String, String)],
+                 endMark: String = "</w>"): DataFrame = {
+    val base = df.select(id.as("doc_id"),
+      TextAnalysis.tokensWs(text).as("ws"))
+    def perWord(w: Column): Column = merges.foldLeft(
+      charSyms(w, endMark)) {
+      case (acc, (l, r)) =>
+        // re-fold the evolving symbol array for each merge in order
+        aggregate(
+          slice(acc, lit(2), greatest(size(acc) - 1, lit(0))),
+          array(element_at(acc, 1)),
+          (a, x) =>
+            when(element_at(a, -1) === lit(l) && x === lit(r),
+              concat(slice(a, lit(1), size(a) - 1), array(lit(l + r))))
+              .otherwise(concat(a, array(x))))
+    }
+    base.select(col("doc_id"),
+      flatten(transform(col("ws"), w => perWord(w))).as("subwords"))
+      .withColumn("n_subwords", size(col("subwords")).cast("long"))
+  }
+}

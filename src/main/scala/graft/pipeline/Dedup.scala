@@ -486,11 +486,13 @@ object Dedup {
                           maxRounds: Int = 60): DataFrame = {
     val a = col(aCol)
     val b = col(bCol)
-    // symmetric edge list, kept hot: it is re-joined every round
-    val edges = graft.util.Eager.ckpt(
+    // symmetric edge list, kept hot AND dst-clustered: it is re-joined
+    // on dst every round, so store it already partitioned on that key
+    // (the round's join then moves only the |V|-row label table)
+    val edges = graft.util.Eager.ckptBy(
       pairs.select(a.as("src"), b.as("dst"))
         .union(pairs.select(b.as("src"), a.as("dst")))
-        .distinct())
+        .distinct(), "dst")
     var labels = graft.util.Eager.ckpt(
       edges.select(col("src").as("node")).distinct()
         .withColumn("component", col("node")))

@@ -79,7 +79,10 @@ object GraphOps {
                              nSeeds: Long, iters: Int, dampNum: Long,
                              dampDen: Long, unit: Long): DataFrame = {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(outdeg, "src").localCheckpoint(true)
+    // stored src-clustered: every iteration re-joins eDeg on src, and
+    // the preserved partitioning keeps the static edge side out of the
+    // per-iteration exchange (see Eager.ckptBy)
+    val eDeg = Eager.ckptBy(e.join(outdeg, "src"), "src")
     val base = ((dampDen - dampNum) * unit) / dampDen / nSeeds
     var ranks = nodes.select(col("node"),
       when(col("is_seed"), lit(unit / nSeeds)).otherwise(lit(0L))
@@ -146,6 +149,44 @@ object GraphOps {
     seededRankLoop(e, nodes, nSeeds, iters, dampNum, dampDen, unit)
   }
 
+  /** Relative link-spam mass (Gyöngyi, Berkhin, Garcia-Molina,
+    * Pedersen, "Link Spam Detection Based on Mass Estimation", VLDB
+    * 2006): the share of a node's PageRank NOT explained by a trusted
+    * core. Runs the two integer fixpoints already defined above —
+    * plain PageRank (restart mass uniform over V) and TrustRank
+    * ([[personalizedPageRank]], restart mass to `seeds`) — and reports
+    *
+    *   spam_mass_ppm(v) = max(rank(v) − trusted(v), 0) · 10^6
+    *                      div rank(v)
+    *
+    * A page whose rank is fully accounted for by trusted proximity
+    * reads 0; a link farm unreachable from the trusted core reads
+    * exactly 10^6 (its trusted rank is 0). The clamp at 0 (trusted
+    * rank can exceed plain rank near the seeds) keeps every value in
+    * [0, 10^6] and keeps the integer division replayable on any
+    * engine without negative-truncation ambiguity.
+    *
+    * Scale shape: two [[seededRankLoop]] fixpoints (each over a
+    * src-clustered edge store) plus ONE |V|-row join — nothing beyond
+    * the PageRank cost it already pays twice. Same BIGINT micro-unit
+    * discipline; overflow bound rank_fp · 10^6 < 2^63 holds to
+    * unit = 10^12. */
+  def spamMass(edges: DataFrame, seeds: DataFrame, iters: Int,
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               unit: Long = 1000000000000L): DataFrame = {
+    val pr = pageRankFixedPoint(edges, iters, dampNum, dampDen, unit)
+      .select(col("node"), col("rank_fp"))
+    val tr = personalizedPageRank(edges, seeds, iters, dampNum,
+        dampDen, unit)
+      .select(col("node"), col("rank_fp").as("trusted_fp"))
+    pr.join(tr, Seq("node"))
+      .select(col("node"), col("rank_fp"), col("trusted_fp"),
+        when(col("rank_fp") > 0,
+          expr("greatest(rank_fp - trusted_fp, 0L) * 1000000L " +
+            "div rank_fp"))
+          .otherwise(lit(0L)).as("spam_mass_ppm"))
+  }
+
   /** Fixed-point WEIGHTED PageRank: transition mass proportional to an
     * integer edge weight — the natural rank over [[WebGraph.domainGraph]]
     * output, where an edge carrying 10^5 actual links should pull
@@ -180,7 +221,9 @@ object GraphOps {
     val n = nodes.count()
     require(n > 0, "empty graph")
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val eW = e.join(outW, "src").localCheckpoint(true)
+    // src-clustered store: the per-iteration join reuses it exchange-
+    // free (see Eager.ckptBy)
+    val eW = Eager.ckptBy(e.join(outW, "src"), "src")
     val base = ((dampDen - dampNum) * unit) / dampDen / n
     var ranks = nodes.withColumn("r", lit(unit / n))
     for (i <- 1 to iters) {
@@ -236,6 +279,11 @@ object GraphOps {
     require(iters >= 1, "need at least one iteration")
     require(unit > 0, "positive unit")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // one src-clustered and one dst-clustered copy: the a-step joins
+    // on src, the h-step on dst — both sides of every round's join
+    // then move only the |V|-row score table (see Eager.ckptBy)
+    val eBy = Map("src" -> Eager.ckptBy(e, "src"),
+      "dst" -> Eager.ckptBy(e, "dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
@@ -243,7 +291,7 @@ object GraphOps {
       "div greatest(mx, 1L)")
     def halfStep(scores: DataFrame, in: String, out: String,
                  col0: String, col1: String): DataFrame = {
-      val m = e.join(scores.withColumnRenamed("node", in), in)
+      val m = eBy(in).join(scores.withColumnRenamed("node", in), in)
         .groupBy(col(out)).agg(sum(col(col0)).as("s"))
       val mx = m.agg(coalesce(max(col("s")), lit(0L)).as("mx"))
       nodes.join(m.withColumnRenamed(out, "node"), Seq("node"), "left")
@@ -333,7 +381,11 @@ object GraphOps {
     * frontier against the static edge table and anti-joins out settled
     * nodes, so a node is expanded exactly once and the loop runs
     * O(diameter) rounds; the per-round driver state is one scalar (the
-    * frontier size, observed on the checkpoint job itself). */
+    * frontier size, observed on the checkpoint job itself).
+    *
+    * `edges` should be stored src-clustered ([[Eager.ckptBy]] on
+    * "src") — the per-round frontier join then moves only the
+    * frontier, never the edge table. */
   private def reach(edges: DataFrame, seeds: DataFrame,
                     maxRounds: Int): DataFrame = {
     var reached = Eager.ckpt(seeds.select(col("node")).distinct())
@@ -375,9 +427,9 @@ object GraphOps {
   def seedDistance(edgesIn: DataFrame, src: String, dst: String,
                    seeds: DataFrame,
                    maxRounds: Int = 300): DataFrame = {
-    val edges = Eager.ckpt(
+    val edges = Eager.ckptBy(
       edgesIn.select(col(src).as("src"), col(dst).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct())
+        .filter(col("src") =!= col("dst")).distinct(), "src")
     var dist = Eager.ckpt(seeds.select(col("node")).distinct()
       .withColumn("hops", lit(0)))
     var frontier = dist.select(col("node"))
@@ -430,10 +482,14 @@ object GraphOps {
     * `maxRounds` fails loudly rather than misclassifying the horizon. */
   def bowtie(edgesIn: DataFrame, src: String, dst: String,
              maxRounds: Int = 300): DataFrame = {
-    val edges = Eager.ckpt(
+    // each direction stored src-clustered ONCE — the five BFS loops
+    // below then never re-shuffle an edge table (see Eager.ckptBy)
+    val edges = Eager.ckptBy(
       edgesIn.select(col(src).as("src"), col(dst).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct())
-    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct(), "src")
+    val rev = Eager.ckptBy(
+      edges.select(col("dst").as("src"), col("src").as("dst")), "src")
+    val und = Eager.ckptBy(edges.union(rev), "src")
     val nodes = Eager.ckpt(edges.select(col("src").as("node"))
       .union(rev.select(col("src").as("node"))).distinct())
     val pivot = edges.select(col("src").as("node"))
@@ -448,7 +504,7 @@ object GraphOps {
     val out = Eager.ckpt(fwd.join(core, Seq("node"), "left_anti"))
     val tFrom = reach(edges, inn, maxRounds)
     val tTo = reach(rev, out, maxRounds)
-    val weak = reach(edges.union(rev), pivot, maxRounds)
+    val weak = reach(und, pivot, maxRounds)
     def flag(s: DataFrame, name: String): DataFrame =
       s.withColumn(name, lit(true))
     def set(name: String) = coalesce(col(name), lit(false))
@@ -687,9 +743,9 @@ object GraphOps {
     require(iters >= 1, "need at least one iteration")
     val e = edgesIn.select(col(src).as("node"), col(dst).as("nbr"))
       .filter(col("node") =!= col("nbr"))
-    val und = Eager.ckpt(
+    val und = Eager.ckptBy(
       e.union(e.select(col("nbr").as("node"), col("node").as("nbr")))
-        .distinct())
+        .distinct(), "nbr")
     var labels = und.select(col("node")).distinct()
       .withColumn("lbl", col("node"))
     val top = Window.partitionBy(col("node"))

@@ -40,6 +40,42 @@ object Eager {
   /** Plain eager localCheckpoint (lineage truncation for loop state). */
   def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Eager localCheckpoint HASH-PARTITIONED (and sorted) on `key`.
+    *
+    * `Dataset.localCheckpoint` preserves the physical plan's
+    * outputPartitioning and outputOrdering through the `LogicalRDD` it
+    * returns, so a static table that a fixpoint loop re-joins every
+    * round (the edge list of a BFS / PageRank / label-propagation /
+    * connected-components iteration) should be stored ALREADY
+    * clustered on its join key: every subsequent equi-join on that key
+    * then needs NO exchange and NO sort on the big static side — only
+    * the (frontier-sized) other side moves. One setup shuffle replaces
+    * O(rounds) full-edge-table shuffles.
+    *
+    * The partition count is pinned to the session's shuffle
+    * parallelism (an explicit count also keeps AQE from coalescing the
+    * stored layout to one giant partition at small data sizes).
+    *
+    * AQE is switched off for the materialization only: under an
+    * `AdaptiveSparkPlanExec` root, `localCheckpoint` records
+    * UnknownPartitioning (AQE reserves the right to re-plan the
+    * exchange), which would put the big static side back into every
+    * round's shuffle — exactly what this helper exists to avoid. The
+    * surrounding query still plans adaptively; it simply sees a
+    * checkpointed table with a known clustering. (Session-level conf
+    * flip: safe for the single-threaded fixpoint drivers that call
+    * this; not for concurrent SQL on the same session.) */
+  def ckptBy(df: DataFrame, key: String): DataFrame = {
+    val sess = df.sparkSession
+    val n = sess.sessionState.conf.numShufflePartitions
+    val prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.repartition(n, org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(key)
+      .localCheckpoint(true)
+    finally sess.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   def long(m: Map[String, Any], key: String): Long = m(key) match {
     case null    => 0L
     case l: Long => l

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Bpe
+
+/** BPE merge learning (Sennrich et al. 2016) against an independent
+  * in-memory reference implementation. */
+class BpeSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  /** Reference BPE trainer: plain Scala, no Spark. */
+  private def refMerges(corpus: Seq[String], nMerges: Int,
+                        endMark: String = "</w>")
+      : Seq[(Int, String, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = corpus
+      .flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) =>
+        (w.toCharArray.map(_.toString).toVector :+ endMark,
+          ws.size.toLong)
+      }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= nMerges && !done) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          val k = (p(0), p(1))
+          counts(k) = counts.getOrElse(k, 0L) + n
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        val m = l + r
+        out += ((round, l, r, m, cnt))
+        vocab = vocab.toSeq.map { case (syms, n) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += m; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), n)
+        }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }
+        round += 1
+      }
+    }
+    out.result()
+  }
+
+  private val corpus = Seq(
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+    "low lower newest")
+
+  test("bpeMerges equals the sequential Sennrich reference on the " +
+       "classic low/lower/newest/widest corpus, merge by merge") {
+    val got = Bpe.bpeMerges(corpus.toDF("text"), $"text", nMerges = 8)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+    val want = refMerges(corpus, 8)
+    assert(got == want)
+  }
+
+  test("bpeMerges is deterministic under repartitioning and ties " +
+       "break on (count desc, lhs, rhs)") {
+    val df = corpus.toDF("text")
+    val a = Bpe.bpeMerges(df, $"text", 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val b = Bpe.bpeMerges(df.repartition(7), $"text", 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(a.sortBy(_._1) == b.sortBy(_._1))
+    // "ab ab": pairs (a,b) weight 2, (b</w> edge) — the (a,b) merge
+    // must precede and tie-break lexicographically among equals
+    val t = Bpe.bpeMerges(Seq("ab ba ab ba").toDF("text"), $"text", 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // (a,b): in "ab" twice; (b,a): in "ba" twice; counts tie at 2 —
+    // plus (b,</w>) twice and (a,</w>) twice also tie; lhs/rhs order
+    // decides: (a,b) < (a,</w>)? binary: '<' (0x3c) < 'b' (0x62), so
+    // (a,'</w>') sorts before (a,'b')
+    assert(t.head._2 == "a" && t.head._3 == "</w>" && t.head._5 == 2L)
+  }
+
+  test("bpeMerges stops early when no pairs remain and handles " +
+       "single-char words") {
+    val got = Bpe.bpeMerges(Seq("a a a").toDF("text"), $"text", 10)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+    // round 1: (a, </w>) count 3 -> "a</w>"; then one-symbol words
+    // only: no pairs, stop
+    assert(got == Seq((1, "a", "</w>", "a</w>", 3L)))
+  }
+
+  test("bpeSegment applies learned merges in training order; " +
+       "subword concat reconstructs each word + end marker") {
+    val df = corpus.toDF("text").withColumn("id", monotonically_increasing_id())
+    val merges = Bpe.bpeMerges(df, $"text", 6)
+      .orderBy($"merge_no")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val seg = Bpe.bpeSegment(df, $"id", $"text",
+      merges.map(m => (m._2, m._3)))
+    val rows = seg.select($"doc_id", $"subwords").as[(Long, Seq[String])]
+      .collect().toMap
+    val byId = df.select($"id", $"text").as[(Long, String)].collect().toMap
+    rows.foreach { case (id, subs) =>
+      val words = byId(id).split("\\s+").filter(_.nonEmpty)
+      assert(subs.mkString == words.map(_ + "</w>").mkString,
+        s"doc $id reconstruction")
+    }
+    // and "low" after merges (l,o),(lo,w),(low,</w>) collapses fully
+    val one = Bpe.bpeSegment(Seq((0L, "low")).toDF("id", "t"), $"id",
+      $"t", Seq(("l", "o"), ("lo", "w"), ("low", "</w>")))
+      .select($"subwords").as[Seq[String]].head()
+    assert(one == Seq("low</w>"))
+  }
+}

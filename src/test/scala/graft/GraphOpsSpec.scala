@@ -198,6 +198,35 @@ class GraphOpsSpec extends AnyFunSuite with SparkSuite {
     assert(dsts.map(_._3).max == Unit6, "max-norm pins best auth at unit")
   }
 
+  test("spamMass: a link farm disconnected from the trusted core " +
+       "reads exactly 10^6 ppm, the trusted component reads low, " +
+       "seeds clamp at 0, and values equal the two fixpoints' formula") {
+    // trusted component: 1 -> 2 -> 3 -> 1 (seed 1); spam farm:
+    // 10 <-> 11 <-> 12 (cyclic), no path from the seed
+    val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L)
+    val seeds = Seq(1L).toDF("node")
+    val got = GraphOps.spamMass(e.toDF("src", "dst"), seeds, iters = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val byNode = got.map(t => t._1 -> t).toMap
+    // farm nodes: trusted rank exactly 0 -> ppm exactly 10^6
+    Seq(10L, 11L, 12L).foreach { v =>
+      assert(byNode(v)._3 == 0L && byNode(v)._4 == 1000000L, s"node $v")
+    }
+    // the seed: trusted restart mass >= plain restart mass -> clamped 0
+    assert(byNode(1L)._4 == 0L)
+    // trusted component stays far below the farm's mass
+    Seq(2L, 3L).foreach(v => assert(byNode(v)._4 < 500000L, s"node $v"))
+    // every row satisfies the exact integer formula
+    got.foreach { case (_, pr, tr, ppm) =>
+      assert(ppm == math.max(pr - tr, 0L) * 1000000L / pr)
+    }
+    // and the two columns ARE the published fixpoints
+    val pr = GraphOps.pageRankFixedPoint(e.toDF("src", "dst"), 5)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._2).toMap
+    got.foreach { case (v, rfp, _, _) => assert(rfp == pr(v)) }
+  }
+
   test("hits: deterministic across runs and under repartitioning") {
     val e = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 2L)
     val a = GraphOps.hitsFixedPoint(e.toDF("src", "dst"), 3)
@@ -217,6 +246,25 @@ class GraphOpsSpec extends AnyFunSuite with SparkSuite {
     assert(qe.contains("BroadcastNestedLoopJoin") ||
            qe.contains("BroadcastExchange"),
       s"normalizer must join back broadcast:\n$qe")
+  }
+
+  test("ckptBy-stored static tables join without re-shuffling: the " +
+       "per-round equi-join moves only the frontier side") {
+    // the fixpoint loops (reach/pageRank/HITS/LPA/CC) store their edge
+    // table clustered on the join key ONCE; every round's join must
+    // then shuffle only the small evolving side, never the edges
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = (1L to 2000L).map(i => i -> (i % 97)).toDF("src", "dst")
+      val stored = graft.util.Eager.ckptBy(e, "src")
+      val frontier = Seq(1L, 2L, 3L).toDF("src")
+      val plan = stored.join(frontier, "src")
+        .queryExecution.executedPlan.toString
+      val nExch = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nExch == 1,
+        s"only the frontier side may carry an exchange ($nExch):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("per-iteration message aggregate combines map-side before the " +
