@@ -87,7 +87,7 @@ object Bench {
     "q154_component_census", "q155_webgraph_profile",
     "q156_powerlaw_alpha", "q157_weighted_sample",
     "q158_seed_distance", "q159_novelty_rate", "q160_graph_churn",
-    "q161_canonical_audit")
+    "q161_canonical_audit", "q162_spam_mass", "q163_bpe_merges")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()
