@@ -29,13 +29,16 @@ import graft.util.Eager
   */
 object Bpe {
 
-  /** Initial symbol sequence of one word: its code points plus the
-    * end-of-word marker. (?!^) splits between every code point (Java
-    * regex is code-point aware); the zero-width match at end-of-string
-    * yields a trailing empty element under Spark's limit=-1 split, so
-    * empties are filtered. */
+  /** Initial symbol sequence of one word: its CODE POINTS plus the
+    * end-of-word marker. Extracted positionally — `length`/`substr`
+    * on UTF8String count code points, so an astral char (one 4-byte
+    * UTF-8 sequence) stays a single whole symbol; a regex split on a
+    * zero-width pattern would cut between its UTF-16 surrogate
+    * halves. This is also exactly the oracle's `word[i]` character
+    * indexing. */
   private def charSyms(w: Column, endMark: String): Column =
-    concat(filter(split(w, "(?!^)"), c => length(c) > lit(0)),
+    concat(
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
       array(lit(endMark)))
 
   /** One greedy left-to-right merge pass: fold the symbol array,
@@ -106,28 +109,49 @@ object Bpe {
     * word of `text` into the subword units the merges produce, in
     * merge order (the BPE ENCODE step, greedy by training rank).
     * `merges` is the (lhs, rhs) list from [[bpeMerges]], applied as
-    * literal folds — tokenizer constants, not data, so they ride the
-    * closure instead of a join. Returns (id, subwords array<string>,
-    * n_subwords). */
+    * literal [[mergePass]] folds — tokenizer constants, not data, so
+    * they ride the closure instead of a join. Returns (doc_id,
+    * subwords array<string>, n_subwords).
+    *
+    * Merges are applied in CHUNKS of `chunkSize` with a lineage-
+    * cutting checkpoint between chunks: nesting one fold inside the
+    * next grows the Catalyst expression tree ~3× per merge (each step
+    * references its input three times and projection collapsing
+    * re-inlines named intermediates), so an unchunked fold is
+    * exponential in the merge count and an unbounded `withColumn`
+    * chain collapses back to the same tree. Chunking bounds the tree
+    * at 3^chunkSize per projection and makes total work linear: one
+    * corpus-sized materialization per chunk. Fine for the
+    * hundreds-of-merges regime; a 30k-merge production encode wants a
+    * per-word dictionary automaton, not expression folds. */
   def bpeSegment(df: DataFrame, id: Column, text: Column,
                  merges: Seq[(String, String)],
-                 endMark: String = "</w>"): DataFrame = {
+                 endMark: String = "</w>",
+                 chunkSize: Int = 8): DataFrame = {
+    require(chunkSize >= 1 && chunkSize <= 12,
+      "chunkSize bounds the 3^chunkSize expression tree")
     val base = df.select(id.as("doc_id"),
       TextAnalysis.tokensWs(text).as("ws"))
-    def perWord(w: Column): Column = merges.foldLeft(
-      charSyms(w, endMark)) {
-      case (acc, (l, r)) =>
-        // re-fold the evolving symbol array for each merge in order
-        aggregate(
-          slice(acc, lit(2), greatest(size(acc) - 1, lit(0))),
-          array(element_at(acc, 1)),
-          (a, x) =>
-            when(element_at(a, -1) === lit(l) && x === lit(r),
-              concat(slice(a, lit(1), size(a) - 1), array(lit(l + r))))
-              .otherwise(concat(a, array(x))))
+    var wt = Eager.ckpt(base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("wi", "w")))
+      .select(col("doc_id"), col("wi"),
+        charSyms(col("w"), endMark).as("syms")))
+    merges.grouped(chunkSize).foreach { grp =>
+      val folded = grp.foldLeft(col("syms")) {
+        case (acc, (l, r)) => mergePass(acc, l, r, l + r)
+      }
+      wt = Eager.ckpt(
+        wt.select(col("doc_id"), col("wi"), folded.as("syms")))
     }
-    base.select(col("doc_id"),
-      flatten(transform(col("ws"), w => perWord(w))).as("subwords"))
+    val subs = wt.groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wi"), col("syms")))),
+        s => s.getField("syms"))).as("subwords"))
+    base.select(col("doc_id"))
+      .join(subs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("subwords"),
+          array().cast("array<string>")).as("subwords"))
       .withColumn("n_subwords", size(col("subwords")).cast("long"))
   }
 }

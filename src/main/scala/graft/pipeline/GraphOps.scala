@@ -68,21 +68,27 @@ object GraphOps {
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "empty graph")
-    seededRankLoop(e, nodes, n, iters, dampNum, dampDen, unit)
+    seededRankLoop(eDegOf(e), nodes, n, iters, dampNum, dampDen, unit)
+  }
+
+  /** The (src, dst, outdeg) table a rank fixpoint re-joins every
+    * iteration, stored src-clustered so the preserved partitioning
+    * keeps the static edge side out of the per-iteration exchange
+    * (see Eager.ckptBy). Built once per fixpoint — or once for BOTH
+    * of [[spamMass]]'s loops. */
+  private def eDegOf(e: DataFrame): DataFrame = {
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    Eager.ckptBy(e.join(outdeg, "src"), "src")
   }
 
   /** The shared integer PageRank fixpoint over a node table carrying
     * an `is_seed` flag: restart mass returns uniformly to the seeds.
     * Both public variants delegate here — S = V is plain PageRank
-    * (pinned bit-for-bit in GraphOpsSpec). */
-  private def seededRankLoop(e: DataFrame, nodes: DataFrame,
+    * (pinned bit-for-bit in GraphOpsSpec). `eDeg` is an [[eDegOf]]
+    * store (callers may share one across loops). */
+  private def seededRankLoop(eDeg: DataFrame, nodes: DataFrame,
                              nSeeds: Long, iters: Int, dampNum: Long,
                              dampDen: Long, unit: Long): DataFrame = {
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // stored src-clustered: every iteration re-joins eDeg on src, and
-    // the preserved partitioning keeps the static edge side out of the
-    // per-iteration exchange (see Eager.ckptBy)
-    val eDeg = Eager.ckptBy(e.join(outdeg, "src"), "src")
     val base = ((dampDen - dampNum) * unit) / dampDen / nSeeds
     var ranks = nodes.select(col("node"),
       when(col("is_seed"), lit(unit / nSeeds)).otherwise(lit(0L))
@@ -146,7 +152,8 @@ object GraphOps {
       .localCheckpoint(true)
     val nSeeds = nodes.filter(col("is_seed")).count()
     require(nSeeds > 0, "no seed appears in the graph")
-    seededRankLoop(e, nodes, nSeeds, iters, dampNum, dampDen, unit)
+    seededRankLoop(eDegOf(e), nodes, nSeeds, iters, dampNum, dampDen,
+      unit)
   }
 
   /** Relative link-spam mass (Gyöngyi, Berkhin, Garcia-Molina,
@@ -166,17 +173,36 @@ object GraphOps {
     * [0, 10^6] and keeps the integer division replayable on any
     * engine without negative-truncation ambiguity.
     *
-    * Scale shape: two [[seededRankLoop]] fixpoints (each over a
-    * src-clustered edge store) plus ONE |V|-row join — nothing beyond
-    * the PageRank cost it already pays twice. Same BIGINT micro-unit
-    * discipline; overflow bound rank_fp · 10^6 < 2^63 holds to
-    * unit = 10^12. */
+    * Scale shape: two [[seededRankLoop]] fixpoints sharing ONE
+    * src-clustered (src, dst, outdeg) store and one node table, plus
+    * ONE |V|-row join — the edge derivation is scanned and clustered
+    * once, not per loop. Same BIGINT micro-unit discipline; overflow
+    * bound rank_fp · 10^6 < 2^63 holds to unit = 10^12. */
   def spamMass(edges: DataFrame, seeds: DataFrame, iters: Int,
                dampNum: Long = 85L, dampDen: Long = 100L,
                unit: Long = 1000000000000L): DataFrame = {
-    val pr = pageRankFixedPoint(edges, iters, dampNum, dampDen, unit)
+    require(iters >= 1, "need at least one iteration")
+    require(dampNum > 0 && dampDen > dampNum, "0 < damping < 1")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val eDeg = eDegOf(e)
+    val s = seeds.select(col("node")).distinct().localCheckpoint(true)
+    val nodesTr = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(s.withColumn("_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    val n = nodesTr.count()
+    require(n > 0, "empty graph")
+    val nSeeds = nodesTr.filter(col("is_seed")).count()
+    require(nSeeds > 0, "no seed appears in the graph")
+    val nodesPr = nodesTr.select(col("node"),
+      lit(true).as("is_seed"))
+    val pr = seededRankLoop(eDeg, nodesPr, n, iters, dampNum, dampDen,
+        unit)
       .select(col("node"), col("rank_fp"))
-    val tr = personalizedPageRank(edges, seeds, iters, dampNum,
+    val tr = seededRankLoop(eDeg, nodesTr, nSeeds, iters, dampNum,
         dampDen, unit)
       .select(col("node"), col("rank_fp").as("trusted_fp"))
     pr.join(tr, Seq("node"))
@@ -278,14 +304,16 @@ object GraphOps {
                      unit: Long = 1000000L): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(unit > 0, "positive unit")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     // one src-clustered and one dst-clustered copy: the a-step joins
     // on src, the h-step on dst — both sides of every round's join
-    // then move only the |V|-row score table (see Eager.ckptBy)
-    val eBy = Map("src" -> Eager.ckptBy(e, "src"),
-      "dst" -> Eager.ckptBy(e, "dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    // then move only the |V|-row score table (see Eager.ckptBy). The
+    // dst copy and the node set derive from the src store, so exactly
+    // two edge materializations stay pinned, not three
+    val eSrc = Eager.ckptBy(
+      edges.select(col("src"), col("dst")), "src")
+    val eBy = Map("src" -> eSrc, "dst" -> Eager.ckptBy(eSrc, "dst"))
+    val nodes = eSrc.select(col("src").as("node"))
+      .union(eSrc.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     val norm = expr(s"(coalesce(s, CAST(0 AS BIGINT)) * ${unit}L) " +
       "div greatest(mx, 1L)")
@@ -489,7 +517,10 @@ object GraphOps {
         .filter(col("src") =!= col("dst")).distinct(), "src")
     val rev = Eager.ckptBy(
       edges.select(col("dst").as("src"), col("src").as("dst")), "src")
-    val und = Eager.ckptBy(edges.union(rev), "src")
+    // distinct: a reciprocal input pair a<->b appears in BOTH edges
+    // and rev — without the dedup the weak-reach store holds (and
+    // every round joins) such edges twice
+    val und = Eager.ckptBy(edges.union(rev).distinct(), "src")
     val nodes = Eager.ckpt(edges.select(col("src").as("node"))
       .union(rev.select(col("src").as("node"))).distinct())
     val pivot = edges.select(col("src").as("node"))

@@ -62,19 +62,29 @@ object Eager {
     * exchange), which would put the big static side back into every
     * round's shuffle — exactly what this helper exists to avoid. The
     * surrounding query still plans adaptively; it simply sees a
-    * checkpointed table with a known clustering. (Session-level conf
-    * flip: safe for the single-threaded fixpoint drivers that call
-    * this; not for concurrent SQL on the same session.) */
-  def ckptBy(df: DataFrame, key: String): DataFrame = {
-    val sess = df.sparkSession
-    val n = sess.sessionState.conf.numShufflePartitions
-    val prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try df.repartition(n, org.apache.spark.sql.functions.col(key))
-      .sortWithinPartitions(key)
-      .localCheckpoint(true)
-    finally sess.conf.set("spark.sql.adaptive.enabled", prev)
-  }
+    * checkpointed table with a known clustering.
+    *
+    * The set/restore pair runs under a JVM-global lock so two
+    * concurrent ckptBy calls (e.g. parallel test suites sharing one
+    * session) cannot interleave and strand the session with AQE off
+    * — without it, B could read A's in-flight `false` as its restore
+    * value. Unrelated queries PLANNED on the same session during the
+    * window compile AQE-off (correct, possibly slower); true
+    * conf-isolation needs a per-call cloned session, which Spark's
+    * public surface cannot re-bind checkpointed frames across. */
+  def ckptBy(df: DataFrame, key: String): DataFrame =
+    ckptByLock.synchronized {
+      val sess = df.sparkSession
+      val n = sess.sessionState.conf.numShufflePartitions
+      val prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      try df.repartition(n, org.apache.spark.sql.functions.col(key))
+        .sortWithinPartitions(key)
+        .localCheckpoint(true)
+      finally sess.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+
+  private val ckptByLock = new Object
 
   def long(m: Map[String, Any], key: String): Long = m(key) match {
     case null    => 0L

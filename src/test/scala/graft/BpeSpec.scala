@@ -14,11 +14,15 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
   private def refMerges(corpus: Seq[String], nMerges: Int,
                         endMark: String = "</w>")
       : Seq[(Int, String, String, String, Long)] = {
+    // split by CODE POINT (production and the oracle both do), not
+    // UTF-16 code units — surrogate pairs must stay whole symbols
+    def codePoints(w: String): Vector[String] =
+      w.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp)))
     var vocab: Map[Vector[String], Long] = corpus
       .flatMap(_.split("\\s+").filter(_.nonEmpty))
       .groupBy(identity).map { case (w, ws) =>
-        (w.toCharArray.map(_.toString).toVector :+ endMark,
-          ws.size.toLong)
+        (codePoints(w) :+ endMark, ws.size.toLong)
       }
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var round = 1
@@ -97,6 +101,21 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
     // round 1: (a, </w>) count 3 -> "a</w>"; then one-symbol words
     // only: no pairs, stop
     assert(got == Seq((1, "a", "</w>", "a</w>", 3L)))
+  }
+
+  test("non-BMP code points stay whole symbols (no surrogate " +
+       "splitting) and match the reference") {
+    // U+1D54F MATHEMATICAL DOUBLE-STRUCK CAPITAL X — a surrogate pair
+    val c = Seq("𝕏a 𝕏a 𝕏b")
+    val got = Bpe.bpeMerges(c.toDF("text"), $"text", 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(got == refMerges(c, 2))
+    // round 1 is (a, </w>) — 'a' sorts before the astral char in the
+    // count tie; round 2's lhs is then the WHOLE astral char, never
+    // half a surrogate pair
+    assert(got.head._2 == "a" && got.head._3 == "</w>")
+    assert(got(1)._2 == "𝕏" && got(1)._3 == "a</w>")
   }
 
   test("bpeSegment applies learned merges in training order; " +
