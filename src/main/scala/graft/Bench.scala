@@ -87,7 +87,8 @@ object Bench {
     "q154_component_census", "q155_webgraph_profile",
     "q156_powerlaw_alpha", "q157_weighted_sample",
     "q158_seed_distance", "q159_novelty_rate", "q160_graph_churn",
-    "q161_canonical_audit", "q162_spam_mass", "q163_bpe_merges")
+    "q161_canonical_audit", "q162_spam_mass", "q163_bpe_merges",
+    "q164_bpe_fertility")
 
   private def session(cpus: Int, fixedPartitions: Boolean): SparkSession = {
     val b = SparkSession.builder()

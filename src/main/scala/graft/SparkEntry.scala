@@ -141,7 +141,24 @@ object SparkEntry {
     * fold merges exactly when the accumulator's LAST symbol equals
     * lhs — `ends_with(acc, ' ' || lhs)` needs the preceding space, so
     * a longer symbol merely ending in lhs can never false-match). */
-  private def bpeOracleSql(nMerges: Int): String = {
+  /** The greedy left-to-right BPE merge pass as a space-delimited
+    * DuckDB list fold (see [[bpeOracleSql]]'s doc for the boundary
+    * argument), applied to a `syms` list with the winning pair bound
+    * as `b`. Shared by the vocab rounds (q163) and the per-document
+    * apply chain (q164). */
+  private val bpeFoldSql: String =
+    """string_split(list_reduce(syms,
+      |      (acc, x) -> CASE
+      |        WHEN (acc = b.l OR ends_with(acc, ' ' || b.l))
+      |             AND x = b.r
+      |        THEN CASE WHEN acc = b.l THEN b.m
+      |          ELSE concat(left(acc, length(acc) - length(b.l) - 1),
+      |            ' ', b.m) END
+      |        ELSE acc || ' ' || x END), ' ')""".stripMargin
+
+  /** The q163 merge-LEARNING chain (toks/vw/v0 + per-round
+    * p/c/b/v CTEs) as CTE text, shared with q164's encode oracle. */
+  private def bpeLearnCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { i =>
       val prev = if (i == 1) "v0" else s"v${i - 1}"
       s"""p$i AS (SELECT syms, n,
@@ -150,21 +167,10 @@ object SparkEntry {
          |    CAST(sum(n) AS BIGINT) AS cnt FROM p$i GROUP BY 1, 2),
          |b$i AS (SELECT l, r, l || r AS m, cnt FROM c$i
          |  ORDER BY cnt DESC, l, r LIMIT 1),
-         |v$i AS (SELECT string_split(list_reduce(syms,
-         |      (acc, x) -> CASE
-         |        WHEN (acc = b.l OR ends_with(acc, ' ' || b.l))
-         |             AND x = b.r
-         |        THEN CASE WHEN acc = b.l THEN b.m
-         |          ELSE concat(left(acc, length(acc) - length(b.l) - 1),
-         |            ' ', b.m) END
-         |        ELSE acc || ' ' || x END), ' ') AS syms, n
+         |v$i AS (SELECT $bpeFoldSql AS syms, n
          |  FROM $prev, b$i b)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to nMerges).map(i =>
-      s"""SELECT $i AS merge_no, l AS lhs, r AS rhs, m AS merged,
-         |  cnt AS pair_count FROM b$i""".stripMargin)
-      .mkString("\nUNION ALL ")
-    s"""WITH toks AS (SELECT unnest(list_filter(string_split_regex(
+    s"""toks AS (SELECT unnest(list_filter(string_split_regex(
        |    coalesce(text, ''), '\\s+'), x -> x <> '')) AS word
        |  FROM documents),
        |vw AS (SELECT word, CAST(count(*) AS BIGINT) AS n
@@ -172,9 +178,50 @@ object SparkEntry {
        |v0 AS (SELECT list_append(list_transform(
        |    range(1, length(word) + 1), i -> word[i]), '</w>') AS syms,
        |    n FROM vw),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql(nMerges: Int): String = {
+    val out = (1 to nMerges).map(i =>
+      s"""SELECT $i AS merge_no, l AS lhs, r AS rhs, m AS merged,
+         |  cnt AS pair_count FROM b$i""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeLearnCtes(nMerges)}
        |SELECT * FROM ($out)
        |ORDER BY merge_no""".stripMargin
+  }
+
+  /** q164's DuckDB oracle: the q163 learning chain re-run to get the
+    * merge table, then the ENCODE chain — every document word's
+    * symbol list folded through b1..bN in training order (the same
+    * [[bpeFoldSql]] pass, now keyed by doc), per-doc subword count
+    * summed, fertility = subwords / whitespace words (null on empty
+    * docs). Assumes the corpus yields all nMerges merges (q163's own
+    * oracle proves it does). */
+  private def bpeFertilityOracleSql(nMerges: Int): String = {
+    val apply = (1 to nMerges).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s"""s$i AS (SELECT doc_id, $bpeFoldSql AS syms
+         |  FROM $prev, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeLearnCtes(nMerges)},
+       |docs AS (SELECT doc_id, list_filter(string_split_regex(
+       |    coalesce(text, ''), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents),
+       |dw AS (SELECT doc_id, unnest(ws) AS word FROM docs),
+       |s0 AS (SELECT doc_id, list_append(list_transform(
+       |    range(1, length(word) + 1), i -> word[i]), '</w>') AS syms
+       |  FROM dw),
+       |$apply,
+       |cnt AS (SELECT doc_id, CAST(sum(len(syms)) AS BIGINT)
+       |    AS n_subwords FROM s$nMerges GROUP BY 1)
+       |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_words,
+       |  coalesce(c.n_subwords, 0) AS n_subwords,
+       |  CASE WHEN len(d.ws) > 0 THEN
+       |    round(CAST(coalesce(c.n_subwords, 0) AS DOUBLE) / len(d.ws),
+       |      6) END AS fertility
+       |FROM docs d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** q135's DuckDB oracle: the composed crawl planner — the sparse
@@ -3277,6 +3324,31 @@ object SparkEntry {
       graft.pipeline.Bpe.bpeMerges(t(s, dir, "documents"), $"text",
           nMerges = 8)
         .orderBy($"merge_no")
+    }),
+
+    // --- BPE encode + tokenizer fertility: the q163 merges applied
+    // back to the corpus (bpeSegment's chunked literal folds), per-doc
+    // subword count and subwords-per-word. The 8 learned (lhs, rhs)
+    // pairs are tokenizer constants — the one driver-side collect. ----------
+    "q164_bpe_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val merges = graft.pipeline.Bpe.bpeMerges(docs, $"text",
+          nMerges = 8)
+        .orderBy($"merge_no")
+        .select($"lhs", $"rhs").as[(String, String)].collect().toSeq
+      val seg = graft.pipeline.Bpe.bpeSegment(docs, $"doc_id",
+          $"text", merges)
+        .select($"doc_id", $"n_subwords")
+      docs.select($"doc_id",
+          size(graft.pipeline.TextAnalysis.tokensWs($"text"))
+            .cast("long").as("n_words"))
+        .join(seg, Seq("doc_id"))
+        .select($"doc_id", $"n_words", $"n_subwords",
+          when($"n_words" > 0,
+            round($"n_subwords".cast("double") / $"n_words", 6))
+            .otherwise(lit(null).cast("double")).as("fertility"))
+        .orderBy($"doc_id")
     }),
 
     "q161_canonical_audit" -> ((s, dir) => {
@@ -6900,6 +6972,8 @@ object SparkEntry {
     "q162_spam_mass" -> spamMassOracleSql,
 
     "q163_bpe_merges" -> bpeOracleSql(8),
+
+    "q164_bpe_fertility" -> bpeFertilityOracleSql(8),
 
     "q161_canonical_audit" -> canonicalAuditOracleSql,
 

@@ -46,16 +46,24 @@ object Bpe {
     * Sennrich's single-pass semantics — a just-created merge result is
     * never itself re-merged in the same pass (the fold compares the
     * accumulator's LAST symbol, which after a merge is `m`, never `l`
-    * unless the text genuinely contains it). */
+    * unless the text genuinely contains it).
+    *
+    * The input is LET-BOUND through a single-element transform lambda
+    * before the fold references it three times (tail slice, head
+    * init, size): a lambda variable is evaluated once per row, so
+    * chained passes (bpeSegment's chunks) stay linear — referencing a
+    * nested pass directly three times re-evaluates the whole inner
+    * chain 3× per level, which is 3^k work per row by chunk depth. */
   private def mergePass(syms: Column, l: String, r: String,
                         m: String): Column =
-    aggregate(
-      slice(syms, lit(2), size(syms) - 1),
-      array(element_at(syms, 1)),
-      (acc, x) =>
-        when(element_at(acc, -1) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-          .otherwise(concat(acc, array(x))))
+    element_at(transform(array(syms), s =>
+      aggregate(
+        slice(s, lit(2), size(s) - 1),
+        array(element_at(s, 1)),
+        (acc, x) =>
+          when(element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+            .otherwise(concat(acc, array(x))))), lit(1))
 
   /** Learn `nMerges` BPE merges over the whitespace-word vocabulary of
     * `text` ([[TextAnalysis.tokensWs]] is the tokenizer contract).
