@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Auxiliary measurement main for optimization work — NOT part of the
+  * driver bench contract ([[Bench]] is frozen; this tool exists so the
+  * frozen harness never has to change for diagnostics).
+  *
+  * Times individual declared queries from [[SparkEntry.queries]] with
+  * exactly the Bench session config and action (`.count()` after the
+  * same q01 warmup), optionally repeated, and can dump
+  * `.explain("formatted")` plans for the plan-diff artifacts
+  * (the plans/r06 text files). Per guide §1.4 a `SPARK_GRAFT_EXTRA_NOOP=1` mode
+  * times a noop-sink write instead of count, isolating computation
+  * from the count-only column pruning.
+  *
+  * Usage:
+  *   sbt "runMain graft.BenchExtra q48_pagerank q101_hits"
+  * Env:
+  *   SPARK_GRAFT_SF_DIR     data dir (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_CPUS       local core count (default 32)
+  *   SPARK_GRAFT_EXTRA_REPS timing repetitions per query (default 1)
+  *   SPARK_GRAFT_PLAN_DIR   if set, write <dir>/<query>.txt explain dumps
+  *   SPARK_GRAFT_EXTRA_NOOP if "1", time df.write.format("noop") not count
+  */
+object BenchExtra {
+
+  private def gcSeconds(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "1").toInt
+    val planDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "")
+    val noop = sys.env.getOrElse("SPARK_GRAFT_EXTRA_NOOP", "0") == "1"
+    val names = if (args.nonEmpty) args.toSeq else Seq("q48_pagerank")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-extra-$cpus")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory",
+        sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .config("spark.sql.shuffle.partitions", math.max(cpus, 8))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      // identical warmup to Bench: q01 once, untimed
+      try SparkEntry.queries("q01_agg_pricing")(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      if (names.exists(_.startsWith("q22"))) {
+        // Bench's epoch-loop JIT warmup, only when q22 is being timed
+        try {
+          val web = graft.gen.SynthWeb.WebConfig(nDomains = 3, pagesPerDomain = 4)
+          val j = new graft.epoch.CrawlJob(spark,
+            graft.frontier.CrawlConfig(batchSize = 20, seed = 1L),
+            graft.gen.SynthWeb.pages(spark, web).toDF().localCheckpoint(true))
+          j.seed(graft.gen.SynthWeb.seedUrls(web, 2))
+          j.runEpoch(); j.runEpoch()
+        } catch { case _: Throwable => () }
+      }
+      val out = names.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          spark.sparkContext.setJobDescription(name)
+          try {
+            if (planDir.nonEmpty) {
+              val plan = fn(spark, sfDir).queryExecution.explainString(
+                org.apache.spark.sql.execution.FormattedMode)
+              val p = java.nio.file.Paths.get(planDir, s"$name.txt")
+              java.nio.file.Files.createDirectories(p.getParent)
+              java.nio.file.Files.write(p,
+                plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            val times = (1 to reps).map { _ =>
+              val gc0 = gcSeconds()
+              val t0 = System.nanoTime()
+              val n =
+                if (noop) {
+                  fn(spark, sfDir).write.format("noop")
+                    .mode("overwrite").save(); -2L
+                } else fn(spark, sfDir).count()
+              val sec = (System.nanoTime() - t0) / 1e9
+              (sec, n, gcSeconds() - gc0)
+            }
+            name -> times
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"BENCH_EXTRA_FAIL $name: $e")
+              name -> Seq((-1.0, -1L, 0.0))
+          } finally spark.sparkContext.setJobDescription(null)
+        }
+      }
+      val js = out.map { case (k, ts) =>
+        val secs = ts.map(t => f"${t._1}%.3f").mkString("[", ",", "]")
+        val gcs = ts.map(t => f"${t._3}%.3f").mkString("[", ",", "]")
+        s""""$k":{"sec":$secs,"rows":${ts.head._2},"gc_sec":$gcs}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"bench_extra":$js,"sf":"$sfDir","noop":$noop}""")
+    } finally spark.stop()
+  }
+}

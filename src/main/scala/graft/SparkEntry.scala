@@ -3247,16 +3247,27 @@ object SparkEntry {
         ($"l_orderkey" % 4 * 3 + (700 + (off + 1) % 3)).as("dst"))
       val edges = bowtieFixtureEdges(s, dir)
         .union(tj(0)).union(tj(1)).union(tj(2))
-      val census = graft.pipeline.GraphOps.componentCensus(edges,
-        "src", "dst")
-      val tri = graft.pipeline.GraphOps.triangleCensus(edges,
+      // the four profile legs are independent; bowtie and the
+      // component census both run eager fixpoint jobs during
+      // construction, so the legs are overlapped (guide §2.6) — the
+      // final crossJoin still computes one deterministic row
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = graft.pipeline.GraphOps.loopEc
+      val censusF = Future(graft.pipeline.GraphOps.componentCensus(
+        edges, "src", "dst"))
+      val coreF = Future(graft.pipeline.GraphOps.bowtie(edges,
+          "src", "dst")
+        .agg(count(when($"cls" === "CORE", 1)).as("core_nodes")))
+      val triF = Future(graft.pipeline.GraphOps.triangleCensus(edges,
           "src", "dst")
         .select($"n_edges".as("n_und_edges"), $"n_triangles",
-          $"closure_ppm")
+          $"closure_ppm"))
       val rec = graft.pipeline.WebGraph.reciprocity(edges, "src", "dst")
         .select($"n_edges".as("n_dir_edges"), $"reciprocity_ppm")
-      val core = graft.pipeline.GraphOps.bowtie(edges, "src", "dst")
-        .agg(count(when($"cls" === "CORE", 1)).as("core_nodes"))
+      val census = Await.result(censusF, Duration.Inf)
+      val tri = Await.result(triF, Duration.Inf)
+      val core = Await.result(coreF, Duration.Inf)
       census.crossJoin(tri).crossJoin(rec).crossJoin(core)
         .select($"n_nodes", $"n_dir_edges", $"n_und_edges",
           $"n_components", $"giant_share_ppm", $"n_triangles",

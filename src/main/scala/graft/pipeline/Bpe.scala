@@ -3,7 +3,12 @@ package graft.pipeline
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.util.Eager
 
@@ -116,10 +121,40 @@ object Bpe {
   /** Apply a learned merge list to a corpus: segment every whitespace
     * word of `text` into the subword units the merges produce, in
     * merge order (the BPE ENCODE step, greedy by training rank).
-    * `merges` is the (lhs, rhs) list from [[bpeMerges]], applied as
-    * literal [[mergePass]] folds — tokenizer constants, not data, so
-    * they ride the closure instead of a join. Returns (doc_id,
-    * subwords array<string>, n_subwords).
+    * `merges` is the (lhs, rhs) list from [[bpeMerges]] — tokenizer
+    * constants, not data, so they ride the plan instead of a join.
+    * Returns (doc_id, subwords array<string>, n_subwords).
+    *
+    * Production-regime implementation: ONE projection over the corpus
+    * — `transform(words, w -> bpe_encode(w))` + `flatten` — where
+    * `bpe_encode` is a native whole-stage-codegen expression
+    * ([[BpeEncodeWord]]) holding the merge table and replaying, per
+    * word, exactly the [[mergePass]] sequential left-to-right pass
+    * per merge in rank order (a present-symbol superset check skips
+    * inapplicable merges, so a 30k-merge tokenizer costs O(word_len)
+    * per skipped merge, not a corpus pass). Zero shuffles, zero extra
+    * materializations, linear in merges — the shape a 100 TB encode
+    * runs. Pinned bit-equal to the fold path ([[bpeSegmentFold]]) in
+    * BpeSpec. */
+  def bpeSegment(df: DataFrame, id: Column, text: Column,
+                 merges: Seq[(String, String)],
+                 endMark: String = "</w>"): DataFrame = {
+    require(endMark.nonEmpty && !endMark.exists(_.isWhitespace),
+      "end marker must be non-empty and whitespace-free")
+    import org.apache.spark.sql.GraftColumnBridge.{column => ncol, expression => nexpr}
+    val enc = new BpeWordEncoder(
+      merges.map { case (l, r) => Array(l, r, l + r) }.toArray, endMark)
+    def encode(w: Column): Column = ncol(BpeEncodeWord(nexpr(w), enc))
+    df.select(id.as("doc_id"), TextAnalysis.tokensWs(text).as("ws"))
+      .select(col("doc_id"),
+        coalesce(flatten(transform(col("ws"), w => encode(w))),
+          array().cast("array<string>")).as("subwords"))
+      .withColumn("n_subwords", size(col("subwords")).cast("long"))
+  }
+
+  /** The pre-r6 fold-based encode — kept as the equivalence reference
+    * for [[bpeSegment]] (BpeSpec pins the two bit-equal) and as the
+    * pure-Catalyst formulation.
     *
     * Merges are applied in CHUNKS of `chunkSize` with a lineage-
     * cutting checkpoint between chunks: nesting one fold inside the
@@ -129,13 +164,13 @@ object Bpe {
     * exponential in the merge count and an unbounded `withColumn`
     * chain collapses back to the same tree. Chunking bounds the tree
     * at 3^chunkSize per projection and makes total work linear: one
-    * corpus-sized materialization per chunk. Fine for the
-    * hundreds-of-merges regime; a 30k-merge production encode wants a
-    * per-word dictionary automaton, not expression folds. */
-  def bpeSegment(df: DataFrame, id: Column, text: Column,
-                 merges: Seq[(String, String)],
-                 endMark: String = "</w>",
-                 chunkSize: Int = 8): DataFrame = {
+    * corpus-sized materialization per chunk — fine for the
+    * hundreds-of-merges regime, which is why the single-projection
+    * [[bpeSegment]] automaton above is the production path. */
+  def bpeSegmentFold(df: DataFrame, id: Column, text: Column,
+                     merges: Seq[(String, String)],
+                     endMark: String = "</w>",
+                     chunkSize: Int = 8): DataFrame = {
     require(chunkSize >= 1 && chunkSize <= 12,
       "chunkSize bounds the 3^chunkSize expression tree")
     val base = df.select(id.as("doc_id"),
@@ -162,4 +197,96 @@ object Bpe {
           array().cast("array<string>")).as("subwords"))
       .withColumn("n_subwords", size(col("subwords")).cast("long"))
   }
+}
+
+/** The per-word BPE encode automaton behind [[Bpe.bpeSegment]]: the
+  * merge table as plain JVM arrays, applied to one word as the exact
+  * [[Bpe.mergePass]] recurrence — for each merge in rank order, ONE
+  * left-to-right pass where the accumulator's last symbol merging
+  * with the next occurrence of (l, r) becomes m and a just-created m
+  * is never re-merged within the same pass.
+  *
+  * `merges(i) = Array(lhs, rhs, lhs+rhs)`. A superset `present` check
+  * (symbols ever seen in the word, plus every merge result created —
+  * never pruned, so skips are always conservative) makes an
+  * inapplicable merge cost two hash probes instead of a pass, which
+  * is what lets a 30k-merge production tokenizer run as one
+  * projection. */
+final class BpeWordEncoder(merges: Array[Array[String]],
+                           endMark: String) extends Serializable {
+  def encode(w: UTF8String): GenericArrayData = {
+    val s = w.toString
+    var syms = new ArrayBuffer[String](s.length + 1)
+    val present = new java.util.HashSet[String](
+      math.max(8, s.length * 2))
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val cc = Character.charCount(cp)
+      val sym = s.substring(i, i + cc)
+      syms += sym
+      present.add(sym)
+      i += cc
+    }
+    syms += endMark
+    present.add(endMark)
+    var mi = 0
+    while (mi < merges.length) {
+      val m = merges(mi)
+      if (syms.length >= 2 && present.contains(m(0)) &&
+          present.contains(m(1))) {
+        val out = new ArrayBuffer[String](syms.length)
+        out += syms(0)
+        var j = 1
+        var applied = false
+        while (j < syms.length) {
+          val x = syms(j)
+          if (out(out.length - 1) == m(0) && x == m(1)) {
+            out(out.length - 1) = m(2)
+            applied = true
+          } else out += x
+          j += 1
+        }
+        if (applied) {
+          syms = out
+          present.add(m(2))
+        }
+      }
+      mi += 1
+    }
+    val arr = new Array[Any](syms.length)
+    var k = 0
+    while (k < syms.length) {
+      arr(k) = UTF8String.fromString(syms(k))
+      k += 1
+    }
+    new GenericArrayData(arr)
+  }
+}
+
+/** `bpe_encode(word)` as a native whole-stage-codegen expression: one
+  * generated-code call into the [[BpeWordEncoder]] automaton per word
+  * — the same plumbing as [[graft.urlops.NativeExpressions]] (a Scala
+  * UDF here would put a ScalaUDF encoder boundary in the corpus-wide
+  * encode projection). */
+case class BpeEncodeWord(child: Expression, encoder: BpeWordEncoder)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"bpe_encode requires a string argument, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    encoder.encode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEnc", encoder,
+      classOf[BpeWordEncoder].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression)
+      : BpeEncodeWord = copy(child = newChild)
 }

@@ -1,5 +1,9 @@
 package graft.pipeline
 
+import scala.collection.mutable.ArrayBuffer
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,6 +27,20 @@ object GraphOps {
     * "components" (CC pointer-doubling). */
   val lastRounds =
     scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Daemon pool for overlapping INDEPENDENT fixpoint loops of one
+    * operator (bowtie's BFS closures) — guide §2.6: Spark's scheduler
+    * happily runs several jobs at once; loops serialized only by
+    * driver code leave the executor tail idle. Each loop stays
+    * internally sequential; concurrency never changes which rows are
+    * computed, only when their jobs are submitted. */
+  private[graft] lazy val loopEc: ExecutionContext =
+    ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-graph-loop")
+        t.setDaemon(true)
+        t
+      }))
 
   /** Fixed-point PageRank — deterministic to the last bit on any
     * engine.
@@ -60,15 +78,20 @@ object GraphOps {
     require(iters >= 1, "need at least one iteration")
     require(dampNum > 0 && dampDen > dampNum, "0 < damping < 1")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // the node set and the clustered degree store both derive from the
+    // checkpointed `e` alone — built overlapped (guide §2.6), with the
+    // node count observed on the node materialization itself
+    implicit val ec: ExecutionContext = loopEc
+    val eDegF = Future(eDegOf(e))
     // plain PageRank IS the seeded loop with every node a seed
     // (restart mass uniform over V) — one recurrence, maintained once
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct().withColumn("is_seed", lit(true))
-      .localCheckpoint(true)
-    val n = nodes.count()
+    val (nodes, n) = Eager.ckptCount(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct().withColumn("is_seed", lit(true)))
     require(n > 0, "empty graph")
-    seededRankLoop(eDegOf(e), nodes, n, iters, dampNum, dampDen, unit)
+    seededRankLoop(Await.result(eDegF, Duration.Inf), nodes, n, iters,
+      dampNum, dampDen, unit)
   }
 
   /** The (src, dst, outdeg) table a rank fixpoint re-joins every
@@ -142,18 +165,22 @@ object GraphOps {
     require(iters >= 1, "need at least one iteration")
     require(dampNum > 0 && dampDen > dampNum, "0 < damping < 1")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    implicit val ec: ExecutionContext = loopEc
+    val eDegF = Future(eDegOf(e))
     val s = seeds.select(col("node")).distinct().localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .join(s.withColumn("_seed", lit(true)), Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint(true)
-    val nSeeds = nodes.filter(col("is_seed")).count()
+    // seed count observed on the node-table materialization job itself
+    val (nodes, obs) = Eager.ckptObserve(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        .join(s.withColumn("_seed", lit(true)), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("_seed"), lit(false)).as("is_seed")),
+      "nseeds" -> count(when(col("is_seed"), 1)))
+    val nSeeds = Eager.long(obs, "nseeds")
     require(nSeeds > 0, "no seed appears in the graph")
-    seededRankLoop(eDegOf(e), nodes, nSeeds, iters, dampNum, dampDen,
-      unit)
+    seededRankLoop(Await.result(eDegF, Duration.Inf), nodes, nSeeds,
+      iters, dampNum, dampDen, unit)
   }
 
   /** Relative link-spam mass (Gyöngyi, Berkhin, Garcia-Molina,
@@ -184,27 +211,41 @@ object GraphOps {
     require(iters >= 1, "need at least one iteration")
     require(dampNum > 0 && dampDen > dampNum, "0 < damping < 1")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val eDeg = eDegOf(e)
+    implicit val ec: ExecutionContext = loopEc
+    val eDegF = Future(eDegOf(e))
     val s = seeds.select(col("node")).distinct().localCheckpoint(true)
-    val nodesTr = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .join(s.withColumn("_seed", lit(true)), Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint(true)
-    val n = nodesTr.count()
+    // node count and seed count both observed on the one node-table
+    // materialization job
+    val (nodesTr, obs) = Eager.ckptObserve(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        .join(s.withColumn("_seed", lit(true)), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("_seed"), lit(false)).as("is_seed")),
+      "n" -> count(lit(1)),
+      "nseeds" -> count(when(col("is_seed"), 1)))
+    val n = Eager.long(obs, "n")
     require(n > 0, "empty graph")
-    val nSeeds = nodesTr.filter(col("is_seed")).count()
+    val nSeeds = Eager.long(obs, "nseeds")
     require(nSeeds > 0, "no seed appears in the graph")
     val nodesPr = nodesTr.select(col("node"),
       lit(true).as("is_seed"))
-    val pr = seededRankLoop(eDeg, nodesPr, n, iters, dampNum, dampDen,
-        unit)
-      .select(col("node"), col("rank_fp"))
-    val tr = seededRankLoop(eDeg, nodesTr, nSeeds, iters, dampNum,
+    val eDeg = Await.result(eDegF, Duration.Inf)
+    // the two fixpoints share the store but are INDEPENDENT of each
+    // other — run overlapped (guide §2.6): each loop's per-iteration
+    // tail leaves the cluster mostly idle, and the other loop's jobs
+    // back-fill it
+    val prF = Future(seededRankLoop(eDeg, nodesPr, n, iters, dampNum,
         dampDen, unit)
+      .select(col("node"), col("rank_fp"))
+      .localCheckpoint(true))
+    val trF = Future(seededRankLoop(eDeg, nodesTr, nSeeds, iters,
+        dampNum, dampDen, unit)
       .select(col("node"), col("rank_fp").as("trusted_fp"))
+      .localCheckpoint(true))
+    val pr = Await.result(prF, Duration.Inf)
+    val tr = Await.result(trF, Duration.Inf)
     pr.join(tr, Seq("node"))
       .select(col("node"), col("rank_fp"), col("trusted_fp"),
         when(col("rank_fp") > 0,
@@ -236,20 +277,28 @@ object GraphOps {
                        unit: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(dampNum > 0 && dampDen > dampNum, "0 < damping < 1")
-    val e = edges.select(col(src).as("src"), col(dst).as("dst"),
-        col(weight).cast("long").as("w"))
-      .localCheckpoint(true)
-    require(e.filter(col("w") <= 0 || col("w").isNull).isEmpty,
+    // weight validation observed on the edge materialization job
+    // itself (the standalone filter().isEmpty probe was one extra
+    // full edge scan)
+    val (e, eObs) = Eager.ckptObserve(
+      edges.select(col(src).as("src"), col(dst).as("dst"),
+        col(weight).cast("long").as("w")),
+      "bad" -> count(when(col("w") <= 0 || col("w").isNull, 1)))
+    require(Eager.long(eObs, "bad") == 0L,
       "edge weights must be positive")
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
-    val n = nodes.count()
-    require(n > 0, "empty graph")
-    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    implicit val ec: ExecutionContext = loopEc
     // src-clustered store: the per-iteration join reuses it exchange-
-    // free (see Eager.ckptBy)
-    val eW = Eager.ckptBy(e.join(outW, "src"), "src")
+    // free (see Eager.ckptBy); built overlapped with the node set
+    val eWF = Future {
+      val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+      Eager.ckptBy(e.join(outW, "src"), "src")
+    }
+    val (nodes, n) = Eager.ckptCount(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
+    require(n > 0, "empty graph")
+    val eW = Await.result(eWF, Duration.Inf)
     val base = ((dampDen - dampNum) * unit) / dampDen / n
     var ranks = nodes.withColumn("r", lit(unit / n))
     for (i <- 1 to iters) {
@@ -294,9 +343,10 @@ object GraphOps {
     * is cached once; each half-step is one hash join of edges with the
     * |V|-row score table plus one map-side-combinable sum (hot hubs
     * and hot authorities combine locally before the exchange), then a
-    * left join back to nodes; the normalizer is a 1-row aggregate
-    * joined back broadcast, NEVER a driver collect. Lineage is cut per
-    * iteration. Overflow bound: maxdeg · unit² < 2^63, i.e. at the
+    * left join back to nodes; the normalizer is observed on the
+    * half-step's own materialization job (one O(1) driver scalar,
+    * never a per-node vector collect). Lineage is cut per half-step
+    * at the materialized in-sum table. Overflow bound: maxdeg · unit² < 2^63, i.e. at the
     * default unit=10^6 the hottest node may have ≤ ~9·10^6 in-links —
     * callers at web-graph hub densities pass a smaller unit.
     */
@@ -315,25 +365,33 @@ object GraphOps {
     val nodes = eSrc.select(col("src").as("node"))
       .union(eSrc.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
-    val norm = expr(s"(coalesce(s, CAST(0 AS BIGINT)) * ${unit}L) " +
-      "div greatest(mx, 1L)")
     def halfStep(scores: DataFrame, in: String, out: String,
                  col0: String, col1: String): DataFrame = {
-      val m = eBy(in).join(scores.withColumnRenamed("node", in), in)
-        .groupBy(col(out)).agg(sum(col(col0)).as("s"))
-      val mx = m.agg(coalesce(max(col("s")), lit(0L)).as("mx"))
+      // the raw in-sums are materialized ONCE per half-step, with the
+      // normalizer observed on that same job (Eager.ckptObserve — the
+      // driver holds one O(1) scalar); the pre-r6 shape computed the
+      // whole join+aggregate subtree twice per half-step (once under
+      // the broadcast normalizer aggregate, once for the outer join)
+      // and paid a separate materialization for the result
+      val (m, obs) = Eager.ckptObserve(
+        eBy(in).join(scores.withColumnRenamed("node", in), in)
+          .groupBy(col(out)).agg(sum(col(col0)).as("s")),
+        "mx" -> coalesce(max(col("s")), lit(0L)))
+      val mx = Eager.long(obs, "mx")
       nodes.join(m.withColumnRenamed(out, "node"), Seq("node"), "left")
-        .crossJoin(broadcast(mx))
-        .select(col("node"), norm.as(col1))
+        .select(col("node"),
+          expr(s"(coalesce(s, CAST(0 AS BIGINT)) * ${unit}L) " +
+            s"div greatest(${mx}L, 1L)").as(col1))
     }
     var hub = nodes.withColumn("h", lit(unit))
     var auth: DataFrame = null
     for (i <- 1 to iters) {
-      if (i > 1) hub = hub.localCheckpoint(true)
       // a_t from h_{t-1} (sum over in-edges), then h_t from a_t (sum
-      // over out-edges); auth is cut too — it feeds both the h-step
-      // and, on the last iteration, the output join
-      auth = halfStep(hub, "src", "dst", "h", "a").localCheckpoint(true)
+      // over out-edges). No per-iteration score checkpoint is needed:
+      // each half-step's lineage is cut at its materialized in-sum
+      // table, so a score frame is only ever one cheap |V|-row join
+      // above a checkpoint (O(1) plan depth at any iteration count).
+      auth = halfStep(hub, "src", "dst", "h", "a")
       hub = halfStep(auth, "dst", "src", "a", "h")
     }
     hub.join(auth, "node")
@@ -364,17 +422,26 @@ object GraphOps {
     // would null out string hosts and report an empty census
     val s = col(src)
     val d = col(dst)
-    val und = edges.select(least(s, d).as("a"), greatest(s, d).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = und.select(col("a").as("node"))
+    // und/deg/oriented are each referenced by SEVERAL downstream
+    // subtrees (wedge self-join, triangle probe, wedge total) — left
+    // lazy, Catalyst inlines the whole derivation per reference (the
+    // pre-r6 q129 plan re-scanned the input 18 times across 76
+    // exchanges), so they are materialized exactly once
+    val und = Eager.ckpt(
+      edges.select(least(s, d).as("a"), greatest(s, d).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    val deg = Eager.ckpt(und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
     // orient by (deg, node) lexicographic — a total order, so exactly
     // one direction per edge and every triangle has a unique min corner
     val withDegs = und
       .join(deg.select(col("node").as("a"), col("deg").as("_da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("_db")), "b")
-    val oriented = withDegs.select(
+    // stored lo-clustered: the wedge enumeration is a SELF-join on lo,
+    // so both of its sides reuse this one partitioning with no
+    // exchange and no sort (Eager.ckptBy)
+    val oriented = Eager.ckptBy(withDegs.select(
       when(struct(col("_da"), col("a")) < struct(col("_db"), col("b")),
         struct(col("a").as("lo"), col("b").as("hi"),
           struct(col("_db").as("k1"), col("b").as("k2")).as("hikey")))
@@ -382,7 +449,7 @@ object GraphOps {
           struct(col("_da").as("k1"), col("a").as("k2")).as("hikey")))
         .as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"),
-        col("e.hikey").as("hikey"))
+        col("e.hikey").as("hikey")), "lo")
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.lo") === col("e2.lo") &&
           col("e1.hikey") < col("e2.hikey"))
@@ -415,9 +482,16 @@ object GraphOps {
     * "src") — the per-round frontier join then moves only the
     * frontier, never the edge table. */
   private def reach(edges: DataFrame, seeds: DataFrame,
-                    maxRounds: Int): DataFrame = {
-    var reached = Eager.ckpt(seeds.select(col("node")).distinct())
-    var frontier = reached
+                    maxRounds: Int): (DataFrame, Int) = {
+    val seed0 = Eager.ckpt(seeds.select(col("node")).distinct())
+    // the settled set is the LAZY union of the already-checkpointed
+    // per-round frontiers — re-materializing the whole closure every
+    // round (the pre-r6 shape) paid one extra job plus one full
+    // closure-sized write per round for rows that were all already on
+    // disk; the union only concatenates checkpointed partitions
+    val parts = ArrayBuffer[DataFrame](seed0)
+    def reached: DataFrame = parts.reduce(_.union(_))
+    var frontier = seed0
     var grew = true
     var round = 0
     while (grew && round < maxRounds) {
@@ -427,7 +501,7 @@ object GraphOps {
           .join(reached, Seq("node"), "left_anti"))
       grew = n > 0
       if (grew) {
-        reached = Eager.ckpt(reached.union(next))
+        parts += next
         frontier = next
       }
       round += 1
@@ -436,8 +510,7 @@ object GraphOps {
     // graph must fail loudly, not misclassify the horizon as TENDRIL
     require(!grew,
       s"BFS did not converge within $maxRounds rounds — raise maxRounds")
-    lastRounds("reach") = round
-    reached
+    (reached, round)
   }
 
   /** Exact hop distance from a seed set: (node, hops) for every node
@@ -458,9 +531,13 @@ object GraphOps {
     val edges = Eager.ckptBy(
       edgesIn.select(col(src).as("src"), col(dst).as("dst"))
         .filter(col("src") =!= col("dst")).distinct(), "src")
-    var dist = Eager.ckpt(seeds.select(col("node")).distinct()
-      .withColumn("hops", lit(0)))
-    var frontier = dist.select(col("node"))
+    val seed0 = Eager.ckpt(seeds.select(col("node")).distinct())
+    // labeled set = lazy union of checkpointed per-round frontiers
+    // (each tagged with its discovery round), exactly as in [[reach]]
+    // — no per-round re-materialization of the whole labeled set
+    val parts = ArrayBuffer[DataFrame](seed0.withColumn("hops", lit(0)))
+    def known: DataFrame = parts.map(_.select(col("node"))).reduce(_.union(_))
+    var frontier = seed0
     var grew = true
     var round = 0
     while (grew && round < maxRounds) {
@@ -468,18 +545,17 @@ object GraphOps {
       val (next, n) = Eager.ckptCount(
         edges.join(frontier.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node")).distinct()
-          .join(dist.select(col("node")), Seq("node"), "left_anti"))
+          .join(known, Seq("node"), "left_anti"))
       grew = n > 0
       if (grew) {
-        dist = Eager.ckpt(
-          dist.union(next.withColumn("hops", lit(round))))
+        parts += next.withColumn("hops", lit(round))
         frontier = next
       }
     }
     require(!grew,
       s"BFS did not converge within $maxRounds rounds — raise maxRounds")
     lastRounds("seed_distance") = round
-    dist
+    parts.reduce(_.union(_))
   }
 
   /** Bowtie decomposition of a directed graph (Broder et al., "Graph
@@ -512,30 +588,56 @@ object GraphOps {
              maxRounds: Int = 300): DataFrame = {
     // each direction stored src-clustered ONCE — the five BFS loops
     // below then never re-shuffle an edge table (see Eager.ckptBy)
+    implicit val ec: ExecutionContext = loopEc
     val edges = Eager.ckptBy(
       edgesIn.select(col(src).as("src"), col(dst).as("dst"))
         .filter(col("src") =!= col("dst")).distinct(), "src")
-    val rev = Eager.ckptBy(
-      edges.select(col("dst").as("src"), col("src").as("dst")), "src")
-    // distinct: a reciprocal input pair a<->b appears in BOTH edges
-    // and rev — without the dedup the weak-reach store holds (and
-    // every round joins) such edges twice
-    val und = Eager.ckptBy(edges.union(rev).distinct(), "src")
-    val nodes = Eager.ckpt(edges.select(col("src").as("node"))
-      .union(rev.select(col("src").as("node"))).distinct())
-    val pivot = edges.select(col("src").as("node"))
+    // everything below derives from the stored `edges` alone, so the
+    // three setup materializations overlap (guide §2.6): the reversed
+    // + undirected stores, the node set, and the pivot
+    val revUndF = Future {
+      val rev = Eager.ckptBy(
+        edges.select(col("dst").as("src"), col("src").as("dst")), "src")
+      // distinct: a reciprocal input pair a<->b appears in BOTH edges
+      // and rev — without the dedup the weak-reach store holds (and
+      // every round joins) such edges twice
+      (rev, Eager.ckptBy(edges.union(rev).distinct(), "src"))
+    }
+    val nodesF = Future(Eager.ckpt(edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()))
+    // the pivot is computed ONCE (it used to be re-derived inside
+    // every closure that seeded from it — five degree aggregates)
+    val pivotF = Future(Eager.ckpt(edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node").asc).limit(1)
-      .select(col("node"))
-    val fwd = reach(edges, pivot, maxRounds)
-    val bwd = reach(rev, pivot, maxRounds)
+      .select(col("node"))))
+    val pivot = Await.result(pivotF, Duration.Inf)
+    // the six closures have only two dependency steps: {fwd, bwd,
+    // weak} are independent, then {tFrom, tTo} need IN/OUT. Each
+    // group runs overlapped (guide §2.6) — the loops are serial in
+    // rounds, so running them one after another left most of the
+    // cluster idle in every round's tail.
+    val fwdF = Future(reach(edges, pivot, maxRounds))
+    val (rev, und) = Await.result(revUndF, Duration.Inf)
+    val bwdF = Future(reach(rev, pivot, maxRounds))
+    val weakF = Future(reach(und, pivot, maxRounds))
+    val nodes = Await.result(nodesF, Duration.Inf)
+    val fwd = Await.result(fwdF, Duration.Inf)._1
+    val bwd = Await.result(bwdF, Duration.Inf)._1
     val core = Eager.ckpt(fwd.join(bwd, Seq("node"), "left_semi"))
-    val inn = Eager.ckpt(bwd.join(core, Seq("node"), "left_anti"))
-    val out = Eager.ckpt(fwd.join(core, Seq("node"), "left_anti"))
-    val tFrom = reach(edges, inn, maxRounds)
-    val tTo = reach(rev, out, maxRounds)
-    val weak = reach(und, pivot, maxRounds)
+    val innF = Future(Eager.ckpt(bwd.join(core, Seq("node"), "left_anti")))
+    val outF = Future(Eager.ckpt(fwd.join(core, Seq("node"), "left_anti")))
+    val inn = Await.result(innF, Duration.Inf)
+    val out = Await.result(outF, Duration.Inf)
+    val tFromF = Future(reach(edges, inn, maxRounds))
+    val tToF = Future(reach(rev, out, maxRounds))
+    val tFrom = Await.result(tFromF, Duration.Inf)._1
+    val tTo = Await.result(tToF, Duration.Inf)._1
+    val (weak, weakRounds) = Await.result(weakF, Duration.Inf)
+    // pre-r6 the weak closure ran last, so "reach" reported its round
+    // count; preserved explicitly now that the loops overlap
+    lastRounds("reach") = weakRounds
     def flag(s: DataFrame, name: String): DataFrame =
       s.withColumn(name, lit(true))
     def set(name: String) = coalesce(col(name), lit(false))

@@ -140,4 +140,41 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
       .select($"subwords").as[Seq[String]].head()
     assert(one == Seq("low</w>"))
   }
+
+  test("bpeSegment (native automaton) is bit-equal to the fold path " +
+       "on learned merges, incl. empty docs and non-BMP symbols") {
+    val docs = (corpus ++ Seq("", "   ", "𝕏a 𝕏a 𝕏b low𝕏 alow",
+      "lo low lowest lowlow wi wid widest a"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val merges = Bpe.bpeMerges(docs, $"text", 12)
+      .orderBy($"merge_no")
+      .select($"lhs", $"rhs").as[(String, String)].collect().toSeq
+    val fast = Bpe.bpeSegment(docs, $"id", $"text", merges)
+      .orderBy($"doc_id")
+      .as[(Long, Seq[String], Long)].collect().toSeq
+    val fold = Bpe.bpeSegmentFold(docs, $"id", $"text", merges)
+      .orderBy($"doc_id")
+      .as[(Long, Seq[String], Long)].collect().toSeq
+    assert(fast == fold)
+    // chunk boundaries of the fold path (chunkSize 3 forces several
+    // chunks) must not change the fast path's agreement either
+    val fold3 = Bpe.bpeSegmentFold(docs, $"id", $"text", merges,
+      chunkSize = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Seq[String], Long)].collect().toSeq
+    assert(fast == fold3)
+  }
+
+  test("bpeSegment runs merge lists far past the fold path's regime " +
+       "(1k synthetic merges, one projection)") {
+    // synthetic rank list: mostly-inapplicable merges exercise the
+    // present-set skip; the applicable prefix still collapses "low"
+    val noise = (1 to 997).map(i => (s"zz$i", s"qq$i"))
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>")) ++ noise
+    val seg = Bpe.bpeSegment(Seq((0L, "low wid low")).toDF("id", "t"),
+      $"id", $"t", merges)
+      .select($"subwords").as[Seq[String]].head()
+    assert(seg == Seq("low</w>", "w", "i", "d", "</w>", "low</w>"))
+  }
 }

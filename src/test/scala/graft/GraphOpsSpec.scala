@@ -236,16 +236,47 @@ class GraphOpsSpec extends AnyFunSuite with SparkSuite {
     assert(a == b)
   }
 
-  test("hits: half-step sums combine map-side and the normalizer is a " +
-       "broadcast join, never a driver collect") {
-    val e = (1L to 50L).map(i => i -> 0L)
-    val qe = GraphOps.hitsFixedPoint(e.toDF("src", "dst"), 1)
-      .queryExecution.executedPlan.toString
-    assert(qe.contains("partial_sum"),
-      s"message sum needs a map-side partial:\n$qe")
-    assert(qe.contains("BroadcastNestedLoopJoin") ||
-           qe.contains("BroadcastExchange"),
-      s"normalizer must join back broadcast:\n$qe")
+  test("hits: each half-step materializes its in-sums once, map-side " +
+       "combined, with the normalizer observed on that same job (one " +
+       "O(1) driver scalar, no recomputed subtree, no vector collect)") {
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val e = (1L to 50L).map(i => i -> 0L)
+      GraphOps.hitsFixedPoint(e.toDF("src", "dst"), 2).count()
+      // the listener bus is async — wait for the half-step jobs
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def sumPlans = plans.synchronized {
+        plans.filter(_.contains("partial_sum")).toList }
+      while (sumPlans.size < 4 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val sums = sumPlans
+      // 2 iters × 2 half-steps: each in-sum aggregate runs EXACTLY
+      // once (the pre-r6 shape recomputed it under the broadcast
+      // normalizer), map-side combined, and carries the observed
+      // normalizer on the same job (CollectMetrics)
+      assert(sums.size == 4,
+        s"expected 4 half-step sum jobs, got ${sums.size}:\n" +
+          plans.synchronized(plans.mkString("\n---\n")))
+      assert(sums.forall(_.contains("CollectMetrics")),
+        s"normalizer must be observed on the half-step job:\n" +
+          sums.mkString("\n---\n"))
+      // the returned frame is only |V|-row joins above checkpoints:
+      // no aggregate is ever re-run at action time
+      val finalPlan = GraphOps.hitsFixedPoint(
+        e.toDF("src", "dst"), 1).queryExecution.executedPlan.toString
+      assert(!finalPlan.contains("partial_sum"),
+        s"final frame must not recompute half-step sums:\n$finalPlan")
+    } finally spark.listenerManager.unregister(l)
   }
 
   test("ckptBy-stored static tables join without re-shuffling: the " +
