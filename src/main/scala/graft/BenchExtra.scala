@@ -31,12 +31,74 @@ object BenchExtra {
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
   }
 
+  /** VERDICT r5 #6: graph-family N-vs-4N pairing on the Bench
+    * `graph_scale` edge set (lineitem-derived, symmetrized), with the
+    * frontier section's protocol: fixed 64-way decomposition at both
+    * core counts, interleaved sessions, per-side min, efficiency =
+    * thr_4N / (4·thr_N). Legs: PageRank(12) and bowtie. */
+  private def graphEfficiency(sfDir: String, coresN: Int,
+                              reps: Int): String = {
+    import org.apache.spark.sql.functions._
+    def legTimes(cores: Int): (Double, Double) = {
+      val s = SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(s"graft-graph-eff-$cores")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.shuffle.partitions", 64)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+          sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+        .getOrCreate()
+      try {
+        val e0 = s.read.parquet(s"$sfDir/lineitem.parquet")
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("l_partkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = graft.util.Eager.ckpt(e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst"))))
+        def prLeg(): Double = {
+          val t0 = System.nanoTime()
+          graft.pipeline.GraphOps.pageRankFixedPoint(edges, iters = 12)
+            .count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        def bowLeg(): Double = {
+          val t0 = System.nanoTime()
+          graft.pipeline.GraphOps.bowtie(edges.toDF, "src", "dst")
+            .count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        prLeg(); bowLeg() // untimed JIT warm pass
+        val samples = (1 to reps).map(_ => (prLeg(), bowLeg()))
+        (samples.map(_._1).min, samples.map(_._2).min)
+      } finally s.stop()
+    }
+    val schedule = Seq(coresN, 4 * coresN, 4 * coresN, coresN, 4 * coresN)
+    val sides = schedule.map(c => c -> legTimes(c))
+    def minOf(c: Int, pick: ((Double, Double)) => Double): Double =
+      sides.collect { case (`c`, t) => pick(t) }.min
+    val prN = minOf(coresN, _._1); val pr4 = minOf(4 * coresN, _._1)
+    val bwN = minOf(coresN, _._2); val bw4 = minOf(4 * coresN, _._2)
+    def fmt(d: Double) = f"$d%.3f"
+    s"""{"cores_n":$coresN,"cores_4n":${4 * coresN},""" +
+      s""""pagerank12_sec_n":${fmt(prN)},"pagerank12_sec_4n":${fmt(pr4)},""" +
+      s""""pagerank12_scaling_efficiency":${fmt(prN / (4.0 * pr4))},""" +
+      s""""bowtie_sec_n":${fmt(bwN)},"bowtie_sec_4n":${fmt(bw4)},""" +
+      s""""bowtie_scaling_efficiency":${fmt(bwN / (4.0 * bw4))}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "1").toInt
     val planDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "")
     val noop = sys.env.getOrElse("SPARK_GRAFT_EXTRA_NOOP", "0") == "1"
+    if (sys.env.getOrElse("SPARK_GRAFT_GRAPH_EFF", "0") == "1") {
+      println(s"""{"graph_efficiency":${graphEfficiency(sfDir,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt, reps)}}""")
+      return
+    }
     val names = if (args.nonEmpty) args.toSeq else Seq("q48_pagerank")
 
     val spark = SparkSession.builder()

@@ -2159,8 +2159,15 @@ object SparkEntry {
       val gramOk = TA.dupNgramCoverage(docs, $"doc_id", $"text",
           n = 8, minDf = 2)
         .filter($"keep" === 1L).select($"doc_id")
-      val surv = docs.join(srcOk, Seq("doc_id"))
-        .join(lexOk, Seq("doc_id")).join(gramOk, Seq("doc_id"))
+      // the mix only reads (doc_id, source); materialize the slim
+      // survivor projection once — buildMix references its input from
+      // two subtrees (weights + ranking) and left lazy each reference
+      // re-ran all three gates (the pre-r6 plan scanned the corpus 42
+      // times across 80 exchanges)
+      val surv = graft.util.Eager.ckpt(
+        docs.join(srcOk, Seq("doc_id"))
+          .join(lexOk, Seq("doc_id")).join(gramOk, Seq("doc_id"))
+          .select($"doc_id", $"source"))
       TrainingMix.buildMix(surv, $"doc_id", $"source",
           alpha = 0.5, budget = 30L)
         .orderBy($"doc_id")
@@ -3348,6 +3355,10 @@ object SparkEntry {
           nMerges = 8)
         .orderBy($"merge_no")
         .select($"lhs", $"rhs").as[(String, String)].collect().toSeq
+      // the oracle unconditionally chains 8 merge CTEs; an exhausted
+      // corpus would otherwise surface as an opaque hash mismatch
+      require(merges.size == 8,
+        s"q164 needs all 8 merges, corpus yielded ${merges.size}")
       val seg = graft.pipeline.Bpe.bpeSegment(docs, $"doc_id",
           $"text", merges)
         .select($"doc_id", $"n_subwords")

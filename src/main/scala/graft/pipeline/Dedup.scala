@@ -99,14 +99,22 @@ object Dedup {
                       shingleK: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                       threshold: Double = 0.7): DataFrame = {
     val n = bands * rowsPerBand
-    val base = df.select(id.as("doc_id"), text.as("_text"))
-      .withColumn("sh", shinglesUdf(shingleK)(col("_text")))
-    val banded = base
+    // the shingle table is read by three subtrees (banding + both
+    // verify joins) and the banded signatures by both sides of the
+    // candidate self-join — left lazy, the shingle/minhash UDFs ran
+    // once per reference (~4 corpus passes); materialized once each,
+    // text projected away before the store (guide §2.3), the band
+    // store clustered on its join key
+    val base = graft.util.Eager.ckpt(
+      df.select(id.as("doc_id"), text.as("_text"))
+        .withColumn("sh", shinglesUdf(shingleK)(col("_text")))
+        .select(col("doc_id"), col("sh")))
+    val banded = graft.util.Eager.ckptBy(base
       .withColumn("sig", minhashUdf(n)(col("sh")))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           hash(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b)))
-          .as(Seq("band", "band_hash")))
+          .as(Seq("band", "band_hash"))), "band_hash")
     val l = banded.select(col("band"), col("band_hash"),
       col("doc_id").as("id_a"))
     val r = banded.select(col("band"), col("band_hash"),
@@ -359,8 +367,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         shingleK: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Int = 1000): DataFrame = {
-    val capped = invertedShingleIndex(df, id, text, shingleK,
-      maxShingleDf)
+    // stored shingle-clustered ONCE: referenced by both sides of the
+    // pair self-join, so left lazy the UDF + df-cap window would run
+    // twice and the join would re-exchange both sides (Eager.ckptBy
+    // makes the self-join exchange- and sort-free)
+    val capped = graft.util.Eager.ckptBy(
+      invertedShingleIndex(df, id, text, shingleK, maxShingleDf),
+      "shingle")
     val l = capped.select(col("shingle"), col("doc_id").as("id_a"),
       col("n_sh").as("n_a"))
     val r = capped.select(col("shingle"), col("doc_id").as("id_b"),
@@ -394,8 +407,12 @@ object Dedup {
                             shingleK: Int = 3,
                             thresholdPpm: Long = 800000L,
                             maxShingleDf: Int = 1000): DataFrame = {
-    val capped = invertedShingleIndex(df, id, text, shingleK,
-      maxShingleDf)
+    // same shingle-clustered single materialization as
+    // [[ngramJaccardPairs]] — one UDF+window pass, exchange-free
+    // self-join
+    val capped = graft.util.Eager.ckptBy(
+      invertedShingleIndex(df, id, text, shingleK, maxShingleDf),
+      "shingle")
     val l = capped.select(col("shingle"), col("doc_id").as("id_a"),
       col("n_sh").as("n_a"))
     val r = capped.select(col("shingle"), col("doc_id").as("id_b"))
@@ -581,9 +598,13 @@ object Dedup {
                      maxFpDf: Int = 400): DataFrame = {
     val fps = winnowingFingerprints(df, id, text, k, w)
       .select(col("doc_id"), col("fp")).distinct()
-    val capped = fps.withColumn("_df",
-      count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .filter(col("_df") <= maxFpDf).drop("_df")
+    // fp-clustered single materialization: both sides of the pair
+    // self-join read this one store exchange- and sort-free; left
+    // lazy the fingerprint pass + df-cap window ran once per side
+    val capped = graft.util.Eager.ckptBy(
+      fps.withColumn("_df",
+        count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("_df") <= maxFpDf).drop("_df"), "fp")
     capped.select(col("fp"), col("doc_id").as("id_a"))
       .join(capped.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))

@@ -881,8 +881,6 @@ object GraphOps {
         .distinct(), "nbr")
     var labels = und.select(col("node")).distinct()
       .withColumn("lbl", col("node"))
-    val top = Window.partitionBy(col("node"))
-      .orderBy(col("c").desc, col("lbl").asc)
     for (i <- 1 to iters) {
       if (i > 1) labels = Eager.ckpt(labels)
       val votes = und
@@ -890,8 +888,16 @@ object GraphOps {
         .select(col("node"), col("lbl"))
         .union(labels.select(col("node"), col("lbl")))
         .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
-      labels = votes.withColumn("_rk", row_number().over(top))
-        .filter(col("_rk") === 1).select(col("node"), col("lbl"))
+      // top-1 by (c desc, lbl asc) as a MIN over struct((-c), lbl) —
+      // lexicographic struct ordering picks exactly the window
+      // row_number()=1 winner, but as a partial-combinable aggregate
+      // (no per-node sort, hot nodes combine map-side before the
+      // exchange)
+      labels = votes
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("_nc"), col("lbl").as("_l")))
+          .as("_w"))
+        .select(col("node"), col("_w._l").as("lbl"))
     }
     labels.select(col("node"), col("lbl").as("community"))
   }

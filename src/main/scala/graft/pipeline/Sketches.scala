@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.util.Eager
+
 /** Cardinality / frequency sketches — the sub-linear-state primitives a
   * 100 TB engine reaches for when the exact answer (countDistinct, a
   * full frequency table) is itself the bottleneck: a distinct count
@@ -388,7 +390,12 @@ object Sketches {
     * of coordinated sampling for cross-corpus overlap audits (q91's
     * exact leakage join scans the corpus; this answers the same
     * "how much do sources overlap" question from k rows per source). */
-  def kmvJaccard(sketch: DataFrame): DataFrame = {
+  def kmvJaccard(sketchIn: DataFrame): DataFrame = {
+    // the sketch is referenced by three subtrees (group list + both
+    // union sides); left lazy, Catalyst inlines its whole derivation
+    // (scan + rank window) once PER REFERENCE — and a KMV sketch is
+    // ≤ k rows per group by construction, so it is materialized once
+    val sketch = Eager.ckpt(sketchIn)
     // The pair seed is built from the distinct-group list — small by
     // construction (one row per SOURCE, not per document) — so the
     // grp_a × grp_b build broadcasts only the INNER group list (a

@@ -64,27 +64,25 @@ object Eager {
     * surrounding query still plans adaptively; it simply sees a
     * checkpointed table with a known clustering.
     *
-    * The set/restore pair runs under a JVM-global lock so two
-    * concurrent ckptBy calls (e.g. parallel test suites sharing one
-    * session) cannot interleave and strand the session with AQE off
-    * — without it, B could read A's in-flight `false` as its restore
-    * value. Unrelated queries PLANNED on the same session during the
-    * window compile AQE-off (correct, possibly slower); true
-    * conf-isolation needs a per-call cloned session, which Spark's
-    * public surface cannot re-bind checkpointed frames across. */
-  def ckptBy(df: DataFrame, key: String): DataFrame =
-    ckptByLock.synchronized {
-      val sess = df.sparkSession
-      val n = sess.sessionState.conf.numShufflePartitions
-      val prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
-      sess.conf.set("spark.sql.adaptive.enabled", "false")
-      try df.repartition(n, org.apache.spark.sql.functions.col(key))
-        .sortWithinPartitions(key)
-        .localCheckpoint(true)
-      finally sess.conf.set("spark.sql.adaptive.enabled", prev)
-    }
-
-  private val ckptByLock = new Object
+    * The override is SESSION-SCOPED, not a set/restore on the shared
+    * conf: the frame is re-bound onto a cloned session carrying
+    * adaptive=false (GraftColumnBridge.withConfOverrides),
+    * materialized there, and the checkpointed result bound back onto
+    * the caller's session. Concurrent ckptBy calls and queries
+    * planned concurrently on the shared session (the r6 overlapped
+    * fixpoint loops) are completely unaffected — no lock, no global
+    * toggle window. */
+  def ckptBy(df: DataFrame, key: String): DataFrame = {
+    val sess = df.sparkSession
+    val n = sess.sessionState.conf.numShufflePartitions
+    val scoped = org.apache.spark.sql.GraftColumnBridge
+      .withConfOverrides(df, Map("spark.sql.adaptive.enabled" -> "false"))
+    val out = scoped
+      .repartition(n, org.apache.spark.sql.functions.col(key))
+      .sortWithinPartitions(key)
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftColumnBridge.rebind(out, sess)
+  }
 
   def long(m: Map[String, Any], key: String): Long = m(key) match {
     case null    => 0L

@@ -15,4 +15,27 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Re-bind a DataFrame onto a CLONED session carrying conf
+    * overrides: planning/execution of the returned frame reads the
+    * overridden conf while the shared session's conf is never
+    * touched — the session-scoped alternative to a set/restore pair
+    * on `spark.conf`, which leaks the override to every query planned
+    * concurrently on the session (graft.util.Eager.ckptBy's AQE-off
+    * materialization window). */
+  def withConfOverrides(df: Dataset[Row],
+                        overrides: Map[String, String]): Dataset[Row] = {
+    val scoped = df.sparkSession.asInstanceOf[classic.SparkSession]
+      .cloneSession()
+    overrides.foreach { case (k, v) => scoped.conf.set(k, v) }
+    classic.Dataset.ofRows(scoped,
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed)
+  }
+
+  /** Bind a frame (e.g. a checkpointed result produced on a scoped
+    * clone) back onto `session`, so downstream composition plans on
+    * the caller's own session/conf. */
+  def rebind(df: Dataset[Row], session: SparkSession): Dataset[Row] =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed)
 }

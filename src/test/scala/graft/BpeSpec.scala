@@ -38,8 +38,23 @@ class BpeSpec extends AnyFunSuite with SparkSuite {
       }
       if (counts.isEmpty) done = true
       else {
+        // tie-break in CODE-POINT order (== UTF-8 binary order), the
+        // production/oracle collation — Java String ordering compares
+        // UTF-16 code units, which diverges when a supplementary char
+        // ties against a symbol in U+E000..U+FFFF
+        implicit val cpOrder: Ordering[String] =
+          (x: String, y: String) => {
+            val a = x.codePoints().toArray
+            val b = y.codePoints().toArray
+            val n = math.min(a.length, b.length)
+            var i = 0
+            while (i < n && a(i) == b(i)) i += 1
+            if (i < n) Integer.compare(a(i), b(i))
+            else Integer.compare(a.length, b.length)
+          }
         val ((l, r), cnt) = counts.toSeq
-          .sortBy { case ((a, b), c) => (-c, a, b) }.head
+          .sortBy { case ((a, b), c) => (-c, a, b) }(
+            Ordering.Tuple3(Ordering.Long, cpOrder, cpOrder)).head
         val m = l + r
         out += ((round, l, r, m, cnt))
         vocab = vocab.toSeq.map { case (syms, n) =>
