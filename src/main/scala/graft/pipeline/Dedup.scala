@@ -466,6 +466,10 @@ object Dedup {
     val bitsUdf = udf((v: Seq[Float], band: Int) =>
       hyperplaneBits(v, nBits, seed + band * 1000L))
     val base = df.select(id.as("doc_id"), vec.as("v"))
+    // NOT pre-materialized like the shingle/winnowing stores: the rows
+    // carry full embedding vectors, so a bucket-clustered checkpoint
+    // pays a repartition+sort of the heavy payload to save only one
+    // cheap hyperplane-UDF pass — measured ~1 s SLOWER at sf0.1 (r6)
     val banded = base.select(col("doc_id"), col("v"),
       explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("bucket", bitsUdf(col("v"), col("band")))
