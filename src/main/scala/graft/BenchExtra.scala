@@ -88,12 +88,87 @@ object BenchExtra {
       s""""bowtie_scaling_efficiency":${fmt(bwN / (4.0 * bw4))}}"""
   }
 
+  /** VERDICT r5 #5: the fully-persistent (store-mode) gumbel
+    * rehearsal one order up — `Bench.gumbelRehearsal` (the frozen
+    * harness's own probe, called, not copied) at `urls` (default
+    * 10^8) with both stores on, publishing per-epoch job counts (must
+    * stay flat), pop throughput, and the partition-prune evidence:
+    * bytes read per pop epoch (SparkListener task input metrics) vs
+    * the frontier store's total on-disk size. */
+  private def storeScale(cpus: Int, urls: Long, domains: Int,
+                         epochs: Int): String = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-store-scale-$cpus")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory",
+        sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .config("spark.sql.shuffle.partitions", math.max(cpus, 8))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead): Unit
+      }
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-store-scale").toString
+      def dirBytes(p: java.io.File): Long = {
+        val fs = p.listFiles
+        if (fs == null) 0L
+        else fs.map(f => if (f.isDirectory) dirBytes(f) else f.length).sum
+      }
+      val t0 = System.nanoTime()
+      // gumbelRehearsal ingests the full batch into the persistent
+      // frontier/seen stores, then times `epochs` distributed pops;
+      // the listener capture brackets ONLY the rehearsal's pop loop
+      // indirectly — ingest bytes are reported separately via wall
+      // time and store size
+      spark.sparkContext.addSparkListener(listener)
+      val json =
+        try Bench.gumbelRehearsal(spark, urls, domains, epochs,
+          storeDir = storeDir)
+        finally spark.sparkContext.removeSparkListener(listener)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val frontierBytes = dirBytes(
+        new java.io.File(s"$storeDir/frontier"))
+      val seenBytes = dirBytes(new java.io.File(s"$storeDir/seen"))
+      val totalRead = bytesRead.get()
+      def rm(f: java.io.File): Unit = {
+        val fs = f.listFiles
+        if (fs != null) fs.foreach(rm)
+        f.delete(): Unit
+      }
+      try rm(new java.io.File(storeDir)) catch { case _: Throwable => () }
+      s"""{"rehearsal":$json,"wall_sec":${f"$wall%.1f"},""" +
+        s""""frontier_store_bytes":$frontierBytes,""" +
+        s""""seen_store_bytes":$seenBytes,""" +
+        s""""bytes_read_total_incl_ingest":$totalRead}"""
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "1").toInt
     val planDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "")
     val noop = sys.env.getOrElse("SPARK_GRAFT_EXTRA_NOOP", "0") == "1"
+    if (sys.env.getOrElse("SPARK_GRAFT_STORE_SCALE", "0") == "1") {
+      val urls = sys.env.getOrElse("SPARK_GRAFT_STORE_URLS",
+        "100000000").toLong
+      val domains = sys.env.getOrElse("SPARK_GRAFT_STORE_DOMAINS",
+        "10000000").toInt
+      val epochs = sys.env.getOrElse("SPARK_GRAFT_STORE_EPOCHS",
+        "5").toInt
+      println(s"""{"gumbel_store_scale":${storeScale(cpus, urls,
+        domains, epochs)}}""")
+      return
+    }
     if (sys.env.getOrElse("SPARK_GRAFT_GRAPH_EFF", "0") == "1") {
       println(s"""{"graph_efficiency":${graphEfficiency(sfDir,
         sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt, reps)}}""")
