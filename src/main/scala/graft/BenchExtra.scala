@@ -131,9 +131,15 @@ object BenchExtra {
       // time and store size
       spark.sparkContext.addSparkListener(listener)
       val json =
-        try Bench.gumbelRehearsal(spark, urls, domains, epochs,
-          storeDir = storeDir)
-        finally spark.sparkContext.removeSparkListener(listener)
+        try {
+          val j = Bench.gumbelRehearsal(spark, urls, domains, epochs,
+            storeDir = storeDir)
+          // drain the async listener bus before sampling the counter
+          // (same stability poll as the harness's job counters)
+          var last = -1L; var cur = bytesRead.get()
+          while (cur != last) { last = cur; Thread.sleep(200); cur = bytesRead.get() }
+          j
+        } finally spark.sparkContext.removeSparkListener(listener)
       val wall = (System.nanoTime() - t0) / 1e9
       val frontierBytes = dirBytes(
         new java.io.File(s"$storeDir/frontier"))
@@ -175,6 +181,10 @@ object BenchExtra {
       return
     }
     val names = if (args.nonEmpty) args.toSeq else Seq("q48_pagerank")
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty)
+      System.err.println(
+        s"BENCH_EXTRA_UNKNOWN (skipped): ${unknown.mkString(", ")}")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -3272,8 +3272,17 @@ object SparkEntry {
           $"closure_ppm"))
       val rec = graft.pipeline.WebGraph.reciprocity(edges, "src", "dst")
         .select($"n_edges".as("n_dir_edges"), $"reciprocity_ppm")
-      val census = Await.result(censusF, Duration.Inf)
-      val tri = Await.result(triF, Duration.Inf)
+      // failure containment: a failed leg drains the siblings before
+      // rethrowing, so no leg keeps submitting jobs after q155 fails
+      def awaited[A](f: scala.concurrent.Future[A],
+                     rest: Seq[scala.concurrent.Future[_]]): A =
+        try Await.result(f, Duration.Inf)
+        catch {
+          case e: Throwable =>
+            graft.pipeline.GraphOps.drainAll(rest); throw e
+        }
+      val census = awaited(censusF, Seq(triF, coreF))
+      val tri = awaited(triF, Seq(coreF))
       val core = Await.result(coreF, Duration.Inf)
       census.crossJoin(tri).crossJoin(rec).crossJoin(core)
         .select($"n_nodes", $"n_dir_edges", $"n_und_edges",

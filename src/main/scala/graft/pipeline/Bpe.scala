@@ -135,7 +135,14 @@ object Bpe {
     * per skipped merge, not a corpus pass). Zero shuffles, zero extra
     * materializations, linear in merges — the shape a 100 TB encode
     * runs. Pinned bit-equal to the fold path ([[bpeSegmentFold]]) in
-    * BpeSpec. */
+    * BpeSpec for the operator's contract regime — one row per
+    * DISTINCT doc id. On duplicate ids the two paths differ by
+    * construction: this path segments each input row independently
+    * (one output row per input row), while the fold path's
+    * groupBy(doc_id) merged duplicate ids' words into one interleaved
+    * segmentation attached to every duplicate row — the saner
+    * behavior lives here; callers wanting a merged view should
+    * pre-aggregate their text. */
   def bpeSegment(df: DataFrame, id: Column, text: Column,
                  merges: Seq[(String, String)],
                  endMark: String = "</w>"): DataFrame = {

@@ -42,6 +42,15 @@ object GraphOps {
         t
       }))
 
+  /** Failure containment for overlapped loop futures: wait every
+    * in-flight future to completion (success OR failure, each bounded
+    * by its own loud round cap), swallowing their errors — called
+    * from an operator's failure path before rethrowing, so a failed
+    * leg can never leave sibling loops still submitting jobs on the
+    * shared session after the operator has thrown. */
+  private[graft] def drainAll(fs: Seq[Future[_]]): Unit =
+    fs.foreach(f => scala.util.Try(Await.result(f, Duration.Inf)): Unit)
+
   /** Fixed-point PageRank — deterministic to the last bit on any
     * engine.
     *
@@ -85,13 +94,17 @@ object GraphOps {
     val eDegF = Future(eDegOf(e))
     // plain PageRank IS the seeded loop with every node a seed
     // (restart mass uniform over V) — one recurrence, maintained once
-    val (nodes, n) = Eager.ckptCount(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
-        .distinct().withColumn("is_seed", lit(true)))
-    require(n > 0, "empty graph")
-    seededRankLoop(Await.result(eDegF, Duration.Inf), nodes, n, iters,
-      dampNum, dampDen, unit)
+    try {
+      val (nodes, n) = Eager.ckptCount(
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node")))
+          .distinct().withColumn("is_seed", lit(true)))
+      require(n > 0, "empty graph")
+      seededRankLoop(Await.result(eDegF, Duration.Inf), nodes, n,
+        iters, dampNum, dampDen, unit)
+    } catch {
+      case e2: Throwable => drainAll(Seq(eDegF)); throw e2
+    }
   }
 
   /** The (src, dst, outdeg) table a rank fixpoint re-joins every
@@ -167,20 +180,25 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     implicit val ec: ExecutionContext = loopEc
     val eDegF = Future(eDegOf(e))
-    val s = seeds.select(col("node")).distinct().localCheckpoint(true)
-    // seed count observed on the node-table materialization job itself
-    val (nodes, obs) = Eager.ckptObserve(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
-        .distinct()
-        .join(s.withColumn("_seed", lit(true)), Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("_seed"), lit(false)).as("is_seed")),
-      "nseeds" -> count(when(col("is_seed"), 1)))
-    val nSeeds = Eager.long(obs, "nseeds")
-    require(nSeeds > 0, "no seed appears in the graph")
-    seededRankLoop(Await.result(eDegF, Duration.Inf), nodes, nSeeds,
-      iters, dampNum, dampDen, unit)
+    try {
+      val s = seeds.select(col("node")).distinct()
+        .localCheckpoint(true)
+      // seed count observed on the node-table materialization itself
+      val (nodes, obs) = Eager.ckptObserve(
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node")))
+          .distinct()
+          .join(s.withColumn("_seed", lit(true)), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("_seed"), lit(false)).as("is_seed")),
+        "nseeds" -> count(when(col("is_seed"), 1)))
+      val nSeeds = Eager.long(obs, "nseeds")
+      require(nSeeds > 0, "no seed appears in the graph")
+      seededRankLoop(Await.result(eDegF, Duration.Inf), nodes, nSeeds,
+        iters, dampNum, dampDen, unit)
+    } catch {
+      case e2: Throwable => drainAll(Seq(eDegF)); throw e2
+    }
   }
 
   /** Relative link-spam mass (Gyöngyi, Berkhin, Garcia-Molina,
@@ -213,6 +231,7 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     implicit val ec: ExecutionContext = loopEc
     val eDegF = Future(eDegOf(e))
+    try {
     val s = seeds.select(col("node")).distinct().localCheckpoint(true)
     // node count and seed count both observed on the one node-table
     // materialization job
@@ -244,7 +263,11 @@ object GraphOps {
         dampNum, dampDen, unit)
       .select(col("node"), col("rank_fp").as("trusted_fp"))
       .localCheckpoint(true))
-    val pr = Await.result(prF, Duration.Inf)
+    // failure containment: if either loop fails, the sibling is
+    // drained before the rethrow (drainAll via the outer catch)
+    val pr =
+      try Await.result(prF, Duration.Inf)
+      catch { case e2: Throwable => drainAll(Seq(trF)); throw e2 }
     val tr = Await.result(trF, Duration.Inf)
     pr.join(tr, Seq("node"))
       .select(col("node"), col("rank_fp"), col("trusted_fp"),
@@ -252,6 +275,9 @@ object GraphOps {
           expr("greatest(rank_fp - trusted_fp, 0L) * 1000000L " +
             "div rank_fp"))
           .otherwise(lit(0L)).as("spam_mass_ppm"))
+    } catch {
+      case e2: Throwable => drainAll(Seq(eDegF)); throw e2
+    }
   }
 
   /** Fixed-point WEIGHTED PageRank: transition mass proportional to an
@@ -293,11 +319,14 @@ object GraphOps {
       val outW = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
       Eager.ckptBy(e.join(outW, "src"), "src")
     }
-    val (nodes, n) = Eager.ckptCount(
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
-        .distinct())
-    require(n > 0, "empty graph")
+    val (nodes, n) =
+      try Eager.ckptCount(
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node")))
+          .distinct())
+      catch { case e2: Throwable => drainAll(Seq(eWF)); throw e2 }
+    try require(n > 0, "empty graph")
+    catch { case e2: Throwable => drainAll(Seq(eWF)); throw e2 }
     val eW = Await.result(eWF, Duration.Inf)
     val base = ((dampDen - dampNum) * unit) / dampDen / n
     var ranks = nodes.withColumn("r", lit(unit / n))
@@ -592,10 +621,21 @@ object GraphOps {
     val edges = Eager.ckptBy(
       edgesIn.select(col(src).as("src"), col(dst).as("dst"))
         .filter(col("src") =!= col("dst")).distinct(), "src")
+    // every future is tracked so a failure in ANY leg first drains
+    // the others (each bounded by its own loud round cap) before the
+    // operator rethrows — no zombie loop keeps submitting jobs on the
+    // shared session after bowtie has failed (drainAll)
+    val inFlight = ArrayBuffer.empty[Future[_]]
+    def fut[A](a: => A): Future[A] = {
+      val f = Future(a)
+      inFlight += f
+      f
+    }
+    try {
     // everything below derives from the stored `edges` alone, so the
     // three setup materializations overlap (guide §2.6): the reversed
     // + undirected stores, the node set, and the pivot
-    val revUndF = Future {
+    val revUndF = fut {
       val rev = Eager.ckptBy(
         edges.select(col("dst").as("src"), col("src").as("dst")), "src")
       // distinct: a reciprocal input pair a<->b appears in BOTH edges
@@ -603,11 +643,11 @@ object GraphOps {
       // every round joins) such edges twice
       (rev, Eager.ckptBy(edges.union(rev).distinct(), "src"))
     }
-    val nodesF = Future(Eager.ckpt(edges.select(col("src").as("node"))
+    val nodesF = fut(Eager.ckpt(edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()))
     // the pivot is computed ONCE (it used to be re-derived inside
     // every closure that seeded from it — five degree aggregates)
-    val pivotF = Future(Eager.ckpt(edges.select(col("src").as("node"))
+    val pivotF = fut(Eager.ckpt(edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("node").asc).limit(1)
@@ -618,20 +658,20 @@ object GraphOps {
     // group runs overlapped (guide §2.6) — the loops are serial in
     // rounds, so running them one after another left most of the
     // cluster idle in every round's tail.
-    val fwdF = Future(reach(edges, pivot, maxRounds))
+    val fwdF = fut(reach(edges, pivot, maxRounds))
     val (rev, und) = Await.result(revUndF, Duration.Inf)
-    val bwdF = Future(reach(rev, pivot, maxRounds))
-    val weakF = Future(reach(und, pivot, maxRounds))
+    val bwdF = fut(reach(rev, pivot, maxRounds))
+    val weakF = fut(reach(und, pivot, maxRounds))
     val nodes = Await.result(nodesF, Duration.Inf)
     val fwd = Await.result(fwdF, Duration.Inf)._1
     val bwd = Await.result(bwdF, Duration.Inf)._1
     val core = Eager.ckpt(fwd.join(bwd, Seq("node"), "left_semi"))
-    val innF = Future(Eager.ckpt(bwd.join(core, Seq("node"), "left_anti")))
-    val outF = Future(Eager.ckpt(fwd.join(core, Seq("node"), "left_anti")))
+    val innF = fut(Eager.ckpt(bwd.join(core, Seq("node"), "left_anti")))
+    val outF = fut(Eager.ckpt(fwd.join(core, Seq("node"), "left_anti")))
     val inn = Await.result(innF, Duration.Inf)
     val out = Await.result(outF, Duration.Inf)
-    val tFromF = Future(reach(edges, inn, maxRounds))
-    val tToF = Future(reach(rev, out, maxRounds))
+    val tFromF = fut(reach(edges, inn, maxRounds))
+    val tToF = fut(reach(rev, out, maxRounds))
     val tFrom = Await.result(tFromF, Duration.Inf)._1
     val tTo = Await.result(tToF, Duration.Inf)._1
     val (weak, weakRounds) = Await.result(weakF, Duration.Inf)
@@ -655,6 +695,9 @@ object GraphOps {
           .when(!set("_weak"), lit("DISCONNECTED"))
           .when(set("_tfrom") && set("_tto"), lit("TUBE"))
           .otherwise(lit("TENDRIL")).as("cls"))
+    } catch {
+      case e: Throwable => drainAll(inFlight.toSeq); throw e
+    }
   }
 
   /** Nodes of the k-core: the maximal subgraph in which every node has

@@ -75,14 +75,26 @@ object Eager {
   def ckptBy(df: DataFrame, key: String): DataFrame = {
     val sess = df.sparkSession
     val n = sess.sessionState.conf.numShufflePartitions
-    val scoped = org.apache.spark.sql.GraftColumnBridge
-      .withConfOverrides(df, Map("spark.sql.adaptive.enabled" -> "false"))
-    val out = scoped
+    // ONE cached adaptive=false clone per parent session (cloning per
+    // call would build a fresh SessionState + execution-listener bus
+    // registration every time — ckptBy runs hundreds of times per
+    // bench pass)
+    val scopedSess = aqeOffClones.computeIfAbsent(sess, s =>
+      org.apache.spark.sql.GraftColumnBridge.cloneWithConf(s,
+        Map("spark.sql.adaptive.enabled" -> "false")))
+    val out = org.apache.spark.sql.GraftColumnBridge
+      .rebind(df, scopedSess)
       .repartition(n, org.apache.spark.sql.functions.col(key))
       .sortWithinPartitions(key)
       .localCheckpoint(true)
     org.apache.spark.sql.GraftColumnBridge.rebind(out, sess)
   }
+
+  // parent session -> its adaptive=false clone; weak keys so a
+  // stopped/discarded session's entry can be collected
+  private val aqeOffClones = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession])
 
   def long(m: Map[String, Any], key: String): Long = m(key) match {
     case null    => 0L

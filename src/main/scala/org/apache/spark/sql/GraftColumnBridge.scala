@@ -24,12 +24,20 @@ object GraftColumnBridge {
     * concurrently on the session (graft.util.Eager.ckptBy's AQE-off
     * materialization window). */
   def withConfOverrides(df: Dataset[Row],
-                        overrides: Map[String, String]): Dataset[Row] = {
-    val scoped = df.sparkSession.asInstanceOf[classic.SparkSession]
+                        overrides: Map[String, String]): Dataset[Row] =
+    rebind(df, cloneWithConf(df.sparkSession, overrides))
+
+  /** Clone `session` with conf overrides applied — callers should
+    * CACHE the clone per parent session (each clone builds a fresh
+    * SessionState and registers its own execution-listener bus on the
+    * shared LiveListenerBus, so cloning per call accumulates
+    * dispatch work; see graft.util.Eager.ckptBy). */
+  def cloneWithConf(session: SparkSession,
+                    overrides: Map[String, String]): SparkSession = {
+    val scoped = session.asInstanceOf[classic.SparkSession]
       .cloneSession()
     overrides.foreach { case (k, v) => scoped.conf.set(k, v) }
-    classic.Dataset.ofRows(scoped,
-      df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed)
+    scoped
   }
 
   /** Bind a frame (e.g. a checkpointed result produced on a scoped
